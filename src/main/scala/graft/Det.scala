@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine deterministic numeric aggregation.
+  *
+  * `SUM(double)` is order-dependent (floating-point addition is not
+  * associative), so a Spark partial/final hash aggregate and DuckDB's
+  * single-threaded aggregate can legitimately differ in the last ulp —
+  * enough to break the driver's hash compare. The fix used throughout this
+  * library: cast each addend to an exact DECIMAL first (per-row double
+  * arithmetic is IEEE-deterministic and bit-identical across engines; only
+  * the *reduction* order varies), sum exactly in decimal, then cast the
+  * final value back to double. The result is identical regardless of
+  * partitioning, parallelism, or engine — which also means these queries
+  * stay deterministic on a 1000-executor cluster, not just on local[32].
+  *
+  * Map-side partial aggregation still applies (decimal sums are
+  * commutative), so this costs nothing in shuffle volume.
+  */
+object Det {
+  /** Deterministic sum of a double expression: exact decimal accumulate,
+    * double result. Scale 6 keeps the half-way rounding boundary far from
+    * representable doubles in the fixture value ranges. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Deterministic arithmetic mean (dsum / row count). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** DuckDB-dialect SQL for [[dsum]]. */
+  def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** DuckDB-dialect SQL for [[davg]]. */
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT(*))"
+}

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query: a Spark implementation plus (when the
+  * semantics are faithfully ANSI-SQL-expressible) an equivalent DuckDB
+  * oracle statement used by the driver's hash-compare at sf0.01.
+  *
+  * Oracle-authoring invariants (see SURVEY.md §5): total ORDER BY,
+  * explicit NULLS FIRST/LAST matching Spark's defaults (ASC → nulls first,
+  * DESC → nulls last), identical output column names and types, no
+  * order-dependent float reductions (use [[Det]]).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** A module contributing queries to [[SparkEntry]]. */
+trait QueryPack {
+  def queries: Seq[QueryDef]
+}

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** Window-function and time-series pack: ranking, analytic lag/lead,
+  * running and frame aggregates, ntile, tumbling time buckets,
+  * sessionization (gaps-and-islands) and the as-of join.
+  *
+  * These model the reference's *time* semantics — daily cadence
+  * (`hello_function_dag.py:16`), poll intervals and bounded waits
+  * (`update_tr_from_ex_dag.py:127-128`) — as declarative event-time
+  * operators over the `events` table; the streaming forms live in
+  * `graft.streaming` and share the same batch-checkable shapes.
+  *
+  * Scale notes: every window here is partitioned by a high-cardinality key
+  * (customer, user) so state is distributed; the only global window (q23
+  * ntile) is a deliberate small-cardinality ranking — for billion-row
+  * global ranks you'd range-partition the sort instead (Spark's orderBy
+  * already does exactly that under the hood).
+  */
+object WindowOps extends QueryPack {
+  import Det._
+
+  // ---------------------------------------------------------------- q20
+  /** Per-group top-k: 3 biggest orders per customer via row_number. */
+  val q20 = QueryDef(
+    "q20_topk_per_group",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast(IntegerType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn"""))
+
+  // ---------------------------------------------------------------- q21
+  /** Running (cumulative) spend per customer — decimal-deterministic. */
+  val q21 = QueryDef(
+    "q21_running_sum",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+            .cast(DoubleType).as("cum_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q22
+  /** Analytic lag/lead: inter-order gap and next order value. */
+  val q22 = QueryDef(
+    "q22_lag_lead",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(date_diff('day',
+        CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+      lead(o_totalprice, 1) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q23
+  /** ntile quartiles of customers by balance + per-quartile profile. */
+  val q23 = QueryDef(
+    "q23_ntile",
+    (spark, dir) => {
+      val c = Tables(spark, dir).customer
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"))
+        .groupBy(col("quartile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("quartile"))
+    },
+    Some("""SELECT quartile, COUNT(*) AS n,
+      MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM (SELECT c_custkey, c_acctbal,
+      CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+      FROM customer)
+    GROUP BY quartile
+    ORDER BY quartile"""))
+
+  // ---------------------------------------------------------------- q24
+  /** Moving average over a bounded row frame (last 3 events per user). */
+  val q24 = QueryDef(
+    "q24_moving_avg",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      e.select(
+          col("event_id"), col("user_id"), col("value"),
+          (sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("mavg3"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, value,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w AS mavg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q25
+  /** Tumbling hourly buckets over events — the batch-checkable equivalent
+    * of the streaming tumbling-window aggregate (graft.streaming). */
+  val q25 = QueryDef(
+    "q25_tumbling_hour",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      e.groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
+      COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type"""))
+
+  // ---------------------------------------------------------------- q26
+  /** Sessionization via gaps-and-islands: a new session starts after a
+    * >30 min silence; sessions then profiled per user. The streaming twin
+    * is `session_window` (graft.streaming). */
+  val q26 = QueryDef(
+    "q26_sessionize",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun).cast(LongType))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .cast(LongType).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH x AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts, 1) OVER w IS NULL
+               OR date_diff('second', lag(ts, 1) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts,
+        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""))
+
+  // ---------------------------------------------------------------- q27
+  /** As-of join ([[AsOf.backward]]): each error event matched to the same
+    * user's latest purchase at-or-before it. */
+  val q27 = QueryDef(
+    "q27_asof_join",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val errors = e.filter(col("event_type") === "error")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          col("ts").as("purchase_ts"))
+      AsOf.backward(
+          errors, purchases,
+          keyL = "user_id", keyR = "user_id",
+          timeL = "ts", timeR = "ts",
+          payload = Seq("purchase_event_id", "purchase_ts"),
+          tieR = "purchase_event_id")
+        .filter(col("purchase_event_id").isNotNull)
+        .select(
+          col("event_id"), col("user_id"), col("purchase_event_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("purchase_ts")))
+            .cast(LongType).as("gap_sec"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT e.event_id, e.user_id, p.event_id AS purchase_event_id,
+        date_diff('second', p.ts, e.ts) AS gap_sec,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM e JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts)
+    SELECT event_id, user_id, purchase_event_id, gap_sec
+    FROM j WHERE rn = 1
+    ORDER BY event_id"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+}

@@ -1,0 +1,35 @@
+package graft
+
+class SparkEntrySpec extends SparkTestBase {
+
+  test("entry returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes on sf0.001") {
+    SparkEntry.allQueries.foreach { q =>
+      val df = q.fn(spark, sf0001)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      df.count() // force full execution
+    }
+  }
+
+  test("query names are unique and well-formed") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size)
+    names.foreach(n => assert(n.matches("[a-z0-9_]+"), s"bad name $n"))
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("output column names are distinct per query (driver sorts by name)") {
+    SparkEntry.allQueries.foreach { q =>
+      val cols = q.fn(spark, sf0001).columns
+      assert(cols.distinct.length == cols.length,
+        s"${q.name} duplicate columns: ${cols.mkString(",")}")
+    }
+  }
+}
