@@ -12,7 +12,11 @@ object SparkEntry {
   /** All operator packs contributing queries. */
   def packs: Seq[QueryPack] = Seq(
     operators.Relational,
-    operators.WindowOps)
+    operators.WindowOps,
+    operators.Dedup,
+    operators.Similarity,
+    operators.TextOps,
+    operators.Multimodal)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)
 

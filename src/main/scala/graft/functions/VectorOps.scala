@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding math over `ArrayType(FloatType)` columns, built from Spark's
+  * higher-order array functions so everything stays inside Catalyst (no
+  * Scala UDF serialization, no Python).
+  *
+  * Determinism: every float is upcast to double *before* any arithmetic,
+  * and `aggregate` folds strictly left-to-right, so the dot product is a
+  * fixed-order IEEE double reduction — bit-identical on any partitioning
+  * and reproducible by the DuckDB oracle.
+  *
+  * Scale: these are per-row scalar expressions (no shuffle). For 100 TB
+  * corpora the pair-generation strategy around them (broadcast the query
+  * set, LSH-bucket the corpus) decides cost — see operators.Similarity.
+  */
+object VectorOps {
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared euclidean distance (monotone with euclidean — cheaper). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Sign-bit locality-sensitive bucket: `planes` pseudo-random hyperplanes
+    * derived deterministically from `xxhash64`, one bit per plane packed
+    * into a long. Rows in the same bucket are likely cosine-similar, so an
+    * ANN search only compares within buckets — the 100 TB path where the
+    * brute-force cross join is impossible. */
+  def lshBucket(v: Column, planes: Int, dim: Int): Column = {
+    // plane p, dim d weight in [-0.5, 0.5): deterministic hash-derived.
+    def w(p: Int, d: Int): Column =
+      (pmod(xxhash64(lit(p * 7919 + d)), lit(100000)).cast("double") / 100000.0) - 0.5
+    val bits = (0 until planes).map { p =>
+      val prods = (0 until dim).map(d => element_at(v, d + 1).cast("double") * w(p, d))
+      val dotP = prods.reduce(_ + _)
+      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

