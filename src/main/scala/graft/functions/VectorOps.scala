@@ -17,18 +17,29 @@ import org.apache.spark.sql.functions._
   * set, LSH-bucket the corpus) decides cost — see operators.Similarity.
   */
 object VectorOps {
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double.
+    * Higher-order-function form: works with no session setup, but Spark
+    * interprets HOF lambdas (no codegen) — fine off the hot path. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Codegen'd dot product ([[expressions.DotProduct]]) — bit-identical to
+    * [[dot]] but ~100× faster in pairwise hot loops. Requires
+    * [[GraftFunctions.register]] on the session first. */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (||a|| * ||b||). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine (see [[dotNative]]); bit-identical to [[cosine]]. */
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
   /** Squared euclidean distance (monotone with euclidean — cheaper). */
   def sqDist(a: Column, b: Column): Column =

@@ -1,0 +1,60 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** 64-bit SimHash over a token array (one xxhash64 per token, seed 42 —
+  * the same hash family as Spark's `xxhash64`): bit j of the signature is
+  * the sign of the ±1 vote sum of each token's bit j.
+  *
+  * Replaces the equivalent higher-order-function formulation
+  * (`aggregate(tokens, zip_with(... getbit(xxhash64(t), j) ...)))`), which
+  * Spark interprets lambda-by-lambda — tokens × 64 interpreted steps per
+  * row. This expression does the same arithmetic in one tight loop per
+  * row (CodegenFallback, but the loop body is plain JVM code, no
+  * expression interpreter in the inner loop).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash64"
+}

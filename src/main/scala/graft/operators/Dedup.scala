@@ -163,22 +163,10 @@ object Dedup extends QueryPack {
   val q34 = QueryDef(
     "q34_simhash",
     (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
       val d = Tables(spark, dir).documents
-      val sig = expr(
-        """aggregate(
-             split(text, ' '),
-             array_repeat(CAST(0 AS BIGINT), 64),
-             (acc, t) -> zip_with(acc,
-               transform(sequence(0, 63),
-                 j -> CASE WHEN getbit(xxhash64(t), j) = 1
-                           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-               (a, b) -> a + b),
-             acc -> aggregate(
-               transform(sequence(0, 63),
-                 j -> CASE WHEN acc[j] > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
-                           ELSE CAST(0 AS BIGINT) END),
-               CAST(0 AS BIGINT), (s, x) -> s + x))""")
-      val sigs = d.select(col("doc_id"), sig.as("sig"))
+      val sigs = d.select(col("doc_id"),
+        call_function("graft_simhash64", split(col("text"), " ")).as("sig"))
       val chunks = sigs.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(c =>
             shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import scala.annotation.tailrec
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+
+/** Driver-side orchestration primitives reproducing the reference DAGs'
+  * task semantics as plain Scala composition (the Spark driver program IS
+  * the DAG — SURVEY.md §1.2):
+  *
+  *  - [[retryWithBackoff]] — per-task retry policy with exponential
+  *    backoff and a delay cap (`hello_function_dag.py:30-33`:
+  *    retries=3, delay=3m, exponential, max 10m)
+  *  - [[pollUntil]] — HttpSensor poke loop: interval + overall timeout +
+  *    tri-state check (`update_tr_from_ex_dag.py:118-130`)
+  *  - [[route]] — trigger rules: run success XOR failure continuation on
+  *    the task outcome (`update_tr_from_ex_dag.py:132-154`)
+  *  - [[Connections]] — named connection/option registry resolved at run
+  *    time (`Connection.get_connection_from_secrets`,
+  *    `update_tr_from_ex_dag.py:47`)
+  *
+  * Scalar results passed between steps are ordinary return values — the
+  * XCom equivalent (`update_tr_from_ex_dag.py:65,121`).
+  */
+object Pipeline {
+
+  /** Sensor tri-state, mirroring the reference's `response_check`:
+    * True → done; raise → failed; False → keep polling. */
+  sealed trait PollStatus
+  case object Done extends PollStatus
+  case object StillRunning extends PollStatus
+  final case class FailedPoll(reason: String) extends PollStatus
+
+  final case class PipelineFailure(msg: String) extends RuntimeException(msg)
+
+  /** Retry `task` up to `retries` times after the first attempt, sleeping
+    * `delay` (doubling when `exponential`, capped at `maxDelay`) between
+    * attempts. */
+  def retryWithBackoff[T](
+      retries: Int,
+      delay: FiniteDuration,
+      maxDelay: FiniteDuration,
+      exponential: Boolean = true,
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis))(
+      task: () => T): Try[T] = {
+    @tailrec def loop(attempt: Int, d: FiniteDuration): Try[T] =
+      Try(task()) match {
+        case s @ Success(_) => s
+        case Failure(_) if attempt < retries =>
+          sleep(d)
+          val next = if (exponential) (d * 2) min maxDelay else d
+          loop(attempt + 1, next)
+        case f => f
+      }
+    loop(0, delay min maxDelay)
+  }
+
+  /** Poke-mode sensor: evaluate `check` every `pokeInterval` until Done /
+    * FailedPoll / overall `timeout`. Returns the number of pokes on
+    * success; fails with [[PipelineFailure]] on failure or timeout —
+    * exactly the HttpSensor contract (poke_interval=60, timeout=3600,
+    * failure raise). */
+  def pollUntil(
+      pokeInterval: FiniteDuration,
+      timeout: FiniteDuration,
+      clock: () => Long = () => System.nanoTime(),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis))(
+      check: () => PollStatus): Try[Int] = {
+    val deadline = clock() + timeout.toNanos
+    @tailrec def loop(pokes: Int): Try[Int] =
+      check() match {
+        case Done => Success(pokes + 1)
+        case FailedPoll(reason) =>
+          Failure(PipelineFailure(s"external job failed: $reason"))
+        case StillRunning =>
+          if (clock() + pokeInterval.toNanos > deadline)
+            Failure(PipelineFailure(s"sensor timed out after $timeout"))
+          else { sleep(pokeInterval); loop(pokes + 1) }
+      }
+    loop(0)
+  }
+
+  /** Trigger-rule fan-out: `all_success` branch XOR `one_failed` branch. */
+  def route[T, R](outcome: Try[T])(onSuccess: T => R, onFailure: Throwable => R): R =
+    outcome match {
+      case Success(v) => onSuccess(v)
+      case Failure(e) => onFailure(e)
+    }
+
+  /** Named connection registry (endpoint/credential options resolved at
+    * plan-build time — the `conn_id` pattern). */
+  final class Connections(entries: Map[String, Map[String, String]]) {
+    def apply(connId: String): Map[String, String] =
+      entries.getOrElse(connId,
+        throw PipelineFailure(s"unknown connection '$connId'"))
+  }
+  object Connections {
+    def apply(entries: (String, Map[String, String])*): Connections =
+      new Connections(entries.toMap)
+  }
+}

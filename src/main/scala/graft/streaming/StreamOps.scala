@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the engine's time operators, modeling the
+  * reference's scheduling/sensing semantics as event-time streams:
+  *
+  *  - daily cadence (`hello_function_dag.py:16`)  → tumbling windows
+  *  - poll cadence (`update_tr_from_ex_dag.py:127`) → sliding windows
+  *  - bounded waiting (`timeout=3600`, `:128`)      → watermarks
+  *  - user activity                                 → session windows
+  *  - HttpSensor tri-state (`:25-39`)               → per-key state machine
+  *    via flatMapGroupsWithState ([[SensorStateMachine]])
+  *
+  * Every transform takes and returns a DataFrame, so the same code runs on
+  * `MemoryStream` in tests, file streams locally, and Kafka-style sources
+  * on a cluster. Watermarks bound state size — the property that keeps
+  * these pipelines runnable indefinitely at production scale.
+  */
+object StreamOps {
+
+  /** Tumbling event-time aggregate with bounded lateness. */
+  def tumblingCounts(events: DataFrame, windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window aggregate (poll-cadence analogue). */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with an inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup with state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+}
+
+/** One observation of an external job (the sensor's poll payload). */
+case class Poll(jobId: Long, ts: java.sql.Timestamp, status: String)
+
+/** Terminal verdict for a sensed job. */
+case class SensorVerdict(jobId: Long, verdict: String, nPolls: Int)
+
+/** The reference's HttpSensor `response_check` tri-state
+  * (`update_tr_from_ex_dag.py:25-39`) as a distributed per-key state
+  * machine: completed+success → emit "success"; completed+failure →
+  * emit "failed"; still running → keep waiting; no poll before the
+  * processing-time timeout → emit "timeout" (the sensor's
+  * `timeout=3600`). One state entry per in-flight job — state is
+  * bounded and partitioned by key, so millions of concurrent sensors
+  * distribute across executors. */
+object SensorStateMachine {
+  /** @param timeoutMs sensor wall-clock timeout; <= 0 disables the timeout
+    *                  branch (useful in synchronous tests — processing-time
+    *                  timeouts make the engine self-schedule wake-up
+    *                  batches, which never quiesces under
+    *                  `processAllAvailable`). */
+  def apply(polls: Dataset[Poll], timeoutMs: Long = 3600000L): Dataset[SensorVerdict] = {
+    import polls.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    polls
+      .groupByKey(_.jobId)
+      .flatMapGroupsWithState[Int, SensorVerdict](
+        OutputMode.Append, timeoutConf) {
+        (jobId: Long, rows: Iterator[Poll], state: GroupState[Int]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0)
+            state.remove()
+            Iterator(SensorVerdict(jobId, "timeout", n))
+          } else {
+            val seen = state.getOption.getOrElse(0)
+            val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.status))
+            val n = seen + sorted.size
+            sorted.collectFirst {
+              case p if p.status == "success" => SensorVerdict(jobId, "success", n)
+              case p if p.status == "failure" => SensorVerdict(jobId, "failed", n)
+            } match {
+              case Some(verdict) =>
+                state.remove()
+                Iterator(verdict)
+              case None =>
+                state.update(n)
+                if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+                Iterator.empty
+            }
+          }
+      }
+  }
+}
+
+/** Trigger-rule routing (`all_success` / `one_failed`,
+  * `update_tr_from_ex_dag.py:139,150`) for streams: each micro-batch is
+  * split into an accepted sink and a dead-letter sink inside one
+  * `foreachBatch`, so per-record failures never kill the query and the
+  * failure channel is itself a queryable DataFrame. */
+object BatchRouter {
+  /** Writes rows passing `accept` to `okPath`, the rest to `deadPath`
+    * (both parquet, append). Returns the writer function for
+    * `writeStream.foreachBatch`. */
+  def parquetRouter(accept: org.apache.spark.sql.Column, okPath: String,
+      deadPath: String): (DataFrame, Long) => Unit = { (batch, _) =>
+    val cached = batch.persist()
+    try {
+      cached.filter(accept).write.mode("append").parquet(okPath)
+      cached.filter(!accept).write.mode("append").parquet(deadPath)
+    } finally { cached.unpersist() }
+  }
+}

@@ -23,6 +23,19 @@ class VectorOpsSpec extends SparkTestBase {
     assert(rows(1).getDouble(2) == 2.0)
   }
 
+  test("codegen'd DotProduct is bit-identical to the HOF fold on real embeddings") {
+    GraftFunctions.register(spark)
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val pairs = em.crossJoin(
+      em.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+    val diff = pairs.select(
+        VectorOps.dot(col("embedding"), col("e2")).as("hof"),
+        VectorOps.dotNative(col("embedding"), col("e2")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0, s"$diff pairs differ between HOF and codegen dot")
+  }
+
   test("lshBucket: deterministic, equal vectors share a bucket") {
     val v = Seq(
       (1L, Array.fill(64)(0.25f)),

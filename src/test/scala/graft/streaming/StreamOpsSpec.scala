@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("tumbling window with watermark finalizes windows, drops late data") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("tumb").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // watermark pusher: event at 12:00 moves watermark to 11:50 > 11:00
+    in.addData(Ev(3, ts("2024-01-01 12:00:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    // this event is behind the watermark → dropped
+    in.addData(Ev(4, ts("2024-01-01 10:30:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumb")
+      .select("win_start", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains((ts("2024-01-01 10:00:00"), 2L, 3.0)),
+      s"got ${rows.mkString(";")}")
+    assert(!rows.exists(_._2 == 3L), "late event must not be re-counted")
+  }
+
+  test("session windows split on inactivity gap") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(in.toDF(), "30 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 09:00:00"), 7, "click", 0),
+      Ev(2, ts("2024-01-01 09:10:00"), 7, "click", 0), // same session
+      Ev(3, ts("2024-01-01 11:00:00"), 7, "click", 0)) // new session
+    q.processAllAvailable()
+    in.addData(Ev(4, ts("2024-01-01 15:00:00"), 8, "click", 0)) // watermark pusher
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess")
+      .where(col("user_id") === 7).orderBy("session_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(3)))
+    assert(sessions.toSeq == Seq(
+      (ts("2024-01-01 09:00:00"), 2L), (ts("2024-01-01 11:00:00"), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes stream duplicates") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(in.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0), // dup id within watermark
+      Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("sensor state machine emits tri-state verdicts per job") {
+    val in = MemoryStream[Poll]
+    val q = SensorStateMachine(in.toDS(), timeoutMs = 0L)
+      .writeStream.outputMode("append").format("memory").queryName("sensor").start()
+    in.addData(
+      Poll(1, ts("2024-01-01 00:00:00"), "running"),
+      Poll(2, ts("2024-01-01 00:00:00"), "running"))
+    q.processAllAvailable()
+    in.addData(
+      Poll(1, ts("2024-01-01 00:01:00"), "success"),
+      Poll(2, ts("2024-01-01 00:01:00"), "failure"))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.table("sensor").as[SensorVerdict].collect()
+      .map(v => v.jobId -> ((v.verdict, v.nPolls))).toMap
+    assert(verdicts(1L) == (("success", 2)))
+    assert(verdicts(2L) == (("failed", 2)))
+  }
+
+  test("batch router splits micro-batches into ok and dead-letter sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("router").toString
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch(BatchRouter.parquetRouter(
+        col("value") >= 0, s"$dir/ok", s"$dir/dead"))
+      .start()
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 5.0),
+      Ev(2, ts("2024-01-01 00:00:00"), 1, "error", -1.0),
+      Ev(3, ts("2024-01-01 00:00:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/ok").count() == 2)
+    assert(spark.read.parquet(s"$dir/dead").count() == 1)
+  }
+}
