@@ -12,6 +12,7 @@ object SparkEntry {
   /** All operator packs contributing queries. */
   def packs: Seq[QueryPack] = Seq(
     operators.Relational,
+    operators.RelationalExt,
     operators.WindowOps,
     operators.Dedup,
     operators.Similarity,

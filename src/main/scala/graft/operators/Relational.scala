@@ -334,7 +334,8 @@ object Relational extends QueryPack {
           length(col("p_name")).as("name_len"),
           concat(col("p_type"), lit("/"), col("p_brand")).as("type_brand"),
           regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
-          split(col("p_brand"), "#").getItem(1).as("brand_num"))
+          split(col("p_brand"), "#").getItem(1).as("brand_num"),
+          levenshtein(col("p_brand"), lit("Brand#1")).as("brand_dist"))
         .orderBy(col("p_partkey"))
     },
     Some("""SELECT p_partkey,
@@ -343,7 +344,8 @@ object Relational extends QueryPack {
       CAST(LENGTH(p_name) AS INT) AS name_len,
       p_type || '/' || p_brand AS type_brand,
       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
-      STRING_SPLIT(p_brand, '#')[2] AS brand_num
+      STRING_SPLIT(p_brand, '#')[2] AS brand_num,
+      CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS brand_dist
     FROM part
     ORDER BY p_partkey"""))
 

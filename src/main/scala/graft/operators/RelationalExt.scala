@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Second relational pack: multiset set-ops, ranking family, exact
+  * percentiles/ordered collections, deterministic variance, JSON
+  * struct round-trips, null-safe predicates, regex matching and
+  * approximate distinct sketches — closing out the SURVEY.md §2.2
+  * scalar/agg/set-op surface.
+  */
+object RelationalExt extends QueryPack {
+  import Det._
+
+  // ---------------------------------------------------------------- q28
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates —
+    * customers by how many 1995 orders survive the multiset difference
+    * with 1996. */
+  val q28 = QueryDef(
+    "q28_multiset_ops",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y1995.exceptAll(y1996.intersectAll(y1995))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT ALL
+      (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+       INTERSECT ALL
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995))
+    GROUP BY o_custkey
+    ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------- q29
+  /** Ranking family: rank, dense_rank, percent_rank, cume_dist over
+    * customer balances within market segment. */
+  val q29 = QueryDef(
+    "q29_rank_family",
+    (spark, dir) => {
+      val c = Tables(spark, dir).customer
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.select(
+          col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast(IntegerType).as("rnk"),
+          dense_rank().over(w).cast(IntegerType).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+      CAST(rank() OVER w AS INT) AS rnk,
+      CAST(dense_rank() OVER w AS INT) AS drnk,
+      ROUND(percent_rank() OVER w, 6) AS prnk,
+      ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+      ORDER BY c_acctbal DESC NULLS LAST, c_custkey)
+    ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q35
+  /** Exact percentiles (interpolated — quantities are integral so the
+    * interpolation lands on .0/.5 exactly), ordered distinct collection,
+    * and variance computed from exact decimal sums (deterministic, unlike
+    * streaming stddev). */
+  val q35 = QueryDef(
+    "q35_stats_pack",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+      val n = count(lit(1))
+      val s = dsum(col("l_quantity"))
+      val s2 = dsum(col("l_quantity") * col("l_quantity"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          sort_array(collect_set(col("l_quantity"))).as("quantities"),
+          round((s2 - s * s / n) / (n - 1), 6).as("variance"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag,
+      ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      list_sort(list(DISTINCT l_quantity)) AS quantities,
+      ROUND((${sqlDsum("l_quantity * l_quantity")} -
+             ${sqlDsum("l_quantity")} * ${sqlDsum("l_quantity")} / COUNT(*))
+            / (COUNT(*) - 1), 6) AS variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q49
+  /** JSON struct round-trip + null-safe equality + regex matching:
+    * parse `props` with an explicit schema (from_json), re-serialize
+    * (to_json), null-safe-compare the extracted field. */
+  val q49 = QueryDef(
+    "q49_json_struct",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      e.filter(col("props").rlike("^\\{\"k\": [0-9]+\\}$"))
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
+          to_json(struct(
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))).as("j"),
+          (from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k") <=> 87).as("is87"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))::VARCHAR AS j,
+      CAST(json_extract_string(props, '$.k') AS INT) IS NOT DISTINCT FROM 87 AS is87
+    FROM events
+    WHERE regexp_matches(props, '^\{"k": [0-9]+\}$')
+    ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q50
+  /** Approximate distinct (HyperLogLog++) next to the exact count —
+    * sketch values are engine-specific → rows-only check; the spec
+    * asserts the approximation lands within rsd of exact. */
+  val q50 = QueryDef(
+    "q50_approx_distinct",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_buyers"),
+          countDistinct(col("o_custkey")).as("exact_buyers"))
+        .orderBy(col("o_orderpriority"))
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50)
+}

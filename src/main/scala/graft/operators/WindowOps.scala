@@ -79,14 +79,26 @@ object WindowOps extends QueryPack {
           col("o_orderkey"), col("o_custkey"),
           datediff(col("o_orderdate").cast("date"),
             lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"),
-          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_price"),
+          last(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("latest_price"))
         .orderBy(col("o_orderkey"))
     },
     Some("""SELECT o_orderkey, o_custkey,
       CAST(date_diff('day',
         CAST(lag(o_orderdate, 1) OVER w AS DATE),
         CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
-      lead(o_totalprice, 1) OVER w AS next_price
+      lead(o_totalprice, 1) OVER w AS next_price,
+      first_value(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      last_value(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_orderkey"""))

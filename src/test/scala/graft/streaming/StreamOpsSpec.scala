@@ -88,6 +88,25 @@ class StreamOpsSpec extends SparkTestBase {
     assert(verdicts(2L) == (("failed", 2)))
   }
 
+  test("incremental file source with Trigger.AvailableNow drains and stops") {
+    // models the reference's externally-triggered ingestion (R1/R7):
+    // files land in a directory; each engine run drains what is available.
+    val dir = java.nio.file.Files.createTempDirectory("filestream").toString
+    val data = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:20:00"), 2, "view", 2.0))
+    data.toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(data.toDF().schema)
+      .parquet(s"$dir/in")
+    val q = stream.groupBy(col("event_type")).count()
+      .writeStream.outputMode("complete").format("memory").queryName("avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("avnow").count() == 2)
+  }
+
   test("batch router splits micro-batches into ok and dead-letter sinks") {
     val dir = java.nio.file.Files.createTempDirectory("router").toString
     val in = MemoryStream[Ev]
