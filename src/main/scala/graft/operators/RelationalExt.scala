@@ -138,5 +138,29 @@ object RelationalExt extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50)
+  // ---------------------------------------------------------------- q51
+  /** Explicit GROUPING SETS through the `spark.sql` entry point (the SQL
+    * front door; rollup/cube are its specializations). */
+  val q51 = QueryDef(
+    "q51_grouping_sets",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("q51_cn")
+      spark.sql("""
+        SELECT n_name, c_mktsegment,
+          CAST(grouping_id() AS INT) AS gid,
+          COUNT(*) AS n
+        FROM q51_cn
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+        ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")
+    },
+    Some("""SELECT n_name, c_mktsegment,
+      CAST(GROUPING(n_name, c_mktsegment) AS INT) AS gid,
+      COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+    ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50, q51)
 }

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Algebraic laws of the engine's operators, checked on generated data
+  * (SURVEY.md §5.3). Small literal DataFrames, fixed minSuccessful to keep
+  * the Spark-job count bounded. */
+object AlgebraProps extends Properties("Algebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(rows: List[(Long, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private val genRows: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100.0, 100.0)))
+  private val genRowsNE: Gen[List[(Long, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100.0, 100.0)))
+
+  property("union preserves multiset cardinality") =
+    forAll(genRows, genRows) { (a, b) =>
+      df(a).union(df(b)).count() == a.length + b.length
+    }
+
+  property("filter commutes with projection") =
+    forAll(genRows) { rows =>
+      val d = df(rows)
+      val l = d.filter(col("v") > 0).select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      val r = d.select(col("k"), col("v")).filter(col("v") > 0)
+        .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      l == r
+    }
+
+  property("dropDuplicates is idempotent") =
+    forAll(genRows) { rows =>
+      val d = df(rows)
+      d.dropDuplicates("k").count() == d.dropDuplicates("k").dropDuplicates("k").count()
+    }
+
+  property("semi ⊎ anti partitions the left side") =
+    forAll(genRows, genRows) { (a, b) =>
+      val l = df(a)
+      val r = df(b).select(col("k").as("rk"))
+      val semi = l.join(r, col("k") === col("rk"), "left_semi").count()
+      val anti = l.join(r, col("k") === col("rk"), "left_anti").count()
+      semi + anti == a.length
+    }
+
+  property("window top-1 over one group equals global sort-limit") =
+    forAll(genRowsNE) { rows =>
+      val d = df(rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("v").desc, col("k"))
+      val top = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), col("v")).collect()(0)
+      val srt = d.orderBy(col("v").desc, col("k")).limit(1).collect()(0)
+      top.getLong(0) == srt.getLong(0) && top.getDouble(1) == srt.getDouble(1)
+    }
+
+  property("Det.dsum equals the exact rational sum for 2-decimal inputs") =
+    forAll(Gen.listOf(Gen.chooseNum(-1000000, 1000000))) { cents =>
+      val s = spark
+      import s.implicits._
+      val d = cents.map(_ / 100.0).toDF("v")
+      val got = d.agg(Det.dsum(col("v"))).collect()(0)
+      val expected = (BigDecimal(cents.sum) / 100).toDouble
+      if (cents.isEmpty) got.isNullAt(0)
+      else got.getDouble(0) == expected
+    }
+
+  property("as-of join preserves every left row") =
+    forAll(genRowsNE, genRows) { (a, b) =>
+      val s = spark
+      import s.implicits._
+      val left = a.zipWithIndex
+        .map { case ((k, v), i) => (k % 3, new java.sql.Timestamp(1700000000000L + i * 1000), v) }
+        .toDF("key", "t", "v")
+      val right = b.zipWithIndex
+        .map { case ((k, v), i) => (k % 3, new java.sql.Timestamp(1700000000000L + i * 500), v, i.toLong) }
+        .toDF("key", "rt", "rv", "rid")
+      AsOf.backward(left, right, "key", "key", "t", "rt",
+        payload = Seq("rv"), tieR = "rid").count() == a.length
+    }
+}
