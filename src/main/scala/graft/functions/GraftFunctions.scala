@@ -1,7 +1,9 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, SimHash64}
+import graft.functions.expressions.{DotProduct, LshBuckets, SimHash64}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** Registration point for the library's native Catalyst expressions —
   * callable from both the Column API (`call_function`) and SQL. Idempotent;
@@ -20,6 +22,19 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 1, "graft_simhash64(tokens) takes one argument")
         SimHash64(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_lsh_buckets(vec, tables, planesPerTable) takes three arguments")
+        (exprs(1), exprs(2)) match {
+          case (Literal(t: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+            LshBuckets(exprs.head, t, p)
+          case _ => throw new IllegalArgumentException(
+            "graft_lsh_buckets: tables and planesPerTable must be int literals")
+        }
       },
       "built-in")
   }

@@ -51,20 +51,33 @@ object VectorOps {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Sign-bit locality-sensitive bucket: `planes` pseudo-random hyperplanes
-    * derived deterministically from `xxhash64`, one bit per plane packed
-    * into a long. Rows in the same bucket are likely cosine-similar, so an
-    * ANN search only compares within buckets — the 100 TB path where the
-    * brute-force cross join is impossible. */
+  /** Deterministic hash-derived hyperplane weight in [-0.5, 0.5). The
+    * xxhash64 of a literal constant-folds at plan time — zero runtime
+    * hashing cost. */
+  private def planeWeight(p: Int, d: Int): Column =
+    (pmod(xxhash64(lit(p * 7919 + d)), lit(100000)).cast("double") / 100000.0) - 0.5
+
+  /** Sign-bit locality-sensitive bucket: `planes` pseudo-random hyperplanes,
+    * one bit per plane packed into a long. Rows in the same bucket are
+    * likely cosine-similar, so an ANN search only compares within buckets —
+    * the 100 TB path where the brute-force cross join is impossible. */
   def lshBucket(v: Column, planes: Int, dim: Int): Column = {
-    // plane p, dim d weight in [-0.5, 0.5): deterministic hash-derived.
-    def w(p: Int, d: Int): Column =
-      (pmod(xxhash64(lit(p * 7919 + d)), lit(100000)).cast("double") / 100000.0) - 0.5
     val bits = (0 until planes).map { p =>
-      val prods = (0 until dim).map(d => element_at(v, d + 1).cast("double") * w(p, d))
-      val dotP = prods.reduce(_ + _)
+      val dotP = (0 until dim).map(d => element_at(v, d + 1).cast("double") * planeWeight(p, d))
+        .reduce(_ + _)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** Multi-table sign-LSH bucket keys, one packed bucket per table
+    * (array index = table id). A pair collides if it matches in ANY
+    * table — with T tables of k planes, recall for pairs at angle θ is
+    * 1-(1-(1-θ/π)^k)^T, so moderate-similarity neighbors survive (a
+    * single k·T-bit bucket would lose them exponentially). Backed by the
+    * native [[expressions.LshBuckets]] — the equivalent Column-composed
+    * expression tree (tables × planes × dim terms) exceeds codegen
+    * limits and interprets. Requires [[GraftFunctions.register]]. */
+  def lshBucketTables(v: Column, tables: Int, planesPerTable: Int): Column =
+    call_function("graft_lsh_buckets", v, lit(tables), lit(planesPerTable))
 }

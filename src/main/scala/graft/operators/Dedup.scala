@@ -30,15 +30,33 @@ object Dedup extends QueryPack {
     * |A∩B| via shingle equi-join, |A|,|B| via per-doc counts. */
   private[operators] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    sh.as("a").join(sh.as("b"),
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes)
+  }
+
+  /** Exact Jaccard for a *pre-selected* candidate pair set only — the
+    * scalable verification shape: candidates ⋈ exploded shingles twice,
+    * never the all-co-occurring-pairs space. */
+  private[operators] def jaccardForCandidates(
+      cands: DataFrame /*d1, d2*/, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes)
+  }
+
+  private def withJaccard(inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
       .withColumn("jac",
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
-  }
 
   // ---------------------------------------------------------------- q30
   /** Exact dedup by full text: keeper = min doc_id per distinct text. */
@@ -114,8 +132,7 @@ object Dedup extends QueryPack {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
 
-      jaccardPairs(sh)
-        .join(cands, Seq("d1", "d2"), "left_semi")
+      jaccardForCandidates(cands, sh)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), col("jac"))
         .orderBy(col("d1"), col("d2"))

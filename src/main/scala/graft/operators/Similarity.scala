@@ -71,22 +71,33 @@ object Similarity extends QueryPack {
     ORDER BY qid, rk"""))
 
   // ---------------------------------------------------------------- q42
-  /** ANN via sign-LSH bucketing: both sides keyed by an 8-plane sign
-    * bucket; candidates only within equal buckets (equi-join shuffle, no
-    * cross product) then exact-cosine re-ranked. Approximate → no SQL
-    * oracle (rows-only check). */
+  /** ANN via multi-table sign-LSH (16 tables × 4 planes): both sides
+    * exploded to (table, bucket) keys; candidate pairs collide in ANY
+    * table (equi-join shuffle, no cross product), deduped, then
+    * exact-cosine re-ranked. Approximate → no SQL oracle (rows-only
+    * check); recall vs the exact top-k is asserted in
+    * SimilarityQualitySpec. */
   val q42 = QueryDef(
     "q42_ann_lsh",
     (spark, dir) => {
       GraftFunctions.register(spark)
       val em = Tables(spark, dir).embeddings
-        .withColumn("bucket", lshBucket(col("embedding"), planes = 8, dim = 64))
-      val queries = em.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+      val bucketed = em.select(col("vec_id"),
+          posexplode(lshBucketTables(col("embedding"), tables = 16,
+            planesPerTable = 4)).as(Seq("tbl", "bkt")))
+      val queries = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+      val candIds = bucketed.join(queries, Seq("tbl", "bkt"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+        .distinct()
+      val qVecs = em.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
-      em.join(queries, "bucket")
-        .filter(col("vec_id") =!= col("qid"))
+      candIds
+        .join(broadcast(qVecs), "qid")
+        .join(em, "vec_id")
         .withColumn("cos", round(cosineNative(col("qvec"), col("embedding")), 6))
         .withColumn("rk", row_number().over(w).cast(IntegerType))
         .filter(col("rk") <= 5)

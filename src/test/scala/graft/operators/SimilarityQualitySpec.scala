@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Quality bounds for the approximate (rows-only-checked) operators:
+  * they have no SQL oracle, so their accuracy contract lives here. */
+class SimilarityQualitySpec extends SparkTestBase {
+
+  test("approx_count_distinct lands within 10% of exact (q50)") {
+    RelationalExt.q50.fn(spark, sf0001).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("ANN results report the same cosine as the exact ranking (q42 ⊆ truth)") {
+    val exact = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val annRows = Similarity.q42.fn(spark, sf0001).collect()
+    assert(annRows.nonEmpty, "ANN should return neighbors")
+    // every ANN (qid, vec) pair that also appears in the exact top-5 must
+    // carry an identical cosine; pairs outside the exact top-5 must not
+    // beat the exact 5th-best (or they'd belong in it).
+    val exactByQ = exact.groupBy(_._1._1).map { case (q, m) => q -> m.values.min }
+    annRows.foreach { r =>
+      val (qid, vid, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      exact.get((qid, vid)) match {
+        case Some(c) => assert(c == cos, s"cos mismatch for ($qid,$vid)")
+        case None => assert(cos <= exactByQ(qid) + 1e-9,
+          s"ANN found ($qid,$vid,$cos) better than exact 5th ${exactByQ(qid)}")
+      }
+    }
+  }
+
+  test("LSH recall vs exact top-5 is reported and sane (q42 vs q41)") {
+    val exact = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.q42.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"ANN recall@5 = $recall%.2f (16-table × 4-plane sign-LSH)")
+    assert(recall >= 0.6, s"recall collapsed: $recall")
+  }
+}
