@@ -1,0 +1,36 @@
+package graft.pipeline
+
+import graft.operators.Relational
+import org.apache.spark.sql.SparkSession
+import scala.concurrent.duration._
+import scala.util.Try
+
+/** The reference's flagship DAG (`update_tr_from_ex_dag.py`) end-to-end,
+  * composed from the engine's primitives: wait for the external feed to
+  * land (HttpSensor → [[Pipeline.pollUntil]]), run the daily summary with
+  * retries (HttpOperator retry kwargs → [[Pipeline.retryWithBackoff]]),
+  * then notify success XOR failure (trigger rules → [[Pipeline.route]]).
+  * The sensed check and the notification channel are injected so tests —
+  * and real deployments — supply their own transports; the "XCom" between
+  * steps is the ordinary return value. */
+object DailyPipeline {
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      readiness: () => Pipeline.PollStatus,
+      notify: String => Unit,
+      pokeInterval: FiniteDuration = 50.millis,
+      timeout: FiniteDuration = 5.seconds,
+      retries: Int = 3,
+      retryDelay: FiniteDuration = 10.millis): Try[Long] = {
+    val result: Try[Long] = for {
+      _ <- Pipeline.pollUntil(pokeInterval, timeout)(readiness)
+      rows <- Pipeline.retryWithBackoff(
+        retries, retryDelay, maxDelay = retryDelay * 8)(
+        () => Relational.q01.fn(spark, sfDir).count())
+    } yield rows
+    Pipeline.route(result)(
+      rows => { notify(s"success: pricing summary ready, $rows groups"); result },
+      err => { notify(s"failure: ${err.getMessage}"); result })
+  }
+}

@@ -37,6 +37,22 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!rows.exists(_._2 == 3L), "late event must not be re-counted")
   }
 
+  test("sliding windows assign events to every overlapping window") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.slidingCounts(in.toDF(), "1 hour", "30 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("slide").start()
+    in.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2, ts("2024-01-01 14:00:00"), 1, "view", 1.0)) // watermark pusher
+    q.processAllAvailable()
+    q.stop()
+    val wins = spark.table("slide")
+      .where(col("event_type") === "click")
+      .collect().map(r => r.getTimestamp(0)).sorted.toSeq
+    assert(wins == Seq(ts("2024-01-01 09:30:00"), ts("2024-01-01 10:00:00")),
+      s"got $wins")
+  }
+
   test("session windows split on inactivity gap") {
     val in = MemoryStream[Ev]
     val q = StreamOps.sessionCounts(in.toDF(), "30 minutes", "5 minutes")
