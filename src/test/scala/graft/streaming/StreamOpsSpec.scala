@@ -104,6 +104,15 @@ class StreamOpsSpec extends SparkTestBase {
     assert(verdicts(2L) == (("failed", 2)))
   }
 
+  test("JSON-lines source round-trips (the reference's payload format)") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonsrc").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").json(s"$dir/docs")
+    val back = spark.read.json(s"$dir/docs")
+    assert(back.count() == docs.count())
+    assert(back.columns.sorted.sameElements(docs.columns.sorted))
+  }
+
   test("incremental file source with Trigger.AvailableNow drains and stops") {
     // models the reference's externally-triggered ingestion (R1/R7):
     // files land in a directory; each engine run drains what is available.
