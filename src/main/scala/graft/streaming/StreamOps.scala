@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming forms of the engine's time operators, modeling the
   * reference's scheduling/sensing semantics as event-time streams:
@@ -106,6 +107,46 @@ object SensorStateMachine {
             }
           }
       }
+  }
+}
+
+/** The same sensor tri-state on Spark 4's `transformWithState` API
+  * (StatefulProcessor + typed ValueState, RocksDB-backed): the
+  * forward-looking arbitrary-state path — explicit named state
+  * variables with optional TTL instead of a single opaque state value.
+  * Requires `spark.sql.streaming.stateStore.providerClass =
+  * ...RocksDBStateStoreProvider` on the session. */
+class SensorProcessor extends StatefulProcessor[Long, Poll, SensorVerdict] {
+  @transient private var polls: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    polls = getHandle.getValueState[Int]("polls", Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(jobId: Long, rows: Iterator[Poll],
+      timerValues: TimerValues): Iterator[SensorVerdict] = {
+    val seen = if (polls.exists()) polls.get() else 0
+    val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.status))
+    val n = seen + sorted.size
+    sorted.collectFirst {
+      case p if p.status == "success" => SensorVerdict(jobId, "success", n)
+      case p if p.status == "failure" => SensorVerdict(jobId, "failed", n)
+    } match {
+      case Some(verdict) =>
+        polls.clear()
+        Iterator.single(verdict)
+      case None =>
+        polls.update(n)
+        Iterator.empty
+    }
+  }
+}
+
+object SensorProcessor {
+  /** transformWithState form of [[SensorStateMachine]]. */
+  def apply(polls: Dataset[Poll]): Dataset[SensorVerdict] = {
+    import polls.sparkSession.implicits._
+    polls.groupByKey(_.jobId)
+      .transformWithState(new SensorProcessor, TimeMode.None(), OutputMode.Append())
   }
 }
 

@@ -104,6 +104,27 @@ class StreamOpsSpec extends SparkTestBase {
     assert(verdicts(2L) == (("failed", 2)))
   }
 
+  test("transformWithState sensor (RocksDB state) matches the fMGWS verdicts") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val in = MemoryStream[Poll](newProductEncoder[Poll], s2.sqlContext)
+    val q = SensorProcessor(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("tws").start()
+    in.addData(Poll(1, ts("2024-01-01 00:00:00"), "running"))
+    q.processAllAvailable()
+    in.addData(
+      Poll(1, ts("2024-01-01 00:01:00"), "success"),
+      Poll(2, ts("2024-01-01 00:01:00"), "failure"))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = s2.table("tws").as[SensorVerdict].collect()
+      .map(v => v.jobId -> ((v.verdict, v.nPolls))).toMap
+    assert(verdicts(1L) == (("success", 2)))
+    assert(verdicts(2L) == (("failed", 1)))
+  }
+
   test("JSON-lines source round-trips (the reference's payload format)") {
     val dir = java.nio.file.Files.createTempDirectory("jsonsrc").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
