@@ -162,5 +162,36 @@ object RelationalExt extends QueryPack {
     GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
     ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50, q51)
+  // ---------------------------------------------------------------- q52
+  /** Full-outer join with unmatched rows on BOTH sides: high-balance
+    * customers ⟗ 1995 buyers. Null-bearing outputs, deterministic order
+    * on the coalesced key. (Right outer is the mirror of q07's left
+    * outer through the same join machinery.) */
+  val q52 = QueryDef(
+    "q52_full_outer",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val highBal = t.customer.filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val buyers95 = t.orders.filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_1995"))
+      highBal.join(buyers95, col("c_custkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("custkey"),
+          col("c_acctbal"),
+          col("n_1995"),
+          (col("c_custkey").isNotNull && col("k").isNotNull).as("matched"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT COALESCE(c.c_custkey, b.k) AS custkey,
+      c.c_acctbal, b.n_1995,
+      c.c_custkey IS NOT NULL AND b.k IS NOT NULL AS matched
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000) c
+    FULL OUTER JOIN
+      (SELECT o_custkey AS k, COUNT(*) AS n_1995 FROM orders
+       WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) b
+      ON c.c_custkey = b.k
+    ORDER BY custkey"""))
+
+  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50, q51, q52)
 }
