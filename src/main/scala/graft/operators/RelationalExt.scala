@@ -193,5 +193,29 @@ object RelationalExt extends QueryPack {
       ON c.c_custkey = b.k
     ORDER BY custkey"""))
 
-  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50, q51, q52)
+  // ---------------------------------------------------------------- q53
+  /** Pivot: quantities by return flag pivoted over line status (explicit
+    * pivot values → static schema, the scalable form; dynamic-value pivot
+    * would need a driver-side distinct first). Oracle mirrors with
+    * conditional aggregation — the engine-portable equivalent. */
+  val q53 = QueryDef(
+    "q53_pivot",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+      li.groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag,
+      COALESCE(${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 0.0) AS qty_f,
+      COALESCE(${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 0.0) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
+
+  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50, q51, q52, q53)
 }
