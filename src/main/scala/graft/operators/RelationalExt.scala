@@ -217,5 +217,32 @@ object RelationalExt extends QueryPack {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
 
-  override def queries: Seq[QueryDef] = Seq(q28, q29, q35, q49, q50, q51, q52, q53)
+  // ---------------------------------------------------------------- q54
+  /** Unpivot (melt): wide numeric lineitem measures → long (metric, value)
+    * rows, then a per-metric profile. Oracle mirrors with UNION ALL — the
+    * engine-portable long-form equivalent. */
+  val q54 = QueryDef(
+    "q54_unpivot",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+      li.select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "v")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"))
+        .orderBy(col("metric"))
+    },
+    Some(s"""SELECT metric, COUNT(*) AS n, ${sqlDsum("v")} AS total
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    GROUP BY metric
+    ORDER BY metric"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54)
 }

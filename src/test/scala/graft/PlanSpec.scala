@@ -43,6 +43,50 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("zip_with"), "interpreted HOF dot product back in the hot path")
   }
 
+  test("join strategy hints are honored (merge vs broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sf0001)
+    val merged = t.lineitem.hint("merge")
+      .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val bcast = t.lineitem
+      .join(org.apache.spark.sql.functions.broadcast(t.orders),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("dynamic partition pruning kicks in on partitioned fact + filtered dim") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("yr", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("yr").parquet(s"$dir/orders_part")
+    val fact = spark.read.parquet(s"$dir/orders_part")
+    // dim filter must be genuinely selective (not constant-foldable) for
+    // the pruning-benefit heuristic to inject the DPP subquery
+    val dimDir = s"$dir/years_dim"
+    spark.range(1990, 2005).select(col("id").cast("int").as("dyr"))
+      .withColumn("tag",
+        when(col("dyr") % 7 < 2, "keep").otherwise("drop"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val joined = fact.join(dim, col("yr") === col("dyr"))
+      .groupBy(col("yr")).count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
+  test("malformed JSON degrades to null (PERMISSIVE), not failure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("""{"k": 1}""", """not json""", """{"k": }""").toDF("props")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+      == Seq(Some(1), None, None))
+  }
+
   test("q32: LSH candidate generation is an equi-join (hash/merge), never a cross product") {
     val p = plan(Dedup.q32)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
