@@ -26,11 +26,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A failed query reports -1 for its own entry AND poisons the total
+    // with a large penalty — a broken query must make the bench look
+    // WORSE, never quietly drop out of the sum.
+    val FailurePenaltySec = 600.0
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -41,8 +49,10 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.map { case (_, v) => if (v < 0) FailurePenaltySec else v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,19 +1,28 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, SimHash64}
+import graft.functions.expressions.{DotProduct, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** `SparkSessionExtensions` injector for the library's native expressions —
   * the deployment-grade registration path: set
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) and `graft_dot` /
-  * `graft_simhash64` are available in every session's SQL and
-  * `call_function` without touching the FunctionRegistry by hand.
-  * [[GraftFunctions.register]] remains the lightweight per-session
-  * alternative. */
+  * `graft_simhash64` / `graft_minhash64` / `graft_lsh_buckets` are
+  * available in every session's SQL and `call_function` without touching
+  * the FunctionRegistry by hand. [[GraftFunctions.register]] remains the
+  * lightweight per-session alternative; the two paths register the same
+  * builders (parity asserted in GraftExtensionsSpec).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -23,5 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
+      (exprs: Seq[Expression]) =>
+        MinHash64(exprs.head, intLit(exprs(1), "graft_minhash64: numHashes"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (exprs: Seq[Expression]) => LshBuckets(exprs.head,
+        intLit(exprs(1), "graft_lsh_buckets: tables"),
+        intLit(exprs(2), "graft_lsh_buckets: planesPerTable"))))
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, LshBuckets, SimHash64}
+import graft.functions.expressions.{DotProduct, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -22,6 +22,18 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 1, "graft_simhash64(tokens) takes one argument")
         SimHash64(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash64",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_minhash64(tokens, numHashes) takes two arguments")
+        exprs(1) match {
+          case Literal(n: Int, IntegerType) => MinHash64(exprs.head, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash64: numHashes must be an int literal")
+        }
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -17,17 +18,72 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Dedup extends QueryPack {
 
-  /** Word 3-gram shingle set, one row per (doc_id, shingle). */
-  private[operators] def shingles(d: DataFrame): DataFrame = {
+  /** Word 3-gram shingle set as one array per document (the input shape
+    * for the one-pass native signature expressions). */
+  private[operators] def shingleArray(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val sh = when(size(toks) < 3, array(col("text")))
       .otherwise(transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-    d.select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+    d.select(col("doc_id"), array_distinct(sh).as("shs"))
+  }
+
+  /** Word 3-gram shingle set, one row per (doc_id, shingle). */
+  private[operators] def shingles(d: DataFrame): DataFrame =
+    shingleArray(d).select(col("doc_id"), explode(col("shs")).as("s"))
+
+  /** Prefix-filtered candidate pairs for Jaccard ≥ tau (= tauNum/tauDen) —
+    * the scale-safe exact-candidate generator. Shingles get a global total
+    * order (ascending document frequency, shingle string as tie-break);
+    * each document keeps only its first `|A| − ⌈tau·|A|⌉ + 1` shingles,
+    * and candidates are pairs sharing a *prefix* shingle. Provably
+    * lossless: J(A,B) ≥ tau ⇒ |A∩B| ≥ ⌈tau·max(|A|,|B|)⌉, and two sets
+    * with overlap ≥ α sorted by one total order must collide within their
+    * (size − α + 1)-prefixes (Chaudhuri et al., ICDE'06; Bayardo et al.,
+    * WWW'07). Rarest-first ordering pushes high-frequency shingles out of
+    * prefixes, so the per-shingle join fan-out stays bounded — this is
+    * what keeps exact all-pairs Jaccard from going quadratic in corpus
+    * size.
+    *
+    * On top of the prefix collision the join applies PPJoin's positional
+    * filter (Xiao et al., WWW'08): a collision at prefix positions
+    * (rkA, rkB) can contribute at most `min(szA−rkA, szB−rkB) + 1` to the
+    * overlap, which must reach `⌈tau/(1+tau)·(szA+szB)⌉` for J ≥ tau.
+    * Evaluated in exact integer arithmetic (tau as a fraction —
+    * `(bound)·(den+num) ≥ (szA+szB)·num` — so no float-ceil boundary can
+    * over-prune). Lossless because a qualifying pair's FIRST shared
+    * shingle in the global order always satisfies the bound. Measured at
+    * sf0.1: 1.27 M co-shingle pairs → 409 k prefix candidates → 125 k
+    * positional candidates, against 256 true pairs. */
+  private[operators] def prefixCandidates(
+      sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val tau = tauNum.toDouble / tauDen
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ordered = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq"), col("s"))
+    // Materialized: the prefix table sits on BOTH sides of the self-join
+    // below — without a checkpoint Spark recomputes the whole
+    // explode → dfreq → sizes → window pipeline twice.
+    val prefix = sh.join(dfreq, "s").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(ordered))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select(col("doc_id"), col("s"), col("rk"), col("sz"))
+      .localCheckpoint()
+    val maxContrib =
+      least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        maxContrib * (tauDen + tauNum) >= (col("a.sz") + col("b.sz")) * tauNum)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity for every doc pair sharing ≥1 shingle.
-    * |A∩B| via shingle equi-join, |A|,|B| via per-doc counts. */
+    * |A∩B| via shingle equi-join, |A|,|B| via per-doc counts.
+    * O(Σ_shingle df²) — quadratic in corpus growth, so this is the
+    * spec-only ground truth; registered queries go through
+    * [[prefixCandidates]] + [[jaccardForCandidates]]. */
   private[operators] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -38,17 +94,27 @@ object Dedup extends QueryPack {
   }
 
   /** Exact Jaccard for a *pre-selected* candidate pair set only — the
-    * scalable verification shape: candidates ⋈ exploded shingles twice,
-    * never the all-co-occurring-pairs space. */
+    * scalable verification shape: each candidate pair joins the two
+    * per-document shingle ARRAYS (equi-joins on doc id; the per-doc
+    * dimension auto-broadcasts at small scale and hash-shuffles at large)
+    * and |A∩B| is one codegen'd `array_intersect` per pair — never an
+    * explode back to (pair × shingle) rows, which multiplies the
+    * candidate set by average document size before aggregating it away
+    * again. */
   private[operators] def jaccardForCandidates(
-      cands: DataFrame /*d1, d2*/, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-    withJaccard(inter, sizes)
+      cands: DataFrame /*d1, d2*/, shArr: DataFrame): DataFrame = {
+    // Intersect 64-bit shingle hashes, not strings: same distinct-set
+    // cardinalities (xxhash64 collisions within a ~100-element doc set
+    // are ~1e-16-improbable), a fraction of the compare/copy cost.
+    val hashed = shArr.select(col("doc_id"),
+      transform(col("shs"), s => xxhash64(s)).as("hs"))
+    val a = hashed.select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val b = hashed.select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    cands.join(a, "d1").join(b, "d2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
+      .select(col("d1"), col("d2"), col("jac"))
   }
 
   private def withJaccard(inter: DataFrame, sizes: DataFrame): DataFrame =
@@ -107,19 +173,21 @@ object Dedup extends QueryPack {
   val q32 = QueryDef(
     "q32_minhash_lsh",
     (spark, dir) => {
-      val sh = shingles(Tables(spark, dir).documents)
+      graft.functions.GraftFunctions.register(spark)
+      val shArr = shingleArray(Tables(spark, dir).documents)
       val nHashes = 64
       val bandsN = 16
       val rowsPerBand = nHashes / bandsN
 
-      val minhashAggs = (0 until nHashes)
-        .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-      val sigs = sh.groupBy(col("doc_id"))
-        .agg(minhashAggs.head, minhashAggs.tail: _*)
+      // One-pass native signature per document row — no explode, no
+      // shuffle, no 64-column aggregate; bit-identical to the
+      // min(xxhash64(i, s)) formulation (see MinHash64 scaladoc).
+      val sigs = shArr.select(col("doc_id"),
+        call_function("graft_minhash64", col("shs"), lit(nHashes)).as("sig"))
 
       val bandStructs = (0 until bandsN).map { b =>
         val hs: Seq[Column] = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"h$i"))
+          .map(i => element_at(col("sig"), i + 1))
         struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
       }
       val bands = sigs
@@ -132,23 +200,29 @@ object Dedup extends QueryPack {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
 
-      jaccardForCandidates(cands, sh)
+      jaccardForCandidates(cands, shArr)
         .filter(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), col("jac"))
         .orderBy(col("d1"), col("d2"))
     },
     None)
 
   // ---------------------------------------------------------------- q33
   /** Exact n-gram Jaccard near-dup pairs (the oracle-checked ground truth
-    * for q32's LSH candidates). */
+    * for q32's LSH candidates). Candidates come from lossless prefix
+    * filtering (see [[prefixCandidates]]) — same exact output as the
+    * all-co-shingle-pairs join, without its quadratic candidate space.
+    * DedupSpec asserts equality with the naive [[jaccardPairs]] form. */
   val q33 = QueryDef(
     "q33_jaccard_pairs",
     (spark, dir) => {
-      val sh = shingles(Tables(spark, dir).documents)
-      jaccardPairs(sh)
+      // Materialize the per-doc shingle arrays once: they feed the
+      // prefix ranking (exploded) AND both verification joins, and the
+      // shingle expression (split + 3-gram transform + distinct) is the
+      // expensive part of the scan.
+      val shArr = shingleArray(Tables(spark, dir).documents).localCheckpoint()
+      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
+      jaccardForCandidates(prefixCandidates(sh, tauNum = 1, tauDen = 2), shArr)
         .filter(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), col("jac"))
         .orderBy(col("d1"), col("d2"))
     },
     Some("""WITH tok AS (
@@ -203,5 +277,87 @@ object Dedup extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34)
+  // ---------------------------------------------------------------- q55
+  /** Dedup keeper stage: near-dup pairs → connected components → one
+    * surviving document per cluster (the min doc_id). Iterative min-label
+    * propagation: each round every node takes the minimum of its own label
+    * and its neighbors' labels — an equi-join + group-by per round (the
+    * Pregel shape; never a cartesian), converging in O(component diameter)
+    * rounds. Near-dup clusters are shallow (dup sets, not long chains), so
+    * rounds stay in the low single digits at any corpus size; lineage is
+    * truncated per round with a checkpoint so plans don't grow with the
+    * iteration count. Convergence is detected by the monotone-decreasing
+    * label sum — one scalar scan per round, no driver-side row data.
+    *
+    * Output: every document with its cluster keeper (`keeper = doc_id`
+    * for singletons) and the survivor flag — the "which rows do I keep"
+    * answer a 100 TB dedup pipeline actually needs. Oracle: the same
+    * reachability computed by a recursive CTE. */
+  val q55 = QueryDef(
+    "q55_dedup_clusters",
+    (spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val shArr = shingleArray(docs).localCheckpoint()
+      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
+      val pairs = jaccardForCandidates(prefixCandidates(sh, tauNum = 1, tauDen = 2), shArr)
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"))
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .localCheckpoint()
+      var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var prevSum = lbl.agg(sum(col("lbl"))).head.getLong(0)
+      var converged = false
+      var round = 0
+      while (!converged && round < 30) {
+        val nbr = edges.join(lbl, edges("src") === lbl("id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+        val next = lbl.as("o").join(nbr, col("o.id") === nbr("dst"), "left")
+          .select(col("o.id").as("id"),
+            least(col("o.lbl"), coalesce(col("nl"), col("o.lbl"))).as("lbl"))
+          .localCheckpoint()
+        val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        lbl = next
+        round += 1
+      }
+      lbl.select(col("id").as("doc_id"), col("lbl").as("keeper"),
+          (col("id") === col("lbl")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.5),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id)
+    SELECT id AS doc_id, MIN(r) AS keeper, MIN(r) = id AS kept
+    FROM reach
+    GROUP BY id
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q55)
 }

@@ -68,7 +68,11 @@ object RelationalExt extends QueryPack {
   /** Exact percentiles (interpolated — quantities are integral so the
     * interpolation lands on .0/.5 exactly), ordered distinct collection,
     * and variance computed from exact decimal sums (deterministic, unlike
-    * streaming stddev). */
+    * streaming stddev). The collected set is emitted as a sorted
+    * comma-joined STRING, not an array column: scalar outputs keep the
+    * result comparable by any row-hash harness (array cells are not
+    * hashable in pandas-based comparators). Quantities are integral
+    * doubles, so the int cast is exact. */
   val q35 = QueryDef(
     "q35_stats_pack",
     (spark, dir) => {
@@ -81,7 +85,9 @@ object RelationalExt extends QueryPack {
           round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-          sort_array(collect_set(col("l_quantity"))).as("quantities"),
+          array_join(
+            transform(sort_array(collect_set(col("l_quantity").cast("int"))),
+              x => x.cast("string")), ",").as("quantities"),
           round((s2 - s * s / n) / (n - 1), 6).as("variance"))
         .orderBy(col("l_returnflag"))
     },
@@ -89,7 +95,7 @@ object RelationalExt extends QueryPack {
       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
-      list_sort(list(DISTINCT l_quantity)) AS quantities,
+      array_to_string(list_sort(list(DISTINCT CAST(l_quantity AS INT))), ',') AS quantities,
       ROUND((${sqlDsum("l_quantity * l_quantity")} -
              ${sqlDsum("l_quantity")} * ${sqlDsum("l_quantity")} / COUNT(*))
             / (COUNT(*) - 1), 6) AS variance
@@ -243,6 +249,56 @@ object RelationalExt extends QueryPack {
     GROUP BY metric
     ORDER BY metric"""))
 
+  // ---------------------------------------------------------------- q56
+  /** Right outer join: aggregated 1995 order counts RIGHT JOIN customer —
+    * every customer survives, order-less customers carry NULL counts.
+    * (The mirror of q07's left outer, exercised through the right-outer
+    * code path rather than claimed by symmetry.) */
+  val q56 = QueryDef(
+    "q56_right_outer",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val o95 = t.orders.filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_1995"))
+      o95.join(t.customer, col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_1995"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment, n_1995
+    FROM (SELECT o_custkey, COUNT(*) AS n_1995 FROM orders
+          WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q57
+  /** Map-type surface: `from_json` to MapType (schema-free key space, vs
+    * q49's fixed struct) + map_keys / map_values / element_at. Collections
+    * are emitted comma-joined (scalar output columns only, per the
+    * determinism contract). */
+  val q57 = QueryDef(
+    "q57_map_funcs",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))
+      e.filter(col("props").rlike("^\\{\"k\": [0-9]+\\}$"))
+        .select(
+          col("event_id"),
+          array_join(map_keys(m), ",").as("ks"),
+          array_join(transform(map_values(m), v => v.cast("string")), ",").as("vs"),
+          element_at(m, lit("k")).as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      array_to_string(json_keys(props), ',') AS ks,
+      CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR) AS vs,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE regexp_matches(props, '^\{"k": [0-9]+\}$')
+    ORDER BY event_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54)
+    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57)
 }

@@ -131,23 +131,58 @@ object Similarity extends QueryPack {
     GROUP BY label, i
     ORDER BY label, dim"""))
 
+  /** Brute-force all-pairs cosine ≥ threshold — an O(n²) cross join, so
+    * it is NEVER registered as a query: it exists only as the spec-side
+    * ground truth (SimilarityQualitySpec asserts the registered LSH form
+    * of q44 reproduces it exactly at fixture scale). */
+  private[operators] def bruteForceNearDup(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(spark)
+    val em = Tables(spark, dir).embeddings
+      .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
+    val right = em.select(col("vec_id").as("vid2"),
+      col("embedding").as("e2"), col("n1").as("n2"))
+    em.crossJoin(right)
+      .filter(col("vec_id") < col("vid2"))
+      .withColumn("cos", round(
+        dotNative(col("embedding"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("vid1"), col("vid2"), col("cos"))
+      .orderBy(col("vid1"), col("vid2"))
+  }
+
   // ---------------------------------------------------------------- q44
-  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.45, brute force at
-    * test scale; the LSH bucket key above is the 100 TB path). */
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.45) — the scale path:
+    * multi-table sign-LSH candidates (32 tables × 4 planes, equi-join on
+    * (table, bucket) — no cross product anywhere, PlanSpec-asserted),
+    * then exact-cosine verification on candidates only. 32×4 keeps the
+    * per-pair miss probability at the 0.45 threshold ≈ (1−0.65⁴)³² < 0.3%,
+    * and the fixture's qualifying pairs all collide (the brute-force twin
+    * in SimilarityQualitySpec asserts exact output equality), so the
+    * DuckDB oracle remains the plain all-pairs SQL. */
   val q44 = QueryDef(
     "q44_embedding_neardup",
     (spark, dir) => {
       GraftFunctions.register(spark)
       val em = Tables(spark, dir).embeddings
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
+      val bucketed = em.select(col("vec_id"),
+        posexplode(lshBucketTables(col("embedding"), tables = 32,
+          planesPerTable = 4)).as(Seq("tbl", "bkt")))
+      val cands = bucketed.as("x").join(bucketed.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vid1"), col("y.vec_id").as("vid2"))
+        .distinct()
+      val left = em.select(col("vec_id").as("vid1"),
+        col("embedding").as("e1"), col("n1"))
       val right = em.select(col("vec_id").as("vid2"),
         col("embedding").as("e2"), col("n1").as("n2"))
-      em.crossJoin(right)
-        .filter(col("vec_id") < col("vid2"))
+      cands.join(left, "vid1").join(right, "vid2")
         .withColumn("cos", round(
-          dotNative(col("embedding"), col("e2")) / (col("n1") * col("n2")), 6))
+          dotNative(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos") >= 0.45)
-        .select(col("vec_id").as("vid1"), col("vid2"), col("cos"))
+        .select(col("vid1"), col("vid2"), col("cos"))
         .orderBy(col("vid1"), col("vid2"))
     },
     Some(s"""SELECT a.vec_id AS vid1, b.vec_id AS vid2,
@@ -156,5 +191,33 @@ object Similarity extends QueryPack {
     WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45
     ORDER BY vid1, vid2"""))
 
-  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44)
+  // ---------------------------------------------------------------- q59
+  /** Typed custom aggregate ([[graft.functions.VectorCentroid]], the
+    * `Aggregator` slot from SURVEY §2.2) reachable through the driver
+    * contract: per-label centroid as a single vector-typed agg buffer
+    * (map-side combined like any built-in agg). Float partial-sum merge
+    * order varies in the last ulp → rounded + rows-only check; exact
+    * agreement with q43's integer-scaled exploded form is asserted in
+    * VectorCentroidSpec. The vector is emitted comma-joined — scalar
+    * output columns only, per the determinism contract. */
+  val q59 = QueryDef(
+    "q59_vector_centroid",
+    (spark, dir) => {
+      import spark.implicits._
+      val em = Tables(spark, dir).embeddings
+      val dim = 64
+      val cent = em.select(col("label"), col("embedding"))
+        .as[(String, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.VectorCentroid(dim).toColumn.name("centroid"))
+        .toDF("label", "centroid")
+      cent.select(col("label"),
+          array_join(transform(col("centroid"),
+            v => round(v, 6).cast("string")), ",").as("centroid_csv"))
+        .orderBy(col("label"))
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59)
 }

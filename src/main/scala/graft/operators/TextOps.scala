@@ -109,20 +109,24 @@ object TextOps extends QueryPack {
   // ---------------------------------------------------------------- q39
   /** TF-IDF: top-3 terms per document. Scores are kept integral
     * (micro-scaled idf) so ranking and output are exactly reproducible
-    * across engines — no float ordering anywhere. */
+    * across engines — no float ordering anywhere. The corpus size N is a
+    * 1-row count aggregate broadcast into the plan (q17's scalar-subquery
+    * pattern) — never a hardcoded literal, so IDF stays correct at every
+    * scale factor. */
   val q39 = QueryDef(
     "q39_tfidf",
     (spark, dir) => {
       val d = Tables(spark, dir).documents
-      val nDocs = lit(500) // fixed-size fixture table (FIXTURES.md)
+      val nDocs = d.agg(count(lit(1)).as("n_corpus"))
       val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_micro").desc, col("term"))
       tf.join(df_, "term")
+        .crossJoin(broadcast(nDocs))
         .withColumn("idf_micro",
-          round(log(nDocs.cast("double") / col("df")) * 1000000).cast(LongType))
+          round(log(col("n_corpus").cast("double") / col("df")) * 1000000).cast(LongType))
         .withColumn("score_micro", (col("tf") * col("idf_micro")).cast(LongType))
         .withColumn("rk", row_number().over(w).cast(IntegerType))
         .filter(col("rk") <= 3)
@@ -136,7 +140,7 @@ object TextOps extends QueryPack {
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.doc_id, tf.term,
-        CAST(tf.tf * CAST(ROUND(ln(500.0 / df.df) * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        CAST(tf.tf * CAST(ROUND(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS BIGINT) AS score_micro
       FROM tf JOIN df ON tf.term = df.term),
     ranked AS (
       SELECT doc_id, term, score_micro,

@@ -247,6 +247,37 @@ object WindowOps extends QueryPack {
     FROM j WHERE rn = 1
     ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q58
+  /** Sliding windows (1 h size, 30 min slide) as a batch query — the
+    * batch-checkable twin of the streaming sliding-window aggregate
+    * (graft.streaming), completing the tumbling(q25)/session(q26)/sliding
+    * triple. Spark's `window()` assigns each event to its size/slide = 2
+    * overlapping windows; the oracle replays that as an explicit 2-row
+    * UNNEST over the 30-min grid. Window starts are epoch seconds (never
+    * raw timestamps, per the determinism contract). */
+  val q58 = QueryDef(
+    "q58_sliding_window",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      e.groupBy(
+          window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""WITH x AS (
+      SELECT event_type, value,
+        (epoch_us(ts) // 1800000000) * 1800 AS w0
+      FROM events)
+    SELECT ws AS win_start, event_type, COUNT(*) AS n,
+      ${sqlDsum("value")} AS sum_value
+    FROM x, UNNEST([w0, w0 - 1800]) AS t(ws)
+    GROUP BY ws, event_type
+    ORDER BY win_start, event_type"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58)
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch main for stage-level timing experiments. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val docs = Tables(spark, sfDir).documents
+    val shArr = time("shArr checkpoint") { Dedup.shingleArray(docs).localCheckpoint() }
+    val sh = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
+    time("sh count") { println("  rows=" + sh.count()) }
+    val cands = time("prefix cands build+checkpoint") {
+      Dedup.prefixCandidates(sh, 1, 2).localCheckpoint()
+    }
+    time("cands count") { println("  cands=" + cands.count()) }
+    val jac = time("verify") {
+      Dedup.jaccardForCandidates(cands, shArr)
+        .filter(col("jac") >= 0.5).orderBy(col("d1"), col("d2"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
