@@ -92,4 +92,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay an equi-join:\n$p")
   }
+
+  test("q33: prefix-filtered exact-Jaccard pair generation is equi-join only") {
+    val p = plan(Dedup.q33)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join:\n$p")
+  }
+
+  test("q44: embedding near-dup pair generation is equi-join only (no cross product)") {
+    val p = plan(Similarity.q44)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join:\n$p")
+  }
 }

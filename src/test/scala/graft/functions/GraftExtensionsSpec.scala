@@ -27,6 +27,26 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT graft_simhash64(array('a', 'b', 'a')) AS s")
         .collect()(0).getLong(0)
       assert(sig == sig2)
+      // graft_minhash64: per-seed minima must equal the composed
+      // min(xxhash64(i, t)) over the same tokens
+      val mh = s2.sql("SELECT graft_minhash64(array('a', 'b', 'c'), 8) AS m")
+        .collect()(0).getSeq[Long](0).toSeq
+      val expected = (0 until 8).map { i =>
+        s2.sql(s"SELECT LEAST(xxhash64($i, 'a'), xxhash64($i, 'b'), xxhash64($i, 'c'))")
+          .collect()(0).getLong(0)
+      }
+      assert(mh == expected)
+      // graft_lsh_buckets: one packed bucket per table, deterministic
+      val lb = s2.sql(
+        "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2) AS b")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(lb.length == 4 && lb.forall(b => b >= 0L && b < 4L))
+      // parity with the FunctionRegistry path (GraftFunctions.register)
+      GraftFunctions.register(s2)
+      val lb2 = s2.sql(
+        "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2) AS b")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(lb2 == lb)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

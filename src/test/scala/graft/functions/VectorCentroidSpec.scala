@@ -22,4 +22,21 @@ class VectorCentroidSpec extends SparkTestBase {
       assert(math.abs(v - exact(k)) < 1e-6, s"label/dim $k: $v vs ${exact(k)}")
     }
   }
+
+  test("q59 (registered Aggregator query) agrees with q43's exact centroids") {
+    val csv = Similarity.q59.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val exact = Similarity.q43.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0).toString, r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(csv.nonEmpty)
+    csv.foreach { case (label, s) =>
+      val vals = s.split(",").map(_.toDouble)
+      assert(vals.length == 64)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        val e = exact((label, i + 1))
+        // float-sum merge order (≤1e-6) + 6-dp output rounding (≤5e-7)
+        assert(math.abs(v - e) < 2e-6, s"label $label dim ${i + 1}: $v vs $e")
+      }
+    }
+  }
 }

@@ -31,6 +31,59 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("prefix+positional-filtered q33 path equals the naive all-pairs Jaccard") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val shArr = Dedup.shingleArray(docs)
+    val sh = Dedup.shingles(docs)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = toSet(Dedup.jaccardPairs(sh).filter(col("jac") >= 0.5))
+    val fast = toSet(
+      Dedup.jaccardForCandidates(Dedup.prefixCandidates(sh, 1, 2), shArr)
+        .filter(col("jac") >= 0.5))
+    assert(naive.nonEmpty, "fixture should contain near-duplicates")
+    assert(fast == naive,
+      s"prefix filtering lost ${(naive -- fast).size}, invented ${(fast -- naive).size}")
+  }
+
+  test("native graft_minhash64 equals the min(xxhash64(i, s)) aggregate formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val shArr = Dedup.shingleArray(docs)
+    val sh = Dedup.shingles(docs)
+    val aggs = (0 until 64).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val expected = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong).toSeq).toMap
+    val native = shArr.select(col("doc_id"),
+        call_function("graft_minhash64", col("shs"), lit(64)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native.keySet == expected.keySet)
+    native.foreach { case (id, sig) => assert(sig == expected(id), s"doc $id") }
+  }
+
+  test("q55 keeper assignment equals driver-side union-find over the exact pairs") {
+    val pairs = Dedup.q33.fn(spark, sf0001).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = Dedup.q55.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty && pairs.nonEmpty)
+    out.foreach { case (id, keeper, kept) =>
+      assert(keeper == find(id), s"doc $id: keeper $keeper vs union-find ${find(id)}")
+      assert(kept == (keeper == id))
+    }
+  }
+
   test("simhash: identical docs at hamming 0, near-identical within 6") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -34,6 +34,16 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q44 LSH near-dup output equals the brute-force ground truth at fixture scale") {
+    def toSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = toSet(Similarity.q44.fn(spark, sf0001).collect())
+    val bf = toSet(Similarity.bruteForceNearDup(spark, sf0001, 0.45).collect())
+    assert(bf.nonEmpty, "fixture should contain near-dup embeddings")
+    assert(lsh == bf,
+      s"LSH missed ${(bf -- lsh).size} pairs, invented ${(lsh -- bf).size}")
+  }
+
   test("LSH recall vs exact top-5 is reported and sane (q42 vs q41)") {
     val exact = Similarity.q41.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
