@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
       (exprs: Seq[Expression]) =>
         MinHash64(exprs.head, intLit(exprs(1), "graft_minhash64: numHashes"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
+      (exprs: Seq[Expression]) =>
+        HashedShingles(exprs.head, intLit(exprs(1), "graft_hashed_shingles: n"))))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),

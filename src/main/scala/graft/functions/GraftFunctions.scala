@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -33,6 +33,18 @@ object GraftFunctions {
           case Literal(n: Int, IntegerType) => MinHash64(exprs.head, n)
           case _ => throw new IllegalArgumentException(
             "graft_minhash64: numHashes must be an int literal")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_shingles",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_hashed_shingles(tokens, n) takes two arguments")
+        exprs(1) match {
+          case Literal(n: Int, IntegerType) => HashedShingles(exprs.head, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_hashed_shingles: n must be an int literal")
         }
       },
       "built-in")

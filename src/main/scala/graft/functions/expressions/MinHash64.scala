@@ -31,9 +31,10 @@ case class MinHash64(child: Expression, numHashes: Int)
   require(numHashes > 0 && numHashes <= 1024, "numHashes must be in [1, 1024]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash64 expects array<string>, got ${t.sql}")
+      s"graft_minhash64 expects array<string> or array<long>, got ${t.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -43,6 +44,9 @@ case class MinHash64(child: Expression, numHashes: Int)
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 
+  @transient private lazy val longInput: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -50,12 +54,25 @@ case class MinHash64(child: Expression, numHashes: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val t = arr.getUTF8String(i)
-        var j = 0
-        while (j < numHashes) {
-          val h = XXH64.hashUTF8String(t, seeds(j))
-          if (h < minima(j)) minima(j) = h
-          j += 1
+        if (longInput) {
+          // pre-hashed element (e.g. graft_hashed_shingles output):
+          // re-mix per seed with hashLong — an equally valid independent
+          // MinHash family, no string bytes in the loop at all
+          val t = arr.getLong(i)
+          var j = 0
+          while (j < numHashes) {
+            val h = XXH64.hashLong(t, seeds(j))
+            if (h < minima(j)) minima(j) = h
+            j += 1
+          }
+        } else {
+          val t = arr.getUTF8String(i)
+          var j = 0
+          while (j < numHashes) {
+            val h = XXH64.hashUTF8String(t, seeds(j))
+            if (h < minima(j)) minima(j) = h
+            j += 1
+          }
         }
       }
       i += 1

@@ -32,6 +32,22 @@ object Dedup extends QueryPack {
   private[operators] def shingles(d: DataFrame): DataFrame =
     shingleArray(d).select(col("doc_id"), explode(col("shs")).as("s"))
 
+  /** [[shingleArray]] with every shingle replaced by its xxhash64 — the
+    * working representation for the whole pair pipeline. Set semantics
+    * are preserved (shingles are distinct per doc; a 64-bit collision
+    * among ~10⁵ corpus shingles is ~1e-9-improbable), and every
+    * downstream sort, join and intersect runs on fixed-width longs
+    * instead of variable-length strings — which is most of the pair
+    * pipeline's CPU at any scale. Fused into one native pass per document
+    * ([[graft.functions.expressions.HashedShingles]]; parity with the
+    * composed transform/array_distinct/xxhash64 form is spec-asserted) —
+    * the composed form pays three interpreted lambdas per doc. Callers
+    * must have run `GraftFunctions.register(spark)`. */
+  private[operators] def hashedShingleArray(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      call_function("graft_hashed_shingles",
+        split(col("text"), " "), lit(3)).as("shs"))
+
   /** Prefix-filtered candidate pairs for Jaccard ≥ tau (= tauNum/tauDen) —
     * the scale-safe exact-candidate generator. Shingles get a global total
     * order (ascending document frequency, shingle string as tie-break);
@@ -54,18 +70,25 @@ object Dedup extends QueryPack {
     * over-prune). Lossless because a qualifying pair's FIRST shared
     * shingle in the global order always satisfies the bound. Measured at
     * sf0.1: 1.27 M co-shingle pairs → 409 k prefix candidates → 125 k
-    * positional candidates, against 256 true pairs. */
+    * positional candidates, against 256 true pairs.
+    *
+    * Takes the hashed per-doc shingle arrays ([[hashedShingleArray]]): the
+    * ordering/join keys are longs, and the per-doc set size is free
+    * (`size(shs)` — no group-by, no extra join). The hash order is as
+    * valid a global total order as any other — the choice does not affect
+    * losslessness, only which (equally valid) prefix is kept. */
   private[operators] def prefixCandidates(
-      sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+      hshArr: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val tau = tauNum.toDouble / tauDen
+    val sh = hshArr.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val ordered = Window.partitionBy(col("doc_id"))
       .orderBy(col("dfreq"), col("s"))
     // Materialized: the prefix table sits on BOTH sides of the self-join
     // below — without a checkpoint Spark recomputes the whole
-    // explode → dfreq → sizes → window pipeline twice.
-    val prefix = sh.join(dfreq, "s").join(sizes, "doc_id")
+    // explode → dfreq → window pipeline twice.
+    val prefix = sh.join(dfreq, "s")
       .withColumn("rk", row_number().over(ordered))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
       .select(col("doc_id"), col("s"), col("rk"), col("sz"))
@@ -102,14 +125,9 @@ object Dedup extends QueryPack {
     * candidate set by average document size before aggregating it away
     * again. */
   private[operators] def jaccardForCandidates(
-      cands: DataFrame /*d1, d2*/, shArr: DataFrame): DataFrame = {
-    // Intersect 64-bit shingle hashes, not strings: same distinct-set
-    // cardinalities (xxhash64 collisions within a ~100-element doc set
-    // are ~1e-16-improbable), a fraction of the compare/copy cost.
-    val hashed = shArr.select(col("doc_id"),
-      transform(col("shs"), s => xxhash64(s)).as("hs"))
-    val a = hashed.select(col("doc_id").as("d1"), col("hs").as("hs1"))
-    val b = hashed.select(col("doc_id").as("d2"), col("hs").as("hs2"))
+      cands: DataFrame /*d1, d2*/, hshArr: DataFrame /*doc_id, shs: array<long>*/): DataFrame = {
+    val a = hshArr.select(col("doc_id").as("d1"), col("shs").as("hs1"))
+    val b = hshArr.select(col("doc_id").as("d2"), col("shs").as("hs2"))
     cands.join(a, "d1").join(b, "d2")
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", round(col("inter").cast("double") /
@@ -174,15 +192,19 @@ object Dedup extends QueryPack {
     "q32_minhash_lsh",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
-      val shArr = shingleArray(Tables(spark, dir).documents)
+      // The hashed shingle arrays feed BOTH the signature (MinHash64's
+      // array<long> path — re-mixing pre-hashed shingles per seed is an
+      // equally valid MinHash family) and the verification joins: the
+      // whole pipeline is one native pass per doc + long-keyed joins.
+      val docs = Tables(spark, dir).documents
+      val hshArr = hashedShingleArray(docs).localCheckpoint()
       val nHashes = 64
       val bandsN = 16
       val rowsPerBand = nHashes / bandsN
 
       // One-pass native signature per document row — no explode, no
-      // shuffle, no 64-column aggregate; bit-identical to the
-      // min(xxhash64(i, s)) formulation (see MinHash64 scaladoc).
-      val sigs = shArr.select(col("doc_id"),
+      // shuffle, no 64-column aggregate (see MinHash64 scaladoc).
+      val sigs = hshArr.select(col("doc_id"),
         call_function("graft_minhash64", col("shs"), lit(nHashes)).as("sig"))
 
       val bandStructs = (0 until bandsN).map { b =>
@@ -200,8 +222,12 @@ object Dedup extends QueryPack {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
 
-      jaccardForCandidates(cands, shArr)
+      jaccardForCandidates(cands, hshArr)
         .filter(col("jac") >= 0.5)
+        // materialize the (tiny) result before the total sort: range
+        // partitioning samples its child, which would otherwise
+        // re-execute the whole candidate+verify chain a second time
+        .localCheckpoint()
         .orderBy(col("d1"), col("d2"))
     },
     None)
@@ -215,14 +241,18 @@ object Dedup extends QueryPack {
   val q33 = QueryDef(
     "q33_jaccard_pairs",
     (spark, dir) => {
-      // Materialize the per-doc shingle arrays once: they feed the
-      // prefix ranking (exploded) AND both verification joins, and the
-      // shingle expression (split + 3-gram transform + distinct) is the
-      // expensive part of the scan.
-      val shArr = shingleArray(Tables(spark, dir).documents).localCheckpoint()
-      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
-      jaccardForCandidates(prefixCandidates(sh, tauNum = 1, tauDen = 2), shArr)
+      graft.functions.GraftFunctions.register(spark)
+      // Materialize the per-doc HASHED shingle arrays once: they feed
+      // the prefix ranking (exploded) AND both verification joins.
+      // Everything downstream sorts/joins/intersects longs, never
+      // strings.
+      val hshArr = hashedShingleArray(Tables(spark, dir).documents)
+        .localCheckpoint()
+      jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
         .filter(col("jac") >= 0.5)
+        // materialize before the total sort — the sort's range sampling
+        // would otherwise re-execute the verification chain
+        .localCheckpoint()
         .orderBy(col("d1"), col("d2"))
     },
     Some("""WITH tok AS (
@@ -296,10 +326,10 @@ object Dedup extends QueryPack {
   val q55 = QueryDef(
     "q55_dedup_clusters",
     (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
       val docs = Tables(spark, dir).documents
-      val shArr = shingleArray(docs).localCheckpoint()
-      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
-      val pairs = jaccardForCandidates(prefixCandidates(sh, tauNum = 1, tauDen = 2), shArr)
+      val hshArr = hashedShingleArray(docs).localCheckpoint()
+      val pairs = jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"))
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))

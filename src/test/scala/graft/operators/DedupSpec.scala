@@ -32,19 +32,35 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("prefix+positional-filtered q33 path equals the naive all-pairs Jaccard") {
+    graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val shArr = Dedup.shingleArray(docs)
-    val sh = Dedup.shingles(docs)
+    val hshArr = Dedup.hashedShingleArray(docs)
     def toSet(df: org.apache.spark.sql.DataFrame) = df
       .select("d1", "d2", "jac").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val naive = toSet(Dedup.jaccardPairs(sh).filter(col("jac") >= 0.5))
+    val naive = toSet(Dedup.jaccardPairs(Dedup.shingles(docs)).filter(col("jac") >= 0.5))
     val fast = toSet(
-      Dedup.jaccardForCandidates(Dedup.prefixCandidates(sh, 1, 2), shArr)
+      Dedup.jaccardForCandidates(Dedup.prefixCandidates(hshArr, 1, 2), hshArr)
         .filter(col("jac") >= 0.5))
     assert(naive.nonEmpty, "fixture should contain near-duplicates")
     assert(fast == naive,
       s"prefix filtering lost ${(naive -- fast).size}, invented ${(fast -- naive).size}")
+  }
+
+  test("native graft_hashed_shingles equals the composed shingle+hash form") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val composed = Dedup.shingleArray(docs)
+      .select(col("doc_id"), transform(col("shs"), s => xxhash64(s)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val native = Dedup.hashedShingleArray(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(native == composed)
+    // degenerate short doc: single whole-text hash
+    import spark.implicits._
+    val short = Seq((9L, "x y")).toDF("doc_id", "text")
+    val h = Dedup.hashedShingleArray(short).collect()(0).getSeq[Long](1)
+    assert(h.length == 1)
   }
 
   test("native graft_minhash64 equals the min(xxhash64(i, s)) aggregate formulation") {
