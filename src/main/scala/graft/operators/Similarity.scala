@@ -191,6 +191,94 @@ object Similarity extends QueryPack {
     WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45
     ORDER BY vid1, vid2"""))
 
+  // ---------------------------------------------------------------- q60
+  /** IVF-style ANN — the second scale path next to q42's sign-LSH, per
+    * SURVEY §2.2 ("an IVF or LSH-bucketed variant"). A coarse k-means
+    * quantizer (K=16, 2 deterministic Lloyd rounds) partitions the corpus
+    * into cells; each query probes its `nprobe`=4 nearest cells and
+    * exact-cosine re-ranks only those candidates.
+    *
+    * Scale design: centroids are MODEL STATE, not data — 16×64 floats
+    * collected to the driver per round and re-broadcast as literals
+    * (exactly how distributed k-means works; the corpus itself is only
+    * ever scanned map-only with codegen'd `graft_dot` distances). Cell
+    * assignment is shuffle-free; the only shuffles are the per-cell mean
+    * (partial-aggregated, K·dim groups) and the probe equi-join on cell
+    * id, whose fan-in is bounded by nprobe/K of the corpus per query.
+    * At 100 TB, K grows to thousands and the same plan holds.
+    *
+    * Determinism: seeds are the K lowest vec_ids; means use the
+    * micro-scaled integer sum (no float reduction order); distance ties
+    * break to the lowest cell index. Approximate → rows-only check;
+    * recall vs exact q41 is asserted in SimilarityQualitySpec. */
+  val q60 = QueryDef(
+    "q60_ivf_ann",
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val k = 16
+      val nprobe = 4
+      val dim = 64
+      val em = Tables(spark, dir).embeddings
+
+      // squared distance to a literal centroid, dropping the ||v||² term
+      // (constant per row — argmin-invariant): ||c||² − 2⟨v,c⟩
+      def distTo(c: Array[Float]): org.apache.spark.sql.Column = {
+        val n2 = c.map(x => x.toDouble * x.toDouble).sum
+        lit(n2) - dotNative(col("embedding"), lit(c)) * 2.0
+      }
+      // argmin via array_sort over K (dist, cell) structs — a LINEAR
+      // expression tree (each struct appears once inside array()). A
+      // when/otherwise reduce would duplicate the accumulator per step:
+      // exponential tree growth, 2^K dot-product subtrees at K=16.
+      def assignCol(cs: Array[Array[Float]]): org.apache.spark.sql.Column =
+        element_at(array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+          struct(distTo(c).as("d"), lit(i).as("cell"))
+        }: _*)), 1).getField("cell")
+
+      // deterministic init: the K lowest vec_ids
+      var centroids: Array[Array[Float]] = em.filter(col("vec_id") < k)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      // 2 Lloyd rounds: map-only assign, exact-integer per-cell mean
+      for (_ <- 0 until 2) {
+        val means = em.select(assignCol(centroids).as("cell"),
+            posexplode(col("embedding")).as(Seq("dimm", "v")))
+          .groupBy(col("cell"), col("dimm"))
+          .agg((sum(round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+            .cast(DoubleType) / (count(lit(1)) * lit(1000000.0))).as("c"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .view.mapValues { rows =>
+            val arr = new Array[Float](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            arr
+          }.toMap
+        centroids = Array.tabulate(k)(i => means.getOrElse(i, centroids(i)))
+      }
+
+      val index = em.select(col("vec_id"), col("embedding"),
+        assignCol(centroids).as("cell"))
+      val qs = em.filter(col("vec_id") < 10)
+      val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("cell"))
+      }
+      val probes = qs.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec"),
+          explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)).as("p"))
+        .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      index.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(cosineNative(col("qvec"), col("embedding")), 6))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    None)
+
   // ---------------------------------------------------------------- q59
   /** Typed custom aggregate ([[graft.functions.VectorCentroid]], the
     * `Aggregator` slot from SURVEY §2.2) reachable through the driver
@@ -219,5 +307,5 @@ object Similarity extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59)
+  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60)
 }

@@ -104,4 +104,11 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay an equi-join:\n$p")
   }
+
+  test("q60: IVF probe join is an equi-join on cell id (no cross product)") {
+    val p = plan(Similarity.q60)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must stay an equi-join:\n$p")
+    assert(p.contains("graft_dot"), "native dot expression not in the IVF plan")
+  }
 }

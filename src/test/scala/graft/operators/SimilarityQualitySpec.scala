@@ -44,6 +44,24 @@ class SimilarityQualitySpec extends SparkTestBase {
       s"LSH missed ${(bf -- lsh).size} pairs, invented ${(lsh -- bf).size}")
   }
 
+  test("IVF recall vs exact top-5 is reported and sane (q60 vs q41)") {
+    val exact = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRows = Similarity.q60.fn(spark, sf0001).collect()
+    assert(ivfRows.nonEmpty, "IVF should return neighbors")
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (K=16, nprobe=4)")
+    assert(recall >= 0.6, s"recall collapsed: $recall")
+    // cosines reported by IVF must equal the exact ranking's cosines
+    val exactCos = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfRows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
   test("LSH recall vs exact top-5 is reported and sane (q42 vs q41)") {
     val exact = Similarity.q41.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
