@@ -197,5 +197,58 @@ object TextOps extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q45)
+  // ---------------------------------------------------------------- q61
+  /** Quality-filter verdict per document — the canonical pretraining
+    * data-curation operator: combine the q36 signals into keep/drop with
+    * a deterministic first-failing-rule reason. Thresholds sit inside the
+    * fixture's signal distributions (n_tokens 10–99, TTR 0.28–1.0,
+    * stopword ratio 0.01–0.11) so every rule actually fires on some
+    * documents. Pure per-row expression arithmetic: map-only, codegen'd,
+    * linear at any corpus size. */
+  val q61 = QueryDef(
+    "q61_quality_filter",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val stopwords = Seq("the", "a", "of", "and", "to")
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val ttr = size(array_distinct(toks)).cast("double") / n
+      val stopR = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+        .cast("double") / n
+      val reason = when(n < 20, "too_short")
+        .when(ttr < 0.35, "low_diversity")
+        .when(stopR < 0.02, "low_stopword")
+        .otherwise("ok")
+      d.select(
+          col("doc_id"),
+          (reason === "ok").as("keep"),
+          reason.as("reason"),
+          n.cast(IntegerType).as("n_tokens"),
+          round(ttr, 6).as("ttr"),
+          round(stopR, 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH x AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n,
+        len(list_distinct(string_split(text, ' '))) * 1.0
+          / len(string_split(text, ' ')) AS ttr,
+        len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','and','to'))) * 1.0
+          / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    v AS (
+      SELECT doc_id, n, ttr, sr,
+        CASE WHEN n < 20 THEN 'too_short'
+             WHEN ttr < 0.35 THEN 'low_diversity'
+             WHEN sr < 0.02 THEN 'low_stopword'
+             ELSE 'ok' END AS reason
+      FROM x)
+    SELECT doc_id, reason = 'ok' AS keep, reason,
+      CAST(n AS INT) AS n_tokens,
+      ROUND(ttr, 6) AS ttr, ROUND(sr, 6) AS stopword_ratio
+    FROM v
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q45, q61)
 }

@@ -53,6 +53,24 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each left event matched to right events
+    * of the same key that happened at-or-before it, within `interval` —
+    * e.g. "error ⋈ the purchases in the preceding hour". Both sides carry
+    * watermarks AND the join condition bounds the time delta in both
+    * directions, which is what lets the engine evict buffered state: the
+    * property that keeps a stream-stream join runnable indefinitely. An
+    * unbounded-time stream join would buffer both streams forever —
+    * that shape is rejected here by design. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      interval: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") <= col("l.ts") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $interval"))
+  }
 }
 
 /** One observation of an external job (the sensor's poll payload). */

@@ -37,6 +37,33 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!rows.exists(_._2 == 3L), "late event must not be re-counted")
   }
 
+  test("stream-stream interval join matches within the window, evicts outside it") {
+    val errors = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+        errors.toDF(), purchases.toDF(), key = "user_id",
+        interval = "1 HOUR", lateness = "10 minutes")
+      .select(col("l.event_id").as("err_id"), col("r.event_id").as("purch_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    purchases.addData(
+      Ev(100, ts("2024-01-01 09:30:00"), 1, "purchase", 5.0), // within 1h of err 1
+      Ev(101, ts("2024-01-01 07:00:00"), 1, "purchase", 5.0), // too old for err 1
+      Ev(102, ts("2024-01-01 09:40:00"), 2, "purchase", 5.0)) // other user
+    errors.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "error", 0.0))
+    q.processAllAvailable()
+    // push both watermarks forward so buffered state can be evicted
+    purchases.addData(Ev(103, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0))
+    errors.addData(Ev(2, ts("2024-01-01 15:00:00"), 9, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 100L)), s"expected (1,100) in $rows")
+    assert(!rows.contains((1L, 101L)), "purchase outside the interval joined")
+    assert(!rows.contains((1L, 102L)), "purchase of another user joined")
+  }
+
   test("sliding windows assign events to every overlapping window") {
     val in = MemoryStream[Ev]
     val q = StreamOps.slidingCounts(in.toDF(), "1 hour", "30 minutes", "5 minutes")
