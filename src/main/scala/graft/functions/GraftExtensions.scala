@@ -23,30 +23,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case _ => throw new IllegalArgumentException(s"$what must be an int literal")
   }
 
+  private def arity(exprs: Seq[Expression], n: Int, sig: String): Seq[Expression] = {
+    require(exprs.length == n, s"$sig takes $n arguments")
+    exprs
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_dot(a, b)")
+        DotProduct(e.head, e(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) =>
+        SimHash64(arity(exprs, 1, "graft_simhash64(tokens)").head)))
     e.injectFunction((
       FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
-      (exprs: Seq[Expression]) =>
-        MinHash64(exprs.head, intLit(exprs(1), "graft_minhash64: numHashes"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_minhash64(tokens, numHashes)")
+        MinHash64(e.head, intLit(e(1), "graft_minhash64: numHashes"))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_hashed_shingles"),
       new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
-      (exprs: Seq[Expression]) =>
-        HashedShingles(exprs.head, intLit(exprs(1), "graft_hashed_shingles: n"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_hashed_shingles(tokens, n)")
+        HashedShingles(e.head, intLit(e(1), "graft_hashed_shingles: n"))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
-      (exprs: Seq[Expression]) => LshBuckets(exprs.head,
-        intLit(exprs(1), "graft_lsh_buckets: tables"),
-        intLit(exprs(2), "graft_lsh_buckets: planesPerTable"))))
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 3, "graft_lsh_buckets(vec, tables, planesPerTable)")
+        LshBuckets(e.head,
+          intLit(e(1), "graft_lsh_buckets: tables"),
+          intLit(e(2), "graft_lsh_buckets: planesPerTable"))
+      }))
   }
 }

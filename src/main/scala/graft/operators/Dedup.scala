@@ -20,7 +20,7 @@ object Dedup extends QueryPack {
 
   /** Word 3-gram shingle set as one array per document (the input shape
     * for the one-pass native signature expressions). */
-  private[operators] def shingleArray(d: DataFrame): DataFrame = {
+  private[graft] def shingleArray(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val sh = when(size(toks) < 3, array(col("text")))
       .otherwise(transform(sequence(lit(0), size(toks) - 3),
@@ -29,7 +29,7 @@ object Dedup extends QueryPack {
   }
 
   /** Word 3-gram shingle set, one row per (doc_id, shingle). */
-  private[operators] def shingles(d: DataFrame): DataFrame =
+  private[graft] def shingles(d: DataFrame): DataFrame =
     shingleArray(d).select(col("doc_id"), explode(col("shs")).as("s"))
 
   /** [[shingleArray]] with every shingle replaced by its xxhash64 — the
@@ -43,7 +43,7 @@ object Dedup extends QueryPack {
     * composed transform/array_distinct/xxhash64 form is spec-asserted) —
     * the composed form pays three interpreted lambdas per doc. Callers
     * must have run `GraftFunctions.register(spark)`. */
-  private[operators] def hashedShingleArray(d: DataFrame): DataFrame =
+  private[graft] def hashedShingleArray(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       call_function("graft_hashed_shingles",
         split(col("text"), " "), lit(3)).as("shs"))
@@ -77,7 +77,7 @@ object Dedup extends QueryPack {
     * (`size(shs)` — no group-by, no extra join). The hash order is as
     * valid a global total order as any other — the choice does not affect
     * losslessness, only which (equally valid) prefix is kept. */
-  private[operators] def prefixCandidates(
+  private[graft] def prefixCandidates(
       hshArr: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val tau = tauNum.toDouble / tauDen
     val sh = hshArr.select(col("doc_id"), size(col("shs")).as("sz"),
@@ -107,7 +107,7 @@ object Dedup extends QueryPack {
     * O(Σ_shingle df²) — quadratic in corpus growth, so this is the
     * spec-only ground truth; registered queries go through
     * [[prefixCandidates]] + [[jaccardForCandidates]]. */
-  private[operators] def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -124,16 +124,29 @@ object Dedup extends QueryPack {
     * explode back to (pair × shingle) rows, which multiplies the
     * candidate set by average document size before aggregating it away
     * again. */
-  private[operators] def jaccardForCandidates(
+  private[graft] def jaccardForCandidates(
       cands: DataFrame /*d1, d2*/, hshArr: DataFrame /*doc_id, shs: array<long>*/): DataFrame = {
     val a = hshArr.select(col("doc_id").as("d1"), col("shs").as("hs1"))
     val b = hshArr.select(col("doc_id").as("d2"), col("shs").as("hs2"))
     cands.join(a, "d1").join(b, "d2")
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("sz1", size(col("hs1")))
+      .withColumn("sz2", size(col("hs2")))
       .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
-      .select(col("d1"), col("d2"), col("jac"))
+        (col("sz1") + col("sz2") - col("inter")), 6))
+      .select(col("d1"), col("d2"), col("jac"),
+        col("inter"), col("sz1"), col("sz2"))
   }
+
+  /** Exact-threshold predicate J ≥ tauNum/tauDen in integer arithmetic:
+    * inter/(sz1+sz2−inter) ≥ n/d ⇔ inter·(d+n) ≥ n·(sz1+sz2). Output
+    * filters MUST use this, never `round(jac, 6) >= tau`: the rounded
+    * form admits pairs with true J marginally below tau, which
+    * [[prefixCandidates]] legitimately prunes — the two thresholds have
+    * to be the same exact predicate (the oracle SQL uses the identical
+    * integer inequality). */
+  private[graft] def atLeastJaccard(tauNum: Int, tauDen: Int): Column =
+    col("inter") * (tauDen + tauNum) >= (col("sz1") + col("sz2")) * tauNum
 
   private def withJaccard(inter: DataFrame, sizes: DataFrame): DataFrame =
     inter
@@ -188,9 +201,12 @@ object Dedup extends QueryPack {
     * verified by exact Jaccard ≥ 0.5 on candidates only. Banding keys are
     * xxhash64-specific → rows-only check (q33 is the oracle-checked exact
     * twin). */
-  val q32 = QueryDef(
-    "q32_minhash_lsh",
-    (spark, dir) => {
+  /** q32 up to (but not including) the result materialization + total
+    * sort — the plan PlanSpec inspects (the registered query checkpoints
+    * the tiny result before sorting, which truncates lineage to a Scan
+    * and would make plan-shape assertions vacuous). */
+  private[graft] def q32Pipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       graft.functions.GraftFunctions.register(spark)
       // The hashed shingle arrays feed BOTH the signature (MinHash64's
       // array<long> path — re-mixing pre-hashed shingles per seed is an
@@ -223,13 +239,17 @@ object Dedup extends QueryPack {
         .distinct()
 
       jaccardForCandidates(cands, hshArr)
-        .filter(col("jac") >= 0.5)
-        // materialize the (tiny) result before the total sort: range
-        // partitioning samples its child, which would otherwise
-        // re-execute the whole candidate+verify chain a second time
-        .localCheckpoint()
-        .orderBy(col("d1"), col("d2"))
-    },
+        .filter(atLeastJaccard(1, 2))
+        .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  val q32 = QueryDef(
+    "q32_minhash_lsh",
+    (spark, dir) =>
+      // materialize the (tiny) result before the total sort: range
+      // partitioning samples its child, which would otherwise
+      // re-execute the whole candidate+verify chain a second time
+      q32Pipeline(spark, dir).localCheckpoint().orderBy(col("d1"), col("d2")),
     None)
 
   // ---------------------------------------------------------------- q33
@@ -238,23 +258,29 @@ object Dedup extends QueryPack {
     * filtering (see [[prefixCandidates]]) — same exact output as the
     * all-co-shingle-pairs join, without its quadratic candidate space.
     * DedupSpec asserts equality with the naive [[jaccardPairs]] form. */
+  /** The exact Jaccard ≥ 1/2 pair set via prefix+positional filtering —
+    * shared by q33 (sorted output) and q55 (cluster edges); also the plan
+    * PlanSpec inspects. Materializes the per-doc HASHED shingle arrays
+    * once: they feed the prefix ranking (exploded) AND both verification
+    * joins, and everything downstream sorts/joins/intersects longs,
+    * never strings. */
+  private[graft] def exactPairsPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hshArr = hashedShingleArray(Tables(spark, dir).documents)
+      .localCheckpoint()
+    jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
+      .filter(atLeastJaccard(1, 2))
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   val q33 = QueryDef(
     "q33_jaccard_pairs",
-    (spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
-      // Materialize the per-doc HASHED shingle arrays once: they feed
-      // the prefix ranking (exploded) AND both verification joins.
-      // Everything downstream sorts/joins/intersects longs, never
-      // strings.
-      val hshArr = hashedShingleArray(Tables(spark, dir).documents)
-        .localCheckpoint()
-      jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
-        .filter(col("jac") >= 0.5)
-        // materialize before the total sort — the sort's range sampling
-        // would otherwise re-execute the verification chain
-        .localCheckpoint()
-        .orderBy(col("d1"), col("d2"))
-    },
+    (spark, dir) =>
+      // materialize before the total sort — the sort's range sampling
+      // would otherwise re-execute the verification chain
+      exactPairsPipeline(spark, dir).localCheckpoint()
+        .orderBy(col("d1"), col("d2")),
     Some("""WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     sh AS (
@@ -273,7 +299,7 @@ object Dedup extends QueryPack {
     FROM inter
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2
-    WHERE ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.5
+    WHERE i * 3 >= s1.sz + s2.sz
     ORDER BY d1, d2"""))
 
   // ---------------------------------------------------------------- q34
@@ -326,12 +352,8 @@ object Dedup extends QueryPack {
   val q55 = QueryDef(
     "q55_dedup_clusters",
     (spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
       val docs = Tables(spark, dir).documents
-      val hshArr = hashedShingleArray(docs).localCheckpoint()
-      val pairs = jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
-        .filter(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"))
+      val pairs = exactPairsPipeline(spark, dir).select(col("d1"), col("d2"))
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .localCheckpoint()
@@ -353,6 +375,12 @@ object Dedup extends QueryPack {
         lbl = next
         round += 1
       }
+      // a silent non-converged exit would emit partially-propagated
+      // labels as if they were clusters — fail loudly instead (30 rounds
+      // covers component diameter 30; real near-dup clusters are shallow,
+      // and a corpus needing more should switch to pointer-doubling)
+      require(converged,
+        s"q55 connected components did not converge within $round rounds")
       lbl.select(col("id").as("doc_id"), col("lbl").as("keeper"),
           (col("id") === col("lbl")).as("kept"))
         .orderBy(col("doc_id"))
@@ -375,7 +403,7 @@ object Dedup extends QueryPack {
       FROM inter
       JOIN sizes s1 ON s1.doc_id = d1
       JOIN sizes s2 ON s2.doc_id = d2
-      WHERE ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) >= 0.5),
+      WHERE i * 3 >= s1.sz + s2.sz),
     edges AS (
       SELECT d1 AS src, d2 AS dst FROM pairs
       UNION ALL SELECT d2, d1 FROM pairs),

@@ -211,9 +211,11 @@ object Similarity extends QueryPack {
     * micro-scaled integer sum (no float reduction order); distance ties
     * break to the lowest cell index. Approximate → rows-only check;
     * recall vs exact q41 is asserted in SimilarityQualitySpec. */
-  val q60 = QueryDef(
-    "q60_ivf_ann",
-    (spark, dir) => {
+  /** q60 up to (but not including) the result materialization + total
+    * sort — the plan PlanSpec inspects (the checkpoint in the registered
+    * query truncates lineage, which would make plan assertions vacuous). */
+  private[graft] def q60Pipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(spark)
       val k = 16
       val nprobe = 4
@@ -275,8 +277,15 @@ object Similarity extends QueryPack {
         .withColumn("rk", row_number().over(w).cast(IntegerType))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
-        .orderBy(col("qid"), col("rk"))
-    },
+  }
+
+  val q60 = QueryDef(
+    "q60_ivf_ann",
+    (spark, dir) =>
+      // materialize the 50-row result before the total sort — range
+      // partitioning samples its child, which would re-execute the
+      // assignment + probe chain
+      q60Pipeline(spark, dir).localCheckpoint().orderBy(col("qid"), col("rk")),
     None)
 
   // ---------------------------------------------------------------- q59

@@ -38,10 +38,13 @@ class DedupSpec extends SparkTestBase {
     def toSet(df: org.apache.spark.sql.DataFrame) = df
       .select("d1", "d2", "jac").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val naive = toSet(Dedup.jaccardPairs(Dedup.shingles(docs)).filter(col("jac") >= 0.5))
+    // both sides filter on the EXACT integer threshold (3·inter ≥ sz1+sz2
+    // ⇔ J ≥ 1/2), the same predicate the candidate generator prunes on
+    val naive = toSet(Dedup.jaccardPairs(Dedup.shingles(docs))
+      .filter(col("inter") * 3 >= col("sz1") + col("sz2")))
     val fast = toSet(
       Dedup.jaccardForCandidates(Dedup.prefixCandidates(hshArr, 1, 2), hshArr)
-        .filter(col("jac") >= 0.5))
+        .filter(Dedup.atLeastJaccard(1, 2)))
     assert(naive.nonEmpty, "fixture should contain near-duplicates")
     assert(fast == naive,
       s"prefix filtering lost ${(naive -- fast).size}, invented ${(fast -- naive).size}")
