@@ -37,6 +37,34 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!rows.exists(_._2 == 3L), "late event must not be re-counted")
   }
 
+  test("sliding stream aggregate equals its batch twin (q58 semantics) on the same rows") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:40:00"), 1, "click", 1.0),
+      Ev(3, ts("2024-01-01 10:55:00"), 2, "view", 1.0),
+      Ev(4, ts("2024-01-01 11:20:00"), 2, "click", 1.0))
+    // batch twin: same window(size, slide) grouping as q58
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .count()
+      .select(col("window.start").as("win_start"), col("event_type"), col("count").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val in = MemoryStream[Ev]
+    val q = StreamOps.slidingCounts(in.toDF(), "1 hour", "30 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("slideq58").start()
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    // watermark pusher far past every window so all windows finalize
+    in.addData(Ev(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slideq58")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .filter(_._2 != "flush").toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream ${streamed -- batch}, only-batch ${batch -- streamed}")
+  }
+
   test("stream-stream interval join matches within the window, evicts outside it") {
     val errors = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
