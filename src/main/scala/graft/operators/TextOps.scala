@@ -250,5 +250,36 @@ object TextOps extends QueryPack {
     FROM v
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q45, q61)
+  // ---------------------------------------------------------------- q62
+  /** Deterministic train/val/test split (80/10/10) by hashing the
+    * document key — the standard leakage-free splitting operator for a
+    * training corpus: assignment is a pure per-row function of the key
+    * (map-only, no shuffle, no sampling state), so it is stable across
+    * runs, engines and cluster sizes, and any derived table splits
+    * consistently by joining on doc_id. Bucket = first 16 bits of
+    * md5(doc_id) — md5 is the hash both engines compute identically.
+    * (To make near-duplicate leakage impossible, key by q55's cluster
+    * keeper instead of doc_id — same shape, one extra join.) */
+  val q62 = QueryDef(
+    "q62_train_split",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast(IntegerType)
+      val split = when(bucket < 52429, "train") // 0.8 * 65536
+        .when(bucket < 58982, "val")            // 0.9 * 65536
+        .otherwise("test")
+      d.select(col("doc_id"), bucket.as("bucket"), split.as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS INT) AS bucket,
+      CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
+           WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q45, q61, q62)
 }
