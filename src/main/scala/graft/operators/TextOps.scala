@@ -281,5 +281,46 @@ object TextOps extends QueryPack {
     FROM documents
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q36, q37, q38, q39, q40, q45, q61, q62)
+  // ---------------------------------------------------------------- q63
+  /** Deterministic stratified downsampling: rebalance the corpus so every
+    * language keeps (approximately) the smallest language's document
+    * count. Per-stratum keep-thresholds are exact integers
+    * (`min_n·65536 div n_lang`) compared against the same md5-prefix
+    * bucket as q62 — so the sample is a pure function of (key, corpus
+    * histogram): reproducible on any engine or cluster size, no RNG, no
+    * `sample()` nondeterminism. Shape: one tiny aggregate broadcast back
+    * onto a map-only scan — the histogram is K rows (languages), the
+    * corpus is never shuffled. */
+  val q63 = QueryDef(
+    "q63_stratified_sample",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast(IntegerType)
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val minN = counts.agg(min(col("n_lang")).as("min_n"))
+      val thresholds = counts.crossJoin(broadcast(minN))
+        .select(col("lang"),
+          expr("CAST(min_n * 65536 DIV n_lang AS INT)").as("thr"))
+      d.withColumn("bucket", bucket)
+        .join(broadcast(thresholds), "lang")
+        .filter(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (
+      SELECT doc_id, lang,
+        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS INT) AS bucket
+      FROM documents),
+    c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_lang) AS min_n FROM c),
+    t AS (SELECT lang, CAST(min_n * 65536 // n_lang AS INT) AS thr FROM c, m)
+    SELECT b.doc_id, b.lang, b.bucket
+    FROM b JOIN t ON b.lang = t.lang
+    WHERE b.bucket < t.thr
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63)
 }
