@@ -349,9 +349,11 @@ object Dedup extends QueryPack {
     * for singletons) and the survivor flag — the "which rows do I keep"
     * answer a 100 TB dedup pipeline actually needs. Oracle: the same
     * reachability computed by a recursive CTE. */
-  val q55 = QueryDef(
-    "q55_dedup_clusters",
-    (spark, dir) => {
+  /** (doc_id, keeper) labels from min-label propagation over the exact
+    * near-dup pair set — the engine of q55 and the key source for the
+    * leakage-free split (q64). See q55 scaladoc for the algorithm. */
+  private[graft] def clusterLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       val docs = Tables(spark, dir).documents
       val pairs = exactPairsPipeline(spark, dir).select(col("d1"), col("d2"))
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
@@ -380,11 +382,16 @@ object Dedup extends QueryPack {
       // covers component diameter 30; real near-dup clusters are shallow,
       // and a corpus needing more should switch to pointer-doubling)
       require(converged,
-        s"q55 connected components did not converge within $round rounds")
-      lbl.select(col("id").as("doc_id"), col("lbl").as("keeper"),
-          (col("id") === col("lbl")).as("kept"))
-        .orderBy(col("doc_id"))
-    },
+        s"connected components did not converge within $round rounds")
+      lbl.select(col("id").as("doc_id"), col("lbl").as("keeper"))
+  }
+
+  val q55 = QueryDef(
+    "q55_dedup_clusters",
+    (spark, dir) =>
+      clusterLabels(spark, dir)
+        .withColumn("kept", col("doc_id") === col("keeper"))
+        .orderBy(col("doc_id")),
     Some("""WITH RECURSIVE tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     sh AS (
@@ -417,5 +424,60 @@ object Dedup extends QueryPack {
     GROUP BY id
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q55)
+  // ---------------------------------------------------------------- q64
+  /** Leakage-free train/val/test split: the composition a real corpus
+    * pipeline needs — hash the CLUSTER KEEPER (from [[clusterLabels]]),
+    * not the document id, so every member of a near-duplicate cluster
+    * lands in the same split and no near-copy of a training document can
+    * leak into eval. Same 80/10/10 md5-prefix bucketing as q62; the only
+    * extra cost over q62 is the dedup-cluster computation itself. */
+  val q64 = QueryDef(
+    "q64_leakage_free_split",
+    (spark, dir) => {
+      val bucket = conv(substring(
+        md5(col("keeper").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast(IntegerType)
+      val split = when(bucket < 52429, "train")
+        .when(bucket < 58982, "val")
+        .otherwise("test")
+      clusterLabels(spark, dir)
+        .select(col("doc_id"), col("keeper"), split.as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 3 >= s1.sz + s2.sz),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    k AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id)
+    SELECT doc_id, keeper,
+      CASE WHEN CAST('0x' || substr(md5(CAST(keeper AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
+           WHEN CAST('0x' || substr(md5(CAST(keeper AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
+           ELSE 'test' END AS split
+    FROM k
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q55, q64)
 }
