@@ -351,8 +351,21 @@ object Dedup extends QueryPack {
     * reachability computed by a recursive CTE. */
   /** (doc_id, keeper) labels from min-label propagation over the exact
     * near-dup pair set — the engine of q55 and the key source for the
-    * leakage-free split (q64). See q55 scaladoc for the algorithm. */
+    * leakage-free split (q64). See q55 scaladoc for the algorithm.
+    *
+    * Memoized per (session, dir): the result is already an eagerly
+    * materialized checkpoint, and both q55 and q64 (and any future
+    * dedup-composed operator) consume the identical label set — exactly a
+    * materialized view. The cache holds only checkpoint handles, not
+    * data copies. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
   private[graft] def clusterLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    labelCache.getOrElseUpdate((spark, dir), computeClusterLabels(spark, dir))
+
+  private def computeClusterLabels(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
       val docs = Tables(spark, dir).documents
       val pairs = exactPairsPipeline(spark, dir).select(col("d1"), col("d2"))
