@@ -83,6 +83,33 @@ object AlgebraProps extends Properties("Algebra") {
       else got.getDouble(0) == expected
     }
 
+  property("prefix+positional filtering is lossless vs naive all-pairs Jaccard") =
+    forAll(
+      Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+          .map(_.take(12)))
+        .map(_.take(25))) { texts =>
+      // tiny alphabet + short docs → dense shingle collisions, exercising
+      // the ceil/positional boundaries the fixtures never hit
+      graft.functions.GraftFunctions.register(spark)
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val exact = col("inter") * 3 >= col("sz1") + col("sz2")
+      val naive = operators.Dedup.jaccardPairs(operators.Dedup.shingles(docs))
+        .filter(exact).select(col("d1"), col("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hshArr = operators.Dedup.hashedShingleArray(docs)
+      val fast = operators.Dedup.jaccardForCandidates(
+          operators.Dedup.prefixCandidates(hshArr, 1, 2), hshArr)
+        .filter(operators.Dedup.atLeastJaccard(1, 2))
+        .select(col("d1"), col("d2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      fast == naive
+    }
+
   property("as-of join preserves every left row") =
     forAll(genRowsNE, genRows) { (a, b) =>
       val s = spark
