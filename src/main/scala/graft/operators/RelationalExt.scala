@@ -129,9 +129,10 @@ object RelationalExt extends QueryPack {
     ORDER BY event_id"""))
 
   // ---------------------------------------------------------------- q50
-  /** Approximate distinct (HyperLogLog++) next to the exact count —
-    * sketch values are engine-specific → rows-only check; the spec
-    * asserts the approximation lands within rsd of exact. */
+  /** Approximate sketches (HyperLogLog++ distinct, GK-sketch quantile)
+    * next to their exact counterparts — sketch values are
+    * engine-specific → rows-only check; the spec asserts both
+    * approximations land within tolerance of exact. */
   val q50 = QueryDef(
     "q50_approx_distinct",
     (spark, dir) => {
@@ -139,7 +140,10 @@ object RelationalExt extends QueryPack {
       o.groupBy(col("o_orderpriority"))
         .agg(
           approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_buyers"),
-          countDistinct(col("o_custkey")).as("exact_buyers"))
+          countDistinct(col("o_custkey")).as("exact_buyers"),
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2)
+            .as("approx_median_price"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median_price"))
         .orderBy(col("o_orderpriority"))
     },
     None)

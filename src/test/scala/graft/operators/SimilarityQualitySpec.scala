@@ -6,13 +6,23 @@ import graft.SparkTestBase
   * they have no SQL oracle, so their accuracy contract lives here. */
 class SimilarityQualitySpec extends SparkTestBase {
 
-  test("approx_count_distinct lands within 10% of exact (q50)") {
+  test("approx_count_distinct and percentile_approx land within 10% of exact (q50)") {
     RelationalExt.q50.fn(spark, sf0001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"${r.getString(0)}: approx $approx vs exact $exact")
+      val approxMed = r.getDouble(3)
+      val exactMed = r.getDouble(4)
+      assert(math.abs(approxMed - exactMed) / exactMed <= 0.10,
+        s"${r.getString(0)}: approx median $approxMed vs exact $exactMed")
     }
+  }
+
+  test("schema_of_json infers the props payload shape") {
+    val s = spark.sql("""SELECT schema_of_json('{"k": 87}') AS sch""")
+      .collect()(0).getString(0)
+    assert(s.contains("k") && s.toUpperCase.contains("BIGINT"), s)
   }
 
   test("ANN results report the same cosine as the exact ranking (q42 ⊆ truth)") {
