@@ -137,13 +137,24 @@ object RelationalExt extends QueryPack {
     "q50_approx_distinct",
     (spark, dir) => {
       val o = Tables(spark, dir).orders
-      o.groupBy(col("o_orderpriority"))
+      // Two aggregations, not one: a DISTINCT agg in the same agg list as
+      // percentile aggs makes Catalyst plan an Expand whose partial
+      // aggregate groups by (priority, custkey) — building a percentile
+      // buffer per CUSTOMER (~100k maps) instead of per priority (5).
+      // Split the paths and join the two 5-row results instead (measured
+      // 9.7 s → ~2 s at sf0.1).
+      val distincts = o.groupBy(col("o_orderpriority"))
         .agg(
           approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_buyers"),
-          countDistinct(col("o_custkey")).as("exact_buyers"),
+          countDistinct(col("o_custkey")).as("exact_buyers"))
+      val medians = o.groupBy(col("o_orderpriority"))
+        .agg(
           round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2)
             .as("approx_median_price"),
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median_price"))
+      distincts.join(medians, "o_orderpriority")
+        .select(col("o_orderpriority"), col("approx_buyers"), col("exact_buyers"),
+          col("approx_median_price"), col("exact_median_price"))
         .orderBy(col("o_orderpriority"))
     },
     None)
