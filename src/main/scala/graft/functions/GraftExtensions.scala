@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val e = arity(exprs, 2, "graft_hashed_shingles(tokens, n)")
         HashedShingles(e.head, intLit(e(1), "graft_hashed_shingles: n"))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bigram_hashes"),
+      new ExpressionInfo(classOf[BigramHashes].getName, "graft_bigram_hashes"),
+      (exprs: Seq[Expression]) =>
+        BigramHashes(arity(exprs, 1, "graft_bigram_hashes(tokens)").head)))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -46,6 +46,14 @@ object GraftFunctions {
           case _ => throw new IllegalArgumentException(
             "graft_hashed_shingles: n must be an int literal")
         }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_hashes",
+      exprs => {
+        require(exprs.length == 1,
+          "graft_bigram_hashes(tokens) takes one argument")
+        BigramHashes(exprs.head)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,61 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-token-pair hash stream for bigram language-model scoring: for each
+  * adjacent token pair (w1, w2) emits `struct(hb, h1)` where
+  * `hb = xxhash64(w1, w2)` and `h1 = xxhash64(w1)` (seed 42, multi-child
+  * chaining — bit-identical to the built-in `xxhash64` column function on
+  * the same arguments). Fuses the composed
+  * `transform(sequence(...), i -> struct(xxhash64(...), xxhash64(...)))`
+  * form, whose lambda interprets per element — the dominant cost of the
+  * LM-score scan. Documents with fewer than 2 tokens yield an empty
+  * array. */
+case class BigramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_hashes expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("hb", LongType, nullable = false),
+      StructField("h1", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - 1)
+    var prev: UTF8String =
+      if (arr.isNullAt(0)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(0)
+    var prevH = XXH64.hashUTF8String(prev, 42L)
+    var i = 1
+    while (i < len) {
+      val cur =
+        if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      val hb = XXH64.hashUTF8String(cur, prevH)
+      val h1 = prevH
+      out(i - 1) = InternalRow(hb, h1)
+      prev = cur
+      prevH = XXH64.hashUTF8String(cur, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bigram_hashes"
+}

@@ -321,6 +321,77 @@ object TextOps extends QueryPack {
     WHERE b.bucket < t.thr
     ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q65
+  /** Bigram language-model quality score — the LM-filtering signal of a
+    * pretraining pipeline (CCNet-style): each document's total
+    * log-likelihood under the corpus's own add-one-smoothed bigram model,
+    * `lp(doc) = Σ ln((C(w1,w2)+1)/(C(w1)+V))`. Unusual word sequences
+    * score low → drop/downweight candidates. Determinism: each bigram's
+    * log-prob is micro-scaled to an integer BEFORE the per-doc sum, so the
+    * output is exact integers (no float reduction order, no cross-engine
+    * division drift); the oracle replays the identical arithmetic.
+    *
+    * Scale: two corpus count aggregations (bigram, prefix) + a scalar
+    * vocab count — all partial-aggregated; per-doc scoring is an
+    * equi-join of the doc's bigram stream with the (heavily reused)
+    * count tables. No driver-side model state at all: the LM lives in
+    * DataFrames, so a trillion-bigram corpus shards like any other
+    * aggregate. */
+  val q65 = QueryDef(
+    "q65_lm_score",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val toks = split(col("text"), " ")
+      // bigrams carried as xxhash64 keys from the start: the count
+      // group-bys and the score join shuffle fixed-width longs, never
+      // string pairs (same counts — a 64-bit collision among ~10⁶ corpus
+      // bigrams is negligible and the oracle hash-check would catch it)
+      graft.functions.GraftFunctions.register(spark)
+      val bi = d.filter(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(call_function("graft_bigram_hashes", toks)).as("b"))
+        .select(col("doc_id"), col("b.hb").as("hb"), col("b.h1").as("h1"))
+        .localCheckpoint()
+      val c12 = bi.groupBy(col("hb")).agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+      val vocab = d.select(explode(toks).as("tk"))
+        .agg(countDistinct(col("tk")).as("v"))
+      val lp = bi.join(c12, Seq("hb")).join(c1, Seq("h1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp_micro",
+          round(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) * 1000000)
+            .cast(LongType))
+      lp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+        // materialize the per-doc result before the total sort — range
+        // partitioning samples its child, which would re-execute the
+        // count-join chain
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tk) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)),
+    lp AS (
+      SELECT bi.doc_id,
+        CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp_micro
+      FROM bi
+      JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+      JOIN c1 ON bi.w1 = c1.w1
+      CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+    FROM lp
+    GROUP BY doc_id
+    ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63)
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65)
 }
