@@ -41,6 +41,20 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2) AS b")
         .collect()(0).getSeq[Long](0).toSeq
       assert(lb.length == 4 && lb.forall(b => b >= 0L && b < 4L))
+      // graft_hashed_shingles: distinct 3-gram hashes of the token list
+      val hs = s2.sql(
+        "SELECT graft_hashed_shingles(array('a','b','c','d'), 3) AS h")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(hs.length == 2 && hs.distinct == hs) // "a b c", "b c d"
+      // graft_bigram_hashes: (n-1) bigram structs, hb chained like xxhash64(w1,w2)
+      val bg = s2.sql(
+        "SELECT graft_bigram_hashes(array('a','b','c')) AS b").collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(bg.length == 2)
+      val expectedHb = s2.sql("SELECT xxhash64('a', 'b'), xxhash64('a')")
+        .collect()(0)
+      assert(bg.head.getLong(0) == expectedHb.getLong(0))
+      assert(bg.head.getLong(1) == expectedHb.getLong(1))
       // parity with the FunctionRegistry path (GraftFunctions.register)
       GraftFunctions.register(s2)
       val lb2 = s2.sql(
