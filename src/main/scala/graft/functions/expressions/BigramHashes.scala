@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-token-pair hash stream for bigram language-model scoring: for each
   * adjacent token pair (w1, w2) emits `struct(hb, h1)` where
@@ -15,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the same arguments). Fuses the composed
   * `transform(sequence(...), i -> struct(xxhash64(...), xxhash64(...)))`
   * form, whose lambda interprets per element — the dominant cost of the
-  * LM-score scan. Documents with fewer than 2 tokens yield an empty
-  * array. */
+  * LM-score scan. Null tokens are skipped exactly like the built-in's
+  * null children (the running hash passes through unchanged), so parity
+  * holds for arrays containing nulls too. Documents with fewer than 2
+  * tokens yield an empty array. */
 case class BigramHashes(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -37,18 +38,21 @@ case class BigramHashes(child: Expression)
     val len = arr.numElements()
     if (len < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - 1)
-    var prev: UTF8String =
-      if (arr.isNullAt(0)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(0)
-    var prevH = XXH64.hashUTF8String(prev, 42L)
+    // xxhash64 semantics: a null child leaves the running hash unchanged,
+    // so h1 of a null token is the bare seed and hb of (w1, null) is h1.
+    var prevH =
+      if (arr.isNullAt(0)) 42L
+      else XXH64.hashUTF8String(arr.getUTF8String(0), 42L)
     var i = 1
     while (i < len) {
-      val cur =
-        if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
-      val hb = XXH64.hashUTF8String(cur, prevH)
-      val h1 = prevH
-      out(i - 1) = InternalRow(hb, h1)
-      prev = cur
-      prevH = XXH64.hashUTF8String(cur, 42L)
+      val curNull = arr.isNullAt(i)
+      val hb =
+        if (curNull) prevH
+        else XXH64.hashUTF8String(arr.getUTF8String(i), prevH)
+      out(i - 1) = InternalRow(hb, prevH)
+      prevH =
+        if (curNull) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       i += 1
     }
     new GenericArrayData(out)

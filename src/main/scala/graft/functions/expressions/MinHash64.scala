@@ -9,9 +9,14 @@ import org.apache.spark.sql.types._
 /** MinHash signature over a token/shingle array: `numHashes` independent
   * 64-bit hash functions, element i of the result is
   * `min over tokens t of xxhash64(i, t)` — bit-identical to Spark's
-  * `min(xxhash64(lit(i), col(t)))` aggregate formulation (seed 42, the
-  * int literal folded into the running hash first, exactly like the
-  * built-in `XxHash64` expression evaluates its children in order).
+  * `min(xxhash64(lit(i), col(t)))` aggregate formulation on null-free
+  * arrays (seed 42, the int literal folded into the running hash first,
+  * exactly like the built-in `XxHash64` expression evaluates its
+  * children in order). Null elements are SKIPPED here, whereas the
+  * aggregate form would fold a null token to the bare per-seed state
+  * `xxhash64(i)` and let that constant join the min — shingle pipelines
+  * never produce null elements, so the difference is unobservable in
+  * practice, but the parity claim is scoped to null-free input.
   *
   * Why an expression and not 64 aggregate columns: the aggregate form
   * pushes every (doc, shingle) row through 64 separate hash+min agg

@@ -79,7 +79,6 @@ object Dedup extends QueryPack {
     * losslessness, only which (equally valid) prefix is kept. */
   private[graft] def prefixCandidates(
       hshArr: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
-    val tau = tauNum.toDouble / tauDen
     val sh = hshArr.select(col("doc_id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
@@ -88,9 +87,13 @@ object Dedup extends QueryPack {
     // Materialized: the prefix table sits on BOTH sides of the self-join
     // below — without a checkpoint Spark recomputes the whole
     // explode → dfreq → window pipeline twice.
+    // Prefix keep bound rk <= sz - ceil(sz*tau) + 1, in exact integer
+    // arithmetic (ceilDiv(a,b) <= c  ⟺  a <= b*c): double rounding of
+    // sz*tau can shrink the prefix by one (e.g. 100*0.1 = 10.0000…02,
+    // ceil = 11) and silently break losslessness for non-dyadic taus.
     val prefix = sh.join(dfreq, "s")
       .withColumn("rk", row_number().over(ordered))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .filter(col("sz") * tauNum <= (col("sz") - col("rk") + 1) * tauDen)
       .select(col("doc_id"), col("s"), col("rk"), col("sz"))
       .localCheckpoint()
     val maxContrib =
@@ -362,8 +365,16 @@ object Dedup extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   private[graft] def clusterLabels(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    // Evict entries of stopped sessions at lookup: a cached handle pins
+    // its session and checkpoint RDD blocks for the JVM lifetime
+    // otherwise — a slow leak in long-lived JVMs (e.g. the test runner)
+    // that create and stop multiple sessions.
+    labelCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) labelCache.remove(k)
+    }
     labelCache.getOrElseUpdate((spark, dir), computeClusterLabels(spark, dir))
+  }
 
   private def computeClusterLabels(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {

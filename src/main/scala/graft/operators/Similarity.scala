@@ -157,9 +157,13 @@ object Similarity extends QueryPack {
     * (table, bucket) — no cross product anywhere, PlanSpec-asserted),
     * then exact-cosine verification on candidates only. 32×4 keeps the
     * per-pair miss probability at the 0.45 threshold ≈ (1−0.65⁴)³² < 0.3%,
-    * and the fixture's qualifying pairs all collide (the brute-force twin
-    * in SimilarityQualitySpec asserts exact output equality), so the
-    * DuckDB oracle remains the plain all-pairs SQL. */
+    * and the fixture's qualifying pairs all collide, so the DuckDB oracle
+    * remains the plain all-pairs SQL. VERIFIED-SF ENVELOPE: the oracle is
+    * exact only where LSH provably loses nothing —
+    * SimilarityQualitySpec asserts brute-force output equality at ALL
+    * shipped fixtures (sf0.001/sf0.01/sf0.1); a new fixture or SF must
+    * extend that assertion (and on a genuine miss, demote this query to
+    * rows-only like q32/q42) before trusting the oracle row. */
   val q44 = QueryDef(
     "q44_embedding_neardup",
     (spark, dir) => {

@@ -11,10 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: shard assignment is `pmod(xxhash64(key), n)` — a pure
   * map-side computation; `repartition(n, shard)` is the single full
-  * shuffle (hash-balanced because the key hash is uniform, independent of
-  * input skew), and `sortWithinPartitions` costs a per-shard sort with no
-  * extra exchange. `partitionBy(split)` nests Hive-style split
-  * directories so train/val/test are separate globs of the same write.
+  * shuffle, co-locating every row of a shard in one task (balanced
+  * because the key hash is uniform, independent of input skew), and
+  * `sortWithinPartitions` costs a per-shard sort with no extra exchange.
+  * The shard-count contract is enforced by LAYOUT, not by the
+  * partitioner: the write nests Hive-style `shard=<k>/` directories, so
+  * each shard directory holds exactly ONE parquet file (all of a shard's
+  * rows sit in a single task — equal shuffle keys never split). Relying
+  * on the row partitioner alone is wrong in both modes: hashing the
+  * already-dense shard id is not a bijection (~1/e of partitions land
+  * empty, others hold 2-3 shards), and range partitioning is sampled, so
+  * n distinct values can still collapse into n−1 partitions.
+  * `partitionBy(split, shard)` nests split directories above the shards
+  * so train/val/test are separate globs of the same write.
   */
 object ShardWriter {
 
@@ -22,9 +31,10 @@ object ShardWriter {
   def withShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
     df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(nShards)))
 
-  /** Writes `df` as `nShards` hash-balanced parquet shards under `path`,
-    * each shard internally sorted by `sortCol` (deterministic loader
-    * order). If `splitCol` is set, shards nest under Hive-style
+  /** Writes `df` as `nShards` hash-balanced parquet shards under `path`:
+    * one `shard=<k>/` directory per shard, each holding exactly one file,
+    * internally sorted by `sortCol` (deterministic loader order). If
+    * `splitCol` is set, shard directories nest under Hive-style
     * `splitCol=<value>/` directories. */
   def writeShards(df: DataFrame, path: String, keyCol: String,
       nShards: Int, sortCol: String, splitCol: Option[String] = None): Unit = {
@@ -33,8 +43,8 @@ object ShardWriter {
       .sortWithinPartitions(col("shard"), col(sortCol))
     val writer = sharded.write.mode("overwrite")
     splitCol match {
-      case Some(sc) => writer.partitionBy(sc).parquet(path)
-      case None => writer.parquet(path)
+      case Some(sc) => writer.partitionBy(sc, "shard").parquet(path)
+      case None => writer.partitionBy("shard").parquet(path)
     }
   }
 }

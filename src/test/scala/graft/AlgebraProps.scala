@@ -88,23 +88,29 @@ object AlgebraProps extends Properties("Algebra") {
       Gen.nonEmptyListOf(
         Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
           .map(_.take(12)))
-        .map(_.take(25))) { texts =>
+        .map(_.take(25)),
+      // taus beyond the dyadic 1/2 the queries use: non-dyadic fractions
+      // (1/3, 7/10) and 1/10 (whose double product rounds UP on sz
+      // multiples of 10 — the exact shape that broke the double-ceil
+      // prefix bound) all must stay lossless
+      Gen.oneOf((1, 2), (1, 3), (7, 10), (1, 10))) { (texts, tau) =>
       // tiny alphabet + short docs → dense shingle collisions, exercising
       // the ceil/positional boundaries the fixtures never hit
       graft.functions.GraftFunctions.register(spark)
       val s = spark
       import s.implicits._
+      val (tn, td) = tau
       val docs = texts.zipWithIndex
         .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
         .toDF("doc_id", "text")
-      val exact = col("inter") * 3 >= col("sz1") + col("sz2")
       val naive = operators.Dedup.jaccardPairs(operators.Dedup.shingles(docs))
-        .filter(exact).select(col("d1"), col("d2"))
+        .filter(operators.Dedup.atLeastJaccard(tn, td))
+        .select(col("d1"), col("d2"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val hshArr = operators.Dedup.hashedShingleArray(docs)
       val fast = operators.Dedup.jaccardForCandidates(
-          operators.Dedup.prefixCandidates(hshArr, 1, 2), hshArr)
-        .filter(operators.Dedup.atLeastJaccard(1, 2))
+          operators.Dedup.prefixCandidates(hshArr, tn, td), hshArr)
+        .filter(operators.Dedup.atLeastJaccard(tn, td))
         .select(col("d1"), col("d2"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       fast == naive

@@ -44,14 +44,24 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
-  test("q44 LSH near-dup output equals the brute-force ground truth at fixture scale") {
+  test("q44 LSH near-dup output equals the brute-force ground truth at every fixture SF") {
+    // This IS q44's oracle envelope: the DuckDB oracle is the exact
+    // all-pairs SQL, and the registered query is LSH-candidates +
+    // exact-verify, so the oracle can only stay green while every
+    // qualifying pair collides in some LSH table. Assert brute-force
+    // equality at ALL shipped fixture scales (sf0.1 = the largest, 2,000
+    // vectors — brute force is fine in a spec) so a new fixture/SF that
+    // breaks the envelope fails HERE with a precise message, not as an
+    // opaque driver hash mismatch.
     def toSet(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val lsh = toSet(Similarity.q44.fn(spark, sf0001).collect())
-    val bf = toSet(Similarity.bruteForceNearDup(spark, sf0001, 0.45).collect())
-    assert(bf.nonEmpty, "fixture should contain near-dup embeddings")
-    assert(lsh == bf,
-      s"LSH missed ${(bf -- lsh).size} pairs, invented ${(lsh -- bf).size}")
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val lsh = toSet(Similarity.q44.fn(spark, dir).collect())
+      val bf = toSet(Similarity.bruteForceNearDup(spark, dir, 0.45).collect())
+      assert(bf.nonEmpty, s"$dir should contain near-dup embeddings")
+      assert(lsh == bf,
+        s"$dir: LSH missed ${(bf -- lsh).size} pairs, invented ${(lsh -- bf).size}")
+    }
   }
 
   test("IVF recall vs exact top-5 is reported and sane (q60 vs q41)") {

@@ -30,6 +30,27 @@ class ShardWriterSpec extends SparkTestBase {
       sortCol = "doc_id", splitCol = Some("split"))
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("split=train", "split=val"), s"got $dirs")
+    // the shard count is a loader-facing contract, enforced by layout:
+    // each split nests shard=<k> directories matching the data's shard
+    // set exactly, and every shard directory holds exactly ONE parquet
+    // file (a shard's rows are co-located in a single task)
+    val expected = ShardWriter.withShard(docs, "doc_id", 4)
+      .select(col("split"), col("shard")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.filter(_._1 == "train").map(_._2) == (0L until 4).toSet,
+      "train should populate all 4 shards at this size")
+    dirs.foreach { d =>
+      val split = d.stripPrefix("split=")
+      val shardDirs = new java.io.File(s"$out/$d").listFiles().filter(_.isDirectory)
+      assert(shardDirs.map(_.getName).toSet ==
+        expected.filter(_._1 == split).map(s => s"shard=${s._2}"),
+        s"$d: shard dirs must match the data's shard set")
+      shardDirs.foreach { sd =>
+        val files = sd.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"$sd: one file per shard, got ${files.length}")
+      }
+    }
     val back = spark.read.parquet(out)
     assert(back.count() == docs.count(), "round-trip must be lossless")
     // within every parquet file, rows are sorted by doc_id (loader order)
