@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.TextOps,
-    operators.Multimodal)
+    operators.Multimodal,
+    operators.Curation)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)
 

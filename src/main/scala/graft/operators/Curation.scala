@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation pack: the cross-document hygiene passes a pretraining
+  * pipeline runs after per-doc quality scoring (TextOps) and near-dedup
+  * (Dedup) — benchmark decontamination, repetition-based quality gating,
+  * and span-level (chunk) deduplication.
+  *
+  * Reference semantics: the reference orchestrates external data-curation
+  * jobs over HTTP (`/root/reference/dags/update_tr_from_ex_dag.py:93-105`
+  * triggers a scraper whose output lands downstream); these queries are
+  * the in-engine versions of the curation steps such a pipeline runs.
+  *
+  * Scale shapes: all three are explode → equi-join/group-by pipelines on
+  * hashed or exact keys — shuffle volume is the n-gram/chunk table, never
+  * a pair cross-product. Decontamination's eval side is a tiny fraction
+  * of the corpus and broadcasts; repetition is a per-doc re-aggregation
+  * (map-side combinable); chunk dedup shuffles by chunk hash exactly like
+  * exact-dedup shuffles by text.
+  */
+object Curation extends QueryPack {
+
+  // ---------------------------------------------------------------- q66
+  /** Benchmark decontamination: which training documents contain a large
+    * fraction of some eval document's 3-gram shingles? Eval set =
+    * `doc_id % 50 == 0` (a held-out benchmark slice, ~2% of the corpus);
+    * containment(train, eval) = |sh(train) ∩ sh(eval)| / |sh(eval)| — the
+    * asymmetric overlap used for decontamination (a short benchmark item
+    * fully quoted inside a long page must flag, which symmetric Jaccard
+    * misses). Output: flagged (train, eval) pairs at containment ≥ 1/4,
+    * with the exact integer predicate `inter·4 ≥ esz` (determinism rule
+    * 8), not a rounded-double compare.
+    *
+    * Scale: shingles are hashed per doc in one native pass
+    * ([[Dedup.hashedShingleArray]]); the eval shingle table is ~2% of the
+    * corpus and broadcasts, so the candidate join is a broadcast
+    * equi-join on the shingle hash — no shuffle of the train side at all;
+    * the only shuffle is the (train, eval) group-by, bounded by true
+    * overlaps. */
+  val q66 = QueryDef(
+    "q66_decontamination",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val hsh = Dedup.hashedShingleArray(Tables(spark, dir).documents)
+      val evalSh = hsh.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), size(col("shs")).as("esz"),
+          explode(col("shs")).as("s"))
+      val trainSh = hsh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("shs")).as("s"))
+      trainSh.join(broadcast(evalSh), "s")
+        .groupBy(col("doc_id"), col("eval_id"), col("esz"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 4 >= col("esz"))
+        .select(col("doc_id"), col("eval_id"), col("inter"),
+          round(col("inter").cast("double") / col("esz"), 6).as("containment"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+    esz AS (SELECT eval_id, COUNT(*) AS esz FROM ev GROUP BY 1),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+    inter AS (
+      SELECT tr.doc_id, ev.eval_id, COUNT(*) AS inter
+      FROM tr JOIN ev ON tr.s = ev.s
+      GROUP BY 1, 2)
+    SELECT i.doc_id, i.eval_id, i.inter,
+      ROUND(i.inter * 1.0 / z.esz, 6) AS containment
+    FROM inter i JOIN esz z USING (eval_id)
+    WHERE i.inter * 4 >= z.esz
+    ORDER BY doc_id, eval_id"""))
+
+  // ---------------------------------------------------------------- q67
+  /** Repetition-based quality gate (the Gopher repetition rules' shape):
+    * per-doc duplicate-bigram fraction and top-bigram fraction, with a
+    * keep verdict at dup_frac ≤ 1/5 AND top_frac ≤ 1/10 — both as exact
+    * integer predicates. Degenerate "word soup that loops" documents show
+    * high duplicate-bigram mass long before exact/near dedup fires.
+    *
+    * Scale: bigrams are hashed per doc in one native pass
+    * ([[graft.functions.expressions.BigramHashes]] — no interpreted
+    * lambda), exploded, and aggregated by (doc, bigram) then by doc —
+    * both group-bys combine map-side; state is bounded by distinct
+    * bigrams per doc, never corpus-global. */
+  val q67 = QueryDef(
+    "q67_repetition_gate",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val d = Tables(spark, dir).documents
+      val bi = d.select(col("doc_id"),
+        explode(call_function("graft_bigram_hashes", split(col("text"), " "))
+          .getField("hb")).as("hb"))
+      bi.groupBy(col("doc_id"), col("hb")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+          round((col("n_bigrams") - col("n_distinct")).cast("double")
+            / col("n_bigrams"), 6).as("dup_frac"),
+          round(col("top_count").cast("double") / col("n_bigrams"), 6)
+            .as("top_frac"),
+          ((col("n_bigrams") - col("n_distinct")) * 5 <= col("n_bigrams") &&
+            col("top_count") * 10 <= col("n_bigrams")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)),
+    grp AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      COUNT(*) AS n_distinct,
+      CAST(MAX(c) AS BIGINT) AS top_count,
+      ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_frac,
+      ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_frac,
+      ((SUM(c) - COUNT(*)) * 5 <= SUM(c) AND MAX(c) * 10 <= SUM(c)) AS keep
+    FROM grp GROUP BY doc_id
+    ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q68
+  /** Span-level (chunk) deduplication — the C4-style pass that removes
+    * repeated spans ACROSS documents even when whole documents are not
+    * duplicates (boilerplate headers, quoted passages). Documents split
+    * into non-overlapping 8-token chunks; a chunk occurrence survives iff
+    * it is the globally first occurrence of that chunk text in
+    * (doc_id, position) order. Output: per-doc chunk counts, removed
+    * count, and removed fraction.
+    *
+    * Scale: explode to (doc, pos, chunk) — linear, ~n_tokens/8 rows per
+    * doc — then ONE shuffle by chunk (the same shape as exact dedup's
+    * group-by-text) for the first-occurrence ranking, and a per-doc
+    * re-aggregation. No pairs, no cross product; skew on a viral chunk is
+    * the usual AQE-split group-by skew, not a join blow-up. */
+  val q68 = QueryDef(
+    "q68_chunk_dedup",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val toks = split(col("text"), " ")
+      val nChunks = floor((size(toks) + lit(7)) / lit(8)).cast("int")
+      val chunks = d.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(toks, j * 8 + 1, lit(8)))))
+          .as(Seq("pos", "chunk")))
+      val ranked = chunks.withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
+      ranked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed"))
+        .select(col("doc_id"), col("n_chunks"), col("removed"),
+          round(col("removed").cast("double") / col("n_chunks"), 6)
+            .as("removed_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+        array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM tok, UNNEST(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS t(i)),
+    rk AS (
+      SELECT doc_id,
+        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+        AS removed_frac
+    FROM rk GROUP BY doc_id
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q66, q67, q68)
+}

@@ -111,6 +111,21 @@ class PlanSpec extends SparkTestBase {
       s"pair generation must stay an equi-join:\n$p")
   }
 
+  test("q66: decontamination joins train shingles to a BROADCAST eval side, equi-join only") {
+    val p = plan(operators.Curation.q66)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap generation must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ~2% eval shingle table should broadcast:\n$p")
+  }
+
+  test("q68: chunk dedup is explode + window, never a pair join") {
+    val p = plan(operators.Curation.q68)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"chunk dedup must not build pairs:\n$p")
+  }
+
   test("q60: IVF probe join is an equi-join on cell id (no cross product)") {
     val p = Similarity.q60Pipeline(spark, sf0001)
       .queryExecution.executedPlan.toString

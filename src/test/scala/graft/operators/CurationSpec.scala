@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+
+  test("decontamination flags exactly the train docs holding an eval doc's shingles (q66)") {
+    val rows = Curation.q66.fn(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (docId, evalId, containment) =
+        (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(docId % 50 != 0, s"train side must exclude eval docs, got $docId")
+      assert(evalId % 50 == 0, s"eval side must be the eval slice, got $evalId")
+      assert(containment >= 0.25 && containment <= 1.0, s"containment $containment")
+    }
+    // ground truth: recompute containment per (train, eval) pair naively
+    // from the string shingle sets and check the flagged set is exact
+    val sh = Dedup.shingles(spark.read.parquet(s"$sf0001/documents.parquet"))
+      .collect().groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(_.getString(1)).toSet }
+    // iterate as Seq: a for-comprehension over a Map would rebuild a Map
+    // and collapse pairs sharing the same train doc
+    val expected = (for {
+      (e, es) <- sh.toSeq if e % 50 == 0
+      (t, ts) <- sh.toSeq if t % 50 != 0
+      inter = (es & ts).size if inter * 4 >= es.size
+    } yield (t, e)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
+  test("repetition gate counts bigram mass exactly (q67)") {
+    val rows = Curation.q67.fn(spark, sf0001).collect()
+    assert(rows.length == 500, "every multi-token doc must be scored")
+    val nTokens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (docId, nBigrams, nDistinct, topCount, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6))
+      assert(nBigrams == nTokens(docId) - 1L, s"doc $docId bigram count")
+      assert(nDistinct <= nBigrams && topCount >= 1 && topCount <= nBigrams)
+      val expectKeep = (nBigrams - nDistinct) * 5 <= nBigrams &&
+        topCount * 10 <= nBigrams
+      assert(keep == expectKeep, s"doc $docId verdict")
+    }
+    // the fixture's repetitive near-dup soup must trip the gate somewhere
+    assert(rows.exists(!_.getBoolean(6)), "gate should drop some docs")
+  }
+
+  test("chunk dedup keeps exactly the first occurrence of each chunk (q68)") {
+    val rows = Curation.q68.fn(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val totalChunks = rows.map(_.getLong(1)).sum
+    val removed = rows.map(_.getLong(2)).sum
+    assert(removed > 0, "fixture near-dups should share chunks")
+    // global invariant: surviving chunk occurrences = distinct chunk texts
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val allChunks = docs.flatMap { case (_, ts) => ts.grouped(8).map(_.mkString(" ")) }
+    assert(totalChunks == allChunks.length.toLong)
+    assert(totalChunks - removed == allChunks.distinct.length.toLong,
+      "kept occurrences must equal distinct chunk texts")
+  }
+
+  test("bigram hashes skip null tokens exactly like composed xxhash64 (advisor parity)") {
+    graft.functions.GraftFunctions.register(spark)
+    // tokens [a, null, b]: bigram hashes must match the composed
+    // xxhash64 form, whose null children pass the running hash through
+    val d = spark.sql("SELECT array('alpha', CAST(NULL AS STRING), 'beta') AS toks")
+    val native = d.select(explode(call_function("graft_bigram_hashes", col("toks"))).as("b"))
+      .select(col("b.hb"), col("b.h1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val composed = d.select(explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(
+          xxhash64(element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)).as("hb"),
+          xxhash64(element_at(col("toks"), i + 1)).as("h1")))).as("b"))
+      .select(col("b.hb"), col("b.h1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == composed)
+  }
+}
