@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{ArrayStats, BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramHashes].getName, "graft_bigram_hashes"),
       (exprs: Seq[Expression]) =>
         BigramHashes(arity(exprs, 1, "graft_bigram_hashes(tokens)").head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_array_stats"),
+      new ExpressionInfo(classOf[ArrayStats].getName, "graft_array_stats"),
+      (exprs: Seq[Expression]) =>
+        ArrayStats(arity(exprs, 1, "graft_array_stats(arr)").head)))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),

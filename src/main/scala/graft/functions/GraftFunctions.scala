@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{ArrayStats, BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -54,6 +54,14 @@ object GraftFunctions {
         require(exprs.length == 1,
           "graft_bigram_hashes(tokens) takes one argument")
         BigramHashes(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_array_stats",
+      exprs => {
+        require(exprs.length == 1,
+          "graft_array_stats(arr) takes one argument")
+        ArrayStats(exprs.head)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

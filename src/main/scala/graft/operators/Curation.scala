@@ -86,23 +86,26 @@ object Curation extends QueryPack {
     * integer predicates. Degenerate "word soup that loops" documents show
     * high duplicate-bigram mass long before exact/near dedup fires.
     *
-    * Scale: bigrams are hashed per doc in one native pass
-    * ([[graft.functions.expressions.BigramHashes]] — no interpreted
-    * lambda), exploded, and aggregated by (doc, bigram) then by doc —
-    * both group-bys combine map-side; state is bounded by distinct
-    * bigrams per doc, never corpus-global. */
+    * Scale: the three statistics are ROW-LOCAL properties of the per-doc
+    * bigram array, so the scan is map-only end to end: bigrams are hashed
+    * in one native pass ([[graft.functions.expressions.BigramHashes]])
+    * and their multiplicity profile computed in a second
+    * ([[graft.functions.expressions.ArrayStats]]) — no explode, no
+    * exchange anywhere but the final output sort. The composed
+    * explode → groupBy(doc, bigram) → groupBy(doc) form pays two full
+    * shuffles of the exploded bigram table for the same numbers. */
   val q67 = QueryDef(
     "q67_repetition_gate",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
       val d = Tables(spark, dir).documents
-      val bi = d.select(col("doc_id"),
-        explode(call_function("graft_bigram_hashes", split(col("text"), " "))
-          .getField("hb")).as("hb"))
-      bi.groupBy(col("doc_id"), col("hb")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
-          max(col("c")).as("top_count"))
+      val st = call_function("graft_array_stats",
+        call_function("graft_bigram_hashes", split(col("text"), " "))
+          .getField("hb"))
+      d.filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), st.getField("n").as("n_bigrams"),
+          st.getField("n_distinct").as("n_distinct"),
+          st.getField("top_count").as("top_count"))
         .select(
           col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
           round((col("n_bigrams") - col("n_distinct")).cast("double")

@@ -119,6 +119,14 @@ class PlanSpec extends SparkTestBase {
       s"the ~2% eval shingle table should broadcast:\n$p")
   }
 
+  test("q67: repetition gate is map-only — native exprs, no shuffle but the output sort") {
+    val p = plan(operators.Curation.q67)
+    assert(p.contains("graft_bigram_hashes") && p.contains("graft_array_stats"),
+      s"native expressions missing from the scan:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"row-local stats must not shuffle the bigram table:\n$p")
+  }
+
   test("q68: chunk dedup is explode + window, never a pair join") {
     val p = plan(operators.Curation.q68)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&

@@ -55,6 +55,11 @@ class GraftExtensionsSpec extends SparkTestBase {
         .collect()(0)
       assert(bg.head.getLong(0) == expectedHb.getLong(0))
       assert(bg.head.getLong(1) == expectedHb.getLong(1))
+      // graft_array_stats: one-pass multiplicity profile of a long array
+      val as = s2.sql(
+        "SELECT graft_array_stats(array(1L, 2L, 1L, 1L, 3L)) AS s").collect()(0)
+        .getStruct(0)
+      assert(as.getLong(0) == 5L && as.getLong(1) == 3L && as.getLong(2) == 3L)
       // parity with the FunctionRegistry path (GraftFunctions.register)
       GraftFunctions.register(s2)
       val lb2 = s2.sql(
