@@ -183,5 +183,87 @@ object Curation extends QueryPack {
     FROM rk GROUP BY doc_id
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q66, q67, q68)
+  // ---------------------------------------------------------------- q69
+  /** Per-source curation report — the summary table a curation run ends
+    * with: for every `source`, how many documents each gate would drop
+    * (exact duplicate / q61 quality rules / q67 repetition rules) and how
+    * many survive all three. Reuses the exact verdict expressions of the
+    * underlying queries ([[TextOps.qualityKeep]], the q67 predicate over
+    * [[graft.functions.expressions.ArrayStats]]) so the report can never
+    * drift from the gates it summarizes.
+    *
+    * Scale: the two per-doc gates are map-only native expressions; the
+    * only data-sized shuffles are the exact-dup window (by text — the
+    * exact-dedup shape) and the tiny per-source aggregate. */
+  val q69 = QueryDef(
+    "q69_curation_report",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val d = Tables(spark, dir).documents
+      val st = call_function("graft_array_stats",
+        call_function("graft_bigram_hashes", split(col("text"), " "))
+          .getField("hb"))
+      val n = st.getField("n")
+      val repKeep = (n - st.getField("n_distinct")) * 5 <= n &&
+        st.getField("top_count") * 10 <= n
+      val kept = !col("is_dup") && col("q_keep") && col("rep_keep")
+      d.withColumn("is_dup", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))) > 1)
+        .withColumn("q_keep", TextOps.qualityKeep)
+        .withColumn("rep_keep", repKeep)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(!col("q_keep"), 1L).otherwise(0L)).as("n_quality_drop"),
+          sum(when(!col("rep_keep"), 1L).otherwise(0L)).as("n_rep_drop"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(kept, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("kept_frac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS ts
+      FROM documents),
+    x AS (
+      SELECT doc_id, source, text,
+        len(ts) AS n,
+        len(list_distinct(ts)) * 1.0 / len(ts) AS ttr,
+        len(list_filter(ts, t -> t IN ('the','a','of','and','to')))
+          * 1.0 / len(ts) AS sr
+      FROM tok),
+    dup AS (
+      SELECT doc_id,
+        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents),
+    bi AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)),
+    grp AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+        ((SUM(c) - COUNT(*)) * 5 <= SUM(c) AND MAX(c) * 10 <= SUM(c))
+          AS rep_keep
+      FROM grp GROUP BY doc_id),
+    f AS (
+      SELECT x.source,
+        d.rn > 1 AS is_dup,
+        (x.n >= 20 AND x.ttr >= 0.35 AND x.sr >= 0.02) AS q_keep,
+        COALESCE(r.rep_keep, TRUE) AS rep_keep
+      FROM x JOIN dup d USING (doc_id) LEFT JOIN rep r USING (doc_id))
+    SELECT source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      CAST(SUM(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_quality_drop,
+      CAST(SUM(CASE WHEN NOT rep_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rep_drop,
+      CAST(SUM(CASE WHEN NOT is_dup AND q_keep AND rep_keep THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept,
+      ROUND(SUM(CASE WHEN NOT is_dup AND q_keep AND rep_keep THEN 1 ELSE 0 END)
+        * 1.0 / COUNT(*), 6) AS kept_frac
+    FROM f GROUP BY source
+    ORDER BY source"""))
+
+  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69)
 }

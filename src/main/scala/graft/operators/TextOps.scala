@@ -205,16 +205,31 @@ object TextOps extends QueryPack {
     * stopword ratio 0.01–0.11) so every rule actually fires on some
     * documents. Pure per-row expression arithmetic: map-only, codegen'd,
     * linear at any corpus size. */
+  /** The q61 quality signals over the `text` column — shared with the
+    * per-source curation report (q69) so the two queries can never drift
+    * apart on what "quality keep" means. */
+  private[operators] def qualitySignals: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stopR = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+      .cast("double") / n
+    (n, ttr, stopR)
+  }
+
+  /** keep ⟺ none of q61's drop rules fire. */
+  private[operators] def qualityKeep: org.apache.spark.sql.Column = {
+    val (n, ttr, stopR) = qualitySignals
+    n >= 20 && ttr >= 0.35 && stopR >= 0.02
+  }
+
   val q61 = QueryDef(
     "q61_quality_filter",
     (spark, dir) => {
       val d = Tables(spark, dir).documents
-      val stopwords = Seq("the", "a", "of", "and", "to")
-      val toks = split(col("text"), " ")
-      val n = size(toks)
-      val ttr = size(array_distinct(toks)).cast("double") / n
-      val stopR = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
-        .cast("double") / n
+      val (n, ttr, stopR) = qualitySignals
       val reason = when(n < 20, "too_short")
         .when(ttr < 0.35, "low_diversity")
         .when(stopR < 0.02, "low_stopword")

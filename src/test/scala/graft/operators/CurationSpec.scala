@@ -63,6 +63,25 @@ class CurationSpec extends SparkTestBase {
       "kept occurrences must equal distinct chunk texts")
   }
 
+  test("curation report totals reconcile with the gates it summarizes (q69)") {
+    val report = Curation.q69.fn(spark, sf0001).collect()
+    assert(report.map(_.getLong(1)).sum == 500L, "every doc counted once")
+    // per-source arithmetic sanity
+    report.foreach { r =>
+      val (nDocs, kept) = (r.getLong(1), r.getLong(5))
+      assert(kept <= nDocs && r.getDouble(6) == math.round(kept.toDouble / nDocs * 1e6) / 1e6)
+    }
+    // drops must reconcile exactly with the standalone gate queries
+    val qualityDrops = TextOps.q61.fn(spark, sf0001).collect()
+      .count(!_.getBoolean(1)).toLong
+    assert(report.map(_.getLong(3)).sum == qualityDrops,
+      "quality-drop total must equal q61's drop count")
+    val repDrops = Curation.q67.fn(spark, sf0001).collect()
+      .count(!_.getBoolean(6)).toLong
+    assert(report.map(_.getLong(4)).sum == repDrops,
+      "repetition-drop total must equal q67's drop count")
+  }
+
   test("bigram hashes skip null tokens exactly like composed xxhash64 (advisor parity)") {
     graft.functions.GraftFunctions.register(spark)
     // tokens [a, null, b]: bigram hashes must match the composed
