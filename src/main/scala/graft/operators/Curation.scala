@@ -183,6 +183,26 @@ object Curation extends QueryPack {
     FROM rk GROUP BY doc_id
     ORDER BY doc_id"""))
 
+  /** q67's repetition-keep predicate over a `text` column — one
+    * expression, shared by q67, the per-source report (q69) and the
+    * streaming gate ([[graft.streaming.StreamOps.curationGate]]).
+    * Requires [[graft.functions.GraftFunctions.register]] on the session. */
+  private[graft] def repetitionKeep: org.apache.spark.sql.Column = {
+    val st = call_function("graft_array_stats",
+      call_function("graft_bigram_hashes", split(col("text"), " "))
+        .getField("hb"))
+    val n = st.getField("n")
+    (n - st.getField("n_distinct")) * 5 <= n &&
+      st.getField("top_count") * 10 <= n
+  }
+
+  /** Per-document stateless gate verdicts (quality + repetition) — the
+    * map-only core both q69 and the streaming gate are built on. */
+  private[graft] def gateVerdicts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.qualityKeep.as("q_keep"),
+      repetitionKeep.as("rep_keep"))
+
   // ---------------------------------------------------------------- q69
   /** Per-source curation report — the summary table a curation run ends
     * with: for every `source`, how many documents each gate would drop
@@ -200,17 +220,11 @@ object Curation extends QueryPack {
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
       val d = Tables(spark, dir).documents
-      val st = call_function("graft_array_stats",
-        call_function("graft_bigram_hashes", split(col("text"), " "))
-          .getField("hb"))
-      val n = st.getField("n")
-      val repKeep = (n - st.getField("n_distinct")) * 5 <= n &&
-        st.getField("top_count") * 10 <= n
       val kept = !col("is_dup") && col("q_keep") && col("rep_keep")
       d.withColumn("is_dup", row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id"))) > 1)
         .withColumn("q_keep", TextOps.qualityKeep)
-        .withColumn("rep_keep", repKeep)
+        .withColumn("rep_keep", repetitionKeep)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -208,7 +208,7 @@ object TextOps extends QueryPack {
   /** The q61 quality signals over the `text` column — shared with the
     * per-source curation report (q69) so the two queries can never drift
     * apart on what "quality keep" means. */
-  private[operators] def qualitySignals: (org.apache.spark.sql.Column,
+  private[graft] def qualitySignals: (org.apache.spark.sql.Column,
       org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val stopwords = Seq("the", "a", "of", "and", "to")
     val toks = split(col("text"), " ")
@@ -220,7 +220,7 @@ object TextOps extends QueryPack {
   }
 
   /** keep ⟺ none of q61's drop rules fire. */
-  private[operators] def qualityKeep: org.apache.spark.sql.Column = {
+  private[graft] def qualityKeep: org.apache.spark.sql.Column = {
     val (n, ttr, stopR) = qualitySignals
     n >= 20 && ttr >= 0.35 && stopR >= 0.02
   }

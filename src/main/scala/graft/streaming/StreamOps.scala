@@ -71,6 +71,20 @@ object StreamOps {
         col("r.ts") <= col("l.ts") &&
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL $interval"))
   }
+
+  /** The curation gate (q61 quality rules + q67 repetition rules) over a
+    * STREAM of documents — incremental corpus curation: newly crawled
+    * docs get their keep/drop verdicts on arrival instead of in a nightly
+    * batch (the reference's daily-cadence pattern,
+    * `/root/reference/dags/hello_function_dag.py:16`, collapsed to
+    * per-microbatch latency). Both gates are row-local native/built-in
+    * expressions, so the exact batch Columns run unchanged here —
+    * stateless, no watermark, no state store, and the stream twin can
+    * never drift from the batch gate (equality asserted in
+    * StreamOpsSpec). `docs` needs `doc_id` and `text`; the session must
+    * have [[graft.functions.GraftFunctions]] registered. */
+  def curationGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gateVerdicts(docs)
 }
 
 /** One observation of an external job (the sensor's poll payload). */

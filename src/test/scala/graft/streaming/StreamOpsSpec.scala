@@ -224,4 +224,33 @@ class StreamOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/ok").count() == 2)
     assert(spark.read.parquet(s"$dir/dead").count() == 1)
   }
+
+  test("streaming curation gate verdicts equal the batch gate on the same docs") {
+    graft.functions.GraftFunctions.register(spark)
+    // real fixture docs streamed in two micro-batches: verdicts must be
+    // identical to the batch gate — the gate is stateless and row-local,
+    // so incremental curation can never drift from a batch re-run
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = graft.operators.Curation.gateVerdicts(
+        docs.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.curationGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("curate")
+      .start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream ${(streamed -- batch).take(3)}, " +
+        s"only-batch ${(batch -- streamed).take(3)}")
+    assert(batch.exists(!_._2) || batch.exists(!_._3), "some doc should fail a gate")
+  }
 }
