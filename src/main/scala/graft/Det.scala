@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * Map-side partial aggregation still applies (decimal sums are
   * commutative), so this costs nothing in shuffle volume.
+  *
+  * Rejected faster alternative: summing `round(x*1e6)` as BIGINT is ~2×
+  * faster at fixture scale (primitive long agg buffer vs the 128-bit
+  * decimal buffer sum(DECIMAL(18,6)) forces), but an int64 micro-scaled
+  * sum overflows at ~10^8 rows of ~1e5-valued addends — far below the
+  * 100 TB target. Decimal-128 accumulation is the scale-safe choice;
+  * integer micro-scaling is reserved for bounded-range OUTPUT values
+  * (q43's centroid coordinates), never open-ended sums.
   */
 object Det {
   /** Deterministic sum of a double expression: exact decimal accumulate,

@@ -189,6 +189,31 @@ class StreamOpsSpec extends SparkTestBase {
     assert(back.columns.sorted.sameElements(docs.columns.sorted))
   }
 
+  test("CSV source round-trips with explicit schema and quoting intact") {
+    val dir = java.nio.file.Files.createTempDirectory("csvsrc").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$dir/docs")
+    // schema-first read (never inferSchema on a 100 TB drop zone: one
+    // pass to infer + one to read, and type drift across files)
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").csv(s"$dir/docs")
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    // values survive quoting/escaping — the text column dominates
+    val a = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = back.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // and a registered-style gate runs identically on the CSV-backed frame
+    graft.functions.GraftFunctions.register(spark)
+    val pv = graft.operators.Curation.gateVerdicts(docs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    val cv = graft.operators.Curation.gateVerdicts(back)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(pv == cv)
+  }
+
   test("incremental file source with Trigger.AvailableNow drains and stops") {
     // models the reference's externally-triggered ingestion (R1/R7):
     // files land in a directory; each engine run drains what is available.
