@@ -116,6 +116,49 @@ object AlgebraProps extends Properties("Algebra") {
       fast == naive
     }
 
+  property("chunk dedup: kept occurrences = distinct chunk texts, on any corpus") =
+    forAll(
+      Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+          .map(_.take(20)))
+        .map(_.take(20))) { texts =>
+      // tiny alphabet → heavy cross-doc chunk repetition; doc lengths hit
+      // the 8-token boundary (exact multiples, shorter and longer)
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // q68's engine applied to a literal frame (same expressions)
+      val toks = split(col("text"), " ")
+      val nChunks = floor((size(toks) + lit(7)) / lit(8)).cast("int")
+      val chunks = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(toks, j * 8 + 1, lit(8)))))
+          .as(Seq("pos", "chunk")))
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos")))
+      val kept = chunks.withColumn("rn", rn).filter(col("rn") === 1).count()
+      val naive = texts.zipWithIndex.flatMap { case (toks, _) =>
+        toks.grouped(8).map(_.mkString(" ")) }
+      kept == naive.distinct.length.toLong
+    }
+
+  property("graft_array_stats equals the composed explode+groupBy profile") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 6L)).map(_.take(30))) { xs =>
+      graft.functions.GraftFunctions.register(spark)
+      val s = spark
+      import s.implicits._
+      val d = Seq(Tuple1(xs)).toDF("arr")
+      val st = d.select(call_function("graft_array_stats", col("arr")).as("s"))
+        .select(col("s.n"), col("s.n_distinct"), col("s.top_count"))
+        .collect()(0)
+      val counts = xs.groupBy(identity).map(_._2.size)
+      st.getLong(0) == xs.length.toLong &&
+        st.getLong(1) == counts.size.toLong &&
+        st.getLong(2) == counts.max.toLong
+    }
+
   property("as-of join preserves every left row") =
     forAll(genRowsNE, genRows) { (a, b) =>
       val s = spark
