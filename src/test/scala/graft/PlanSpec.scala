@@ -134,6 +134,26 @@ class PlanSpec extends SparkTestBase {
       s"chunk dedup must not build pairs:\n$p")
   }
 
+  test("workload-wide: no query grows a cross product beyond the known tiny-broadcast set") {
+    // The ONLY plans allowed to contain CartesianProduct /
+    // BroadcastNestedLoopJoin are those whose build side is provably tiny
+    // at any corpus scale: the intentional 5×5 dimension cross join (q16)
+    // and 1-row / fixed-small broadcast sides (scalar subqueries q17/q39,
+    // the 10-query probe set q41, the per-group rate table q63). Any new
+    // query that accidentally goes quadratic fails here by name.
+    val allowed = Set("q16_cross_join", "q17_scalar_subquery", "q39_tfidf",
+      "q41_cosine_topk", "q63_stratified_sample")
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => allowed.contains(q.name))
+      .flatMap { q =>
+        val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unexpected cross products in: $offenders")
+  }
+
   test("q60: IVF probe join is an equi-join on cell id (no cross product)") {
     val p = Similarity.q60Pipeline(spark, sf0001)
       .queryExecution.executedPlan.toString
