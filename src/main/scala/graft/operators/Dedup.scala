@@ -380,10 +380,26 @@ object Dedup extends QueryPack {
       dir: String): DataFrame = {
       val docs = Tables(spark, dir).documents
       val pairs = exactPairsPipeline(spark, dir).select(col("d1"), col("d2"))
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      propagateMinLabels(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("keeper"))
+  }
+
+  /** Min-label propagation over an undirected pair set — the generic
+    * connected-components engine behind the text keeper (q55) and the
+    * embedding keeper (q70). `ids` carries one `id` per node; `pairs`
+    * carries one row per undirected edge (two columns, any names).
+    * Equi-join + group-by per round (the Pregel shape, never a
+    * cartesian), O(component diameter) rounds, lineage truncated per
+    * round; fails loudly instead of emitting partially-propagated labels
+    * (see q55 scaladoc). Returns `(id, lbl)` with `lbl` = min reachable
+    * id. */
+  private[graft] def propagateMinLabels(ids: DataFrame, pairs0: DataFrame): DataFrame = {
+      val pc = pairs0.columns
+      val pairs = pairs0.select(col(pc(0)).as("pa"), col(pc(1)).as("pb"))
+      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint()
-      var lbl = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      var lbl = ids.select(col("id"), col("id").as("lbl"))
         .localCheckpoint()
       var prevSum = lbl.agg(sum(col("lbl"))).head.getLong(0)
       var converged = false
@@ -407,7 +423,7 @@ object Dedup extends QueryPack {
       // and a corpus needing more should switch to pointer-doubling)
       require(converged,
         s"connected components did not converge within $round rounds")
-      lbl.select(col("id").as("doc_id"), col("lbl").as("keeper"))
+      lbl
   }
 
   val q55 = QueryDef(

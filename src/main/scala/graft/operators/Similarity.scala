@@ -164,9 +164,8 @@ object Similarity extends QueryPack {
     * shipped fixtures (sf0.001/sf0.01/sf0.1); a new fixture or SF must
     * extend that assertion (and on a genuine miss, demote this query to
     * rows-only like q32/q42) before trusting the oracle row. */
-  val q44 = QueryDef(
-    "q44_embedding_neardup",
-    (spark, dir) => {
+  private[graft] def neardupPairsPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(spark)
       val em = Tables(spark, dir).embeddings
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
@@ -187,8 +186,31 @@ object Similarity extends QueryPack {
           dotNative(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos") >= 0.45)
         .select(col("vid1"), col("vid2"), col("cos"))
-        .orderBy(col("vid1"), col("vid2"))
-    },
+  }
+
+  /** Memoized materialized view of the near-dup pair set per
+    * (session, dir): q44 (the pair output) and q70 (the cluster keeper)
+    * consume the identical set, so it is computed once and checkpointed —
+    * the same materialized-view pattern as [[Dedup.clusterLabels]], with
+    * the same stopped-session eviction. Plan guards must inspect
+    * [[neardupPairsPipeline]] (pre-checkpoint): the checkpoint truncates
+    * executed plans. */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private[graft] def neardupPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    pairsCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) pairsCache.remove(k)
+    }
+    pairsCache.getOrElseUpdate((spark, dir),
+      neardupPairsPipeline(spark, dir).localCheckpoint())
+  }
+
+  val q44 = QueryDef(
+    "q44_embedding_neardup",
+    (spark, dir) =>
+      neardupPairs(spark, dir).orderBy(col("vid1"), col("vid2")),
     Some(s"""SELECT a.vec_id AS vid1, b.vec_id AS vid2,
       ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -320,5 +342,42 @@ object Similarity extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60)
+  // ---------------------------------------------------------------- q70
+  /** Embedding dedup ENDPOINT: near-dup pairs (q44's LSH + exact-verify
+    * pipeline) → connected components → one keeper per cluster — the
+    * same pair→cluster→keep-one closure q55 provides for text, for the
+    * embedding modality. Reuses [[Dedup.propagateMinLabels]] (equi-join
+    * Pregel rounds, never a cartesian — covered by the workload-wide
+    * PlanSpec guard). Oracle: min reachable id over the exact all-pairs
+    * cos ≥ 0.45 graph via a recursive CTE; exactness inherits q44's
+    * verified-SF envelope (its LSH pipeline loses no qualifying pair at
+    * the shipped fixtures — SimilarityQualitySpec). */
+  val q70 = QueryDef(
+    "q70_embedding_clusters",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+      val pairs = neardupPairs(spark, dir).select(col("vid1"), col("vid2"))
+      Dedup.propagateMinLabels(em.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("lbl").as("keeper"),
+          (col("id") === col("lbl")).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM pairs
+      UNION ALL SELECT v2, v1 FROM pairs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id)
+    SELECT id AS vec_id, MIN(r) AS keeper, MIN(r) = id AS kept
+    FROM reach
+    GROUP BY id
+    ORDER BY vec_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60, q70)
 }

@@ -38,7 +38,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q44: hot loop uses the codegen'd graft_dot, not interpreted HOF lambdas") {
-    val p = plan(Similarity.q44)
+    // pre-checkpoint pipeline: q44 serves the memoized pair view
+    val p = Similarity.neardupPairsPipeline(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(p.contains("graft_dot"), "native dot expression not in plan")
     assert(!p.contains("zip_with"), "interpreted HOF dot product back in the hot path")
   }
@@ -106,7 +108,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q44: embedding near-dup pair generation is equi-join only (no cross product)") {
-    val p = plan(Similarity.q44)
+    // inspect the PRE-checkpoint pipeline: q44 now serves the memoized
+    // pair view, whose executed plan is a truncated checkpoint scan
+    val p = Similarity.neardupPairsPipeline(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay an equi-join:\n$p")
   }
