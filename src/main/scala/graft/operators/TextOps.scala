@@ -407,6 +407,69 @@ object TextOps extends QueryPack {
     GROUP BY doc_id
     ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q71
+  /** Dynamic score thresholding — "drop the bottom 20% of the corpus by
+    * LM score", the relative-quality cut practitioners apply when an
+    * absolute threshold would over- or under-prune a shifting corpus.
+    * Defined by RANK, not by an interpolated percentile: keep ⟺
+    * `rank·5 > N` over the total order (mean score, doc_id) — pure
+    * integer logic, so both engines agree exactly, where a
+    * `quantile_cont`-style threshold would hinge on last-ulp float
+    * interpolation parity (determinism rules 7/8). Mean score per doc is
+    * the micro-scaled integral `floor(sum_lp/n)`.
+    *
+    * Scale: per-doc scores come from q65's sharded LM pipeline; the rank
+    * is ONE global sort of (doc, score) pairs — the same deliberate
+    * small-output global ranking as q23's ntile (a 100 TB corpus sorts
+    * doc-count rows, not token rows; range-partitioned sort). */
+  val q71 = QueryDef(
+    "q71_score_threshold",
+    (spark, dir) => {
+      val scored = q65.fn(spark, dir)
+        .withColumn("mean_lp_micro",
+          floor(col("sum_lp_micro") * 1.0 / col("n_bigrams")).cast(LongType))
+      val n = scored.agg(count(lit(1)).as("n_total"))
+      scored.crossJoin(broadcast(n))
+        .withColumn("rk", row_number().over(Window
+          .orderBy(col("mean_lp_micro"), col("doc_id"))).cast(IntegerType))
+        .select(col("doc_id"), col("mean_lp_micro"), col("rk"),
+          (col("rk") * 5 > col("n_total")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tk) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)),
+    lp AS (
+      SELECT bi.doc_id,
+        CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp_micro
+      FROM bi
+      JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+      JOIN c1 ON bi.w1 = c1.w1
+      CROSS JOIN v),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(lp_micro) AS BIGINT) AS sum_lp
+      FROM lp GROUP BY doc_id),
+    m AS (
+      SELECT doc_id,
+        CAST(FLOOR(sum_lp * 1.0 / n_bigrams) AS BIGINT) AS mean_lp_micro
+      FROM per),
+    r AS (
+      SELECT doc_id, mean_lp_micro,
+        CAST(row_number() OVER (ORDER BY mean_lp_micro, doc_id) AS INT) AS rk,
+        COUNT(*) OVER () AS n
+      FROM m)
+    SELECT doc_id, mean_lp_micro, rk, rk * 5 > n AS kept
+    FROM r
+    ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65)
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71)
 }

@@ -147,7 +147,8 @@ class PlanSpec extends SparkTestBase {
     // the 10-query probe set q41, the per-group rate table q63). Any new
     // query that accidentally goes quadratic fails here by name.
     val allowed = Set("q16_cross_join", "q17_scalar_subquery", "q39_tfidf",
-      "q41_cosine_topk", "q63_stratified_sample")
+      "q41_cosine_topk", "q63_stratified_sample",
+      "q71_score_threshold" /* 1-row corpus-count broadcast */)
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -49,4 +49,15 @@ class TextOpsSpec extends SparkTestBase {
       assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
     }
   }
+
+  test("score threshold keeps exactly the top 80% by rank (q71)") {
+    val rows = TextOps.q71.fn(spark, sf0001).collect()
+    val n = rows.length
+    val kept = rows.filter(_.getBoolean(3))
+    val dropped = rows.filterNot(_.getBoolean(3))
+    assert(kept.length == n - n / 5, s"kept ${kept.length} of $n")
+    // the cut is a clean rank partition: every kept doc outranks every
+    // dropped doc
+    assert(kept.map(_.getInt(2)).min > dropped.map(_.getInt(2)).max)
+  }
 }
