@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * n_distinct as built-ins, but top_count — the max multiplicity — has no
   * built-in short of the O(n·distinct) interpreted HOF reduce.) */
 case class ArrayStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -51,6 +51,17 @@ case class ArrayStats(child: Expression)
       i += 1
     }
     InternalRow(n, counts.size().toLong, top)
+  }
+
+  // Semi-codegen: instead of CodegenFallback's row-based eval (which
+  // forces per-row INPUT_ROW materialization inside whole-stage codegen),
+  // generate a direct call to nullSafeEval on the already-computed child
+  // value — the surrounding operator stays fully codegen'd and the loop
+  // runs in this one JIT-compiled method.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ArrayStats =

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * holds for arrays containing nulls too. Documents with fewer than 2
   * tokens yield an empty array. */
 case class BigramHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -56,6 +56,17 @@ case class BigramHashes(child: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  // Semi-codegen: instead of CodegenFallback's row-based eval (which
+  // forces per-row INPUT_ROW materialization inside whole-stage codegen),
+  // generate a direct call to nullSafeEval on the already-computed child
+  // value — the surrounding operator stays fully codegen'd and the loop
+  // runs in this one JIT-compiled method.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BigramHashes =

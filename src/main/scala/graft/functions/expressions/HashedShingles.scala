@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * preserving first-occurrence order (deterministic output).
   */
 case class HashedShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1 && n <= 16, "shingle width must be in [1, 16]")
 
@@ -61,6 +61,17 @@ case class HashedShingles(child: Expression, n: Int)
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  // Semi-codegen: instead of CodegenFallback's row-based eval (which
+  // forces per-row INPUT_ROW materialization inside whole-stage codegen),
+  // generate a direct call to nullSafeEval on the already-computed child
+  // value — the surrounding operator stays fully codegen'd and the loop
+  // runs in this one JIT-compiled method.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedShingles =

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * measured 63 s for 500×16 buckets at sf0.1; this loop does it in
   * milliseconds. */
 case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(tables > 0 && planesPerTable > 0 && planesPerTable <= 63)
 
@@ -64,6 +64,17 @@ case class LshBuckets(child: Expression, tables: Int, planesPerTable: Int)
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  // Semi-codegen: instead of CodegenFallback's row-based eval (which
+  // forces per-row INPUT_ROW materialization inside whole-stage codegen),
+  // generate a direct call to nullSafeEval on the already-computed child
+  // value — the surrounding operator stays fully codegen'd and the loop
+  // runs in this one JIT-compiled method.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   * collide only with other empty docs).
   */
 case class MinHash64(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes > 0 && numHashes <= 1024, "numHashes must be in [1, 1024]")
 
@@ -83,6 +83,17 @@ case class MinHash64(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(minima)
+  }
+
+  // Semi-codegen: instead of CodegenFallback's row-based eval (which
+  // forces per-row INPUT_ROW materialization inside whole-stage codegen),
+  // generate a direct call to nullSafeEval on the already-computed child
+  // value — the surrounding operator stays fully codegen'd and the loop
+  // runs in this one JIT-compiled method.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 =
