@@ -35,11 +35,14 @@ object Curation extends QueryPack {
     * 8), not a rounded-double compare.
     *
     * Scale: shingles are hashed per doc in one native pass
-    * ([[Dedup.hashedShingleArray]]); the eval shingle table is ~2% of the
-    * corpus and broadcasts, so the candidate join is a broadcast
-    * equi-join on the shingle hash — no shuffle of the train side at all;
-    * the only shuffle is the (train, eval) group-by, bounded by true
-    * overlaps. */
+    * ([[Dedup.hashedShingleArray]]). The eval side models a FIXED
+    * benchmark suite — constant size regardless of corpus growth (the
+    * fixture's doc_id slice stands in for it) — which is what justifies
+    * the forced broadcast: the candidate join becomes a broadcast
+    * equi-join on the shingle hash with no shuffle of the train side at
+    * all, and the only shuffle is the (train, eval) group-by, bounded by
+    * true overlaps. If the eval set ever scaled with the corpus, drop
+    * the `broadcast` hint and let the equi-join shuffle both sides. */
   val q66 = QueryDef(
     "q66_decontamination",
     (spark, dir) => {
