@@ -15,8 +15,16 @@ package graft
   * queries transiently DOUBLE when another tenant saturates the cores
   * (observed back-to-back same-code swings documented in BASELINE.md) —
   * the min of two consecutive executions is the standard way to measure
-  * the code rather than the neighbors. Both runs execute the full plan;
-  * a failure in either run still marks the query failed.
+  * the code rather than the neighbors. A failure in either run still
+  * marks the query failed.
+  *
+  * Materialized views: q44/q55 (and their consumers q64/q70) read
+  * memoized per-session views after the first computation, so their
+  * min-of-2 entries record the VIEW READ — reuse is the architecture,
+  * but it would leave the view pipelines themselves outside the 2×
+  * baseline contract. The bench therefore also invalidates each view
+  * cache and times the recomputation as explicit `view_*` entries,
+  * counted in the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,7 +59,35 @@ object Bench {
     Seq("q01_pricing_summary", "q03_star_revenue", "q20_topk_per_group")
       .foreach(n => if (SparkEntry.queries.contains(n)) execute(n))
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
+    // view computations as their own measured line items (see scaladoc),
+    // min-of-2 like the queries: invalidate + recompute twice
+    def executeView(name: String)(invalidate: () => Unit,
+        compute: () => Long): (String, Double) = {
+      def once(): Double = {
+        invalidate()
+        val t0 = System.nanoTime()
+        try { compute(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+            -1.0
+        }
+      }
+      val a = once()
+      if (a < 0) return name -> a
+      val b = once()
+      if (b < 0) return name -> b
+      name -> math.min(a, b)
+    }
+    val views = Seq(
+      executeView("view_cluster_labels")(
+        () => operators.Dedup.labelCache.invalidate(spark, sfDir),
+        () => operators.Dedup.clusterLabels(spark, sfDir).count()),
+      executeView("view_neardup_pairs")(
+        () => operators.Similarity.pairsCache.invalidate(spark, sfDir),
+        () => operators.Similarity.neardupPairs(spark, sfDir).count()))
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n)) ++ views
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayStats].getName, "graft_array_stats"),
       (exprs: Seq[Expression]) =>
         ArrayStats(arity(exprs, 1, "graft_array_stats(arr)").head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_chunk_hashes"),
+      new ExpressionInfo(classOf[ChunkHashes].getName, "graft_chunk_hashes"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_chunk_hashes(tokens, width)")
+        ChunkHashes(e.head, intLit(e(1), "graft_chunk_hashes: width"))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),

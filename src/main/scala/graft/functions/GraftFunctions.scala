@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -62,6 +62,18 @@ object GraftFunctions {
         require(exprs.length == 1,
           "graft_array_stats(arr) takes one argument")
         ArrayStats(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunk_hashes",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_chunk_hashes(tokens, width) takes two arguments")
+        exprs(1) match {
+          case Literal(w: Int, IntegerType) => ChunkHashes(exprs.head, w)
+          case _ => throw new IllegalArgumentException(
+            "graft_chunk_hashes: width must be an int literal")
+        }
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -144,21 +144,26 @@ object Curation extends QueryPack {
     * (doc_id, position) order. Output: per-doc chunk counts, removed
     * count, and removed fraction.
     *
-    * Scale: explode to (doc, pos, chunk) — linear, ~n_tokens/8 rows per
-    * doc — then ONE shuffle by chunk (the same shape as exact dedup's
-    * group-by-text) for the first-occurrence ranking, and a per-doc
-    * re-aggregation. No pairs, no cross product; skew on a viral chunk is
-    * the usual AQE-split group-by skew, not a join blow-up. */
+    * Scale: explode to (doc, pos, chunk hash) — linear, ~n_tokens/8 rows
+    * per doc, the chunks hashed per doc in one native pass
+    * ([[graft.functions.expressions.ChunkHashes]]; the composed
+    * transform/slice/concat_ws form pays an interpreted lambda per chunk
+    * AND shuffles variable-length chunk strings where this shuffles
+    * 8-byte longs) — then ONE shuffle by chunk hash (the same shape as
+    * exact dedup's group-by) for the first-occurrence ranking, and a
+    * per-doc re-aggregation. No pairs, no cross product; skew on a viral
+    * chunk is the usual AQE-split group-by skew, not a join blow-up. A
+    * 64-bit chunk-hash collision (~1e-11 at sf0.1 volumes) would merge
+    * two distinct chunks; the string-keyed oracle hash-compare would
+    * catch it. */
   val q68 = QueryDef(
     "q68_chunk_dedup",
     (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
       val d = Tables(spark, dir).documents
-      val toks = split(col("text"), " ")
-      val nChunks = floor((size(toks) + lit(7)) / lit(8)).cast("int")
       val chunks = d.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          j => concat_ws(" ", slice(toks, j * 8 + 1, lit(8)))))
-          .as(Seq("pos", "chunk")))
+        posexplode(call_function("graft_chunk_hashes",
+          split(col("text"), " "), lit(8))).as(Seq("pos", "chunk")))
       val ranked = chunks.withColumn("rn", row_number().over(
         Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
       ranked.groupBy(col("doc_id"))

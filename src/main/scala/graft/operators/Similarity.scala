@@ -195,17 +195,12 @@ object Similarity extends QueryPack {
     * the same stopped-session eviction. Plan guards must inspect
     * [[neardupPairsPipeline]] (pre-checkpoint): the checkpoint truncates
     * executed plans. */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private[graft] val pairsCache = new graft.SessionViewCache
 
   private[graft] def neardupPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    pairsCache.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) pairsCache.remove(k)
-    }
-    pairsCache.getOrElseUpdate((spark, dir),
+      dir: String): org.apache.spark.sql.DataFrame =
+    pairsCache.getOrCompute(spark, dir)(
       neardupPairsPipeline(spark, dir).localCheckpoint())
-  }
 
   val q44 = QueryDef(
     "q44_embedding_neardup",
@@ -347,8 +342,10 @@ object Similarity extends QueryPack {
     * pipeline) → connected components → one keeper per cluster — the
     * same pair→cluster→keep-one closure q55 provides for text, for the
     * embedding modality. Reuses [[Dedup.propagateMinLabels]] (equi-join
-    * Pregel rounds, never a cartesian — covered by the workload-wide
-    * PlanSpec guard). Oracle: min reachable id over the exact all-pairs
+    * Pregel rounds, never a cartesian — asserted by PlanSpec on the
+    * pre-checkpoint [[Dedup.propagationRound]] and
+    * [[neardupPairsPipeline]] plans; this query's own executed plan is a
+    * truncated checkpoint scan). Oracle: min reachable id over the exact all-pairs
     * cos ≥ 0.45 graph via a recursive CTE; exactness inherits q44's
     * verified-SF envelope (its LSH pipeline loses no qualifying pair at
     * the shipped fixtures — SimilarityQualitySpec). */

@@ -50,9 +50,13 @@ object CurationPipeline {
         val gated = d
           .withColumn("first_of_text", firstOfText)
           .join(Curation.gateVerdicts(d), "doc_id")
+        // materialize the gated survivors ONCE: the dedup window (a full
+        // shuffle by text) would otherwise execute twice — for the count
+        // and again for the shard write
         val kept = gated
           .filter(col("first_of_text") && col("q_keep") && col("rep_keep"))
           .select(d.columns.map(col): _*)
+          .localCheckpoint()
         val total = d.count()
         val keptN = kept.count()
         ShardWriter.writeShards(kept, outDir, keyCol = "doc_id",

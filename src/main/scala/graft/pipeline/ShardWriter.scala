@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object ShardWriter {
 
-  /** Adds the deterministic shard id: `pmod(xxhash64(keyCol), nShards)`. */
+  /** Adds the deterministic shard id: `pmod(xxhash64(keyCol), nShards)`.
+    * Typed INT to match Hive-style partition-directory inference — the
+    * written `shard=<k>/` directories read back as an int32 partition
+    * column, so the in-frame column must be int32 too or loaders that
+    * union pre-write and read-back frames (or bind `getLong`) break on
+    * the width mismatch. */
   def withShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
-    df.withColumn("shard", pmod(xxhash64(col(keyCol)), lit(nShards)))
+    df.withColumn("shard",
+      pmod(xxhash64(col(keyCol)), lit(nShards)).cast("int"))
 
   /** Writes `df` as `nShards` hash-balanced parquet shards under `path`:
     * one `shard=<k>/` directory per shard, each holding exactly one file,

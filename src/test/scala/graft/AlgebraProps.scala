@@ -129,13 +129,13 @@ object AlgebraProps extends Properties("Algebra") {
       val docs = texts.zipWithIndex
         .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
         .toDF("doc_id", "text")
-      // q68's engine applied to a literal frame (same expressions)
-      val toks = split(col("text"), " ")
-      val nChunks = floor((size(toks) + lit(7)) / lit(8)).cast("int")
+      // q68's engine applied to a literal frame (same native expression):
+      // grouping by chunk HASH must partition identically to grouping by
+      // chunk STRING (the naive side below) on any corpus
+      graft.functions.GraftFunctions.register(spark)
       val chunks = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          j => concat_ws(" ", slice(toks, j * 8 + 1, lit(8)))))
-          .as(Seq("pos", "chunk")))
+        posexplode(call_function("graft_chunk_hashes",
+          split(col("text"), " "), lit(8))).as(Seq("pos", "chunk")))
       val rn = row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos")))
       val kept = chunks.withColumn("rn", rn).filter(col("rn") === 1).count()

@@ -55,6 +55,14 @@ class GraftExtensionsSpec extends SparkTestBase {
         .collect()(0)
       assert(bg.head.getLong(0) == expectedHb.getLong(0))
       assert(bg.head.getLong(1) == expectedHb.getLong(1))
+      // graft_chunk_hashes: element j == built-in xxhash64 over the
+      // j-th width-token slice (chained, seed 42), tail chunk included
+      val ch = s2.sql(
+        "SELECT graft_chunk_hashes(array('a','b','c','d','e'), 2) AS c")
+        .collect()(0).getSeq[Long](0).toSeq
+      val chExpected = s2.sql(
+        "SELECT xxhash64('a','b'), xxhash64('c','d'), xxhash64('e')").collect()(0)
+      assert(ch == Seq(chExpected.getLong(0), chExpected.getLong(1), chExpected.getLong(2)))
       // graft_array_stats: one-pass multiplicity profile of a long array
       val as = s2.sql(
         "SELECT graft_array_stats(array(1L, 2L, 1L, 1L, 3L)) AS s").collect()(0)

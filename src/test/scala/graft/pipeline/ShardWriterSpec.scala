@@ -10,11 +10,11 @@ class ShardWriterSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val n = 8
     val a = ShardWriter.withShard(docs, "doc_id", n)
-      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val b = ShardWriter.withShard(docs, "doc_id", n)
-      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b, "shard assignment must be a pure function of the key")
-    assert(a.values.toSet.subsetOf((0L until n).toSet))
+    assert(a.values.toSet.subsetOf((0 until n).toSet))
     val sizes = a.values.groupBy(identity).map(_._2.size)
     assert(sizes.sum == docs.count())
     val ideal = docs.count().toDouble / n
@@ -36,8 +36,8 @@ class ShardWriterSpec extends SparkTestBase {
     // file (a shard's rows are co-located in a single task)
     val expected = ShardWriter.withShard(docs, "doc_id", 4)
       .select(col("split"), col("shard")).distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(expected.filter(_._1 == "train").map(_._2) == (0L until 4).toSet,
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(expected.filter(_._1 == "train").map(_._2) == (0 until 4).toSet,
       "train should populate all 4 shards at this size")
     dirs.foreach { d =>
       val split = d.stripPrefix("split=")
@@ -53,6 +53,10 @@ class ShardWriterSpec extends SparkTestBase {
     }
     val back = spark.read.parquet(out)
     assert(back.count() == docs.count(), "round-trip must be lossless")
+    // pin the loader-facing type: partition-dir inference yields int32,
+    // which must equal withShard's in-frame column type
+    assert(back.schema("shard").dataType == org.apache.spark.sql.types.IntegerType,
+      "read-back shard column must be int32, matching withShard")
     // within every parquet file, rows are sorted by doc_id (loader order)
     val perFile = back.select(input_file_name().as("f"), col("doc_id"))
       .collect().groupBy(_.getString(0)).values
