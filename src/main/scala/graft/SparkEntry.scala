@@ -15,6 +15,7 @@ object SparkEntry {
     operators.RelationalExt,
     operators.WindowOps,
     operators.Dedup,
+    operators.SkewJoin,
     operators.Similarity,
     operators.TextOps,
     operators.Multimodal,

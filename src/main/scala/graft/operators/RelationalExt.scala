@@ -314,6 +314,40 @@ object RelationalExt extends QueryPack {
     WHERE regexp_matches(props, '^\{"k": [0-9]+\}$')
     ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q73
+  /** Semi-structured VARIANT surface (new public type in Spark 4):
+    * `try_parse_json` decodes the JSON string ONCE into the binary
+    * variant encoding, and `variant_get` does typed path access on that
+    * encoding. Against repeated `get_json_object` calls (q19) this
+    * re-parses nothing per field — the decode cost is paid once per row
+    * however many paths are read, which is the difference that matters
+    * on a 100 TB semi-structured column. `try_parse_json` (not
+    * `parse_json`) keeps a malformed payload row-local null instead of a
+    * job-killing exception. Oracle: DuckDB's JSON path functions compute
+    * the same typed extraction from the raw string. */
+  val q73 = QueryDef(
+    "q73_variant_agg",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      e.select(
+          variant_get(try_parse_json(col("props")), "$.k", "int").as("k"),
+          col("value"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("k"))
+    },
+    Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+      COUNT(*) AS n_events,
+      ${sqlDsum("value")} AS sum_value
+    FROM events
+    WHERE props IS NOT NULL AND json_valid(props)
+      AND json_extract_string(props, '$$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57)
+    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73)
 }

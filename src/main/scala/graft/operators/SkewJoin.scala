@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Det, QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,18 +20,26 @@ import org.apache.spark.sql.functions._
   * manual escape hatch. Semantics are identical to
   * `left.join(right, keys)` — verified property-style in SkewJoinSpec.
   */
-object SkewJoin {
-  /** @param saltFactor number of ways to split each key (≥ 1). */
+object SkewJoin extends QueryPack {
+  import Det._
+  /** @param saltFactor number of ways to split each key (≥ 1).
+    * @param saltCols   columns whose hash spreads the hot key. Must vary
+    *                   within a join-key group (a row id / primary key is
+    *                   ideal); empty → hash the full row, which is always
+    *                   correct but drags every column through the scan —
+    *                   column pruning dies, so name a narrow key at scale. */
   def saltedInner(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor >= 1)
-    // deterministic salt: hash of the full left row modulo factor — avoids
-    // rand() (nondeterministic under task retry, which can duplicate or
-    // drop rows in a recomputed partition).
+    // deterministic salt: hash of stable column values modulo factor —
+    // avoids rand() (nondeterministic under task retry, which can
+    // duplicate or drop rows in a recomputed partition).
+    val src = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(src.map(col): _*), lit(saltFactor)))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted
@@ -39,4 +48,43 @@ object SkewJoin {
           col(leftKey) === col(rightKey))
       .drop("__salt")
   }
+
+  // ---------------------------------------------------------------- q72
+  /** Salted fact⋈dim join through the driver contract. Semantics are by
+    * construction identical to the plain equi-join, so the oracle is the
+    * plain join — that identity IS the property under test (SkewJoinSpec
+    * proves it on an adversarially skewed frame; this query proves it on
+    * real fixture data against an independent engine).
+    *
+    * The replicated side carries a SHUFFLE_HASH hint: at fixture scale
+    * Catalyst would broadcast the 8×-replicated dimension, which silently
+    * degenerates the salt to dead weight (a broadcast join never
+    * shuffles, so there is no hot partition to split). The hint pins the
+    * shuffle-join shape the salt exists for — the shape a 100 TB
+    * fact⋈large-dim join takes when the dim outgrows the broadcast
+    * threshold and one key holds a disproportionate row share. */
+  val q72 = QueryDef(
+    "q72_salted_join",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      saltedInner(t.orders, t.customer.hint("shuffle_hash"),
+          "o_custkey", "c_custkey", saltFactor = 8,
+          // salt off the primary key: varies within every hot o_custkey
+          // group, and keeps the scan pruned to 3 columns (a full-row
+          // salt hash would drag all of `orders` through the scan)
+          saltCols = Seq("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment,
+      COUNT(*) AS n_orders,
+      ${sqlDsum("o_totalprice")} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""))
+
+  override def queries: Seq[QueryDef] = Seq(q72)
 }
