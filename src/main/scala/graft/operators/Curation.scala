@@ -287,5 +287,56 @@ object Curation extends QueryPack {
     FROM f GROUP BY source
     ORDER BY source"""))
 
-  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69)
+  // ---------------------------------------------------------------- q74
+  /** Sequence packing: assign documents to fixed token-budget packs — the
+    * step between a curated corpus and a trainer, which consumes
+    * fixed-length token sequences. Greedy contiguous fill in doc_id order
+    * within a shard: a document joins the pack its running token count
+    * STARTS in, so pack membership depends only on earlier docs of the
+    * same shard — deterministic, and embarrassingly parallel because the
+    * window never spans shards (one task per shard at any corpus size;
+    * no single-partition WindowExec). Shard = md5-prefix bucket of doc_id
+    * (the library's cross-engine hash idiom, per the determinism
+    * contract — never xxhash64 across engines); the budget divide is
+    * exact integer arithmetic. Output is the per-pack doc/token manifest
+    * a loader consumes. */
+  val q74 = QueryDef(
+    "q74_sequence_pack",
+    (spark, dir) => {
+      val budget = 512
+      val nShards = 8
+      val d = Tables(spark, dir).documents
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("int")
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("doc_id"),
+          pmod(bucket, lit(nShards)).as("shard"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack", expr(s"(cum - n_tokens) div $budget"))
+        .groupBy(col("shard"), col("pack"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("shard"), col("pack"))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS shard,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT shard, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM toks)
+    SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack,
+      COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM cum
+    GROUP BY shard, pack
+    ORDER BY shard, pack"""))
+
+  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74)
 }

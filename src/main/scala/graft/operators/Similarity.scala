@@ -241,7 +241,11 @@ object Similarity extends QueryPack {
       val k = 16
       val nprobe = 4
       val dim = 64
-      val em = Tables(spark, dir).embeddings
+      // materialize the corpus once: quantizer training is 4 actions
+      // (seed collect, 2 Lloyd rounds, final probe) and each would
+      // otherwise re-plan + re-scan the parquet; at cluster scale this
+      // is the standard cache-the-training-set step of k-means
+      val em = Tables(spark, dir).embeddings.localCheckpoint()
 
       // squared distance to a literal centroid, dropping the ||v||² term
       // (constant per row — argmin-invariant): ||c||² − 2⟨v,c⟩

@@ -26,8 +26,9 @@ object CurationPipeline {
 
   /** Polls until `readiness` reports the feed landed, then curates
     * `documents` under `sfDir` and writes surviving docs as `nShards`
-    * sorted shards under `outDir`; notifies success XOR failure.
-    * Returns (total, kept) document counts. */
+    * sorted shards under `outDir`; notifies success XOR failure (the
+    * success note carries per-gate drop counts, observed off the write
+    * job's own accumulators). Returns (total, kept) document counts. */
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -39,7 +40,8 @@ object CurationPipeline {
       timeout: FiniteDuration = 5.seconds,
       retries: Int = 3,
       retryDelay: FiniteDuration = 10.millis): Try[(Long, Long)] = {
-    val result: Try[(Long, Long)] = for {
+    // (total, kept, exact-dup drops, quality drops, repetition drops)
+    val result: Try[(Long, Long, Long, Long, Long)] = for {
       _ <- Pipeline.pollUntil(pokeInterval, timeout)(readiness)
       counts <- Pipeline.retryWithBackoff(
         retries, retryDelay, maxDelay = retryDelay * 8) { () =>
@@ -47,25 +49,42 @@ object CurationPipeline {
         val d = Tables(spark, sfDir).documents
         val firstOfText = row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id"))) === 1
+        // gate metrics ride the shard-write job itself (`observe` =
+        // accumulators collected by the one real action) — previously
+        // this block ran THREE jobs over the corpus (total count, kept
+        // count off a checkpoint, shard write); now the write is the
+        // only pass, which is the difference between 1× and 3× input
+        // I/O on a 100 TB daily run. Fresh Observation per attempt:
+        // an Observation instance is single-use.
+        val obs = new org.apache.spark.sql.Observation()
         val gated = d
           .withColumn("first_of_text", firstOfText)
           .join(Curation.gateVerdicts(d), "doc_id")
-        // materialize the gated survivors ONCE: the dedup window (a full
-        // shuffle by text) would otherwise execute twice — for the count
-        // and again for the shard write
+          .observe(obs,
+            count(lit(1)).as("total"),
+            count_if(!col("first_of_text")).as("exact_dup"),
+            count_if(col("first_of_text") && !col("q_keep")).as("quality_drop"),
+            count_if(col("first_of_text") && col("q_keep") && !col("rep_keep"))
+              .as("repetition_drop"),
+            count_if(col("first_of_text") && col("q_keep") && col("rep_keep"))
+              .as("kept"))
         val kept = gated
           .filter(col("first_of_text") && col("q_keep") && col("rep_keep"))
           .select(d.columns.map(col): _*)
-          .localCheckpoint()
-        val total = d.count()
-        val keptN = kept.count()
         ShardWriter.writeShards(kept, outDir, keyCol = "doc_id",
           nShards = nShards, sortCol = "doc_id")
-        (total, keptN)
+        val m = obs.get
+        def metric(k: String): Long = m(k).asInstanceOf[Long]
+        (metric("total"), metric("kept"),
+          metric("exact_dup"), metric("quality_drop"), metric("repetition_drop"))
       }
     } yield counts
     Pipeline.route(result)(
-      c => { notify(s"success: curated ${c._2} of ${c._1} docs into $nShards shards"); result },
-      err => { notify(s"failure: ${err.getMessage}"); result })
+      c => {
+        notify(s"success: curated ${c._2} of ${c._1} docs into $nShards shards " +
+          s"(dropped: ${c._3} exact-dup, ${c._4} quality, ${c._5} repetition)")
+        result.map(t => (t._1, t._2))
+      },
+      err => { notify(s"failure: ${err.getMessage}"); result.map(t => (t._1, t._2)) })
   }
 }

@@ -82,6 +82,26 @@ class CurationSpec extends SparkTestBase {
       "repetition-drop total must equal q67's drop count")
   }
 
+  test("sequence packs are contiguous, complete, and budget-shaped (q74)") {
+    val packs = Curation.q74.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every document lands in exactly one pack
+    assert(packs.map(_._3).sum == 500L)
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      val sorted = ps.sortBy(_._2)
+      // pack ids are contiguous from 0 — no empty pack ever emitted
+      assert(sorted.map(_._2).toSeq == (0L until ps.length).toSeq,
+        s"shard $shard packs not contiguous: ${sorted.map(_._2).toSeq}")
+      // start-offset packing: every pack but the shard's last must end at
+      // or past its budget boundary (else its successor couldn't exist)
+      val cum = sorted.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      cum.dropRight(1).zipWithIndex.foreach { case (end, p) =>
+        assert(end >= (p + 1) * 512L,
+          s"shard $shard pack $p ends at $end, before its boundary")
+      }
+    }
+  }
+
   test("bigram hashes skip null tokens exactly like composed xxhash64 (advisor parity)") {
     graft.functions.GraftFunctions.register(spark)
     // tokens [a, null, b]: bigram hashes must match the composed

@@ -17,6 +17,12 @@ class CurationPipelineSpec extends SparkTestBase {
     val (total, kept) = res.get
     assert(total == 500L && kept > 0 && kept < total)
     assert(notes.exists(_.startsWith("success:")))
+    // per-gate drop counts (observed off the write job, no extra pass)
+    // must account for every non-surviving doc
+    val note = notes.find(_.startsWith("success:")).get
+    val drops = "dropped: (\\d+) exact-dup, (\\d+) quality, (\\d+) repetition".r
+      .findFirstMatchIn(note).map(m => (1 to 3).map(m.group(_).toLong)).get
+    assert(drops.sum == total - kept, s"gate accounting off in: $note")
     // the written shards contain exactly the surviving docs
     val back = spark.read.parquet(out)
     assert(back.count() == kept)

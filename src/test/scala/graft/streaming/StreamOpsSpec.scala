@@ -189,6 +189,24 @@ class StreamOpsSpec extends SparkTestBase {
     assert(back.columns.sorted.sameElements(docs.columns.sorted))
   }
 
+  test("ORC source round-trips with schema, values, and pushdown intact") {
+    val dir = java.nio.file.Files.createTempDirectory("orcsrc").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").orc(s"$dir/docs")
+    val back = spark.read.orc(s"$dir/docs")
+    assert(back.schema == docs.schema)
+    val a = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = back.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // filters reach the ORC scan like they do the parquet one
+    val p = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(n_chars"),
+      s"filter not pushed to ORC scan:\n$p")
+  }
+
   test("CSV source round-trips with explicit schema and quoting intact") {
     val dir = java.nio.file.Files.createTempDirectory("csvsrc").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
