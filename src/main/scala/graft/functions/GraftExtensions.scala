@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 2, "graft_chunk_hashes(tokens, width)")
         ChunkHashes(e.head, intLit(e(1), "graft_chunk_hashes: width"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_top_k"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 4, "graft_top_k(score, id1, id2, k)")
+        TopKRows(e.head, e(1), e(2), intLit(e(3), "graft_top_k: k"))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -73,6 +73,19 @@ object GraftFunctions {
           case Literal(w: Int, IntegerType) => ChunkHashes(exprs.head, w)
           case _ => throw new IllegalArgumentException(
             "graft_chunk_hashes: width must be an int literal")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => {
+        require(exprs.length == 4,
+          "graft_top_k(score, id1, id2, k) takes four arguments")
+        exprs(3) match {
+          case Literal(n: Int, IntegerType) =>
+            TopKRows(exprs.head, exprs(1), exprs(2), n)
+          case _ => throw new IllegalArgumentException(
+            "graft_top_k: k must be an int literal")
         }
       },
       "built-in")

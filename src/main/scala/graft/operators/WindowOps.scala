@@ -278,6 +278,41 @@ object WindowOps extends QueryPack {
     GROUP BY ws, event_type
     ORDER BY win_start, event_type"""))
 
+  // ---------------------------------------------------------------- q75
+  /** q20's top-k-per-group semantics WITHOUT the window shuffle: the
+    * native bounded-heap aggregate `graft_top_k`
+    * ([[graft.functions.expressions.TopKRows]]) is map-side combinable,
+    * so each map task forwards at most k triples per group it saw —
+    * shuffle volume is k·groups·tasks bounded, independent of input
+    * rows, where the `row_number` window form shuffles and sorts EVERY
+    * row of every group. Same oracle shape as q20 (the window SQL is the
+    * spec); the total (score DESC, id1, id2) order inside the aggregate
+    * makes the retained set merge-order-independent. */
+  val q75 = QueryDef(
+    "q75_grouped_topk_agg",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val li = Tables(spark, dir).lineitem
+      li.groupBy(col("l_suppkey"))
+        .agg(call_function("graft_top_k",
+          col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber").cast(LongType), lit(3)).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("rk0", "t")))
+        .select(
+          col("l_suppkey"),
+          (col("rk0") + 1).cast(IntegerType).as("rk"),
+          col("t.id1").as("l_orderkey"),
+          col("t.score").as("price"))
+        .orderBy(col("l_suppkey"), col("rk"))
+    },
+    Some("""SELECT l_suppkey, CAST(rk AS INT) AS rk, l_orderkey, price
+    FROM (SELECT l_suppkey, l_orderkey, l_extendedprice AS price,
+            ROW_NUMBER() OVER (PARTITION BY l_suppkey
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+          FROM lineitem)
+    WHERE rk <= 3
+    ORDER BY l_suppkey, rk"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75)
 }

@@ -159,6 +159,34 @@ object AlgebraProps extends Properties("Algebra") {
         st.getLong(2) == counts.max.toLong
     }
 
+  property("graft_top_k equals sort-take-k ground truth under any partitioning") = {
+    val genTopK: Gen[List[(Long, Double, Long, Long)]] =
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0L, 4L), Gen.chooseNum(-10.0, 10.0),
+        Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+    forAll(genTopK, Gen.chooseNum(1, 5)) { (rows, k) =>
+      val s = spark
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      def topk(parts: Int): Map[Long, List[(Double, Long, Long)]] =
+        rows.toDF("g", "v", "a", "b").repartition(parts)
+          .groupBy(col("g"))
+          .agg(call_function("graft_top_k",
+            col("v"), col("a"), col("b"), lit(k)).as("t"))
+          .collect().map { r =>
+            r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2))).toList
+          }.toMap
+      val truth = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(t => (t._2, t._3, t._4))
+          .sortBy { case (sc, a, b) => (-sc, a, b) }.take(k)
+      }
+      // correct vs ground truth, and identical across partitionings
+      // (merge-order independence of the bounded buffer)
+      topk(1) == truth && topk(7) == truth
+    }
+  }
+
   property("as-of join preserves every left row") =
     forAll(genRowsNE, genRows) { (a, b) =>
       val s = spark

@@ -45,6 +45,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("zip_with"), "interpreted HOF dot product back in the hot path")
   }
 
+  test("q75: top-k is a partial+final object-hash aggregate, never a window sort") {
+    val p = plan(graft.operators.WindowOps.q75)
+    assert(p.contains("partial_graft_top_k"), s"no map-side combine:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"wrong agg exec:\n$p")
+    assert(!p.contains("Window"), s"window shuffle crept back in:\n$p")
+  }
+
   test("join strategy hints are honored (merge vs broadcast)") {
     import org.apache.spark.sql.functions.col
     val t = Tables(spark, sf0001)

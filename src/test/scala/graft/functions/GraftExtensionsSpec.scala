@@ -68,6 +68,15 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT graft_array_stats(array(1L, 2L, 1L, 1L, 3L)) AS s").collect()(0)
         .getStruct(0)
       assert(as.getLong(0) == 5L && as.getLong(1) == 3L && as.getLong(2) == 3L)
+      // graft_top_k: bounded top-k aggregate, best-first, ties broken by
+      // id1 then id2
+      val tk = s2.sql(
+        "SELECT graft_top_k(s, a, b, 2) AS t FROM VALUES " +
+          "(CAST(1.0 AS DOUBLE), 1L, 1L), (2.0D, 2L, 1L), " +
+          "(2.0D, 1L, 5L), (0.5D, 9L, 9L) AS v(s, a, b)")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toList
+      assert(tk == List((2.0, 1L, 5L), (2.0, 2L, 1L)))
       // parity with the FunctionRegistry path (GraftFunctions.register)
       GraftFunctions.register(s2)
       val lb2 = s2.sql(
