@@ -169,9 +169,13 @@ object Similarity extends QueryPack {
       GraftFunctions.register(spark)
       val em = Tables(spark, dir).embeddings
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
+      // the bucket table sits on BOTH sides of the candidate self-join
+      // and Spark does not dedupe identical subplans — materialize it
+      // once instead of running scan + 32-table LSH hashing twice
       val bucketed = em.select(col("vec_id"),
         posexplode(lshBucketTables(col("embedding"), tables = 32,
           planesPerTable = 4)).as(Seq("tbl", "bkt")))
+        .localCheckpoint()
       val cands = bucketed.as("x").join(bucketed.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -74,28 +74,33 @@ object TextOps extends QueryPack {
 
   // ---------------------------------------------------------------- q38
   /** Language-ID heuristic: weighted character-bigram/stopword marker
-    * scores per candidate language, argmax with deterministic tie-break.
-    * Pure expression arithmetic (regexp_count) — deterministic, but the
-    * heuristic itself is not meaningfully SQL-oracle-checkable, so it gets
-    * the rows-only check. */
+    * scores per candidate language, argmax with deterministic tie-break
+    * (earliest language wins score ties). Marker occurrences are counted
+    * by literal replace-and-measure — `(len(text) − len(replace(text, m,
+    * ''))) div len(m)` — the same left-to-right non-overlapping scan in
+    * both engines, all-integer arithmetic, which is what makes the
+    * heuristic EXACTLY oracle-checkable (the earlier regexp_count form
+    * was equivalent but left the oracle unwritten). Both the engine
+    * columns and the oracle SQL are generated from the one marker table,
+    * so they cannot drift. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", " the ", " and "),
+    "es" -> Seq("ll", "os ", "as ", " el ", " de "),
+    "de" -> Seq("ch", "ei", "sch", " der ", " und "),
+    "fr" -> Seq("ou", "es ", "ent", " le ", " la "),
+    "zh" -> Seq("zh", "xi", "ng ", " shi ", " de "))
+
   val q38 = QueryDef(
     "q38_langid",
     (spark, dir) => {
       val d = Tables(spark, dir).documents
-      // marker n-grams per language (public frequency tables, simplified)
-      val markers: Seq[(String, Seq[String])] = Seq(
-        "en" -> Seq("th", "he", "ing", " the ", " and "),
-        "es" -> Seq("ll", "os ", "as ", " el ", " de "),
-        "de" -> Seq("ch", "ei", "sch", " der ", " und "),
-        "fr" -> Seq("ou", "es ", "ent", " le ", " la "),
-        "zh" -> Seq("zh", "xi", "ng ", " shi ", " de "))
-      val scored = markers.foldLeft(d) { case (df, (lang, ms)) =>
+      val scored = langMarkers.foldLeft(d) { case (df, (lang, ms)) =>
         val score = ms.zipWithIndex.map { case (m, i) =>
-          regexp_count(col("text"), lit(java.util.regex.Pattern.quote(m))) * (i + 1)
+          expr(s"(length(text) - length(replace(text, '$m', ''))) div ${m.length}") * (i + 1)
         }.reduce(_ + _)
         df.withColumn(s"s_$lang", score.cast(LongType))
       }
-      val langs = markers.map(_._1)
+      val langs = langMarkers.map(_._1)
       val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))
         .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
       scored
@@ -104,7 +109,31 @@ object TextOps extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("guess"))
     },
-    None)
+    Some {
+      val scoreCols = langMarkers.map { case (lang, ms) =>
+        val e = ms.zipWithIndex.map { case (m, i) =>
+          s"((len(text) - len(replace(text, '$m', ''))) // ${m.length}) * ${i + 1}"
+        }.mkString(" + ")
+        s"CAST($e AS BIGINT) AS s_$lang"
+      }.mkString(",\n        ")
+      val caseScore = langMarkers.map(_._1)
+        .map(l => s"WHEN '$l' THEN s_$l").mkString(" ")
+      val prios = langMarkers.map(_._1).zipWithIndex
+        .map { case (l, i) => s"(${i + 1}, '$l')" }.mkString(", ")
+      s"""WITH sc AS (
+      SELECT doc_id, lang,
+        $scoreCols
+      FROM documents),
+    g AS (
+      SELECT sc.lang, m.guess,
+        ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+          ORDER BY (CASE m.guess $caseScore END) DESC, m.pri) AS rk
+      FROM sc CROSS JOIN (VALUES $prios) AS m(pri, guess))
+    SELECT lang, guess, COUNT(*) AS n
+    FROM g WHERE rk = 1
+    GROUP BY lang, guess
+    ORDER BY lang, guess"""
+    })
 
   // ---------------------------------------------------------------- q39
   /** TF-IDF: top-3 terms per document. Scores are kept integral
