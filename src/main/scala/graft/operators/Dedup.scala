@@ -209,13 +209,18 @@ object Dedup extends QueryPack {
     * the tiny result before sorting, which truncates lineage to a Scan
     * and would make plan-shape assertions vacuous). */
   private[graft] def q32Pipeline(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-      graft.functions.GraftFunctions.register(spark)
+      dir: String): DataFrame =
+    minhashPairs(Tables(spark, dir).documents)
+
+  /** The q32 pipeline over an arbitrary `(doc_id, text)` frame — also
+    * driven directly by [[graft.tools.ScaleProbe]] on replicated corpora
+    * so scaling measurements exercise the exact production code. */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
       // The hashed shingle arrays feed BOTH the signature (MinHash64's
       // array<long> path — re-mixing pre-hashed shingles per seed is an
       // equally valid MinHash family) and the verification joins: the
       // whole pipeline is one native pass per doc + long-keyed joins.
-      val docs = Tables(spark, dir).documents
       val hshArr = hashedShingleArray(docs).localCheckpoint()
       val nHashes = 64
       val bandsN = 16
@@ -268,10 +273,14 @@ object Dedup extends QueryPack {
     * joins, and everything downstream sorts/joins/intersects longs,
     * never strings. */
   private[graft] def exactPairsPipeline(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val hshArr = hashedShingleArray(Tables(spark, dir).documents)
-      .localCheckpoint()
+      dir: String): DataFrame =
+    exactPairs(Tables(spark, dir).documents)
+
+  /** The q33 pipeline over an arbitrary `(doc_id, text)` frame — also
+    * driven directly by [[graft.tools.ScaleProbe]]. */
+  private[graft] def exactPairs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hshArr = hashedShingleArray(docs).localCheckpoint()
     jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
       .filter(atLeastJaccard(1, 2))
       .select(col("d1"), col("d2"), col("jac"))

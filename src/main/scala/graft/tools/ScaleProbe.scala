@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev utility: measure how the dedup pipelines scale when the corpus
+  * grows N× with worst-case near-duplicate density.
+  *
+  * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 1 4 16"`
+  *
+  * Each factor f replicates every document f×: replica 0 is the
+  * original, replicas 1..f−1 append a distinct tail token, so every
+  * replica group is a clique of TRUE near-duplicates (Jaccard
+  * (n−2)/(n−1) for an n-shingle doc). This is the dedup worst case —
+  * the number of qualifying pairs grows ~f² — so the interesting
+  * property is that runtime tracks the true pair workload (candidates
+  * found) rather than exploding with input size independent of output.
+  * Replicated input is checkpointed first so input synthesis never
+  * contaminates the pipeline measurement; all three measured stages are
+  * the production code paths (`Dedup.exactPairs`, `Dedup.minhashPairs`,
+  * `Dedup.propagateMinLabels`) — not copies. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    val spark = graft.LocalSession()
+    graft.functions.GraftFunctions.register(spark)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    factors.foreach { f =>
+      val docs: DataFrame = (
+        if (f == 1) base
+        else base
+          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(
+            (col("doc_id") * f + col("i")).as("doc_id"),
+            when(col("i") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
+      ).localCheckpoint()
+      val nDocs = docs.count()
+
+      val (exact, tExact) = timed(Dedup.exactPairs(docs).localCheckpoint())
+      val nExact = exact.count()
+      val (mh, tMinhash) = timed(Dedup.minhashPairs(docs).localCheckpoint())
+      val nMinhash = mh.count()
+      val (_, tLabels) = timed {
+        Dedup.propagateMinLabels(
+          docs.select(col("doc_id").as("id")),
+          exact.select(col("d1"), col("d2")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"SCALE f=$f docs=$nDocs pairs_exact=$nExact pairs_minhash=$nMinhash " +
+        f"t_exact=$tExact%.2f t_minhash=$tMinhash%.2f t_labels=$tLabels%.2f")
+    }
+    spark.stop()
+  }
+}
