@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val e = arity(exprs, 4, "graft_top_k(score, id1, id2, k)")
         TopKRows(e.head, e(1), e(2), intLit(e(3), "graft_top_k: k"))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) =>
+        NfcNormalize(arity(exprs, 1, "graft_nfc(s)").head)))
     e.injectFunction((
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),

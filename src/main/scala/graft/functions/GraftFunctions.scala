@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -87,6 +87,13 @@ object GraftFunctions {
           case _ => throw new IllegalArgumentException(
             "graft_top_k: k must be an int literal")
         }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => {
+        require(exprs.length == 1, "graft_nfc(s) takes one argument")
+        NfcNormalize(exprs.head)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

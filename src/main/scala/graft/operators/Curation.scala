@@ -338,5 +338,58 @@ object Curation extends QueryPack {
     GROUP BY shard, pack
     ORDER BY shard, pack"""))
 
-  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74)
+  // ---------------------------------------------------------------- q78
+  /** Source-mix reweighting — the sampling-weight table a training run
+    * consumes to rebalance a skewed corpus toward a target mixture
+    * (uniform-by-source here, the simplest instance of the
+    * Gopher/Pile-style mixture step): per source, its token share and the
+    * sampling weight that equalizes expected tokens across sources, with
+    * the single-epoch sampling fraction capped at 1 (upsampling beyond
+    * one epoch is the trainer's job; the cap keeps the column a valid
+    * per-doc Bernoulli rate).
+    *
+    * Determinism: token counts are exact integers; the only float ops are
+    * one double division of exact integers per output cell (bit-identical
+    * across engines) and the shared `round(…, 6)`.
+    *
+    * Scale: one map-side-combined aggregate over the corpus to
+    * #sources rows; the global window then runs on that aggregate — a
+    * BOUNDED, dimension-sized frame (source catalogs are tens-to-
+    * hundreds of rows at any corpus size), which is the one shape where
+    * an unpartitioned window is the right plan (same reasoning as q23's
+    * documented global ntile). */
+  val q78 = QueryDef(
+    "q78_mix_weights",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val src = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val w = Window.partitionBy()
+      val weight = round(
+        sum(col("n_tokens")).over(w).cast("double")
+          / (count(lit(1)).over(w) * col("n_tokens")), 6)
+      src.select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(w), 6).as("share"),
+          weight.as("uniform_weight"),
+          least(lit(1.0), weight).as("sample_frac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+      ROUND(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+        AS share,
+      ROUND(CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        / (COUNT(*) OVER () * n_tokens), 6) AS uniform_weight,
+      LEAST(CAST(1.0 AS DOUBLE),
+        ROUND(CAST(SUM(n_tokens) OVER () AS DOUBLE)
+          / (COUNT(*) OVER () * n_tokens), 6)) AS sample_frac
+    FROM s
+    ORDER BY source"""))
+
+  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74, q78)
 }

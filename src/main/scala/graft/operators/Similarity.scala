@@ -165,16 +165,30 @@ object Similarity extends QueryPack {
     * extend that assertion (and on a genuine miss, demote this query to
     * rows-only like q32/q42) before trusting the oracle row. */
   private[graft] def neardupPairsPipeline(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-      GraftFunctions.register(spark)
-      val em = Tables(spark, dir).embeddings
+      dir: String): org.apache.spark.sql.DataFrame =
+    neardupPairsOn(Tables(spark, dir).embeddings, tables = 32, planesPerTable = 4)
+
+  /** The q44 pipeline over an arbitrary `(vec_id, embedding)` frame with
+    * explicit LSH geometry — also driven by [[graft.tools.ScaleProbe]] on
+    * replicated corpora. `planesPerTable` is THE corpus-size knob: each
+    * table has 2^planes buckets, and candidate volume per table is
+    * Σ_bucket |bucket|², so planes must grow ~log2(n) to keep bucket
+    * occupancy (and therefore candidate workload) proportional to the
+    * TRUE near-dup density rather than n²/2^planes. The registered q44
+    * uses 32×4 — sized for the fixture envelope where the spec proves
+    * exact recall; a 100 TB deployment holds recall by adding tables
+    * while deepening planes (miss probability (1−cosᵖ)ᵗ). */
+  private[graft] def neardupPairsOn(embeddings: org.apache.spark.sql.DataFrame,
+      tables: Int, planesPerTable: Int): org.apache.spark.sql.DataFrame = {
+      GraftFunctions.register(embeddings.sparkSession)
+      val em = embeddings
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
       // the bucket table sits on BOTH sides of the candidate self-join
       // and Spark does not dedupe identical subplans — materialize it
       // once instead of running scan + 32-table LSH hashing twice
       val bucketed = em.select(col("vec_id"),
-        posexplode(lshBucketTables(col("embedding"), tables = 32,
-          planesPerTable = 4)).as(Seq("tbl", "bkt")))
+        posexplode(lshBucketTables(col("embedding"), tables = tables,
+          planesPerTable = planesPerTable)).as(Seq("tbl", "bkt")))
         .localCheckpoint()
       val cands = bucketed.as("x").join(bucketed.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&

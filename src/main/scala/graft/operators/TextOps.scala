@@ -499,6 +499,167 @@ object TextOps extends QueryPack {
     FROM r
     ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q76
+  /** The PII regexes and the redaction Column — shared by q76, its spec,
+    * and any write path that must scrub before persisting. Patterns are
+    * deliberately written in the common subset of Java regex (Spark) and
+    * RE2 (DuckDB oracle): character classes, bounded repetition,
+    * non-capturing groups, `\b` — no lookaround, no backreferences. */
+  private[graft] val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val phonePat = """\b555-[0-9]{4}\b"""
+  private[graft] val ipPat = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+
+  /** Redact emails, then IPs, then phones — fixed order, so the output is
+    * deterministic even where patterns could overlap. */
+  private[graft] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPat, "<EMAIL>"),
+        ipPat, "<IP>"),
+      phonePat, "<PHONE>")
+
+  /** PII redaction — the scrubbing pass a corpus runs before anything is
+    * retained for training: emails / phone numbers / IPv4 addresses
+    * replaced by typed placeholder tokens, with per-doc match counts and
+    * a verified `clean` verdict (no pattern matches the redacted text).
+    *
+    * The fixture text is synthetic word soup with no natural PII, so the
+    * query first builds a deterministic "dirty" twin of each document —
+    * arithmetic on `doc_id` injects an email every 5th doc, a phone every
+    * 7th, an IP every 11th — IDENTICALLY in Spark and the DuckDB oracle,
+    * making the oracle check real redaction behavior rather than a
+    * no-op pass-through. (Injection is plan-side construction, not input
+    * synthesis: both engines read only the fixture table.)
+    *
+    * Scale: map-only — three regex passes per row, no shuffle but the
+    * output sort. Regex cost is linear in text bytes; at 100 TB this is
+    * the classic scan-shaped pass that parallelizes per-split. */
+  val q76 = QueryDef(
+    "q76_pii_redaction",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val dirty = concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") * 7 % 256).cast("string"),
+            lit("."), (col("doc_id") * 13 % 256).cast("string")))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), dirty.as("dirty"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("dirty"), lit(emailPat)).as("n_emails"),
+          regexp_count(col("dirty"), lit(phonePat)).as("n_phones"),
+          regexp_count(col("dirty"), lit(ipPat)).as("n_ips"),
+          redactPii(col("dirty")).as("redacted"))
+        .withColumn("clean",
+          !(regexp_like(col("redacted"), lit(emailPat)) ||
+            regexp_like(col("redacted"), lit(phonePat)) ||
+            regexp_like(col("redacted"), lit(ipPat))))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dirty AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+             ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' call 555-' || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+               || '.' || CAST(doc_id * 13 % 256 AS VARCHAR)
+             ELSE '' END AS dirty
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(dirty,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(dirty, '\b555-[0-9]{4}\b', 0)) AS INT) AS n_phones,
+        CAST(len(regexp_extract_all(dirty,
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 0)) AS INT) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(dirty,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+      FROM dirty)
+    SELECT doc_id, n_emails, n_phones, n_ips,
+      NOT (regexp_matches(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        OR regexp_matches(redacted, '\b555-[0-9]{4}\b')
+        OR regexp_matches(redacted, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS clean,
+      redacted
+    FROM red
+    ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q77
+  /** Unicode/whitespace canonicalization — the normalization pass that
+    * runs before any text-keyed operation (exact dedup, shingling,
+    * fingerprinting), so visually identical strings with different
+    * codepoint sequences collapse: NFC composition (combining accents →
+    * precomposed, compatibility singletons like KELVIN SIGN / OHM SIGN →
+    * their canonical letters) via the native
+    * [[graft.functions.expressions.NfcNormalize]] expression (Spark has
+    * no built-in), then whitespace collapse, trim, lowercase.
+    *
+    * The fixture text is pure ASCII (NFC-invariant), so — like q76 — the
+    * query builds a deterministic non-NFC "dirty" twin in BOTH engines
+    * (combining acute, KELVIN, OHM, tab runs injected by `doc_id`
+    * arithmetic) so the oracle exercises real normalization: DuckDB's
+    * `nfc_normalize` must agree byte-for-byte with the JDK normalizer.
+    *
+    * Scale: map-only scan; `NfcNormalize` short-circuits on
+    * already-normalized text (the overwhelming majority — ASCII is NFC by
+    * construction), so the pass costs one verification scan per string
+    * plus regex time. */
+  val q77 = QueryDef(
+    "q77_normalize",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val d = Tables(spark, dir).documents
+      val dirty = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          // "cafe"+combining-acute, KELVIN SIGN, OHM SIGN - all non-NFC;
+          // NFC composes/maps them to cafe-acute, K, GREEK OMEGA
+          lit(" cafe\u0301 \u212AELVIN \u2126hm")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\t tabbed\t\tend ")).otherwise(lit("")))
+      val norm = lower(trim(regexp_replace(
+        call_function("graft_nfc", dirty), "[\\t ]+", " ")))
+      d.select(col("doc_id"),
+          length(dirty).as("n_raw"),
+          norm.as("norm"))
+        .withColumn("n_norm", length(col("norm")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dirty AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' cafe' || chr(769) || ' ' || chr(8490) || 'ELVIN ' || chr(8486) || 'hm'
+             ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+             THEN chr(9) || ' tabbed' || chr(9) || chr(9) || 'end '
+             ELSE '' END AS dirty
+      FROM documents),
+    n AS (
+      SELECT doc_id, dirty,
+        lower(trim(regexp_replace(nfc_normalize(dirty), '[\t ]+', ' ', 'g'))) AS norm
+      FROM dirty)
+    SELECT doc_id,
+      CAST(length(dirty) AS INT) AS n_raw,
+      norm,
+      CAST(length(norm) AS INT) AS n_norm
+    FROM n
+    ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71)
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77)
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,44 @@ object ScaleProbe {
       }
       println(f"SCALE f=$f docs=$nDocs pairs_exact=$nExact pairs_minhash=$nMinhash " +
         f"t_exact=$tExact%.2f t_minhash=$tMinhash%.2f t_labels=$tLabels%.2f")
+    }
+
+    // ---- embedding near-dup (q44 path): sign-LSH geometry vs corpus size
+    // Replicas perturb coordinate 0 by i/1000 — every replica group is a
+    // cos≈1 clique (true near-dups), and the base corpus's own qualifying
+    // pairs replicate f² times, so the true pair workload again grows ~f².
+    // Run the production pipeline at the registered 4-plane geometry AND
+    // at the depth the corpus size asks for (buckets ∝ n ⇒ planes ~
+    // log2(n/target-occupancy)): the 4-plane candidate space degrades
+    // toward n²/2⁴ per table as n grows — that gap, not the absolute
+    // seconds, is the measurement.
+    val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    factors.foreach { f =>
+      val em = (
+        if (f == 1) emBase
+        else emBase
+          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(
+            (col("vec_id") * f + col("i")).as("vec_id"),
+            transform(col("embedding"), (x, idx) =>
+              when(idx === 0, x + col("i").cast("float") / lit(1000.0f))
+                .otherwise(x)).as("embedding"))
+      ).localCheckpoint()
+      val n = em.count()
+      // planes such that per-table bucket occupancy stays ~128 vectors
+      val deep = math.max(4, math.ceil(math.log(n / 128.0) / math.log(2)).toInt)
+
+      val (shallow, tShallow) = timed(
+        Similarity.neardupPairsOn(em, tables = 32, planesPerTable = 4)
+          .localCheckpoint())
+      val p4 = shallow.count()
+      val (deepDf, tDeep) = timed(
+        Similarity.neardupPairsOn(em, tables = 32, planesPerTable = deep)
+          .localCheckpoint())
+      val pd = deepDf.count()
+      println(f"SCALE-ANN f=$f vecs=$n pairs_p4=$p4 t_p4=$tShallow%.2f " +
+        f"planes_deep=$deep pairs_deep=$pd t_deep=$tDeep%.2f")
     }
     spark.stop()
   }

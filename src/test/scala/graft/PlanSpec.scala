@@ -174,6 +174,25 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unexpected cross products in: $offenders")
   }
 
+  test("q76/q77: redaction and normalization are map-only scans (sort is the only exchange)") {
+    for (q <- Seq(operators.TextOps.q76, operators.TextOps.q77)) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"${q.name}: unexpected shuffle in a per-row pass:\n$p")
+      assert(!p.contains("Join"), s"${q.name}: unexpected join:\n$p")
+    }
+    assert(plan(operators.TextOps.q77).contains("graft_nfc"),
+      "native NFC expression not in the q77 plan")
+  }
+
+  test("q78: mix weights never join — one aggregate, then a dimension-sized window") {
+    val p = plan(operators.Curation.q78)
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    // the global window runs AFTER the per-source aggregate: the single
+    // partition it moves is the #sources-row dimension table, not data
+    assert(p.contains("HashAggregate"), s"aggregate missing:\n$p")
+  }
+
   test("label propagation round is the Pregel equi-join shape (q55/q70 interior)") {
     // the per-round plan that actually runs inside propagateMinLabels —
     // the loop checkpoints every round, so q55/q70's executed plans are

@@ -77,6 +77,9 @@ class GraftExtensionsSpec extends SparkTestBase {
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
         .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toList
       assert(tk == List((2.0, 1L, 5L), (2.0, 2L, 1L)))
+      // graft_nfc: NFC composition via the extensions path
+      val nfc = s2.sql("SELECT graft_nfc('café')").collect()(0).getString(0)
+      assert(nfc == "café")
       // parity with the FunctionRegistry path (GraftFunctions.register)
       GraftFunctions.register(s2)
       val lb2 = s2.sql(

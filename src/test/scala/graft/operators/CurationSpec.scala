@@ -119,4 +119,23 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(native == composed)
   }
+
+  test("q78 mix weights equalize expected tokens across sources") {
+    val rows = Curation.q78.fn(spark, sf0001).collect()
+    assert(rows.length > 1)
+    // shares sum to ~1
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"share sum $shareSum")
+    // weight * n_tokens is the same (uniform) expected token mass per source
+    val masses = rows.map(r => r.getDouble(4) * r.getLong(2))
+    assert(masses.max - masses.min < masses.max * 1e-4,
+      s"unequal masses: ${masses.min} .. ${masses.max}")
+    // sample_frac = min(1, weight), and under-represented sources cap at 1
+    rows.foreach { r =>
+      assert(r.getDouble(5) == math.min(1.0, r.getDouble(4)))
+    }
+    // at least one source must be downsampled in a skewed corpus, unless
+    // the fixture happens to be perfectly uniform — sanity: fracs valid
+    rows.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
+  }
 }

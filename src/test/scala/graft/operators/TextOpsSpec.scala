@@ -60,4 +60,77 @@ class TextOpsSpec extends SparkTestBase {
     // dropped doc
     assert(kept.map(_.getInt(2)).min > dropped.map(_.getInt(2)).max)
   }
+
+  test("redactPii scrubs emails, phones and IPs and leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org today"),
+      (2L, "dial 555-0142 or 555-9901 now"),
+      (3L, "server 192.168.0.17 responded"),
+      (4L, "all three a@b.cc 555-1234 10.0.0.1"),
+      (5L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "dial <PHONE> or <PHONE> now")
+    assert(out(3L) == "server <IP> responded")
+    assert(out(4L) == "all three <EMAIL> <PHONE> <IP>")
+    assert(out(5L) == "nothing sensitive here at all")
+  }
+
+  test("q76 marks every redacted document clean, with the injected counts") {
+    val rows = TextOps.q76.fn(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 5 == 0) 1 else 0), s"emails for doc $id")
+      assert(r.getInt(2) == (if (id % 7 == 0) 1 else 0), s"phones for doc $id")
+      assert(r.getInt(3) == (if (id % 11 == 0) 1 else 0), s"ips for doc $id")
+      assert(r.getBoolean(5), s"doc $id not clean after redaction")
+      assert(!r.getString(4).contains("@"), s"doc $id still has an email")
+    }
+  }
+
+  test("graft_nfc composes combining sequences and is identity on ASCII") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq(
+      "café",     // e + combining acute -> precomposed é
+      "KELVIN",    // KELVIN SIGN -> K
+      "Ωhm",       // OHM SIGN -> GREEK CAPITAL OMEGA
+      "plain ascii")
+      .toDF("s")
+      .select(call_function("graft_nfc", col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "café")
+    assert(out(1) == "KELVIN")
+    assert(out(2) == "Ωhm")
+    assert(out(3) == "plain ascii")
+    // idempotent: NFC of NFC is NFC
+    assert(java.text.Normalizer.isNormalized(out(0), java.text.Normalizer.Form.NFC))
+    // null propagates
+    val n = spark.sql("SELECT graft_nfc(CAST(NULL AS STRING))").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("q77 output is NFC, lowercase, single-spaced and trimmed") {
+    val rows = TextOps.q77.fn(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val norm = r.getString(2)
+      assert(java.text.Normalizer.isNormalized(norm, java.text.Normalizer.Form.NFC))
+      assert(!norm.contains("\t") && !norm.contains("  "), s"doc $id whitespace")
+      assert(norm == norm.toLowerCase, s"doc $id not lowercased")
+      assert(norm == norm.trim, s"doc $id not trimmed")
+      if (id % 3 == 0) {
+        assert(norm.contains("café"), s"doc $id missing composed accent")
+        assert(norm.contains("kelvin"), s"doc $id KELVIN not folded")
+        assert(norm.contains("ωhm"), s"doc $id OHM not folded to omega")
+      }
+      // dirty text is never shorter than normalized (collapse + compose)
+      assert(r.getInt(1) >= r.getInt(3), s"doc $id length inversion")
+    }
+  }
 }
