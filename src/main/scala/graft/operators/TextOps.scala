@@ -509,6 +509,14 @@ object TextOps extends QueryPack {
   private[graft] val phonePat = """\b555-[0-9]{4}\b"""
   private[graft] val ipPat = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
 
+  /** The q77 canonicalization chain over any string Column: NFC compose
+    * (native [[graft.functions.expressions.NfcNormalize]]), collapse
+    * space/tab runs, trim, lowercase. Shared by q77 and the streaming
+    * scrub-gate ([[graft.streaming.StreamOps.scrubGate]]) so the two can
+    * never drift. Requires [[graft.functions.GraftFunctions.register]]. */
+  private[graft] def canonicalText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(trim(regexp_replace(call_function("graft_nfc", c), "[\\t ]+", " ")))
+
   /** Redact emails, then IPs, then phones — fixed order, so the output is
     * deterministic even where patterns could overlap. */
   private[graft] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -632,8 +640,7 @@ object TextOps extends QueryPack {
           lit(" cafe\u0301 \u212AELVIN \u2126hm")).otherwise(lit("")),
         when(col("doc_id") % 4 === 0,
           lit("\t tabbed\t\tend ")).otherwise(lit("")))
-      val norm = lower(trim(regexp_replace(
-        call_function("graft_nfc", dirty), "[\\t ]+", " ")))
+      val norm = canonicalText(dirty)
       d.select(col("doc_id"),
           length(dirty).as("n_raw"),
           norm.as("norm"))

@@ -85,6 +85,24 @@ object StreamOps {
     * have [[graft.functions.GraftFunctions]] registered. */
   def curationGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.gateVerdicts(docs)
+
+  /** The full stateless front of a streaming ingest: canonicalize (NFC +
+    * whitespace + case, [[graft.operators.TextOps.canonicalText]]) →
+    * redact PII ([[graft.operators.TextOps.redactPii]]) → gate verdicts,
+    * all computed on the SCRUBBED text (the text that would be retained),
+    * with the scrubbed text carried in the output. Same design as
+    * [[curationGate]]: pure row-local batch Columns, so the stream twin
+    * is drift-free by construction (equality asserted in StreamOpsSpec).
+    * `docs` needs `doc_id` and `text`; the session must have
+    * [[graft.functions.GraftFunctions]] registered. */
+  def scrubGate(docs: DataFrame): DataFrame = {
+    import graft.operators.{Curation, TextOps}
+    docs
+      .withColumn("text", TextOps.redactPii(TextOps.canonicalText(col("text"))))
+      .select(col("doc_id"), col("text").as("clean_text"),
+        TextOps.qualityKeep.as("q_keep"),
+        Curation.repetitionKeep.as("rep_keep"))
+  }
 }
 
 /** One observation of an external job (the sensor's poll payload). */

@@ -4,10 +4,11 @@ import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Dev utility: measure how the dedup pipelines scale when the corpus
-  * grows N× with worst-case near-duplicate density.
+/** Dev utility: measure how the dedup and embedding-near-dup pipelines
+  * scale when the corpus grows N× with worst-case near-duplicate
+  * density. Results → BASELINE.md "Scale headroom".
   *
-  * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 1 4 16"`
+  * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [docs|ann|all] 1 4 16"`
   *
   * Each factor f replicates every document f×: replica 0 is the
   * original, replicas 1..f−1 append a distinct tail token, so every
@@ -23,8 +24,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors =
-      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    // usage: ScaleProbe [sfDir] [docs|ann|all] [factor...]
+    val mode =
+      if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
+    val rest = args.drop(1).filter(_.forall(_.isDigit))
+    val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
     graft.functions.GraftFunctions.register(spark)
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -36,7 +40,7 @@ object ScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    factors.foreach { f =>
+    if (mode != "ann") factors.foreach { f =>
       val docs: DataFrame = (
         if (f == 1) base
         else base
@@ -73,7 +77,7 @@ object ScaleProbe {
     // seconds, is the measurement.
     val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    factors.foreach { f =>
+    if (mode != "docs") factors.foreach { f =>
       val em = (
         if (f == 1) emBase
         else emBase
@@ -81,22 +85,30 @@ object ScaleProbe {
           .select(
             (col("vec_id") * f + col("i")).as("vec_id"),
             transform(col("embedding"), (x, idx) =>
-              when(idx === 0, x + col("i").cast("float") / lit(1000.0f))
+              when(idx === 0,
+                x + (col("i").cast("double") * lit(0.001)).cast("float"))
                 .otherwise(x)).as("embedding"))
       ).localCheckpoint()
       val n = em.count()
       // planes such that per-table bucket occupancy stays ~128 vectors
       val deep = math.max(4, math.ceil(math.log(n / 128.0) / math.log(2)).toInt)
 
-      val (shallow, tShallow) = timed(
-        Similarity.neardupPairsOn(em, tables = 32, planesPerTable = 4)
-          .localCheckpoint())
-      val p4 = shallow.count()
+      // The fixed 4-plane geometry is probed only while its candidate
+      // space (~32·n²/2⁴) stays locally materializable — the point of the
+      // probe is precisely that this space outgrows the machine while the
+      // depth-scaled geometry keeps tracking the true pair workload.
+      val shallowStats =
+        if (n <= 10000) {
+          val (shallow, tShallow) = timed(
+            Similarity.neardupPairsOn(em, tables = 32, planesPerTable = 4)
+              .localCheckpoint())
+          f"pairs_p4=${shallow.count()} t_p4=$tShallow%.2f"
+        } else "pairs_p4=skipped(candidate-space>1e9)"
       val (deepDf, tDeep) = timed(
         Similarity.neardupPairsOn(em, tables = 32, planesPerTable = deep)
           .localCheckpoint())
       val pd = deepDf.count()
-      println(f"SCALE-ANN f=$f vecs=$n pairs_p4=$p4 t_p4=$tShallow%.2f " +
+      println(f"SCALE-ANN f=$f vecs=$n $shallowStats " +
         f"planes_deep=$deep pairs_deep=$pd t_deep=$tDeep%.2f")
     }
     spark.stop()

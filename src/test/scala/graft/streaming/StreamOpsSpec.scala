@@ -296,4 +296,34 @@ class StreamOpsSpec extends SparkTestBase {
         s"only-batch ${(batch -- streamed).take(3)}")
     assert(batch.exists(!_._2) || batch.exists(!_._3), "some doc should fail a gate")
   }
+
+  test("streaming scrub-gate equals the batch scrub-gate and actually scrubs") {
+    graft.functions.GraftFunctions.register(spark)
+    // dirty docs: PII + non-NFC unicode + tab runs, plus a clean one
+    val docs = Seq(
+      (1L, "write to op.ed+1@news.example.com \tabout café policy today"),
+      (2L, "server 10.2.3.4 called 555-0100 twice Kelvin said"),
+      (3L, "the plain and ordinary a document of text to keep"))
+    val batch = StreamOps.scrubGate(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    // scrubbed: lowercase, NFC-composed, redacted, single-spaced
+    val byId = batch.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == "write to <EMAIL> about café policy today")
+    assert(byId(2L) == "server <IP> called <PHONE> twice kelvin said")
+    assert(byId(3L) == "the plain and ordinary a document of text to keep")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.scrubGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("scrub")
+      .start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scrub")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    assert(streamed == batch, "stream/batch scrub divergence")
+  }
 }
