@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NfcNormalize, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 4, "graft_top_k(score, id1, id2, k)")
         TopKRows(e.head, e(1), e(2), intLit(e(3), "graft_top_k: k"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 3, "graft_nearest_cells(vec, centroids, n)")
+        NearestCells(e.head, e(1), intLit(e(2), "graft_nearest_cells: n"))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_nfc"),

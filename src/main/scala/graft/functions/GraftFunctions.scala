@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NfcNormalize, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -86,6 +86,18 @@ object GraftFunctions {
             TopKRows(exprs.head, exprs(1), exprs(2), n)
           case _ => throw new IllegalArgumentException(
             "graft_top_k: k must be an int literal")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cells",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_nearest_cells(vec, centroids, n) takes three arguments")
+        exprs(2) match {
+          case Literal(n: Int, IntegerType) => NearestCells(exprs.head, exprs(1), n)
+          case _ => throw new IllegalArgumentException(
+            "graft_nearest_cells: n must be an int literal")
         }
       },
       "built-in")

@@ -265,20 +265,19 @@ object Similarity extends QueryPack {
       // is the standard cache-the-training-set step of k-means
       val em = Tables(spark, dir).embeddings.localCheckpoint()
 
-      // squared distance to a literal centroid, dropping the ||v||² term
-      // (constant per row — argmin-invariant): ||c||² − 2⟨v,c⟩
-      def distTo(c: Array[Float]): org.apache.spark.sql.Column = {
-        val n2 = c.map(x => x.toDouble * x.toDouble).sum
-        lit(n2) - dotNative(col("embedding"), lit(c)) * 2.0
-      }
-      // argmin via array_sort over K (dist, cell) structs — a LINEAR
-      // expression tree (each struct appears once inside array()). A
-      // when/otherwise reduce would duplicate the accumulator per step:
-      // exponential tree growth, 2^K dot-product subtrees at K=16.
+      // the n nearest cells of a row's embedding, with the K×dim centroid
+      // model baked in as ONE nested literal — the native
+      // `graft_nearest_cells` replaces the composed
+      // array_sort(array(struct(||c||²−2⟨v,c⟩, i), …K…)) column, whose
+      // K·dim-leaf tree forced a fresh multi-thousand-node Janino
+      // compile every Lloyd round (the measured dominant cost of this
+      // query); distances fold identically (spec-asserted parity), so
+      // assignments are bit-for-bit unchanged
+      def cellsOf(cs: Array[Array[Float]], n: Int): org.apache.spark.sql.Column =
+        call_function("graft_nearest_cells", col("embedding"),
+          typedLit(cs.map(_.toSeq).toSeq), lit(n))
       def assignCol(cs: Array[Array[Float]]): org.apache.spark.sql.Column =
-        element_at(array_sort(array(cs.zipWithIndex.map { case (c, i) =>
-          struct(distTo(c).as("d"), lit(i).as("cell"))
-        }: _*)), 1).getField("cell")
+        element_at(cellsOf(cs, 1), 1)
 
       // deterministic init: the K lowest vec_ids
       var centroids: Array[Array[Float]] = em.filter(col("vec_id") < k)
@@ -304,13 +303,9 @@ object Similarity extends QueryPack {
       val index = em.select(col("vec_id"), col("embedding"),
         assignCol(centroids).as("cell"))
       val qs = em.filter(col("vec_id") < 10)
-      val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
-        struct(distTo(c).as("d"), lit(i).as("cell"))
-      }
       val probes = qs.select(col("vec_id").as("qid"),
           col("embedding").as("qvec"),
-          explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)).as("p"))
-        .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+          explode(cellsOf(centroids, nprobe)).as("cell"))
 
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))

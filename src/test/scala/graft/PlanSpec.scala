@@ -213,5 +213,7 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"probe must stay an equi-join:\n$p")
     assert(p.contains("graft_dot"), "native dot expression not in the IVF plan")
+    assert(p.contains("graft_nearest_cells"),
+      "native cell assignment not in the IVF plan")
   }
 }

@@ -77,6 +77,13 @@ class GraftExtensionsSpec extends SparkTestBase {
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
         .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toList
       assert(tk == List((2.0, 1L, 5L), (2.0, 2L, 1L)))
+      // graft_nearest_cells: nearest centroid of (1,0) is cell 1
+      val nc = s2.sql(
+        "SELECT graft_nearest_cells(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+          "array(array(CAST(0 AS FLOAT), CAST(1 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))), 2) AS c")
+        .collect()(0).getSeq[Int](0).toSeq
+      assert(nc == Seq(1, 0))
       // graft_nfc: NFC composition via the extensions path
       val nfc = s2.sql("SELECT graft_nfc('café')").collect()(0).getString(0)
       assert(nfc == "café")

@@ -6,6 +6,39 @@ import graft.SparkTestBase
   * they have no SQL oracle, so their accuracy contract lives here. */
 class SimilarityQualitySpec extends SparkTestBase {
 
+  test("graft_nearest_cells is bit-identical to the composed argmin/probe column") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cs: Array[Array[Float]] = em.filter(col("vec_id") < 16)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    // the pre-NearestCells q60 column, verbatim: ||c||²−2⟨v,c⟩ distances,
+    // array_sort over (d, cell) structs, slice to the probe set
+    def distTo(c: Array[Float]) = {
+      val n2 = c.map(x => x.toDouble * x.toDouble).sum
+      lit(n2) - call_function("graft_dot", col("embedding"), lit(c)) * 2.0
+    }
+    val probeStructs = cs.zipWithIndex.map { case (c, i) =>
+      struct(distTo(c).as("d"), lit(i).as("cell"))
+    }
+    val composed = em.select(col("vec_id"),
+        transform(slice(array_sort(array(probeStructs: _*)), 1, 4),
+          s => s.getField("cell")).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val native = em.select(col("vec_id"),
+        call_function("graft_nearest_cells", col("embedding"),
+          typedLit(cs.map(_.toSeq).toSeq), lit(4)).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(native == composed)
+    // n = 1 (assignment) agrees with the head of the probe set
+    val one = em.select(col("vec_id"),
+        element_at(call_function("graft_nearest_cells", col("embedding"),
+          typedLit(cs.map(_.toSeq).toSeq), lit(1)), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == composed.view.mapValues(_.head).toMap)
+  }
+
   test("approx_count_distinct and percentile_approx land within 10% of exact (q50)") {
     RelationalExt.q50.fn(spark, sf0001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
