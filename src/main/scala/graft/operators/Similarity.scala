@@ -354,6 +354,45 @@ object Similarity extends QueryPack {
     },
     None)
 
+  // ---------------------------------------------------------------- q79
+  /** L2 unit-normalization of the embedding corpus — the standard
+    * preprocessing step before any cosine-metric index (after it, cosine
+    * = dot, which is what production ANN systems actually compute).
+    * Output per vector: its norm and the normalized vector, both in the
+    * determinism contract's integer micro-scale (rule 2: never
+    * float→decimal; rule on array outputs: scalar columns only, so the
+    * unit vector is emitted comma-joined like q59's centroid).
+    *
+    * Parity: each element folds as round((double(x) / sqrt(⟨v,v⟩)) · 1e6)
+    * with the [[graft.functions.VectorOps.dotNative]] sequential double
+    * fold on the Spark side and DuckDB's bit-identical
+    * `list_dot_product` on the oracle side.
+    *
+    * Scale: map-only scan (the per-element lambda is interpreted but
+    * cold — 64 evals/row outside any join or agg); one output sort. */
+  val q79 = QueryDef(
+    "q79_unit_norm",
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val em = Tables(spark, dir).embeddings
+      val norm = sqrt(dotNative(col("embedding"), col("embedding")))
+      em.select(col("vec_id"),
+          round(norm * 1000000).cast(LongType).as("norm_micro"),
+          concat_ws(",", transform(col("embedding"),
+            x => round(x.cast(DoubleType) / norm * 1000000)
+              .cast(LongType).cast("string"))).as("unit_micro"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""SELECT vec_id,
+      CAST(ROUND(sqrt(${sqlDot("embedding", "embedding")}) * 1000000) AS BIGINT)
+        AS norm_micro,
+      array_to_string(list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE)
+          / sqrt(${sqlDot("embedding", "embedding")}) * 1000000) AS BIGINT)), ',')
+        AS unit_micro
+    FROM embeddings
+    ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------- q70
   /** Embedding dedup ENDPOINT: near-dup pairs (q44's LSH + exact-verify
     * pipeline) → connected components → one keeper per cluster — the
@@ -393,5 +432,5 @@ object Similarity extends QueryPack {
     GROUP BY id
     ORDER BY vec_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60, q70)
+  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60, q70, q79)
 }
