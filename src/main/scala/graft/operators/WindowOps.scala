@@ -313,6 +313,49 @@ object WindowOps extends QueryPack {
     WHERE rk <= 3
     ORDER BY l_suppkey, rk"""))
 
+  // ---------------------------------------------------------------- q80
+  /** Value-range window frame (`rangeBetween`, the frame kind q21/q24's
+    * row frames don't cover): per customer, the trailing-30-day order
+    * count and revenue — the frame is defined by the ORDER-BY VALUE
+    * (epoch seconds), so rows with sparse/dense timestamps get exactly
+    * the orders within the 30-day window, not a fixed row count.
+    *
+    * Determinism: revenue is summed as exact integer cents
+    * (`round(price·100)` — prices are 2-dp doubles), so frame
+    * evaluation order can't perturb a float sum; epoch output is BIGINT
+    * (contract rule 5: never raw timestamps). Ties in epoch share an
+    * identical frame by RANGE semantics in both engines.
+    *
+    * Scale: one shuffle on the partition key, per-key sorted range scan
+    * — the same shape as every partitioned window here. */
+  val q80 = QueryDef(
+    "q80_range_frame",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch"))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("epoch"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+        .withColumn("trailing_cnt", count(lit(1)).over(w))
+        .withColumn("trailing_cents", sum(col("cents")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch"),
+          col("trailing_cnt"), col("trailing_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""WITH o AS (
+      SELECT o_custkey, o_orderkey,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_custkey, o_orderkey, epoch,
+      COUNT(*) OVER w AS trailing_cnt,
+      CAST(SUM(cents) OVER w AS BIGINT) AS trailing_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch
+      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80)
 }
