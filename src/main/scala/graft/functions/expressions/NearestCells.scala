@@ -63,10 +63,16 @@ case class NearestCells(vec: Expression, centroids: Expression, n: Int)
     val k = cents.length
     val keep = math.min(n, k)
     // top-`keep` (distance, cell) by insertion — k is the (small) model
-    // size, keep <= k; ties break to the lower cell index because equal
-    // distances never displace an earlier-inserted lower index
-    val bestD = Array.fill(keep)(Double.PositiveInfinity)
+    // size, keep <= k. Ordering must MATCH the composed array_sort
+    // column exactly, including NaN (Spark doubles order NaN greater
+    // than everything): compare via java.lang.Double.compare — the same
+    // total order Spark uses — and fill the first `keep` slots
+    // unconditionally so NaN distances still yield distinct cells, ties
+    // breaking to the lower cell index (equal keys never displace an
+    // earlier-inserted lower index).
+    val bestD = new Array[Double](keep)
     val bestI = new Array[Int](keep)
+    var filled = 0
     var i = 0
     while (i < k) {
       val c = cents(i)
@@ -78,16 +84,23 @@ case class NearestCells(vec: Expression, centroids: Expression, n: Int)
         j += 1
       }
       val d = norms(i) - dot * 2.0
-      if (d < bestD(keep - 1)) {
-        var p = keep - 1
-        while (p > 0 && bestD(p - 1) > d) {
+      if (filled < keep) {
+        var p = filled
+        while (p > 0 && java.lang.Double.compare(bestD(p - 1), d) > 0) {
           bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
         }
         bestD(p) = d; bestI(p) = i
-        i += 1
-      } else i += 1
+        filled += 1
+      } else if (java.lang.Double.compare(d, bestD(keep - 1)) < 0) {
+        var p = keep - 1
+        while (p > 0 && java.lang.Double.compare(bestD(p - 1), d) > 0) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = d; bestI(p) = i
+      }
+      i += 1
     }
-    new GenericArrayData(bestI.take(math.min(keep, k)))
+    new GenericArrayData(bestI)
   }
 
   // Semi-codegen (library idiom): one call on the computed child values;

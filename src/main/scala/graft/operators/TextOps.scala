@@ -573,7 +573,7 @@ object TextOps extends QueryPack {
             regexp_like(col("redacted"), lit(ipPat))))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH dirty AS (
+    Some(s"""WITH dirty AS (
       SELECT doc_id, text
         || CASE WHEN doc_id % 5 = 0
              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
@@ -589,20 +589,18 @@ object TextOps extends QueryPack {
       FROM documents),
     red AS (
       SELECT doc_id,
-        CAST(len(regexp_extract_all(dirty,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS INT) AS n_emails,
-        CAST(len(regexp_extract_all(dirty, '\b555-[0-9]{4}\b', 0)) AS INT) AS n_phones,
-        CAST(len(regexp_extract_all(dirty,
-          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', 0)) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(dirty, '$emailPat', 0)) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(dirty, '$phonePat', 0)) AS INT) AS n_phones,
+        CAST(len(regexp_extract_all(dirty, '$ipPat', 0)) AS INT) AS n_ips,
         regexp_replace(regexp_replace(regexp_replace(dirty,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-          '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+          '$emailPat', '<EMAIL>', 'g'),
+          '$ipPat', '<IP>', 'g'),
+          '$phonePat', '<PHONE>', 'g') AS redacted
       FROM dirty)
     SELECT doc_id, n_emails, n_phones, n_ips,
-      NOT (regexp_matches(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-        OR regexp_matches(redacted, '\b555-[0-9]{4}\b')
-        OR regexp_matches(redacted, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS clean,
+      NOT (regexp_matches(redacted, '$emailPat')
+        OR regexp_matches(redacted, '$phonePat')
+        OR regexp_matches(redacted, '$ipPat')) AS clean,
       redacted
     FROM red
     ORDER BY doc_id"""))

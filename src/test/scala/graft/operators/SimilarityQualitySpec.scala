@@ -37,6 +37,32 @@ class SimilarityQualitySpec extends SparkTestBase {
           typedLit(cs.map(_.toSeq).toSeq), lit(1)), 1).as("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(one == composed.view.mapValues(_.head).toMap)
+    // NaN parity: a NaN component makes every distance NaN; the composed
+    // array_sort (Spark doubles order NaN last) returns DISTINCT cells
+    // in index order — the native expression must too
+    val nanVec = Array.fill(64)(Float.NaN).toSeq
+    val nan = spark.sql(
+      s"SELECT graft_nearest_cells(array(${nanVec.map(_ => "CAST('NaN' AS FLOAT)").mkString(",")}), " +
+        s"${csSql(cs)}, 4) AS c")
+      .collect()(0).getSeq[Int](0).toSeq
+    assert(nan == Seq(0, 1, 2, 3), s"NaN distances must keep distinct cells, got $nan")
+  }
+
+  private def csSql(cs: Array[Array[Float]]): String =
+    "array(" + cs.map(c =>
+      "array(" + c.map(x => s"CAST($x AS FLOAT)").mkString(",") + ")").mkString(",") + ")"
+
+  test("q79 unit vectors have unit norm within micro-scale rounding") {
+    val rows = Similarity.q79.fn(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"vec ${r.getLong(0)} norm must be positive")
+      val u = r.getString(2).split(",").map(_.toLong / 1e6)
+      assert(u.length == 64)
+      val n2 = u.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-3,
+        s"vec ${r.getLong(0)}: ||unit||² = $n2")
+    }
   }
 
   test("approx_count_distinct and percentile_approx land within 10% of exact (q50)") {
