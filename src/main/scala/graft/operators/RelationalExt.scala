@@ -348,6 +348,44 @@ object RelationalExt extends QueryPack {
     GROUP BY 1
     ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q81
+  /** Correlated LATERAL subquery through the SQL front door — per outer
+    * row, a dependent ordered-limit subquery (top-2 customers by balance
+    * per nation). Catalyst handles this via lateral-join decorrelation
+    * (`DecorrelateInnerQuery` rewrites the per-row LIMIT into a
+    * partitioned ranking) — a different optimizer path from the window
+    * formulation q20 uses directly and from q17/q18's scalar/EXISTS
+    * decorrelation. DuckDB executes the identical SQL, so the oracle is
+    * the same text modulo table names.
+    *
+    * Determinism: ORDER BY inside the lateral carries a full tie-break
+    * (balance DESC, then name); balances are pass-through parquet
+    * doubles — no arithmetic, so raw doubles are safe in the output.
+    *
+    * Scale: decorrelation turns the per-row subquery into one join +
+    * per-key ranking — the nation side is a 25-row dimension; no
+    * O(outer × inner) nested loop survives in the plan. */
+  val q81 = QueryDef(
+    "q81_lateral_topn",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.nation.createOrReplaceTempView("q81_nation")
+      t.customer.createOrReplaceTempView("q81_customer")
+      spark.sql("""
+        SELECT n.n_name, l.c_name, l.c_acctbal
+        FROM q81_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM q81_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""")
+    },
+    Some("""SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+    ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73)
+    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81)
 }
