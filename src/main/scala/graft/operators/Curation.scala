@@ -156,24 +156,27 @@ object Curation extends QueryPack {
     * 64-bit chunk-hash collision (~1e-11 at sf0.1 volumes) would merge
     * two distinct chunks; the string-keyed oracle hash-compare would
     * catch it. */
+  /** The q68 pipeline over an arbitrary `(doc_id, text)` frame — also
+    * driven by [[graft.tools.ScaleProbe]]'s curation mode. */
+  private[graft] def chunkDedupOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val chunks = docs.select(col("doc_id"),
+      posexplode(call_function("graft_chunk_hashes",
+        split(col("text"), " "), lit(8))).as(Seq("pos", "chunk")))
+    val ranked = chunks.withColumn("rn", row_number().over(
+      Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed"))
+      .select(col("doc_id"), col("n_chunks"), col("removed"),
+        round(col("removed").cast("double") / col("n_chunks"), 6)
+          .as("removed_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val q68 = QueryDef(
     "q68_chunk_dedup",
-    (spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
-      val d = Tables(spark, dir).documents
-      val chunks = d.select(col("doc_id"),
-        posexplode(call_function("graft_chunk_hashes",
-          split(col("text"), " "), lit(8))).as(Seq("pos", "chunk")))
-      val ranked = chunks.withColumn("rn", row_number().over(
-        Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
-      ranked.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed"))
-        .select(col("doc_id"), col("n_chunks"), col("removed"),
-          round(col("removed").cast("double") / col("n_chunks"), 6)
-            .as("removed_frac"))
-        .orderBy(col("doc_id"))
-    },
+    (spark, dir) => chunkDedupOn(Tables(spark, dir).documents),
     Some("""WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     ch AS (

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // usage: ScaleProbe [sfDir] [docs|ann|all] [factor...]
+    // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
     val rest = args.drop(1).filter(_.forall(_.isDigit))
@@ -40,7 +40,7 @@ object ScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    if (mode != "ann") factors.foreach { f =>
+    if (mode == "docs" || mode == "all") factors.foreach { f =>
       val docs: DataFrame = (
         if (f == 1) base
         else base
@@ -75,9 +75,33 @@ object ScaleProbe {
     // log2(n/target-occupancy)): the 4-plane candidate space degrades
     // toward n²/2⁴ per table as n grows — that gap, not the absolute
     // seconds, is the measurement.
+    // ---- curation passes: the map-only gates must be LINEAR in corpus
+    // size (they are per-row expressions), and chunk dedup's one shuffle
+    // (window by 8-byte chunk hash) should track the chunk count — the
+    // same group-by shape as exact dedup, no pair space at all.
+    if (mode == "curation" || mode == "all") factors.foreach { f =>
+      val docs: DataFrame = (
+        if (f == 1) base
+        else base
+          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(
+            (col("doc_id") * f + col("i")).as("doc_id"),
+            when(col("i") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
+      ).localCheckpoint()
+      val nDocs = docs.count()
+      val (_, tGates) = timed(
+        Curation.gateVerdicts(docs)
+          .write.format("noop").mode("overwrite").save())
+      val (_, tChunk) = timed(
+        Curation.chunkDedupOn(docs)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-CUR f=$f docs=$nDocs t_gates=$tGates%.2f t_chunk=$tChunk%.2f")
+    }
+
     val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    if (mode != "docs") factors.foreach { f =>
+    if (mode == "ann" || mode == "all") factors.foreach { f =>
       val em = (
         if (f == 1) emBase
         else emBase
