@@ -376,15 +376,19 @@ object RelationalExt extends QueryPack {
         FROM q81_nation n,
         LATERAL (SELECT c_name, c_acctbal FROM q81_customer c
                  WHERE c.c_nationkey = n.n_nationkey
-                 ORDER BY c_acctbal DESC, c_name LIMIT 2) l
-        ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""")
+                 ORDER BY c_acctbal DESC NULLS LAST, c_name ASC NULLS FIRST
+                 LIMIT 2) l
+        ORDER BY n.n_name ASC NULLS FIRST, l.c_acctbal DESC NULLS LAST,
+          l.c_name ASC NULLS FIRST""")
     },
     Some("""SELECT n.n_name, l.c_name, l.c_acctbal
     FROM nation n,
     LATERAL (SELECT c_name, c_acctbal FROM customer c
              WHERE c.c_nationkey = n.n_nationkey
-             ORDER BY c_acctbal DESC, c_name LIMIT 2) l
-    ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""))
+             ORDER BY c_acctbal DESC NULLS LAST, c_name ASC NULLS FIRST
+             LIMIT 2) l
+    ORDER BY n.n_name ASC NULLS FIRST, l.c_acctbal DESC NULLS LAST,
+      l.c_name ASC NULLS FIRST"""))
 
   override def queries: Seq[QueryDef] =
     Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81)

@@ -27,12 +27,28 @@ object ScaleProbe {
     // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
+    require(Set("docs", "curation", "ann", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
     graft.functions.GraftFunctions.register(spark)
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+
+    // the worst-case-density replication protocol shared by the docs and
+    // curation sections (load-bearing for the BASELINE tables — keep ONE
+    // copy): replica 0 is the original, replicas 1..f−1 append a distinct
+    // tail token, checkpointed so synthesis never contaminates timings
+    def replicateDocs(f: Int): DataFrame = (
+      if (f == 1) base
+      else base
+        .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+        .select(
+          (col("doc_id") * f + col("i")).as("doc_id"),
+          when(col("i") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
+    ).localCheckpoint()
 
     def timed[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -41,15 +57,7 @@ object ScaleProbe {
     }
 
     if (mode == "docs" || mode == "all") factors.foreach { f =>
-      val docs: DataFrame = (
-        if (f == 1) base
-        else base
-          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
-          .select(
-            (col("doc_id") * f + col("i")).as("doc_id"),
-            when(col("i") === 0, col("text"))
-              .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
-      ).localCheckpoint()
+      val docs = replicateDocs(f)
       val nDocs = docs.count()
 
       val (exact, tExact) = timed(Dedup.exactPairs(docs).localCheckpoint())
@@ -66,29 +74,12 @@ object ScaleProbe {
         f"t_exact=$tExact%.2f t_minhash=$tMinhash%.2f t_labels=$tLabels%.2f")
     }
 
-    // ---- embedding near-dup (q44 path): sign-LSH geometry vs corpus size
-    // Replicas perturb coordinate 0 by i/1000 — every replica group is a
-    // cos≈1 clique (true near-dups), and the base corpus's own qualifying
-    // pairs replicate f² times, so the true pair workload again grows ~f².
-    // Run the production pipeline at the registered 4-plane geometry AND
-    // at the depth the corpus size asks for (buckets ∝ n ⇒ planes ~
-    // log2(n/target-occupancy)): the 4-plane candidate space degrades
-    // toward n²/2⁴ per table as n grows — that gap, not the absolute
-    // seconds, is the measurement.
     // ---- curation passes: the map-only gates must be LINEAR in corpus
     // size (they are per-row expressions), and chunk dedup's one shuffle
     // (window by 8-byte chunk hash) should track the chunk count — the
     // same group-by shape as exact dedup, no pair space at all.
     if (mode == "curation" || mode == "all") factors.foreach { f =>
-      val docs: DataFrame = (
-        if (f == 1) base
-        else base
-          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
-          .select(
-            (col("doc_id") * f + col("i")).as("doc_id"),
-            when(col("i") === 0, col("text"))
-              .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
-      ).localCheckpoint()
+      val docs = replicateDocs(f)
       val nDocs = docs.count()
       val (_, tGates) = timed(
         Curation.gateVerdicts(docs)
@@ -99,6 +90,15 @@ object ScaleProbe {
       println(f"SCALE-CUR f=$f docs=$nDocs t_gates=$tGates%.2f t_chunk=$tChunk%.2f")
     }
 
+    // ---- embedding near-dup (q44 path): sign-LSH geometry vs corpus size
+    // Replicas perturb coordinate 0 by i/1000 — every replica group is a
+    // cos≈1 clique (true near-dups), and the base corpus's own qualifying
+    // pairs replicate f² times, so the true pair workload again grows ~f².
+    // Run the production pipeline at the registered 4-plane geometry AND
+    // at the depth the corpus size asks for (buckets ∝ n ⇒ planes ~
+    // log2(n/target-occupancy)): the 4-plane candidate space degrades
+    // toward n²/2⁴ per table as n grows — that gap, not the absolute
+    // seconds, is the measurement.
     val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     if (mode == "ann" || mode == "all") factors.foreach { f =>
