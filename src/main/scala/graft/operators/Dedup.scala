@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryPack, Tables}
+import graft.Materialize.CutSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,7 +96,7 @@ object Dedup extends QueryPack {
       .withColumn("rk", row_number().over(ordered))
       .filter(col("sz") * tauNum <= (col("sz") - col("rk") + 1) * tauDen)
       .select(col("doc_id"), col("s"), col("rk"), col("sz"))
-      .localCheckpoint()
+      .cut()
     val maxContrib =
       least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1
     prefix.as("a").join(prefix.as("b"),
@@ -221,7 +222,7 @@ object Dedup extends QueryPack {
       // array<long> path — re-mixing pre-hashed shingles per seed is an
       // equally valid MinHash family) and the verification joins: the
       // whole pipeline is one native pass per doc + long-keyed joins.
-      val hshArr = hashedShingleArray(docs).localCheckpoint()
+      val hshArr = hashedShingleArray(docs).cut()
       val nHashes = 64
       val bandsN = 16
       val rowsPerBand = nHashes / bandsN
@@ -257,7 +258,7 @@ object Dedup extends QueryPack {
       // materialize the (tiny) result before the total sort: range
       // partitioning samples its child, which would otherwise
       // re-execute the whole candidate+verify chain a second time
-      q32Pipeline(spark, dir).localCheckpoint().orderBy(col("d1"), col("d2")),
+      q32Pipeline(spark, dir).cut().orderBy(col("d1"), col("d2")),
     None)
 
   // ---------------------------------------------------------------- q33
@@ -280,7 +281,7 @@ object Dedup extends QueryPack {
     * driven directly by [[graft.tools.ScaleProbe]]. */
   private[graft] def exactPairs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val hshArr = hashedShingleArray(docs).localCheckpoint()
+    val hshArr = hashedShingleArray(docs).cut()
     jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
       .filter(atLeastJaccard(1, 2))
       .select(col("d1"), col("d2"), col("jac"))
@@ -291,7 +292,7 @@ object Dedup extends QueryPack {
     (spark, dir) =>
       // materialize before the total sort — the sort's range sampling
       // would otherwise re-execute the verification chain
-      exactPairsPipeline(spark, dir).localCheckpoint()
+      exactPairsPipeline(spark, dir).cut()
         .orderBy(col("d1"), col("d2")),
     Some("""WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -398,9 +399,9 @@ object Dedup extends QueryPack {
       val pairs = pairs0.select(col(pc(0)).as("pa"), col(pc(1)).as("pb"))
       val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint()
+        .cut()
       var lbl = ids.select(col("id"), col("id").as("lbl"))
-        .localCheckpoint()
+        .cut()
       val sumRow = lbl.agg(sum(col("lbl"))).head
       // empty node set → SUM is NULL; the components of nothing are nothing
       if (sumRow.isNullAt(0)) return lbl
@@ -408,7 +409,7 @@ object Dedup extends QueryPack {
       var converged = false
       var round = 0
       while (!converged && round < 30) {
-        val next = propagationRound(edges, lbl).localCheckpoint()
+        val next = propagationRound(edges, lbl).cut()
         val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
         converged = nextSum == prevSum
         prevSum = nextSum

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Materialize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scalable global ranking: `row_number`/`ntile` over a TOTAL order
+  * without funnelling every row through one task.
+  *
+  * `Window.orderBy(...)` with an empty `partitionBy` plans `Window` over
+  * `Exchange SinglePartition` — correct, but ONE task sorts the whole
+  * input, which is the canonical scale-killer for a billion-row rank.
+  * This primitive is the classic two-pass distributed rank instead:
+  *
+  *  1. `repartitionByRange` on the sort key (Spark's sampled range
+  *     partitioner; identical keys never straddle a boundary, and the
+  *     sort key is required to be a total order, so ranks are
+  *     well-defined regardless of where boundaries land);
+  *  2. per-partition local `row_number` (a window PARTITIONED by the
+  *     range-partition id — distributed, each task sorts ~n/P rows);
+  *  3. per-partition row counts → driver-side prefix sums (≤
+  *     `spark.sql.shuffle.partitions` rows — bounded model state, like
+  *     q60's k-means centroids, never row data) → broadcast-joined back
+  *     as offsets: global rank = offset + local rank.
+  *
+  * Cost: one range shuffle + one hash shuffle on the partition id, both
+  * distributed — vs the global window's single-task sort. The local-rank
+  * frame is materialized ([[Materialize.cut]]) because it feeds both the
+  * count pass and the final join.
+  */
+object GlobalRank {
+
+  private val pidCol = "__graft_pid"
+  private val lrkCol = "__graft_lrk"
+  private val offCol = "__graft_off"
+
+  /** Steps 1–2 (pre-materialization): range partition + local rank.
+    * Factored out so PlanSpec can assert the window is partitioned (no
+    * `Exchange SinglePartition`) on the plan that actually runs — the
+    * materialization in [[withRowNumber]] truncates executed plans. */
+  private[graft] def localRankPipeline(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, sortCols: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .withColumn(lrkCol, row_number().over(
+        Window.partitionBy(col(pidCol)).orderBy(sortCols: _*)).cast(LongType))
+  }
+
+  /** Adds a 1-based global `rankCol` (LongType) over the total order
+    * `sortCols`; also returns the total row count (free from the offset
+    * pass — callers like ntile need it anyway). `sortCols` MUST be a
+    * total order (include a unique tie-breaker), or ranks at boundary
+    * ties would depend on partitioning. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column],
+      rankCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = Materialize.cut(localRankPipeline(df, sortCols))
+    val counts = local.groupBy(col(pidCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val row = (pid, acc); acc += c; row
+    }.toSeq
+    val total = acc
+    val ranked = local
+      .join(broadcast(offsets.toDF(pidCol, offCol)), pidCol)
+      .withColumn(rankCol, col(offCol) + col(lrkCol))
+      .drop(pidCol, lrkCol, offCol)
+    (ranked, total)
+  }
+
+  /** Integer division of a non-negative rank-domain column by a positive
+    * constant. `(c - pmod(c, d)) / d` is exactly divisible, and double
+    * division of exactly-divisible values is exact while the quotient
+    * stays under 2^53 — i.e. for any row count a real corpus can have. */
+  private def idiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast(LongType)
+
+  /** SQL `ntile(tiles)` reconstructed from a 1-based global rank and the
+    * total count, in exact integer arithmetic: with q = n/t, r = n%t,
+    * the first r tiles hold q+1 rows and the rest hold q. Matches the
+    * ANSI ntile definition exactly (spec-asserted against Spark's own
+    * `ntile`). */
+  def ntileFromRank(rk: Column, total: Long, tiles: Int): Column = {
+    require(tiles >= 1, "ntileFromRank: tiles must be >= 1")
+    val q = total / tiles
+    val r = total % tiles
+    val cut = r * (q + 1)
+    // when q == 0 every row satisfies rk <= cut (= total), so the
+    // otherwise-branch never evaluates — qSafe only guards pmod-by-zero
+    val qSafe = math.max(q, 1L)
+    when(rk <= cut, idiv(rk - 1, q + 1) + 1)
+      .otherwise(lit(r) + idiv(rk - cut - 1, qSafe) + 1)
+  }
+}

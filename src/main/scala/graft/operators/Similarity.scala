@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{GraftFunctions, VectorOps}
 import graft.{Det, QueryDef, QueryPack, Tables}
+import graft.Materialize.CutSyntax
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -189,7 +190,7 @@ object Similarity extends QueryPack {
       val bucketed = em.select(col("vec_id"),
         posexplode(lshBucketTables(col("embedding"), tables = tables,
           planesPerTable = planesPerTable)).as(Seq("tbl", "bkt")))
-        .localCheckpoint()
+        .cut()
       val cands = bucketed.as("x").join(bucketed.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -218,7 +219,7 @@ object Similarity extends QueryPack {
   private[graft] def neardupPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     pairsCache.getOrCompute(spark, dir)(
-      neardupPairsPipeline(spark, dir).localCheckpoint())
+      neardupPairsPipeline(spark, dir).cut())
 
   val q44 = QueryDef(
     "q44_embedding_neardup",
@@ -263,7 +264,7 @@ object Similarity extends QueryPack {
       // (seed collect, 2 Lloyd rounds, final probe) and each would
       // otherwise re-plan + re-scan the parquet; at cluster scale this
       // is the standard cache-the-training-set step of k-means
-      val em = Tables(spark, dir).embeddings.localCheckpoint()
+      val em = Tables(spark, dir).embeddings.cut()
 
       // the n nearest cells of a row's embedding, with the K×dim centroid
       // model baked in as ONE nested literal — the native
@@ -323,7 +324,7 @@ object Similarity extends QueryPack {
       // materialize the 50-row result before the total sort — range
       // partitioning samples its child, which would re-execute the
       // assignment + probe chain
-      q60Pipeline(spark, dir).localCheckpoint().orderBy(col("qid"), col("rk")),
+      q60Pipeline(spark, dir).cut().orderBy(col("qid"), col("rk")),
     None)
 
   // ---------------------------------------------------------------- q59

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, QueryPack, Tables}
+import graft.Materialize.CutSyntax
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -395,7 +396,7 @@ object TextOps extends QueryPack {
         .select(col("doc_id"),
           explode(call_function("graft_bigram_hashes", toks)).as("b"))
         .select(col("doc_id"), col("b.hb").as("hb"), col("b.h1").as("h1"))
-        .localCheckpoint()
+        .cut()
       val c12 = bi.groupBy(col("hb")).agg(count(lit(1)).as("c12"))
       val c1 = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
       val vocab = d.select(explode(toks).as("tk"))
@@ -410,7 +411,7 @@ object TextOps extends QueryPack {
         // materialize the per-doc result before the total sort — range
         // partitioning samples its child, which would re-execute the
         // count-join chain
-        .localCheckpoint()
+        .cut()
         .orderBy(col("doc_id"))
     },
     Some("""WITH tok AS (
@@ -448,21 +449,24 @@ object TextOps extends QueryPack {
     * the micro-scaled integral `floor(sum_lp/n)`.
     *
     * Scale: per-doc scores come from q65's sharded LM pipeline; the rank
-    * is ONE global sort of (doc, score) pairs — the same deliberate
-    * small-output global ranking as q23's ntile (a 100 TB corpus sorts
-    * doc-count rows, not token rows; range-partitioned sort). */
+    * goes through [[GlobalRank.withRowNumber]] — range-partitioned
+    * two-pass ranking (per-partition local ranks + broadcast prefix-sum
+    * offsets), never a single-partition global window: at billions of
+    * docs an empty-partitionBy `row_number` would funnel every (doc,
+    * score) row through ONE task. The corpus count needed for the
+    * bottom-20% cut comes free from the offset pass. */
   val q71 = QueryDef(
     "q71_score_threshold",
     (spark, dir) => {
       val scored = q65.fn(spark, dir)
         .withColumn("mean_lp_micro",
           floor(col("sum_lp_micro") * 1.0 / col("n_bigrams")).cast(LongType))
-      val n = scored.agg(count(lit(1)).as("n_total"))
-      scored.crossJoin(broadcast(n))
-        .withColumn("rk", row_number().over(Window
-          .orderBy(col("mean_lp_micro"), col("doc_id"))).cast(IntegerType))
-        .select(col("doc_id"), col("mean_lp_micro"), col("rk"),
-          (col("rk") * 5 > col("n_total")).as("kept"))
+      val (ranked, n) = GlobalRank.withRowNumber(scored,
+        Seq(col("mean_lp_micro"), col("doc_id")), "rk0")
+      ranked
+        .select(col("doc_id"), col("mean_lp_micro"),
+          col("rk0").cast(IntegerType).as("rk"),
+          (col("rk0") * 5 > lit(n)).as("kept"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH tok AS (

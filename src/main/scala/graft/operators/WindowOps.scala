@@ -16,10 +16,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   * `graft.streaming` and share the same batch-checkable shapes.
   *
   * Scale notes: every window here is partitioned by a high-cardinality key
-  * (customer, user) so state is distributed; the only global window (q23
-  * ntile) is a deliberate small-cardinality ranking — for billion-row
-  * global ranks you'd range-partition the sort instead (Spark's orderBy
-  * already does exactly that under the hood).
+  * (customer, user) so state is distributed; q23's global quartiles go
+  * through [[GlobalRank]] (range-partitioned two-pass rank + broadcast
+  * prefix-sum offsets) — never a single-partition global window, which
+  * funnels the corpus through one task (PlanSpec guards the whole
+  * workload against that shape).
   */
 object WindowOps extends QueryPack {
   import Det._
@@ -104,14 +105,22 @@ object WindowOps extends QueryPack {
     ORDER BY o_orderkey"""))
 
   // ---------------------------------------------------------------- q23
-  /** ntile quartiles of customers by balance + per-quartile profile. */
+  /** ntile quartiles of customers by balance + per-quartile profile.
+    * The quartile assignment is [[GlobalRank.withRowNumber]] (distributed
+    * two-pass rank) + [[GlobalRank.ntileFromRank]] (exact integer ntile
+    * from rank and total) — semantically identical to
+    * `ntile(4) OVER (ORDER BY …)` (the oracle's form, and spec-asserted
+    * against Spark's own ntile) but without the single-task global
+    * window that form plans. */
   val q23 = QueryDef(
     "q23_ntile",
     (spark, dir) => {
       val c = Tables(spark, dir).customer
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      c.select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).cast(IntegerType).as("quartile"))
+      val (ranked, n) = GlobalRank.withRowNumber(
+        c.select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal").desc, col("c_custkey")), "rk")
+      ranked.select(col("c_acctbal"),
+          GlobalRank.ntileFromRank(col("rk"), n, 4).cast(IntegerType).as("quartile"))
         .groupBy(col("quartile"))
         .agg(
           count(lit(1)).as("n"),

@@ -161,8 +161,7 @@ class PlanSpec extends SparkTestBase {
     // those interiors are guarded by the dedicated pre-checkpoint
     // *Pipeline / propagationRound tests in this suite.
     val allowed = Set("q16_cross_join", "q17_scalar_subquery", "q39_tfidf",
-      "q41_cosine_topk", "q63_stratified_sample",
-      "q71_score_threshold" /* 1-row corpus-count broadcast */)
+      "q41_cosine_topk", "q63_stratified_sample")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -172,6 +171,44 @@ class PlanSpec extends SparkTestBase {
         else None
       }
     assert(offenders.isEmpty, s"unexpected cross products in: $offenders")
+  }
+
+  test("workload-wide: no query plans a global (empty-partitionBy) window over row data") {
+    // A Window with an empty partitionSpec plans `Window` over `Exchange
+    // SinglePartition` — every input row funnels through ONE task, the
+    // canonical scale-killer (this is what q23/q71 used to do; both now
+    // go through GlobalRank's range-partitioned two-pass rank). The only
+    // plan allowed to keep one is q78, whose global window runs AFTER the
+    // per-source aggregate — the single partition it moves is the
+    // #sources-row dimension table, not data. Same checkpoint caveat as
+    // the cross-product guard above: checkpointing queries present
+    // truncated plans here and are guarded by their dedicated
+    // pre-checkpoint pipeline tests (GlobalRank's interior below).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val allowed = Set("q78_mix_weights")
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => allowed.contains(q.name))
+      .flatMap { q =>
+        val global = q.fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(q.name) else None
+      }
+    assert(offenders.isEmpty, s"single-partition global windows in: $offenders")
+  }
+
+  test("global-rank primitive: distributed rank, never a SinglePartition exchange") {
+    import org.apache.spark.sql.functions.col
+    val c = Tables(spark, sf0001).customer.select(col("c_custkey"), col("c_acctbal"))
+    val p = operators.GlobalRank.localRankPipeline(
+        c, Seq(col("c_acctbal").desc, col("c_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global rank fell back to a single-partition window:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"expected a range repartition on the sort key:\n$p")
+    assert(p.contains("hashpartitioning(__graft_pid"),
+      s"expected the local-rank window partitioned by partition id:\n$p")
   }
 
   test("q76/q77: redaction and normalization are map-only scans (sort is the only exchange)") {
