@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   * of input row count — the bounded-heap TopK every MPP engine ships as
   * a physical operator, here as a Catalyst `TypedImperativeAggregate`.
   *
-  * Determinism: the order is total (score ties broken by id1 then id2),
-  * so the retained set and its output order are independent of
-  * partitioning and merge order — safe for the DuckDB oracle compare.
+  * Determinism: the order is total — scores under
+  * `java.lang.Double.compare`'s total order (NaN sorts above +∞, −0.0
+  * below 0.0), ties broken by id1 then id2 — so the retained set and
+  * its output order are independent of partitioning and merge order
+  * even on NaN-bearing input; safe for the DuckDB oracle compare.
   * Null inputs: a row with any null child is skipped (matches the
   * window formulation over non-null fixture columns).
   *
@@ -134,9 +136,16 @@ object TopKRows {
     def better(i: Int, j: Int): Boolean =
       betterThan(scores(i), ids1(i), ids2(i), scores(j), ids1(j), ids2(j))
 
+    /** Scores compare via `java.lang.Double.compare` — the NaN-safe
+      * TOTAL order (NaN above +∞, −0.0 below 0.0; same convention
+      * NearestCells uses) — never raw `>`/`==`, whose NaN behavior
+      * ("not better" both ways) makes the comparator intransitive and
+      * the retained set merge-order-dependent. */
     private def betterThan(s1: Double, x1: Long, y1: Long,
-        s2: Double, x2: Long, y2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && (x1 < x2 || (x1 == x2 && y1 < y2)))
+        s2: Double, x2: Long, y2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && (x1 < x2 || (x1 == x2 && y1 < y2)))
+    }
 
     def insert(s: Double, x: Long, y: Long): Unit = {
       if (n < k) {

@@ -106,18 +106,25 @@ object RelationalExt extends QueryPack {
   // ---------------------------------------------------------------- q49
   /** JSON struct round-trip + null-safe equality + regex matching:
     * parse `props` with an explicit schema (from_json), re-serialize
-    * (to_json), null-safe-compare the extracted field. */
+    * (to_json), null-safe-compare the extracted field. The struct is
+    * parsed ONCE into a named column the three outputs reference —
+    * Catalyst's CollapseProject declines to inline a non-cheap alias
+    * used more than once, so the optimized plan carries exactly one
+    * `from_json` (PlanSpec-asserted) instead of leaning on codegen
+    * subexpression elimination to rescue a triple parse. */
   val q49 = QueryDef(
     "q49_json_struct",
     (spark, dir) => {
       val e = Tables(spark, dir).events
       e.filter(col("props").rlike("^\\{\"k\": [0-9]+\\}$"))
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
         .select(
           col("event_id"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
-          to_json(struct(
-            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))).as("j"),
-          (from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k") <=> 87).as("is87"))
+          col("k"),
+          to_json(struct(col("k").as("k"))).as("j"),
+          (col("k") <=> 87).as("is87"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id,
@@ -132,7 +139,9 @@ object RelationalExt extends QueryPack {
   /** Approximate sketches (HyperLogLog++ distinct, GK-sketch quantile)
     * next to their exact counterparts — sketch values are
     * engine-specific → rows-only check; the spec asserts both
-    * approximations land within tolerance of exact. */
+    * approximations land within tolerance of exact, and q82 is the
+    * oracle-checked twin of the EXACT half (hash-verified against
+    * DuckDB), so only the sketch values themselves go unhashed. */
   val q50 = QueryDef(
     "q50_approx_distinct",
     (spark, dir) => {
@@ -158,6 +167,49 @@ object RelationalExt extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
     None)
+
+  // ---------------------------------------------------------------- q82
+  /** The exact half of q50 as its own oracle-checked query: distinct
+    * buyers and the exact median price per order priority. Exists so the
+    * deterministic columns of the sketch query ARE hash-verified (q50
+    * itself stays rows-only — HLL/GK sketch values are engine-specific).
+    *
+    * Determinism: the median interpolates between integer CENTS
+    * (`round(price·100)` — prices are 2-dp doubles), so the midpoint is
+    * a .0/.5 value both engines represent exactly; interpolating raw
+    * doubles would hinge on last-ulp parity of two different
+    * interpolation formulas (contract rules 2/7).
+    *
+    * Same two-aggregation shape as q50: a DISTINCT agg and a percentile
+    * agg in one list makes Catalyst plan an Expand whose partial
+    * aggregate groups by (priority, custkey) — a percentile buffer per
+    * CUSTOMER instead of per priority; split paths joined on the 5-row
+    * result instead (see q50's measured 9.7→2 s note). */
+  val q82 = QueryDef(
+    "q82_sketch_exact_twin",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val distincts = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_buyers"))
+      val medians = o.select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(cents, 0.5)").as("exact_median_cents"))
+      distincts.join(medians, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_buyers"),
+          col("exact_median_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH c AS (
+      SELECT o_orderpriority, o_custkey,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS exact_buyers,
+      quantile_cont(cents, 0.5) AS exact_median_cents
+    FROM c
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
 
   // ---------------------------------------------------------------- q51
   /** Explicit GROUPING SETS through the `spark.sql` entry point (the SQL
@@ -323,14 +375,18 @@ object RelationalExt extends QueryPack {
     * however many paths are read, which is the difference that matters
     * on a 100 TB semi-structured column. `try_parse_json` (not
     * `parse_json`) keeps a malformed payload row-local null instead of a
-    * job-killing exception. Oracle: DuckDB's JSON path functions compute
-    * the same typed extraction from the raw string. */
+    * job-killing exception, and `try_variant_get` (not `variant_get`,
+    * which throws on cast failure) does the same for a VALID payload
+    * whose field doesn't cast — `{"k": "abc"}` becomes a row-local null,
+    * not a dead job (ADVICE round 3; the oracle's TRY_CAST mirrors it).
+    * Oracle: DuckDB's JSON path functions compute the same typed
+    * extraction from the raw string. */
   val q73 = QueryDef(
     "q73_variant_agg",
     (spark, dir) => {
       val e = Tables(spark, dir).events
       e.select(
-          variant_get(try_parse_json(col("props")), "$.k", "int").as("k"),
+          try_variant_get(try_parse_json(col("props")), "$.k", "int").as("k"),
           col("value"))
         .filter(col("k").isNotNull)
         .groupBy(col("k"))
@@ -339,12 +395,12 @@ object RelationalExt extends QueryPack {
           dsum(col("value")).as("sum_value"))
         .orderBy(col("k"))
     },
-    Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+    Some(s"""SELECT TRY_CAST(json_extract_string(props, '$$.k') AS INT) AS k,
       COUNT(*) AS n_events,
       ${sqlDsum("value")} AS sum_value
     FROM events
     WHERE props IS NOT NULL AND json_valid(props)
-      AND json_extract_string(props, '$$.k') IS NOT NULL
+      AND TRY_CAST(json_extract_string(props, '$$.k') AS INT) IS NOT NULL
     GROUP BY 1
     ORDER BY 1"""))
 
@@ -391,5 +447,5 @@ object RelationalExt extends QueryPack {
       l.c_name ASC NULLS FIRST"""))
 
   override def queries: Seq[QueryDef] =
-    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81)
+    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81, q82)
 }

@@ -207,6 +207,47 @@ object Similarity extends QueryPack {
         .select(col("vid1"), col("vid2"), col("cos"))
   }
 
+  /** Sign-LSH collision probability of a pair at exactly the 0.45
+    * cosine threshold: 1 − θ/π with θ = arccos(0.45) (Goemans–Williamson
+    * / Charikar random-hyperplane bound) ≈ 0.6486 per plane. */
+  private[graft] val collisionAtThreshold: Double =
+    1.0 - math.acos(0.45) / math.Pi
+
+  /** THE corpus-size knob, as a policy instead of a hand pick: planes
+    * per table ≈ log2(n / 128), clamped to [4, 20] — each table has
+    * 2^planes buckets, so this holds expected bucket occupancy near 128
+    * vectors and candidate volume per table (Σ_bucket |bucket|²) tracks
+    * ~128·n instead of degrading toward n²/2^planes as the corpus
+    * grows. BASELINE.md's ann section measures exactly this: fixed
+    * depth goes quadratic at 16× corpus, occupancy-held depth stays
+    * ~linear. */
+  private[graft] def planesFor(n: Long): Int =
+    math.min(20, math.max(4,
+      math.ceil(math.log(n / 128.0) / math.log(2)).toInt))
+
+  /** Table-count compensation: deeper planes lower per-table recall
+    * (a qualifying pair collides in one table w.p. r^p, r =
+    * [[collisionAtThreshold]]), so tables grow to hold the per-pair
+    * miss probability (1 − r^p)^t at or under `missProb`:
+    * t = ⌈ln(missProb) / ln(1 − r^p)⌉. At the fixture depth p = 4 this
+    * yields exactly the registered q44 geometry (32 tables — the
+    * configuration whose output equality against brute force is
+    * spec-proven), anchoring the policy to the verified envelope. */
+  private[graft] def tablesFor(planes: Int, missProb: Double = 0.002): Int =
+    math.ceil(math.log(missProb) /
+      math.log1p(-math.pow(collisionAtThreshold, planes))).toInt
+
+  /** The documented default entry point for arbitrary corpora: q44's
+    * pipeline under the occupancy-held geometry
+    * ([[planesFor]] × [[tablesFor]]). The registered q44 keeps its
+    * explicit proven-exact 32×4 (which this policy reproduces at
+    * fixture scale, since planesFor(n ≤ 2048) = 4); a new deployment at
+    * a new corpus size starts here instead of hand-picking. */
+  def neardupPairsAuto(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = planesFor(embeddings.count())
+    neardupPairsOn(embeddings, tables = tablesFor(p), planesPerTable = p)
+  }
+
   /** Memoized materialized view of the near-dup pair set per
     * (session, dir): q44 (the pair output) and q70 (the cluster keeper)
     * consume the identical set, so it is computed once and checkpointed —
@@ -251,42 +292,56 @@ object Similarity extends QueryPack {
     * micro-scaled integer sum (no float reduction order); distance ties
     * break to the lowest cell index. Approximate → rows-only check;
     * recall vs exact q41 is asserted in SimilarityQualitySpec. */
-  /** q60 up to (but not including) the result materialization + total
-    * sort — the plan PlanSpec inspects (the checkpoint in the registered
-    * query truncates lineage, which would make plan assertions vacuous). */
-  private[graft] def q60Pipeline(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-      GraftFunctions.register(spark)
-      val k = 16
-      val nprobe = 4
-      val dim = 64
-      // materialize the corpus once: quantizer training is 4 actions
-      // (seed collect, 2 Lloyd rounds, final probe) and each would
-      // otherwise re-plan + re-scan the parquet; at cluster scale this
-      // is the standard cache-the-training-set step of k-means
-      val em = Tables(spark, dir).embeddings.cut()
+  /** The n nearest cells of a row's embedding, with the K×dim centroid
+    * model baked in as ONE nested literal — the native
+    * `graft_nearest_cells` replaces the composed
+    * array_sort(array(struct(||c||²−2⟨v,c⟩, i), …K…)) column, whose
+    * K·dim-leaf tree forced a fresh multi-thousand-node Janino compile
+    * every Lloyd round (the measured dominant cost of this query);
+    * distances fold identically (spec-asserted parity), so assignments
+    * are bit-for-bit unchanged. */
+  private def cellsOf(cs: Array[Array[Float]], n: Int): org.apache.spark.sql.Column =
+    call_function("graft_nearest_cells", col("embedding"),
+      typedLit(cs.map(_.toSeq).toSeq), lit(n))
+  private def assignCol(cs: Array[Array[Float]]): org.apache.spark.sql.Column =
+    element_at(cellsOf(cs, 1), 1)
 
-      // the n nearest cells of a row's embedding, with the K×dim centroid
-      // model baked in as ONE nested literal — the native
-      // `graft_nearest_cells` replaces the composed
-      // array_sort(array(struct(||c||²−2⟨v,c⟩, i), …K…)) column, whose
-      // K·dim-leaf tree forced a fresh multi-thousand-node Janino
-      // compile every Lloyd round (the measured dominant cost of this
-      // query); distances fold identically (spec-asserted parity), so
-      // assignments are bit-for-bit unchanged
-      def cellsOf(cs: Array[Array[Float]], n: Int): org.apache.spark.sql.Column =
-        call_function("graft_nearest_cells", col("embedding"),
-          typedLit(cs.map(_.toSeq).toSeq), lit(n))
-      def assignCol(cs: Array[Array[Float]]): org.apache.spark.sql.Column =
-        element_at(cellsOf(cs, 1), 1)
-
-      // deterministic init: the K lowest vec_ids
-      var centroids: Array[Array[Float]] = em.filter(col("vec_id") < k)
-        .orderBy(col("vec_id")).collect()
+  /** Coarse k-means quantizer (deterministic 2-round Lloyd), trained on
+    * a BOUNDED deterministic sample — never a materialization of the
+    * full corpus: a coarse quantizer needs a representative sample, not
+    * every row, so the training frame is capped at ~`maxTrain` rows via
+    * an md5-bucket filter on vec_id (determinism contract rule 9; no
+    * `rand()`, stable under task retry). Corpora at or under the cap
+    * train on everything — which keeps the registered q60's output
+    * bit-identical at every shipped SF — while a 100 TB corpus trains on
+    * a fixed-size sample whose cost does NOT grow with the corpus
+    * (measured flat by ScaleProbe's ann section). Only the sample is
+    * materialized ([[graft.Materialize.cut]] — bounded blocks); the full
+    * corpus is scanned exactly once afterwards, by the assignment pass.
+    *
+    * Seeds are the k lowest vec_ids of the training sample; means use
+    * the micro-scaled integer sum (no float reduction order). Returns
+    * the K×dim centroid model — driver-side MODEL STATE (k·dim floats),
+    * exactly how distributed k-means works. */
+  private[graft] def trainQuantizer(emAll: org.apache.spark.sql.DataFrame,
+      k: Int, maxTrain: Long): Array[Array[Float]] = {
+      GraftFunctions.register(emAll.sparkSession)
+      val n = emAll.count()
+      val train = graft.Materialize.cut(
+        if (n <= maxTrain) emAll
+        else {
+          val bucket = conv(substring(
+            md5(col("vec_id").cast("string").cast("binary")), 1, 4), 16, 10)
+            .cast(LongType)
+          emAll.filter(bucket < lit(65536L * maxTrain / n))
+        })
+      var centroids: Array[Array[Float]] = train
+        .orderBy(col("vec_id")).limit(k).collect()
         .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      val dim = centroids(0).length
       // 2 Lloyd rounds: map-only assign, exact-integer per-cell mean
       for (_ <- 0 until 2) {
-        val means = em.select(assignCol(centroids).as("cell"),
+        val means = train.select(assignCol(centroids).as("cell"),
             posexplode(col("embedding")).as(Seq("dimm", "v")))
           .groupBy(col("cell"), col("dimm"))
           .agg((sum(round(col("v").cast(DoubleType) * 1000000).cast(LongType))
@@ -300,10 +355,20 @@ object Similarity extends QueryPack {
           }.toMap
         centroids = Array.tabulate(k)(i => means.getOrElse(i, centroids(i)))
       }
+      centroids
+  }
 
-      val index = em.select(col("vec_id"), col("embedding"),
+  /** IVF ANN over an arbitrary `(vec_id, embedding)` frame: sample-train
+    * the coarse quantizer ([[trainQuantizer]]), assign the full corpus
+    * to cells map-only, probe each query's `nprobe` nearest cells via
+    * the equi-join on cell id. Also driven by [[graft.tools.ScaleProbe]]
+    * on replicated corpora. */
+  private[graft] def ivfTopK(emAll: org.apache.spark.sql.DataFrame,
+      k: Int, nprobe: Int, maxTrain: Long): org.apache.spark.sql.DataFrame = {
+      val centroids = trainQuantizer(emAll, k, maxTrain)
+      val index = emAll.select(col("vec_id"), col("embedding"),
         assignCol(centroids).as("cell"))
-      val qs = em.filter(col("vec_id") < 10)
+      val qs = emAll.filter(col("vec_id") < 10)
       val probes = qs.select(col("vec_id").as("qid"),
           col("embedding").as("qvec"),
           explode(cellsOf(centroids, nprobe)).as("cell"))
@@ -317,6 +382,16 @@ object Similarity extends QueryPack {
         .filter(col("rk") <= 5)
         .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
   }
+
+  /** q60 up to (but not including) the result materialization + total
+    * sort — the plan PlanSpec inspects (the checkpoint in the registered
+    * query truncates lineage, which would make plan assertions vacuous).
+    * The 65536-row training cap sits far above every shipped fixture, so
+    * fixture corpora train on all rows (bit-identical to full-corpus
+    * training) while the cap is what a 100 TB run would rely on. */
+  private[graft] def q60Pipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    ivfTopK(Tables(spark, dir).embeddings, k = 16, nprobe = 4, maxTrain = 65536L)
 
   val q60 = QueryDef(
     "q60_ivf_ann",

@@ -114,8 +114,11 @@ object ScaleProbe {
                 .otherwise(x)).as("embedding"))
       ).localCheckpoint()
       val n = em.count()
-      // planes such that per-table bucket occupancy stays ~128 vectors
-      val deep = math.max(4, math.ceil(math.log(n / 128.0) / math.log(2)).toInt)
+      // the occupancy-held geometry now comes from the production
+      // auto-policy (planesFor/tablesFor — the neardupPairsAuto entry
+      // point), not a probe-local formula
+      val deep = Similarity.planesFor(n)
+      val tDeepTables = Similarity.tablesFor(deep)
 
       // The fixed 4-plane geometry is probed only while its candidate
       // space (~32·n²/2⁴) stays locally materializable — the point of the
@@ -129,11 +132,21 @@ object ScaleProbe {
           f"pairs_p4=${shallow.count()} t_p4=$tShallow%.2f"
         } else "pairs_p4=skipped(candidate-space>1e9)"
       val (deepDf, tDeep) = timed(
-        Similarity.neardupPairsOn(em, tables = 32, planesPerTable = deep)
+        Similarity.neardupPairsOn(em, tables = tDeepTables, planesPerTable = deep)
           .localCheckpoint())
       val pd = deepDf.count()
+
+      // IVF quantizer: the training cap (1000 here, deliberately below
+      // the replicated corpus sizes so sampling engages) must keep
+      // t_ivf_train FLAT as f grows — training reads a fixed-size
+      // sample; only the assignment/probe pass scales with the corpus.
+      val (_, tIvfTrain) = timed(Similarity.trainQuantizer(em, 16, 1000L))
+      val (ivfDf, tIvf) = timed(
+        Similarity.ivfTopK(em, 16, 4, 1000L).localCheckpoint())
+      val ivfRows = ivfDf.count()
       println(f"SCALE-ANN f=$f vecs=$n $shallowStats " +
-        f"planes_deep=$deep pairs_deep=$pd t_deep=$tDeep%.2f")
+        f"planes_deep=$deep tables_deep=$tDeepTables pairs_deep=$pd t_deep=$tDeep%.2f " +
+        f"t_ivf_train=$tIvfTrain%.2f t_ivf=$tIvf%.2f ivf_rows=$ivfRows")
     }
     spark.stop()
   }

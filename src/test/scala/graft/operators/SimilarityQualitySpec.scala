@@ -123,6 +123,56 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("auto LSH geometry policy: anchored to the proven 32×4, occupancy-held, recall-bounded") {
+    // the policy reproduces the registered (spec-proven-exact) geometry
+    // across the whole fixture envelope: planes stay 4 up to n = 2048,
+    // and tablesFor(4) is exactly the registered 32 tables
+    assert(Similarity.planesFor(500) == 4)
+    assert(Similarity.planesFor(2048) == 4)
+    assert(Similarity.planesFor(4096) == 5)
+    assert(Similarity.tablesFor(4) == 32)
+    // occupancy-held: each doubling of the corpus adds one plane (2×
+    // the buckets), clamped at 20
+    assert(Similarity.planesFor(1L << 20) == 13)
+    assert(Similarity.planesFor(1L << 40) == 20)
+    // the compensation rule holds the per-pair miss bound at every depth
+    // the policy can emit: (1 − r^p)^tables ≤ 0.002 at the 0.45 threshold
+    val r = Similarity.collisionAtThreshold
+    (4 to 20).foreach { p =>
+      val t = Similarity.tablesFor(p)
+      val miss = math.pow(1.0 - math.pow(r, p), t)
+      assert(miss <= 0.002, f"p=$p t=$t miss=$miss%.5f")
+      assert(t >= 1)
+    }
+  }
+
+  test("neardupPairsAuto reproduces the registered q44 output at fixture scale") {
+    import org.apache.spark.sql.functions.col
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val auto = Similarity.neardupPairsAuto(em).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val registered = Similarity.q44.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == registered)
+  }
+
+  test("sample-trained quantizer: bounded training set still indexes the FULL corpus") {
+    // force sampling (cap 200 < the 500-vector fixture): training reads
+    // a bounded md5-bucket sample, the assignment/probe pass still
+    // covers every vector — 50 output rows, sane recall, exact cosines
+    val rows = Similarity.ivfTopK(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), 16, 4, maxTrain = 200L)
+      .collect()
+    assert(rows.length == 50, s"probe must still rank 5 per query, got ${rows.length}")
+    val exact = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF recall@5 with 200-row training sample = $recall%.2f")
+    assert(recall >= 0.4, s"sampled-quantizer recall collapsed: $recall")
+  }
+
   test("IVF recall vs exact top-5 is reported and sane (q60 vs q41)") {
     val exact = Similarity.q41.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
