@@ -390,11 +390,23 @@ object Dedup extends QueryPack {
     * embedding keeper (q70). `ids` carries one `id` per node; `pairs`
     * carries one row per undirected edge (two columns, any names).
     * Equi-join + group-by per round (the Pregel shape, never a
-    * cartesian), O(component diameter) rounds, lineage truncated per
-    * round; fails loudly instead of emitting partially-propagated labels
-    * (see q55 scaladoc). Returns `(id, lbl)` with `lbl` = min reachable
-    * id. */
-  private[graft] def propagateMinLabels(ids: DataFrame, pairs0: DataFrame): DataFrame = {
+    * cartesian), lineage truncated per round; fails loudly instead of
+    * emitting partially-propagated labels (see q55 scaladoc). Returns
+    * `(id, lbl)` with `lbl` = min reachable id.
+    *
+    * Round complexity is the deploy knob: the default neighbor-min round
+    * converges in O(component diameter) — the right choice for near-dup
+    * clusters, which are shallow dup sets, at one equi-join per round.
+    * `pointerDoubling = true` adds a [[shortcutRound]] (`lbl(x) ←
+    * lbl(lbl(x))`, the pointer-jumping step of classic log-diameter
+    * MapReduce connected components, cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) after each neighbor
+    * round — O(log diameter) rounds total, the fallback for adversarial
+    * chain topologies (spec: a 500-node path converges in the same
+    * 30-round budget the plain variant would blow). Both variants emit
+    * identical labels (property-asserted). */
+  private[graft] def propagateMinLabels(ids: DataFrame, pairs0: DataFrame,
+      pointerDoubling: Boolean = false): DataFrame = {
       val pc = pairs0.columns
       val pairs = pairs0.select(col(pc(0)).as("pa"), col(pc(1)).as("pb"))
       val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
@@ -409,7 +421,8 @@ object Dedup extends QueryPack {
       var converged = false
       var round = 0
       while (!converged && round < 30) {
-        val next = propagationRound(edges, lbl).cut()
+        val viaNbr = propagationRound(edges, lbl)
+        val next = (if (pointerDoubling) shortcutRound(viaNbr) else viaNbr).cut()
         val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
         converged = nextSum == prevSum
         prevSum = nextSum
@@ -418,11 +431,26 @@ object Dedup extends QueryPack {
       }
       // a silent non-converged exit would emit partially-propagated
       // labels as if they were clusters — fail loudly instead (30 rounds
-      // covers component diameter 30; real near-dup clusters are shallow,
-      // and a corpus needing more should switch to pointer-doubling)
+      // covers component diameter 30 plain / 2^30 with doubling; a
+      // corpus tripping this on the default should re-run with
+      // pointerDoubling = true)
       require(converged,
         s"connected components did not converge within $round rounds")
       lbl
+  }
+
+  /** One pointer-jumping step: every node's label becomes its label's
+    * label (`lbl(x) ← lbl(lbl(x))`) — min labels are fixpoints, so this
+    * only ever lowers toward the same fixpoint the neighbor rounds reach,
+    * while halving the pointer-chain depth (the log-diameter trick).
+    * Equi-join on the label — the same Pregel shape as
+    * [[propagationRound]] (PlanSpec-asserted); labels always reference
+    * existing node ids, so the left join's coalesce is belt-and-braces. */
+  private[graft] def shortcutRound(lbl: DataFrame): DataFrame = {
+    val parent = lbl.select(col("id").as("pid"), col("lbl").as("plbl"))
+    lbl.as("c").join(parent, col("c.lbl") === col("pid"), "left")
+      .select(col("c.id").as("id"),
+        coalesce(col("plbl"), col("c.lbl")).as("lbl"))
   }
 
   /** One min-label propagation round, pre-checkpoint — factored out so

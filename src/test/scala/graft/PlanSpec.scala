@@ -249,6 +249,11 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"propagation must stay an equi-join:\n$p")
+    // the pointer-jumping shortcut (log-diameter variant) is the same
+    // Pregel shape: an equi-join of the label table with itself
+    val ps = Dedup.shortcutRound(lbl).queryExecution.executedPlan.toString
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"pointer jump must stay an equi-join:\n$ps")
   }
 
   test("q60: IVF probe join is an equi-join on cell id (no cross product)") {

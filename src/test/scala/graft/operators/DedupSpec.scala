@@ -103,6 +103,33 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("pointer-doubling converges a 500-node chain (adversarial diameter) to one component") {
+    // a path graph is the worst case for neighbor-min propagation
+    // (O(diameter) = 500 rounds, far past the 30-round budget); the
+    // pointer-jumping variant must close it in O(log 500) ≈ 9 rounds
+    val n = 500
+    val ids = (0L until n.toLong).toDF("id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val lbl = Dedup.propagateMinLabels(ids, chain, pointerDoubling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbl.size == n)
+    assert(lbl.values.forall(_ == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("pointer-doubling emits identical labels to the plain variant") {
+    // two shallow components + a singleton — the near-dup shape the
+    // plain variant is tuned for; both variants must agree exactly
+    val ids = (0L to 8L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L), (4L, 5L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    def run(doubling: Boolean) =
+      Dedup.propagateMinLabels(ids, pairs, pointerDoubling = doubling)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(true) == run(false))
+    assert(run(false) == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L),
+      (4L, 4L), (5L, 4L), (6L, 4L), (7L, 7L), (8L, 7L)))
+  }
+
   test("simhash: identical docs at hamming 0, near-identical within 6") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
