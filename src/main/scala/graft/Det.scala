@@ -43,4 +43,16 @@ object Det {
 
   /** DuckDB-dialect SQL for [[davg]]. */
   def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT(*))"
+
+  /** The contract-rule-9 cross-engine hash bucket: first 16 md5 bits of
+    * the key's string form, as an integer in [0, 65536). THE idiom for
+    * splits/sampling thresholds (never xxhash64, which the oracle can't
+    * reproduce); DuckDB mirror:
+    * `CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4) AS INTEGER)`.
+    * Deterministic per key — stable under task retry, unlike `rand()`.
+    * INT typed (the bucket range needs 17 bits): q62/q74 emit it as an
+    * output column, so the type is part of the oracle schema. */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast(org.apache.spark.sql.types.IntegerType)
 }

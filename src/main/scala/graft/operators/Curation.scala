@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryPack, Tables}
+import graft.{Det, QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,9 +309,7 @@ object Curation extends QueryPack {
       val budget = 512
       val nShards = 8
       val d = Tables(spark, dir).documents
-      val bucket = conv(substring(
-        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast("int")
+      val bucket = Det.md5Bucket(col("doc_id"))
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       d.select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryPack, Tables}
+import graft.{Det, QueryDef, QueryPack, Tables}
 import graft.Materialize.CutSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -421,8 +421,12 @@ object Dedup extends QueryPack {
       var converged = false
       var round = 0
       while (!converged && round < 30) {
-        val viaNbr = propagationRound(edges, lbl)
-        val next = (if (pointerDoubling) shortcutRound(viaNbr) else viaNbr).cut()
+        // with doubling, the neighbor-round result feeds BOTH sides of
+        // the shortcut self-join — cut it first or the join+aggregate
+        // subtree executes twice per iteration
+        val next =
+          if (pointerDoubling) shortcutRound(propagationRound(edges, lbl).cut()).cut()
+          else propagationRound(edges, lbl).cut()
         val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
         converged = nextSum == prevSum
         prevSum = nextSum
@@ -514,9 +518,7 @@ object Dedup extends QueryPack {
   val q64 = QueryDef(
     "q64_leakage_free_split",
     (spark, dir) => {
-      val bucket = conv(substring(
-        md5(col("keeper").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast(IntegerType)
+      val bucket = Det.md5Bucket(col("keeper"))
       val split = when(bucket < 52429, "train")
         .when(bucket < 58982, "val")
         .otherwise("test")

@@ -52,7 +52,15 @@ object GlobalRank {
     * `sortCols`; also returns the total row count (free from the offset
     * pass — callers like ntile need it anyway). `sortCols` MUST be a
     * total order (include a unique tie-breaker), or ranks at boundary
-    * ties would depend on partitioning. */
+    * ties would depend on partitioning.
+    *
+    * Eager by design: the range shuffle, local-rank materialization and
+    * count pass run as Spark jobs at CALL time (the offsets are driver
+    * state, like q60's centroids), and the returned frame reads the
+    * materialized cut — so `graft.Explain` and plan inspection on a
+    * consuming query see a truncated plan, the same convention as every
+    * materializing query (q32/q33/q44/q55/q60/q70). Inspect
+    * [[localRankPipeline]] for the real interior, as PlanSpec does. */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column],
       rankCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession

@@ -232,17 +232,31 @@ object Similarity extends QueryPack {
     * t = ⌈ln(missProb) / ln(1 − r^p)⌉. At the fixture depth p = 4 this
     * yields exactly the registered q44 geometry (32 tables — the
     * configuration whose output equality against brute force is
-    * spec-proven), anchoring the policy to the verified envelope. */
+    * spec-proven), anchoring the policy to the verified envelope.
+    *
+    * Growth is the honest LSH trade, not linear: t ≈ ln(1/ε)·r^−p, and
+    * with p = log2(n/128) that is t ∝ (n/128)^log2(1/r) ≈ (n/128)^0.63
+    * at this threshold — total candidate volume ≈ t·128·n ∝ n^1.63, the
+    * classic sub-quadratic random-hyperplane exponent (vs n² for exact
+    * all-pairs; cf. Indyk–Motwani's ρ trade-off). `missProb` is the
+    * cost lever: a run that tolerates 2% misses instead of 0.2% cuts
+    * tables ~1.6×. Beyond ~10⁸ vectors the policy's table counts get
+    * large enough (thousands) that a deployment should hold planes and
+    * accept higher bucket occupancy (more verify work per candidate,
+    * fewer tables) — the ScaleProbe envelope (up to 32k vectors ×196
+    * tables) is where the policy is measured. */
   private[graft] def tablesFor(planes: Int, missProb: Double = 0.002): Int =
     math.ceil(math.log(missProb) /
       math.log1p(-math.pow(collisionAtThreshold, planes))).toInt
 
   /** The documented default entry point for arbitrary corpora: q44's
     * pipeline under the occupancy-held geometry
-    * ([[planesFor]] × [[tablesFor]]). The registered q44 keeps its
-    * explicit proven-exact 32×4 (which this policy reproduces at
-    * fixture scale, since planesFor(n ≤ 2048) = 4); a new deployment at
-    * a new corpus size starts here instead of hand-picking. */
+    * ([[planesFor]] × [[tablesFor]] — see tablesFor's scaladoc for the
+    * n^1.63 total-work envelope and the missProb lever). The registered
+    * q44 keeps its explicit proven-exact 32×4 (which this policy
+    * reproduces at fixture scale, since planesFor(n ≤ 2048) = 4); a new
+    * deployment at a new corpus size starts here instead of
+    * hand-picking. */
   def neardupPairsAuto(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = planesFor(embeddings.count())
     neardupPairsOn(embeddings, tables = tablesFor(p), planesPerTable = p)
@@ -323,21 +337,33 @@ object Similarity extends QueryPack {
     * the micro-scaled integer sum (no float reduction order). Returns
     * the K×dim centroid model — driver-side MODEL STATE (k·dim floats),
     * exactly how distributed k-means works. */
-  private[graft] def trainQuantizer(emAll: org.apache.spark.sql.DataFrame,
-      k: Int, maxTrain: Long): Array[Array[Float]] = {
-      GraftFunctions.register(emAll.sparkSession)
-      val n = emAll.count()
-      val train = graft.Materialize.cut(
-        if (n <= maxTrain) emAll
-        else {
-          val bucket = conv(substring(
-            md5(col("vec_id").cast("string").cast("binary")), 1, 4), 16, 10)
-            .cast(LongType)
-          emAll.filter(bucket < lit(65536L * maxTrain / n))
-        })
+  /** The bounded training frame (materialized) + whether sampling
+    * engaged: at or under the cap the WHOLE corpus is the training frame
+    * (so fixture outputs stay bit-identical to full-corpus training, and
+    * [[ivfTopK]] reuses the materialization for the assignment pass
+    * instead of re-scanning the source); over the cap, a deterministic
+    * md5-bucket filter keeps ~`maxTrain` rows and only THAT bounded
+    * sample is ever materialized. */
+  private def trainingFrame(emAll: org.apache.spark.sql.DataFrame,
+      maxTrain: Long): (org.apache.spark.sql.DataFrame, Boolean) = {
+    val n = emAll.count()
+    if (n <= maxTrain) (graft.Materialize.cut(emAll), false)
+    else (graft.Materialize.cut(
+      emAll.filter(Det.md5Bucket(col("vec_id")) < lit(65536L * maxTrain / n))), true)
+  }
+
+  /** Deterministic 2-round Lloyd over a (materialized) training frame.
+    * Seeds are its k lowest vec_ids; an md5-bucket sample is binomial,
+    * so a tight cap can land under k — the quantizer then simply has
+    * fewer cells (loud failure only on an empty frame), and
+    * [[graft.functions.expressions.NearestCells]] probes min(n, cells). */
+  private def lloyd(train: org.apache.spark.sql.DataFrame,
+      k: Int): Array[Array[Float]] = {
       var centroids: Array[Array[Float]] = train
         .orderBy(col("vec_id")).limit(k).collect()
         .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      require(centroids.nonEmpty, "ivf quantizer: empty training frame")
+      val kEff = centroids.length
       val dim = centroids(0).length
       // 2 Lloyd rounds: map-only assign, exact-integer per-cell mean
       for (_ <- 0 until 2) {
@@ -353,22 +379,29 @@ object Similarity extends QueryPack {
             rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
             arr
           }.toMap
-        centroids = Array.tabulate(k)(i => means.getOrElse(i, centroids(i)))
+        centroids = Array.tabulate(kEff)(i => means.getOrElse(i, centroids(i)))
       }
       centroids
   }
 
-  /** IVF ANN over an arbitrary `(vec_id, embedding)` frame: sample-train
-    * the coarse quantizer ([[trainQuantizer]]), assign the full corpus
-    * to cells map-only, probe each query's `nprobe` nearest cells via
-    * the equi-join on cell id. Also driven by [[graft.tools.ScaleProbe]]
-    * on replicated corpora. */
-  private[graft] def ivfTopK(emAll: org.apache.spark.sql.DataFrame,
-      k: Int, nprobe: Int, maxTrain: Long): org.apache.spark.sql.DataFrame = {
-      val centroids = trainQuantizer(emAll, k, maxTrain)
-      val index = emAll.select(col("vec_id"), col("embedding"),
+  private[graft] def trainQuantizer(emAll: org.apache.spark.sql.DataFrame,
+      k: Int, maxTrain: Long): Array[Array[Float]] = {
+      GraftFunctions.register(emAll.sparkSession)
+      lloyd(trainingFrame(emAll, maxTrain)._1, k)
+  }
+
+  /** Assignment + probe over a trained centroid model: map-only cell
+    * assignment of `base`, each query joined to its `nprobe` nearest
+    * cells on cell id (the equi-join PlanSpec asserts), exact-cosine
+    * re-rank of the probed candidates only. Querying the full corpus
+    * here costs two scans of `base` (index side + the pushdown-pruned
+    * query side) — deliberately NOT a full-corpus materialization, which
+    * is exactly what the sample-trained design exists to avoid. */
+  private[graft] def ivfProbe(base: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Float]], nprobe: Int): org.apache.spark.sql.DataFrame = {
+      val index = base.select(col("vec_id"), col("embedding"),
         assignCol(centroids).as("cell"))
-      val qs = emAll.filter(col("vec_id") < 10)
+      val qs = base.filter(col("vec_id") < 10)
       val probes = qs.select(col("vec_id").as("qid"),
           col("embedding").as("qvec"),
           explode(cellsOf(centroids, nprobe)).as("cell"))
@@ -381,6 +414,22 @@ object Similarity extends QueryPack {
         .withColumn("rk", row_number().over(w).cast(IntegerType))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF ANN over an arbitrary `(vec_id, embedding)` frame: sample-train
+    * the coarse quantizer, assign the full corpus to cells map-only,
+    * probe each query's `nprobe` nearest cells via the equi-join on cell
+    * id. When the corpus fits the training cap, the training
+    * materialization IS the corpus and feeds the probe directly (one
+    * source scan total); above the cap the raw frame feeds the probe and
+    * only the bounded sample is materialized. Also driven by
+    * [[graft.tools.ScaleProbe]] on replicated corpora. */
+  private[graft] def ivfTopK(emAll: org.apache.spark.sql.DataFrame,
+      k: Int, nprobe: Int, maxTrain: Long): org.apache.spark.sql.DataFrame = {
+      GraftFunctions.register(emAll.sparkSession)
+      val (train, sampled) = trainingFrame(emAll, maxTrain)
+      val centroids = lloyd(train, k)
+      ivfProbe(if (sampled) emAll else train, centroids, nprobe)
   }
 
   /** q60 up to (but not including) the result materialization + total

@@ -309,9 +309,7 @@ object TextOps extends QueryPack {
     "q62_train_split",
     (spark, dir) => {
       val d = Tables(spark, dir).documents
-      val bucket = conv(substring(
-        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast(IntegerType)
+      val bucket = Det.md5Bucket(col("doc_id"))
       val split = when(bucket < 52429, "train") // 0.8 * 65536
         .when(bucket < 58982, "val")            // 0.9 * 65536
         .otherwise("test")
@@ -340,9 +338,7 @@ object TextOps extends QueryPack {
     "q63_stratified_sample",
     (spark, dir) => {
       val d = Tables(spark, dir).documents
-      val bucket = conv(substring(
-        md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-        .cast(IntegerType)
+      val bucket = Det.md5Bucket(col("doc_id"))
       val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       val minN = counts.agg(min(col("n_lang")).as("min_n"))
       val thresholds = counts.crossJoin(broadcast(minN))

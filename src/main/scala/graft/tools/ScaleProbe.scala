@@ -139,10 +139,11 @@ object ScaleProbe {
       // IVF quantizer: the training cap (1000 here, deliberately below
       // the replicated corpus sizes so sampling engages) must keep
       // t_ivf_train FLAT as f grows — training reads a fixed-size
-      // sample; only the assignment/probe pass scales with the corpus.
-      val (_, tIvfTrain) = timed(Similarity.trainQuantizer(em, 16, 1000L))
+      // sample; only the assignment/probe pass (t_ivf, reusing the
+      // trained model — no double training) scales with the corpus.
+      val (cent, tIvfTrain) = timed(Similarity.trainQuantizer(em, 16, 1000L))
       val (ivfDf, tIvf) = timed(
-        Similarity.ivfTopK(em, 16, 4, 1000L).localCheckpoint())
+        Similarity.ivfProbe(em, cent, 4).localCheckpoint())
       val ivfRows = ivfDf.count()
       println(f"SCALE-ANN f=$f vecs=$n $shallowStats " +
         f"planes_deep=$deep tables_deep=$tDeepTables pairs_deep=$pd t_deep=$tDeep%.2f " +

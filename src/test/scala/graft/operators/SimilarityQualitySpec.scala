@@ -173,6 +173,26 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(recall >= 0.4, s"sampled-quantizer recall collapsed: $recall")
   }
 
+  test("quantizer degrades to fewer cells when the training frame has under k rows") {
+    // an md5-bucket sample is binomial — a tight cap can land under k;
+    // the quantizer must emit a smaller model, not crash, and the probe
+    // must clamp nprobe to the cells that exist
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(s)
+    val tiny = (0L until 5L).map(i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat / 40f).toSeq)).toDF("vec_id", "embedding")
+    val cents = Similarity.trainQuantizer(tiny, k = 16, maxTrain = 1000L)
+    assert(cents.length == 5, s"expected one cell per row, got ${cents.length}")
+    val probed = Similarity.ivfProbe(tiny, cents, nprobe = 16).collect()
+    assert(probed.nonEmpty)
+    val empty = tiny.filter(col("vec_id") < 0)
+    val e = intercept[IllegalArgumentException](
+      Similarity.trainQuantizer(empty, k = 16, maxTrain = 1000L))
+    assert(e.getMessage.contains("empty training frame"))
+  }
+
   test("IVF recall vs exact top-5 is reported and sane (q60 vs q41)") {
     val exact = Similarity.q41.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
