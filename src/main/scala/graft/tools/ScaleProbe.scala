@@ -27,8 +27,8 @@ object ScaleProbe {
     // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|all")
+    require(Set("docs", "curation", "ann", "ivf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|ivf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -101,18 +101,31 @@ object ScaleProbe {
     // seconds, is the measurement.
     val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    def replicateEm(f: Int) = (
+      if (f == 1) emBase
+      else emBase
+        .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+        .select(
+          (col("vec_id") * f + col("i")).as("vec_id"),
+          transform(col("embedding"), (x, idx) =>
+            when(idx === 0,
+              x + (col("i").cast("double") * lit(0.001)).cast("float"))
+              .otherwise(x)).as("embedding"))
+    ).localCheckpoint()
+
+    // ---- IVF only (cheap re-measure of the quantizer path without the
+    // LSH sweep): training must stay flat once the 1000-row cap engages
+    if (mode == "ivf") factors.foreach { f =>
+      val em = replicateEm(f)
+      val n = em.count()
+      val (cent, tIvfTrain) = timed(Similarity.trainQuantizer(em, 16, 1000L))
+      val (ivfDf, tIvf) = timed(Similarity.ivfProbe(em, cent, 4).localCheckpoint())
+      println(f"SCALE-IVF f=$f vecs=$n t_ivf_train=$tIvfTrain%.2f " +
+        f"t_ivf=$tIvf%.2f ivf_rows=${ivfDf.count()}")
+    }
+
     if (mode == "ann" || mode == "all") factors.foreach { f =>
-      val em = (
-        if (f == 1) emBase
-        else emBase
-          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
-          .select(
-            (col("vec_id") * f + col("i")).as("vec_id"),
-            transform(col("embedding"), (x, idx) =>
-              when(idx === 0,
-                x + (col("i").cast("double") * lit(0.001)).cast("float"))
-                .otherwise(x)).as("embedding"))
-      ).localCheckpoint()
+      val em = replicateEm(f)
       val n = em.count()
       // the occupancy-held geometry now comes from the production
       // auto-policy (planesFor/tablesFor — the neardupPairsAuto entry
