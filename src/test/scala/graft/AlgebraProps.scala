@@ -187,6 +187,22 @@ object AlgebraProps extends Properties("Algebra") {
     }
   }
 
+  property("GlobalRank equals the single-partition global row_number on any data") =
+    forAll(genRowsNE) { rows =>
+      // duplicate (v, k) rows are possible — the two forms may then swap
+      // ranks among identical rows, so compare the sorted (v, k, rk)
+      // multiset, which is invariant under those swaps
+      val d = df(rows)
+      val (ranked, n) = operators.GlobalRank.withRowNumber(
+        d, Seq(col("v"), col("k")), "rk")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("k"))
+      val truth = d.withColumn("rk", row_number().over(w).cast("long"))
+        .collect().map(r => (r.getDouble(1), r.getLong(0), r.getLong(2))).sorted.toSeq
+      val got = ranked.select(col("v"), col("k"), col("rk"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      n == rows.length && got == truth
+    }
+
   property("as-of join preserves every left row") =
     forAll(genRowsNE, genRows) { (a, b) =>
       val s = spark
