@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -18,17 +17,24 @@ import org.apache.spark.sql.types.LongType
   *     partitioner; identical keys never straddle a boundary, and the
   *     sort key is required to be a total order, so ranks are
   *     well-defined regardless of where boundaries land);
-  *  2. per-partition local `row_number` (a window PARTITIONED by the
-  *     range-partition id — distributed, each task sorts ~n/P rows);
+  *  2. `sortWithinPartitions` on the same key, then
+  *     `monotonically_increasing_id()` in the same stage — the id
+  *     encodes (partition index << 33) + row-offset-in-partition, so
+  *     (partition, local rank) decode with two bit ops. NO window, NO
+  *     second exchange: the one range shuffle is the only data movement
+  *     (PlanSpec asserts exactly one Exchange and zero Window nodes);
   *  3. per-partition row counts → driver-side prefix sums (≤
   *     `spark.sql.shuffle.partitions` rows — bounded model state, like
   *     q60's k-means centroids, never row data) → broadcast-joined back
   *     as offsets: global rank = offset + local rank.
   *
-  * Cost: one range shuffle + one hash shuffle on the partition id, both
-  * distributed — vs the global window's single-task sort. The local-rank
-  * frame is materialized ([[Materialize.cut]]) because it feeds both the
-  * count pass and the final join.
+  * Determinism: the id is assigned in post-sort order over a total sort
+  * key, so (pid, lrk) is a pure function of the data given the sampled
+  * range boundaries, and the final rank is boundary-independent. The
+  * 33-bit offset field caps partitions at ~8.6 B rows each — range
+  * partitioning keeps real partitions ~n/P, far under it. The
+  * local-rank frame is materialized ([[Materialize.cut]]) because it
+  * feeds both the count pass and the final join.
   */
 object GlobalRank {
 
@@ -36,16 +42,21 @@ object GlobalRank {
   private val lrkCol = "__graft_lrk"
   private val offCol = "__graft_off"
 
-  /** Steps 1–2 (pre-materialization): range partition + local rank.
-    * Factored out so PlanSpec can assert the window is partitioned (no
-    * `Exchange SinglePartition`) on the plan that actually runs — the
-    * materialization in [[withRowNumber]] truncates executed plans. */
+  /** Steps 1–2 (pre-materialization): range partition + in-stage local
+    * rank. Factored out so PlanSpec can assert the shape (one range
+    * Exchange, no Window, no SinglePartition) on the plan that actually
+    * runs — the materialization in [[withRowNumber]] truncates executed
+    * plans. */
   private[graft] def localRankPipeline(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val mid = "__graft_mid"
     df.repartitionByRange(parts, sortCols: _*)
-      .withColumn(pidCol, spark_partition_id())
-      .withColumn(lrkCol, row_number().over(
-        Window.partitionBy(col(pidCol)).orderBy(sortCols: _*)).cast(LongType))
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .withColumn(pidCol, shiftright(col(mid), 33).cast("int"))
+      .withColumn(lrkCol,
+        (col(mid).bitwiseAND(lit((1L << 33) - 1)) + 1).cast(LongType))
+      .drop(mid)
   }
 
   /** Adds a 1-based global `rankCol` (LongType) over the total order

@@ -204,18 +204,21 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"single-partition global windows in: $offenders")
   }
 
-  test("global-rank primitive: distributed rank, never a SinglePartition exchange") {
+  test("global-rank primitive: one range exchange, no window, never SinglePartition") {
     import org.apache.spark.sql.functions.col
     val c = Tables(spark, sf0001).customer.select(col("c_custkey"), col("c_acctbal"))
     val p = operators.GlobalRank.localRankPipeline(
         c, Seq(col("c_acctbal").desc, col("c_custkey")))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"),
-      s"global rank fell back to a single-partition window:\n$p")
+      s"global rank fell back to a single-partition plan:\n$p")
     assert(p.contains("rangepartitioning"),
       s"expected a range repartition on the sort key:\n$p")
-    assert(p.contains("hashpartitioning(__graft_pid"),
-      s"expected the local-rank window partitioned by partition id:\n$p")
+    // the in-stage monotonic-id rank needs NO second shuffle and NO
+    // window: the range exchange is the only data movement
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"local rank must not add a second exchange:\n$p")
+    assert(!p.contains("Window"), s"local rank must not plan a window:\n$p")
   }
 
   test("q76/q77: redaction and normalization are map-only scans (sort is the only exchange)") {
