@@ -93,7 +93,18 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map { case (_, v) => if (v < 0) FailurePenaltySec else v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Self-check against the recorded per-query baseline (the 2× perf
+    // contract): a regression fails LOUDLY in the bench line itself
+    // instead of relying on post-hoc diffing — and shared-tenant noise
+    // shows up as a broad list across untouched queries rather than
+    // silence. Queries newer than the baseline table are skipped until
+    // their first green run records an entry.
+    val overBudget = results.collect {
+      case (name, sec) if sec >= 0 && Baseline.seconds.get(name).exists(b => sec > 2 * b) =>
+        val b = Baseline.seconds(name)
+        f"""{"query":"$name","sec":$sec%.2f,"baseline":$b,"ratio":${sec / b}%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,10 @@
 package graft
 
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import scala.collection.concurrent.TrieMap
 
 /** Deploy-mode switch for pipeline materializations.
   *
@@ -25,10 +29,100 @@ import org.apache.spark.sql.DataFrame
   * [[Materialize.ModeKey]] ("spark.graft.materialize"), so the same query
   * code serves both deployments — MaterializeSpec asserts result
   * equality across modes.
+  *
+  * Checkpoint GC (reliable mode): Spark never deletes reliable
+  * checkpoint files on its own, so a long-lived session that recomputes
+  * materialized views would accumulate DFS space forever. Every reliable
+  * cut is therefore registered per SparkContext and freed
+  * deterministically at three points — (1) [[scoped]] deletes a
+  * computation's INTERIOR checkpoints once its final cut has
+  * materialized (a reliable checkpoint is a complete copy; upstream
+  * files are dead weight the moment the downstream one exists), (2)
+  * [[release]] deletes a view's final checkpoint when its cache entry is
+  * invalidated ([[SessionViewCache]]), (3) a listener deletes everything
+  * still registered at application end. Local mode needs none of this —
+  * localCheckpoint blocks live in executor storage and die with it.
   */
 object Materialize {
   /** Runtime conf key: "local" (default) or "reliable". */
   val ModeKey = "spark.graft.materialize"
+
+  /** Reliable-checkpoint dirs this object created, per context, with the
+    * Hadoop conf captured at creation (deletion must work during/after
+    * context stop). */
+  private val tracked =
+    TrieMap.empty[SparkContext, TrieMap[String, org.apache.hadoop.conf.Configuration]]
+
+  /** Thread-local interior-checkpoint scope (see [[scoped]]). */
+  private val scope = new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]
+
+  /** The reliable-checkpoint dir backing `df`, when `df` is the direct
+    * result of a reliable [[cut]] (local cuts and ordinary frames have
+    * no file-backed checkpoint → None). */
+  private[graft] def checkpointPathOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private def delete(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, true)
+  }
+
+  private def register(sc: SparkContext, path: String): Unit = {
+    val forCtx = tracked.getOrElseUpdate(sc, {
+      // first reliable cut on this context: arm end-of-application GC
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          releaseAll(sc)
+      })
+      TrieMap.empty
+    })
+    forCtx.put(path, sc.hadoopConfiguration)
+    Option(scope.get()).foreach(_ += path)
+  }
+
+  /** Deletes `df`'s reliable checkpoint files (no-op for local cuts) —
+    * called when a memoized view is invalidated. */
+  private[graft] def release(df: DataFrame): Unit =
+    checkpointPathOf(df).foreach { path =>
+      tracked.values.foreach(m => m.remove(path).foreach(delete(path, _)))
+    }
+
+  /** Deletes every reliable checkpoint still registered for `sc` — the
+    * application-end sweep (also the test hook: suites share one
+    * JVM-wide context and cannot stop it). */
+  private[graft] def releaseAll(sc: SparkContext): Unit =
+    tracked.remove(sc).foreach(_.foreach { case (path, conf) => delete(path, conf) })
+
+  /** Runs `body` (a view computation ending in a final [[cut]]) and then
+    * deletes the reliable checkpoints created on this thread DURING it,
+    * except the final frame's own — iterative pipelines
+    * (label propagation, Lloyd rounds) cut per step, and those interior
+    * files are unreachable dead weight once the final checkpoint holds
+    * the result. Scopes don't nest (a view computation is a flat
+    * pipeline); reentrant use would just attribute inner cuts to the
+    * outer scope, which is safe (deletion still happens, still after the
+    * final cut). */
+  private[graft] def scoped(body: => DataFrame): DataFrame = {
+    val outer = scope.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    scope.set(buf)
+    try {
+      val out = body
+      val keep = checkpointPathOf(out)
+      buf.filterNot(keep.contains).foreach { path =>
+        tracked.values.foreach(m => m.remove(path).foreach(delete(path, _)))
+      }
+      // under a (reentrant) outer scope, this scope's kept final cut is
+      // interior to the OUTER computation — let the outer decide its fate
+      Option(outer).foreach(o => keep.foreach(o += _))
+      out
+    } finally {
+      if (outer == null) scope.remove() else scope.set(outer)
+    }
+  }
 
   /** Eagerly materialize `df` and truncate its lineage, per the
     * session's configured mode. */
@@ -40,7 +134,9 @@ object Materialize {
         require(spark.sparkContext.getCheckpointDir.isDefined,
           s"$ModeKey=reliable requires SparkContext.setCheckpointDir " +
             "(an HDFS/S3 path in a real deployment)")
-        df.checkpoint()
+        val out = df.checkpoint()
+        checkpointPathOf(out).foreach(register(spark.sparkContext, _))
+        out
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be 'local' or 'reliable', got '$other'")
     }

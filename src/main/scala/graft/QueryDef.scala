@@ -10,6 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * explicit NULLS FIRST/LAST matching Spark's defaults (ASC → nulls first,
   * DESC → nulls last), identical output column names and types, no
   * order-dependent float reductions (use [[Det]]).
+  *
+  * `fn` is NOT guaranteed side-effect-free: queries that materialize
+  * ([[Materialize.cut]]) or rank globally
+  * ([[operators.GlobalRank.withRowNumber]] — eager by design) run real
+  * Spark jobs while BUILDING the returned frame, and the frame then reads
+  * a truncated checkpoint plan. Plan-only tooling (Explain, PlanSpec)
+  * must inspect the pre-checkpoint `*Pipeline` methods, never assume
+  * constructing the DataFrame was free.
   */
 final case class QueryDef(
     name: String,

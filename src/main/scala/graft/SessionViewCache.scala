@@ -18,11 +18,15 @@ private[graft] final class SessionViewCache {
     cache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) cache.remove(k)
     }
-    cache.getOrElseUpdate((spark, dir), compute)
+    // scoped: interior reliable checkpoints of the view pipeline are
+    // GC'd once the final cut lands (see Materialize's checkpoint-GC doc)
+    cache.getOrElseUpdate((spark, dir), Materialize.scoped(compute))
   }
 
   /** Drops the entry so the next lookup recomputes — used by the bench
-    * to measure the view COMPUTATION as its own line item. */
+    * to measure the view COMPUTATION as its own line item. Frees the
+    * dropped view's reliable checkpoint files (repeated
+    * invalidate+recompute cycles must not accumulate DFS space). */
   def invalidate(spark: SparkSession, dir: String): Unit =
-    cache.remove((spark, dir))
+    cache.remove((spark, dir)).foreach(Materialize.release)
 }

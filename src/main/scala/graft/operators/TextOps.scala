@@ -459,9 +459,12 @@ object TextOps extends QueryPack {
           floor(col("sum_lp_micro") * 1.0 / col("n_bigrams")).cast(LongType))
       val (ranked, n) = GlobalRank.withRowNumber(scored,
         Seq(col("mean_lp_micro"), col("doc_id")), "rk0")
+      // rk stays LongType: GlobalRank is billion-row-ready and an INT
+      // rank would silently overflow past ~2.1B docs (the cast was the
+      // one non-scalable step left in this pipeline)
       ranked
         .select(col("doc_id"), col("mean_lp_micro"),
-          col("rk0").cast(IntegerType).as("rk"),
+          col("rk0").as("rk"),
           (col("rk0") * 5 > lit(n)).as("kept"))
         .orderBy(col("doc_id"))
     },
@@ -492,7 +495,7 @@ object TextOps extends QueryPack {
       FROM per),
     r AS (
       SELECT doc_id, mean_lp_micro,
-        CAST(row_number() OVER (ORDER BY mean_lp_micro, doc_id) AS INT) AS rk,
+        CAST(row_number() OVER (ORDER BY mean_lp_micro, doc_id) AS BIGINT) AS rk,
         COUNT(*) OVER () AS n
       FROM m)
     SELECT doc_id, mean_lp_micro, rk, rk * 5 > n AS kept

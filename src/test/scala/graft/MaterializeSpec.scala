@@ -47,6 +47,52 @@ class MaterializeSpec extends SparkTestBase {
     assert(local == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 5L)))
   }
 
+  test("reliable checkpoints are GC'd: interior after view compute, final on invalidate, rest on app-end sweep") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-gc")
+    s2.sparkContext.setCheckpointDir(ckptRoot.toString)
+    def rddDirs: Seq[java.nio.file.Path] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walkFileTree(ckptRoot, new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+        override def preVisitDirectory(d: java.nio.file.Path,
+            a: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult = {
+          if (d.getFileName.toString.startsWith("rdd-")) {
+            out += d; java.nio.file.FileVisitResult.SKIP_SUBTREE
+          } else java.nio.file.FileVisitResult.CONTINUE
+        }
+      })
+      out.toSeq
+    }
+    s2.conf.set(Materialize.ModeKey, "reliable")
+    try {
+      // a view computation with one interior cut + the final cut —
+      // the SessionViewCache scope must free the interior file the
+      // moment the final checkpoint has materialized
+      val cache = new SessionViewCache
+      val view = cache.getOrCompute(s2, "gc-test") {
+        val interior = Materialize.cut(Seq(1L, 2L, 3L).toDF("x"))
+        Materialize.cut(interior.withColumn("y", col("x") * 2))
+      }
+      assert(view.count() == 3)
+      assert(rddDirs.size == 1,
+        s"interior checkpoint should be GC'd after the final cut, saw $rddDirs")
+      // invalidate drops the view AND its checkpoint files — repeated
+      // invalidate+recompute cycles must not accumulate DFS space
+      cache.invalidate(s2, "gc-test")
+      assert(rddDirs.isEmpty,
+        s"invalidate must delete the view's checkpoint, saw $rddDirs")
+      // an orphan cut outside any view scope is swept at application
+      // end; suites share the one JVM-wide context and cannot stop it,
+      // so exercise the listener's body (releaseAll) directly
+      Materialize.cut(Seq(1L).toDF("x"))
+      assert(rddDirs.size == 1)
+      Materialize.releaseAll(s2.sparkContext)
+      assert(rddDirs.isEmpty,
+        s"app-end sweep must empty the checkpoint dir, saw $rddDirs")
+    } finally s2.conf.set(Materialize.ModeKey, "local")
+  }
+
   test("unknown mode fails loudly") {
     val s2 = spark.newSession()
     import s2.implicits._

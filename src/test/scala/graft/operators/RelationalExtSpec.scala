@@ -24,4 +24,26 @@ class RelationalExtSpec extends SparkTestBase {
     // every nation with customers contributes at most 2 rows
     rows.groupBy(_._1).values.foreach(g => assert(g.size <= 2))
   }
+
+  test("q82 exact twin agrees with q50's exact columns and a brute-force median") {
+    val q82rows = RelationalExt.q82.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val q50rows = RelationalExt.q50.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    // exact_buyers is the SAME computation surfaced in both queries
+    assert(q82rows.map(t => (t._1, t._2)) == q50rows)
+    // exact_median_cents vs a driver-side brute-force median over cents
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    q82rows.foreach { case (prio, _, med) =>
+      val v = cents(prio)
+      val exp =
+        if (v.length % 2 == 1) v(v.length / 2).toDouble
+        else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+      assert(med == exp, s"median mismatch for $prio")
+    }
+  }
 }
