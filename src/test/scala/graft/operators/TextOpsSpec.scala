@@ -51,14 +51,19 @@ class TextOpsSpec extends SparkTestBase {
   }
 
   test("score threshold keeps exactly the top 80% by rank (q71)") {
-    val rows = TextOps.q71.fn(spark, sf0001).collect()
+    val df = TextOps.q71.fn(spark, sf0001)
+    // rk is a global rank over the whole corpus: LongType by contract, so
+    // a future type change fails here with a message, not a cast exception.
+    assert(df.schema("rk").dataType == org.apache.spark.sql.types.LongType,
+      s"q71 rk must be LongType, got ${df.schema("rk").dataType}")
+    val rows = df.collect()
     val n = rows.length
     val kept = rows.filter(_.getBoolean(3))
     val dropped = rows.filterNot(_.getBoolean(3))
     assert(kept.length == n - n / 5, s"kept ${kept.length} of $n")
     // the cut is a clean rank partition: every kept doc outranks every
     // dropped doc
-    assert(kept.map(_.getInt(2)).min > dropped.map(_.getInt(2)).max)
+    assert(kept.map(_.getLong(2)).min > dropped.map(_.getLong(2)).max)
   }
 
   test("redactPii scrubs emails, phones and IPs and leaves clean text alone") {
