@@ -65,20 +65,34 @@ object Materialize {
       case _ => None
     }
 
+  /** Every reliable-checkpoint dir reachable from `df`'s plan — a view's
+    * frame often wraps its final cut (e.g. a trailing `select` renaming
+    * columns), so liveness checks must look at ALL LogicalRDD leaves, not
+    * just a bare top-level one. */
+  private[graft] def checkpointPathsOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd.getCheckpointFile
+    }.flatten
+
   private def delete(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(conf).delete(p, true)
   }
 
   private def register(sc: SparkContext, path: String): Unit = {
-    val forCtx = tracked.getOrElseUpdate(sc, {
-      // first reliable cut on this context: arm end-of-application GC
-      sc.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          releaseAll(sc)
-      })
-      TrieMap.empty
-    })
+    val fresh = TrieMap.empty[String, org.apache.hadoop.conf.Configuration]
+    val forCtx = tracked.putIfAbsent(sc, fresh) match {
+      case Some(existing) => existing
+      case None =>
+        // this thread won the first-cut race: arm end-of-application GC
+        // exactly once per context (getOrElseUpdate's by-name default can
+        // evaluate twice under concurrent first cuts)
+        sc.addSparkListener(new SparkListener {
+          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+            releaseAll(sc)
+        })
+        fresh
+    }
     forCtx.put(path, sc.hadoopConfiguration)
     Option(scope.get()).foreach(_ += path)
   }
@@ -86,7 +100,7 @@ object Materialize {
   /** Deletes `df`'s reliable checkpoint files (no-op for local cuts) —
     * called when a memoized view is invalidated. */
   private[graft] def release(df: DataFrame): Unit =
-    checkpointPathOf(df).foreach { path =>
+    checkpointPathsOf(df).foreach { path =>
       tracked.values.foreach(m => m.remove(path).foreach(delete(path, _)))
     }
 
@@ -111,7 +125,9 @@ object Materialize {
     scope.set(buf)
     try {
       val out = body
-      val keep = checkpointPathOf(out)
+      // the returned frame may wrap its final cut(s) in projections —
+      // anything its plan still reads is live, everything else interior
+      val keep = checkpointPathsOf(out).toSet
       buf.filterNot(keep.contains).foreach { path =>
         tracked.values.foreach(m => m.remove(path).foreach(delete(path, _)))
       }

@@ -93,6 +93,35 @@ class MaterializeSpec extends SparkTestBase {
     } finally s2.conf.set(Materialize.ModeKey, "local")
   }
 
+  test("a reliable view ending in a projection over its final cut stays readable (labels-view shape)") {
+    // Regression: the cluster-labels view returns a select() OVER its final
+    // checkpoint. The interior-GC sweep must recognize checkpoints under
+    // projections as live (all LogicalRDD leaves, not only a bare top-level
+    // one) — otherwise every re-read of the memoized view dies on missing
+    // checkpoint files in reliable mode.
+    val s2 = spark.newSession()
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-proj")
+    s2.sparkContext.setCheckpointDir(ckptRoot.toString)
+    def rddDirs: Seq[java.io.File] =
+      Option(ckptRoot.toFile.listFiles).getOrElse(Array.empty).toSeq
+        .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+    s2.conf.set(Materialize.ModeKey, "reliable")
+    try {
+      val labels = operators.Dedup.clusterLabels(s2, sf0001)
+      val n = labels.count()
+      assert(n > 0)
+      assert(rddDirs.nonEmpty,
+        "the view's final checkpoint must survive the interior sweep")
+      // a second pass through the cache re-reads the SAME checkpoint files
+      assert(operators.Dedup.clusterLabels(s2, sf0001).count() == n)
+      // invalidate must find the checkpoint under the projection and free it
+      operators.Dedup.labelCache.invalidate(s2, sf0001)
+      assert(rddDirs.isEmpty,
+        s"invalidate must delete the projected view's checkpoint, saw $rddDirs")
+    } finally s2.conf.set(Materialize.ModeKey, "local")
+  }
+
   test("unknown mode fails loudly") {
     val s2 = spark.newSession()
     import s2.implicits._
