@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -99,6 +99,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBuckets(e.head,
           intLit(e(1), "graft_lsh_buckets: tables"),
           intLit(e(2), "graft_lsh_buckets: planesPerTable"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_lsh_probe_keys"),
+      new ExpressionInfo(classOf[LshProbeKeys].getName, "graft_lsh_probe_keys"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 4, "graft_lsh_probe_keys(vec, tables, planesPerTable, probes)")
+        LshProbeKeys(e.head,
+          intLit(e(1), "graft_lsh_probe_keys: tables"),
+          intLit(e(2), "graft_lsh_probe_keys: planesPerTable"),
+          intLit(e(3), "graft_lsh_probe_keys: probes"))
       }))
   }
 }

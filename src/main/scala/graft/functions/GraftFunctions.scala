@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
@@ -118,6 +118,20 @@ object GraftFunctions {
             LshBuckets(exprs.head, t, p)
           case _ => throw new IllegalArgumentException(
             "graft_lsh_buckets: tables and planesPerTable must be int literals")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_probe_keys",
+      exprs => {
+        require(exprs.length == 4,
+          "graft_lsh_probe_keys(vec, tables, planesPerTable, probes) takes four arguments")
+        (exprs(1), exprs(2), exprs(3)) match {
+          case (Literal(t: Int, IntegerType), Literal(p: Int, IntegerType),
+              Literal(q: Int, IntegerType)) =>
+            LshProbeKeys(exprs.head, t, p, q)
+          case _ => throw new IllegalArgumentException(
+            "graft_lsh_probe_keys: tables, planesPerTable and probes must be int literals")
         }
       },
       "built-in")

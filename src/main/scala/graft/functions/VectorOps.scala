@@ -80,4 +80,14 @@ object VectorOps {
     * limits and interprets. Requires [[GraftFunctions.register]]. */
   def lshBucketTables(v: Column, tables: Int, planesPerTable: Int): Column =
     call_function("graft_lsh_buckets", v, lit(tables), lit(planesPerTable))
+
+  /** Multi-probe sign-LSH keys ([[expressions.LshProbeKeys]], Lv et al.
+    * VLDB'07): per table, the exact sign-bucket plus the `probes − 1`
+    * most-likely neighbor buckets (smallest total squared hyperplane
+    * margin), each packed as `(table << planesPerTable) | bucket` so the
+    * key itself is the equi-join column. With `probes = 1` the keys are
+    * exactly [[lshBucketTables]]'s buckets in packed form (spec-pinned).
+    * Requires [[GraftFunctions.register]]. */
+  def lshProbeKeys(v: Column, tables: Int, planesPerTable: Int, probes: Int): Column =
+    call_function("graft_lsh_probe_keys", v, lit(tables), lit(planesPerTable), lit(probes))
 }

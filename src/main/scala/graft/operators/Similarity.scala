@@ -180,7 +180,8 @@ object Similarity extends QueryPack {
     * exact recall; a 100 TB deployment holds recall by adding tables
     * while deepening planes (miss probability (1−cosᵖ)ᵗ). */
   private[graft] def neardupPairsOn(embeddings: org.apache.spark.sql.DataFrame,
-      tables: Int, planesPerTable: Int): org.apache.spark.sql.DataFrame = {
+      tables: Int, planesPerTable: Int,
+      broadcastVerify: Boolean = false): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(embeddings.sparkSession)
       val em = embeddings
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
@@ -196,15 +197,81 @@ object Similarity extends QueryPack {
           col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vid1"), col("y.vec_id").as("vid2"))
         .distinct()
-      val left = em.select(col("vec_id").as("vid1"),
-        col("embedding").as("e1"), col("n1"))
-      val right = em.select(col("vec_id").as("vid2"),
-        col("embedding").as("e2"), col("n1").as("n2"))
+      verifyPairs(cands, em, broadcastVerify)
+  }
+
+  /** Exact-cosine verification of a candidate pair set: attach both
+    * vectors, compute the rounded cosine, keep pairs at or over the 0.45
+    * threshold. The candidate stream dwarfs the corpus whenever LSH is
+    * doing its job, so when the caller KNOWS the corpus side is small
+    * (`broadcastVerify` — the auto policy gates on row count) both
+    * attach joins broadcast the corpus and verification is a map-only
+    * pass over the candidate stream — the difference between shuffling
+    * |candidates| × vector-width bytes twice and shuffling nothing.
+    * Stats don't make this decision automatically: the corpus side here
+    * is usually a checkpoint (LogicalRDD), whose size Catalyst treats as
+    * unknown. At 100 TB the corpus is not broadcastable and the default
+    * shuffled form is the honest plan. */
+  private def verifyPairs(cands: org.apache.spark.sql.DataFrame,
+      em: org.apache.spark.sql.DataFrame,
+      broadcastVerify: Boolean): org.apache.spark.sql.DataFrame = {
+      def side(df: org.apache.spark.sql.DataFrame) =
+        if (broadcastVerify) broadcast(df) else df
+      val left = side(em.select(col("vec_id").as("vid1"),
+        col("embedding").as("e1"), col("n1")))
+      val right = side(em.select(col("vec_id").as("vid2"),
+        col("embedding").as("e2"), col("n1").as("n2")))
       cands.join(left, "vid1").join(right, "vid2")
         .withColumn("cos", round(
           dotNative(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos") >= 0.45)
         .select(col("vid1"), col("vid2"), col("cos"))
+  }
+
+  /** Near-dup pairs via multi-probe sign-LSH (Lv et al. VLDB'07):
+    * probe keys on the query side equi-joined to exact-bucket keys on
+    * the index side — never a cross product. One hashing pass computes
+    * the full probe-key array per row ([[graft.functions.expressions.LshProbeKeys]]
+    * — table-major, exact bucket first per table); the index side
+    * extracts each table's exact key from that same materialized array,
+    * so the corpus is hashed once, not twice.
+    *
+    * A pair (a, b) is emitted when a's probe set hits b's exact bucket
+    * in ANY table (or vice versa — both directions are joined by
+    * construction since every row appears on both sides). Multi-probe's
+    * trade, stated honestly for PAIR MINING: probing Q buckets per table
+    * multiplies random-collision candidates by ~Q at fixed (t, p) while
+    * raising the per-table hit rate, so its win over exact buckets is
+    * NOT candidate volume — it is table count: the miss bound is held
+    * with ~Q× fewer tables, cutting per-row hashing cost (t·p·dim) and
+    * index size by the same factor. That is what lets the depth policy
+    * keep growing past [[MaxTables]] (see [[tablesForMultiProbe]]),
+    * where exact-bucket compensation would need tens of thousands of
+    * tables. */
+  private[graft] def neardupPairsMultiProbe(embeddings: org.apache.spark.sql.DataFrame,
+      tables: Int, planesPerTable: Int, probes: Int,
+      broadcastVerify: Boolean = false): org.apache.spark.sql.DataFrame = {
+      GraftFunctions.register(embeddings.sparkSession)
+      val em = embeddings
+        .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
+      val e = math.min(probes, 1 << math.min(30, planesPerTable))
+      // one hashing pass: the probe-key array feeds BOTH join sides
+      val keyed = em.select(col("vec_id"),
+        lshProbeKeys(col("embedding"), tables, planesPerTable, probes).as("keys"))
+        .cut()
+      // index side: each table's exact bucket = entry t·e of the array
+      // (1-based element_at), already packed with the table id
+      val exact = keyed.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(tables - 1)),
+          t => element_at(col("keys"), t * e + 1))).as("key"))
+      val probed = keyed.select(col("vec_id").as("pid"),
+        explode(col("keys")).as("key"))
+      val cands = probed.join(exact, "key")
+        .filter(col("pid") =!= col("vec_id"))
+        .select(least(col("pid"), col("vec_id")).as("vid1"),
+          greatest(col("pid"), col("vec_id")).as("vid2"))
+        .distinct()
+      verifyPairs(cands, em, broadcastVerify)
   }
 
   /** Sign-LSH collision probability of a pair at exactly the 0.45
@@ -240,26 +307,122 @@ object Similarity extends QueryPack {
     * classic sub-quadratic random-hyperplane exponent (vs n² for exact
     * all-pairs; cf. Indyk–Motwani's ρ trade-off). `missProb` is the
     * cost lever: a run that tolerates 2% misses instead of 0.2% cuts
-    * tables ~1.6×. Beyond ~10⁸ vectors the policy's table counts get
-    * large enough (thousands) that a deployment should hold planes and
-    * accept higher bucket occupancy (more verify work per candidate,
-    * fewer tables) — the ScaleProbe envelope (up to 32k vectors ×196
-    * tables) is where the policy is measured. */
-  private[graft] def tablesFor(planes: Int, missProb: Double = 0.002): Int =
-    math.ceil(math.log(missProb) /
+    * tables ~1.6×. The exact-bucket compensation is capped at
+    * [[MaxTables]]: past the depth where it would need more (p ≥ 15 at
+    * the default missProb), callers must either loosen `missProb`, hold
+    * planes, or switch to the multi-probe form
+    * ([[tablesForMultiProbe]]/[[probesFor]]) — which is exactly what
+    * [[neardupPairsAuto]] does. The ScaleProbe envelope (up to 32k
+    * vectors ×196 tables) is where the policy is measured. */
+  private[graft] def tablesFor(planes: Int, missProb: Double = 0.002): Int = {
+    require(missProb > 0 && missProb < 1, s"missProb must be in (0,1): $missProb")
+    val t = math.ceil(math.log(missProb) /
       math.log1p(-math.pow(collisionAtThreshold, planes))).toInt
+    require(t <= MaxTables,
+      s"tablesFor(planes=$planes, missProb=$missProb) = $t exceeds MaxTables=$MaxTables: " +
+        "use the multi-probe geometry (tablesForMultiProbe/probesFor), a larger " +
+        "missProb, or hold planes")
+    t
+  }
+
+  /** Hard ceiling on hash-table count for any geometry the policies
+    * emit: past it, per-row hashing cost (tables·planes·dim) and index
+    * size stop being rounding errors next to the candidate workload —
+    * the multi-probe path exists precisely to keep the miss bound
+    * without crossing it. */
+  private[graft] val MaxTables = 4096
+
+  /** Per-table hit probability for a threshold pair under `probes`
+    * query-directed probes at depth `planes` — the multi-probe analogue
+    * of r^p. Model: each plane of the pair's bucket difference flips
+    * independently w.p. 1 − r (r = [[collisionAtThreshold]]); the probe
+    * sequence covers the `probes` most-likely flip patterns, so coverage
+    * is the cumulative probability of the `probes` highest-probability
+    * patterns (sizes ascending — fewer flips are always likelier since
+    * r > ½). This is the static size-ordered bound; the expression's
+    * margin-directed ordering (Lv VLDB'07) probes the patterns most
+    * likely FOR THAT ROW first, so measured recall sits at or above it
+    * (asserted at fixture scale in SimilarityQualitySpec). With
+    * probes = 1 this is exactly r^p, anchoring the multi-probe policy to
+    * [[tablesFor]]'s. */
+  private[graft] def perTableHit(planes: Int, probes: Int): Double = {
+    val stay = collisionAtThreshold
+    val flip = 1.0 - stay
+    var cover = 0.0
+    var remaining = probes.toDouble
+    var choose = 1.0 // C(planes, s)
+    var s = 0
+    while (s <= planes && remaining > 0) {
+      val take = math.min(choose, remaining)
+      cover += take * math.pow(flip, s) * math.pow(stay, planes - s)
+      remaining -= take
+      choose = choose * (planes - s) / (s + 1)
+      s += 1
+    }
+    math.min(cover, 1.0)
+  }
+
+  /** Probe-count policy: the exact bucket plus every 1-flip and 2-flip
+    * perturbation — 1 + p + C(p,2) probes. Two flips is where the
+    * coverage-per-probe curve knees at this threshold's flip rate
+    * (~0.35): ≤2-flip patterns carry the bulk of the miss mass at every
+    * depth the policy can emit, while 3-flip sets add ~p³/6 probes for a
+    * few points of per-table hit. */
+  private[graft] def probesFor(planes: Int): Int =
+    1 + planes + planes * (planes - 1) / 2
+
+  /** Table-count compensation for the multi-probe geometry: smallest t
+    * with (1 − [[perTableHit]])^t ≤ missProb. At p = 20 (the depth
+    * clamp, corpus ≈ 10⁸ vectors at 128-occupancy) this is ~533 tables
+    * where exact buckets would need ~36k — the ~Q× table reduction that
+    * is multi-probe's actual win (hashing and index size, not candidate
+    * volume; see [[neardupPairsMultiProbe]]). */
+  private[graft] def tablesForMultiProbe(planes: Int, probes: Int,
+      missProb: Double = 0.002): Int = {
+    require(missProb > 0 && missProb < 1, s"missProb must be in (0,1): $missProb")
+    val t = math.ceil(math.log(missProb) /
+      math.log1p(-perTableHit(planes, probes))).toInt
+    require(t <= MaxTables,
+      s"tablesForMultiProbe(planes=$planes, probes=$probes) = $t exceeds MaxTables")
+    t
+  }
+
+  /** Deepest plane count where the exact-bucket compensation stays
+    * under [[MaxTables]] at the default miss bound; beyond it the auto
+    * policy switches to multi-probe. */
+  private[graft] val ExactDepthLimit: Int =
+    (4 to 20).takeWhile(p => math.ceil(math.log(0.002) /
+      math.log1p(-math.pow(collisionAtThreshold, p))) <= MaxTables).last
+
+  /** Corpus sizes up to this many rows broadcast the corpus in the
+    * verify joins (≈64 MB of 64-dim floats — well inside executor
+    * memory); larger corpora use the default shuffled attach. */
+  private[graft] val BroadcastVerifyMaxRows = 250000L
 
   /** The documented default entry point for arbitrary corpora: q44's
-    * pipeline under the occupancy-held geometry
-    * ([[planesFor]] × [[tablesFor]] — see tablesFor's scaladoc for the
-    * n^1.63 total-work envelope and the missProb lever). The registered
-    * q44 keeps its explicit proven-exact 32×4 (which this policy
-    * reproduces at fixture scale, since planesFor(n ≤ 2048) = 4); a new
-    * deployment at a new corpus size starts here instead of
-    * hand-picking. */
+    * pipeline under the occupancy-held geometry. The input is
+    * materialized ONCE ([[graft.Materialize.cut]]) and that cut feeds
+    * both the row count and the pipeline — the corpus is never scanned
+    * twice (SimilarityQualitySpec pins the returned plan to the cut:
+    * zero file scans). Geometry: planes from [[planesFor]]; tables from
+    * [[tablesFor]] while the exact-bucket compensation fits
+    * [[MaxTables]] (p ≤ [[ExactDepthLimit]]), else the multi-probe
+    * geometry ([[probesFor]] × [[tablesForMultiProbe]]) — same miss
+    * bound, ~Q× fewer tables. The registered q44 keeps its explicit
+    * proven-exact 32×4 (which this policy reproduces at fixture scale,
+    * since planesFor(n ≤ 2048) = 4); a new deployment at a new corpus
+    * size starts here instead of hand-picking. */
   def neardupPairsAuto(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = planesFor(embeddings.count())
-    neardupPairsOn(embeddings, tables = tablesFor(p), planesPerTable = p)
+    val em = graft.Materialize.cut(embeddings)
+    val n = em.count()
+    val p = planesFor(n)
+    val bcast = n <= BroadcastVerifyMaxRows
+    if (p <= ExactDepthLimit)
+      neardupPairsOn(em, tables = tablesFor(p), planesPerTable = p,
+        broadcastVerify = bcast)
+    else
+      neardupPairsMultiProbe(em, tables = tablesForMultiProbe(p, probesFor(p)),
+        planesPerTable = p, probes = probesFor(p), broadcastVerify = bcast)
   }
 
   /** Memoized materialized view of the near-dup pair set per

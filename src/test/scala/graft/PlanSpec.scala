@@ -130,6 +130,17 @@ class PlanSpec extends SparkTestBase {
       s"pair generation must stay an equi-join:\n$p")
   }
 
+  test("multi-probe near-dup: probe-to-exact-key candidate generation is equi-join only") {
+    import org.apache.spark.sql.functions.col
+    val em = Tables(spark, sf0001).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val p = Similarity.neardupPairsMultiProbe(em, tables = 7,
+        planesPerTable = 6, probes = 22)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe pair generation must stay an equi-join on the packed key:\n$p")
+  }
+
   test("q66: decontamination joins train shingles to a BROADCAST eval side, equi-join only") {
     val p = plan(operators.Curation.q66)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -87,12 +87,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       // graft_nfc: NFC composition via the extensions path
       val nfc = s2.sql("SELECT graft_nfc('café')").collect()(0).getString(0)
       assert(nfc == "café")
+      // graft_lsh_probe_keys: probes=1 equals graft_lsh_buckets packed
+      // as (table << planes) | bucket — the multi-probe anchor identity
+      val pk = s2.sql(
+        "SELECT graft_lsh_probe_keys(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2, 1) AS k")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(pk == lb.zipWithIndex.map { case (b, t) => (t.toLong << 2) | b })
       // parity with the FunctionRegistry path (GraftFunctions.register)
       GraftFunctions.register(s2)
       val lb2 = s2.sql(
         "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2) AS b")
         .collect()(0).getSeq[Long](0).toSeq
       assert(lb2 == lb)
+      val pk2 = s2.sql(
+        "SELECT graft_lsh_probe_keys(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2, 1) AS k")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(pk2 == pk)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

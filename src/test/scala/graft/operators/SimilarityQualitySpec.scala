@@ -136,13 +136,33 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(Similarity.planesFor(1L << 20) == 13)
     assert(Similarity.planesFor(1L << 40) == 20)
     // the compensation rule holds the per-pair miss bound at every depth
-    // the policy can emit: (1 − r^p)^tables ≤ 0.002 at the 0.45 threshold
+    // the EXACT-BUCKET policy can emit ((1 − r^p)^tables ≤ 0.002 at the
+    // 0.45 threshold), staying under the table ceiling up to
+    // ExactDepthLimit...
     val r = Similarity.collisionAtThreshold
-    (4 to 20).foreach { p =>
+    (4 to Similarity.ExactDepthLimit).foreach { p =>
       val t = Similarity.tablesFor(p)
       val miss = math.pow(1.0 - math.pow(r, p), t)
       assert(miss <= 0.002, f"p=$p t=$t miss=$miss%.5f")
-      assert(t >= 1)
+      assert(t >= 1 && t <= Similarity.MaxTables)
+    }
+    // ...and refuses loudly past it (the multi-probe path takes over)
+    intercept[IllegalArgumentException](
+      Similarity.tablesFor(Similarity.ExactDepthLimit + 1))
+    // the MULTI-PROBE compensation holds the same bound at every deeper
+    // depth with far fewer tables: (1 − perTableHit)^t ≤ 0.002
+    (Similarity.ExactDepthLimit + 1 to 20).foreach { p =>
+      val q = Similarity.probesFor(p)
+      val t = Similarity.tablesForMultiProbe(p, q)
+      val miss = math.pow(1.0 - Similarity.perTableHit(p, q), t)
+      assert(miss <= 0.002, f"p=$p q=$q t=$t miss=$miss%.5f")
+      assert(t >= 1 && t <= Similarity.MaxTables)
+    }
+    // probes=1 anchors the multi-probe model to the exact-bucket one:
+    // perTableHit(p, 1) = r^p, so the two compensations agree exactly
+    (4 to 14).foreach { p =>
+      assert(math.abs(Similarity.perTableHit(p, 1) - math.pow(r, p)) < 1e-12)
+      assert(Similarity.tablesForMultiProbe(p, 1) == Similarity.tablesFor(p))
     }
   }
 
@@ -155,6 +175,47 @@ class SimilarityQualitySpec extends SparkTestBase {
     val registered = Similarity.q44.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(auto == registered)
+  }
+
+  test("neardupPairsAuto scans the corpus exactly once (count + pipeline share one cut)") {
+    import org.apache.spark.sql.functions.col
+    // the auto path materializes its input ONCE and derives everything —
+    // the row count for the geometry AND every pipeline read — from that
+    // cut. Proof: the returned plan contains zero file scans (all leaves
+    // are the materialized RDD), so the parquet source was read exactly
+    // once, by the cut itself. The explicit-geometry path reads its
+    // input frame directly — the auto path must never read it MORE.
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val plan = Similarity.neardupPairsAuto(em).queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"auto pipeline must read only its one materialized input, not re-scan the source:\n$plan")
+  }
+
+  test("multi-probe near-dup pipeline equals brute force at fixture scale (deep geometry)") {
+    import org.apache.spark.sql.functions.col
+    // exercise REAL probing: depth 6 on the 500-vector fixture (buckets
+    // smaller than the near-dup cliques) with the policy's probe count
+    // and table compensation — recall must survive on probes where the
+    // 7-table exact-bucket form alone would miss pairs
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val p = 6
+    val q = Similarity.probesFor(p)
+    val t = Similarity.tablesForMultiProbe(p, q)
+    def toSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mp = toSet(Similarity.neardupPairsMultiProbe(em, t, p, q).collect())
+    val bf = toSet(Similarity.bruteForceNearDup(spark, sf0001, 0.45).collect())
+    assert(bf.nonEmpty)
+    val missed = bf -- mp
+    assert(missed.isEmpty,
+      s"multi-probe (t=$t, p=$p, q=$q) missed ${missed.size} of ${bf.size} pairs: $missed")
+    assert(mp == bf, s"multi-probe invented ${(mp -- bf).size} pairs")
+    // broadcast-verify is a plan-only switch: identical output
+    val mpB = toSet(Similarity.neardupPairsMultiProbe(em, t, p, q,
+      broadcastVerify = true).collect())
+    assert(mpB == bf)
   }
 
   test("sample-trained quantizer: bounded training set still indexes the FULL corpus") {
