@@ -91,6 +91,62 @@ object GlobalRank {
     (ranked, total)
   }
 
+  /** The full SQL global ranking family — `rank`, `dense_rank`,
+    * `percent_rank`, `cume_dist` (plus the underlying `row_number`) over
+    * a TOTAL input order, derived from the same two-pass primitive and
+    * never a single-partition window.
+    *
+    * Derivation: `row_number` comes from [[withRowNumber]] over
+    * `orderCols ++ tieCols` (the tie-break makes the order total; the
+    * family's outputs are tie-break-INDEPENDENT by construction). One
+    * extra aggregate per tie group (`orderCols`) yields the group's
+    * row-number minimum and maximum — `rank` IS the minimum, `cume_dist`
+    * is maximum/n, `percent_rank` is (rank−1)/(n−1) — and a second,
+    * group-sized rank pass over the group minima numbers the groups:
+    * `dense_rank`. Shuffle budget, stated honestly: one range exchange
+    * of the rows (row_number), one hash exchange of the rows (the
+    * tie-group aggregate), one range exchange of the GROUPS (dense
+    * numbering — distinct-key-sized, not row-sized), and the join of
+    * rows back to their group's stats (hash, or broadcast when the
+    * group table is small — AQE decides from the aggregate's runtime
+    * size). Every exchange is many-partition; nothing funnels through
+    * one task, which is the entire point vs `Window.orderBy`
+    * (PlanSpec's workload guard). Exact integer arithmetic throughout;
+    * the two ratio columns are exact-int divisions in double
+    * (AlgebraProps pins all five columns to Spark's own window
+    * functions on identical input). */
+  def withRankFamily(df: DataFrame, sortCols: Seq[Column], keyCols: Seq[Column],
+      tieCols: Seq[Column], prefix: String = ""): (DataFrame, Long) = {
+    val rn = s"${prefix}row_number"
+    val (numbered0, n) = withRowNumber(df, sortCols ++ tieCols, rn)
+    val numbered = Materialize.cut(numbered0)
+    // tie groups are identified by their row-number span: one aggregate
+    // on the ranking key (keyCols = the VALUE form of sortCols — sort
+    // direction lives only in the row_number pass) gives min (= rank)
+    // and max (→ cume_dist)
+    val keyNames = keyCols.indices.map(i => s"__graft_k$i")
+    val keyed = numbered.select(
+      keyCols.zip(keyNames).map { case (c, nm) => c.as(nm) } :+ col(rn): _*)
+    val groups = keyed.groupBy(keyNames.map(col): _*)
+      .agg(min(col(rn)).as(s"${prefix}rank"), max(col(rn)).as("__graft_hi"))
+    // group minima are distinct and ordered with the key: ranking them
+    // numbers the groups — dense_rank — at group (not row) scale
+    val (denseGroups, _) = withRowNumber(groups,
+      Seq(col(s"${prefix}rank")), s"${prefix}dense_rank")
+    val joined = numbered.join(denseGroups,
+      keyCols.zip(keyNames).map { case (c, nm) => c <=> col(nm) }
+        .reduce(_ && _))
+    val out = joined
+      .withColumn(s"${prefix}percent_rank",
+        if (n <= 1L) lit(0.0)
+        else (col(s"${prefix}rank") - 1).cast("double") / lit((n - 1).toDouble))
+      .withColumn(s"${prefix}cume_dist",
+        col("__graft_hi").cast("double") / lit(n.toDouble))
+      .drop("__graft_hi")
+      .drop(keyNames: _*)
+    (out, n)
+  }
+
   /** Integer division of a non-negative rank-domain column by a positive
     * constant. `(c - pmod(c, d)) / d` is exactly divisible, and double
     * division of exactly-divisible values is exact while the quotient

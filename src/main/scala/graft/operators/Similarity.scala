@@ -179,11 +179,26 @@ object Similarity extends QueryPack {
     * uses 32×4 — sized for the fixture envelope where the spec proves
     * exact recall; a 100 TB deployment holds recall by adding tables
     * while deepening planes (miss probability (1−cosᵖ)ᵗ). */
+  /** Pair pipelines inherit the input's partitioning into their most
+    * expensive map work (per-row LSH hashing, candidate generation, the
+    * distinct's partial aggregate — none of which shuffle first), so a
+    * NARROW input serializes them: a fixture-sized parquet read plans
+    * 1–2 partitions, and replicate-by-explode inherits that, leaving 30
+    * of 32 cores idle through the candidate stage — measured 658 s for
+    * the f=16 ScaleProbe row whose real work fits in a quarter of that.
+    * Raise narrow inputs to the cluster default up front (hash on
+    * vec_id — deterministic, no round-robin); wide inputs (any real
+    * deployment's scan) pass through untouched. */
+  private def ensureParallelism(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want, col("vec_id")) else df
+  }
+
   private[graft] def neardupPairsOn(embeddings: org.apache.spark.sql.DataFrame,
       tables: Int, planesPerTable: Int,
       broadcastVerify: Boolean = false): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(embeddings.sparkSession)
-      val em = embeddings
+      val em = ensureParallelism(embeddings)
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
       // the bucket table sits on BOTH sides of the candidate self-join
       // and Spark does not dedupe identical subplans — materialize it
@@ -252,7 +267,7 @@ object Similarity extends QueryPack {
       tables: Int, planesPerTable: Int, probes: Int,
       broadcastVerify: Boolean = false): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(embeddings.sparkSession)
-      val em = embeddings
+      val em = ensureParallelism(embeddings)
         .withColumn("n1", sqrt(dotNative(col("embedding"), col("embedding"))))
       val e = math.min(probes, 1 << math.min(30, planesPerTable))
       // one hashing pass: the probe-key array feeds BOTH join sides

@@ -136,6 +136,46 @@ object WindowOps extends QueryPack {
     GROUP BY quartile
     ORDER BY quartile"""))
 
+  // ---------------------------------------------------------------- q83
+  /** The full GLOBAL ranking family — row_number, rank, dense_rank,
+    * percent_rank, cume_dist over a corpus-wide order with real ties
+    * (hundred-unit balance buckets) — via
+    * [[GlobalRank.withRankFamily]]: the range-partitioned two-pass rank
+    * plus one tie-group aggregate and a group-sized dense numbering,
+    * never a single-partition window (the oracle's
+    * `ORDER BY … ` window form is exactly what a 100 TB corpus cannot
+    * plan; PlanSpec's workload guard enforces the ban engine-side).
+    * Ratio columns are exact integer ratios in double, so the DuckDB
+    * window functions reproduce them bit-for-bit. */
+  val q83 = QueryDef(
+    "q83_global_rank_family",
+    (spark, dir) => {
+      val c = Tables(spark, dir).customer
+        .select(col("c_custkey"),
+          floor(col("c_acctbal").cast(DoubleType) / 100).cast(LongType).as("bal_bucket"))
+      val (fam, _) = GlobalRank.withRankFamily(c,
+        sortCols = Seq(col("bal_bucket").desc),
+        keyCols = Seq(col("bal_bucket")),
+        tieCols = Seq(col("c_custkey")))
+      fam.select(col("c_custkey"), col("bal_bucket"),
+          col("row_number").as("rn"), col("rank").as("rk"),
+          col("dense_rank").as("drk"), col("percent_rank").as("prk"),
+          col("cume_dist").as("cd"))
+        .orderBy(col("rn"))
+    },
+    Some("""SELECT c_custkey,
+      CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 100) AS BIGINT) AS bal_bucket,
+      CAST(row_number() OVER wt AS BIGINT) AS rn,
+      CAST(rank() OVER wb AS BIGINT) AS rk,
+      CAST(dense_rank() OVER wb AS BIGINT) AS drk,
+      percent_rank() OVER wb AS prk,
+      cume_dist() OVER wb AS cd
+    FROM customer
+    WINDOW
+      wt AS (ORDER BY FLOOR(CAST(c_acctbal AS DOUBLE) / 100) DESC, c_custkey),
+      wb AS (ORDER BY FLOOR(CAST(c_acctbal AS DOUBLE) / 100) DESC)
+    ORDER BY rn"""))
+
   // ---------------------------------------------------------------- q24
   /** Moving average over a bounded row frame (last 3 events per user). */
   val q24 = QueryDef(
@@ -366,5 +406,5 @@ object WindowOps extends QueryPack {
     ORDER BY o_custkey, o_orderkey"""))
 
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83)
 }

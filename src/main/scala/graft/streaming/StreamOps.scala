@@ -105,6 +105,130 @@ object StreamOps {
   }
 }
 
+/** One banded document row entering the streaming near-dedup gate:
+  * `(band, bh)` is the LSH bucket key, `shs` the doc's hashed shingle
+  * set (the exact-verification payload). */
+case class BandedDoc(band: Int, bh: Long, docId: Long, shs: Array[Long])
+
+/** A verified near-duplicate pair from the gate (smaller doc id first,
+  * matching the batch pair orientation). */
+case class StreamNearDup(d1: Long, d2: Long, jac: Double)
+
+/** A document held in a band bucket's signature store. */
+case class StoredDoc(docId: Long, shs: Array[Long])
+
+/** Streaming MinHash-LSH near-dedup — the arrival-order form of batch
+  * q32 ([[graft.operators.Dedup.minhashPairs]]), modeling the
+  * reference's incremental-daily corpus semantics
+  * (`dags/hello_function_dag.py:16`): each arriving document is checked
+  * against the ACCUMULATED signature store instead of a nightly
+  * all-corpus batch, so near-dup verdicts land at micro-batch latency.
+  *
+  * Identical math to the batch path, by construction: the same
+  * `graft_hashed_shingles` → `graft_minhash64(64)` → 16 × xxhash64 band
+  * keys (the very Column expressions batch uses), so a pair collides in
+  * a stream bucket iff it collides in the batch band — and verification
+  * is the same exact integer predicate (3·|A∩B| ≥ |A|+|B|, i.e.
+  * J ≥ 1/2) with the same HALF_UP 6-dp jaccard. StreamOpsSpec asserts
+  * set equality of streamed vs batch-q32 pairs on the same corpus.
+  *
+  * State design: `transformWithState` keyed on the (band, bucket) pair —
+  * state is partitioned by bucket key, so the store distributes across
+  * executors and each arriving doc compares only against its bucket's
+  * occupants (the LSH candidate set), never the corpus. A doc's shingle
+  * set is held once per band (16×) — the classic LSH index-size trade.
+  * The store accumulates for the life of the query (that IS the
+  * incremental-corpus semantics); a production deployment bounds it
+  * with state TTL (`TTLConfig`) or periodic snapshot-compaction, both
+  * orthogonal to the gate's logic. A pair sharing several band buckets
+  * is emitted once per shared band (buckets are independent keys);
+  * downstream consumers dedup with `dropDuplicatesWithinWatermark` —
+  * the batch-parity spec dedups with `distinct`. */
+object StreamNearDedup {
+  private[streaming] val NumHashes = 64
+  private[streaming] val Bands = 16
+
+  /** `docs` needs `doc_id` and `text`; works on static frames and
+    * streams alike (the spec runs it on a `MemoryStream` with RocksDB
+    * state). */
+  def pairs(docs: DataFrame): Dataset[StreamNearDup] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rowsPerBand = NumHashes / Bands
+    val hsh = graft.operators.Dedup.hashedShingleArray(docs)
+    val sigs = hsh.select(col("doc_id"), col("shs"),
+      call_function("graft_minhash64", col("shs"), lit(NumHashes)).as("sig"))
+    val bandStructs = (0 until Bands).map { b =>
+      val hs: Seq[org.apache.spark.sql.Column] =
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("shs"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("doc_id").as("docId"), col("shs"))
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.bh))
+      .transformWithState(new NearDupProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** Per-bucket near-dedup state machine: holds the bucket's signature
+  * store, compares each arrival against it with the batch-exact Jaccard
+  * predicate, then admits the arrival to the store. */
+class NearDupProcessor extends StatefulProcessor[(Int, Long), BandedDoc, StreamNearDup] {
+  import org.apache.spark.sql.streaming.ListState
+  @transient private var seen: ListState[StoredDoc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getListState[StoredDoc]("seen",
+      Encoders.product[StoredDoc], TTLConfig.NONE)
+
+  /** |A∩B| for two distinct-element long arrays (hash the smaller,
+    * probe the larger — bucket occupants are small by LSH design). */
+  private def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    val (small, large) = if (a.length <= b.length) (a, b) else (b, a)
+    val set = new java.util.HashSet[Long](small.length * 2)
+    small.foreach(set.add)
+    large.count(set.contains)
+  }
+
+  /** Spark's `round(x, 6)` (HALF_UP), replayed driver-free per pair. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
+      timerValues: TimerValues): Iterator[StreamNearDup] = {
+    // arrival order within a micro-batch: ascending doc id (the stream's
+    // arrival sequence; ties cannot occur — doc ids are unique)
+    val arrived = rows.toArray.sortBy(_.docId)
+    val out = scala.collection.mutable.ArrayBuffer.empty[StreamNearDup]
+    val prior = scala.collection.mutable.ArrayBuffer.empty[StoredDoc]
+    val it = seen.get()
+    while (it.hasNext) prior += it.next()
+    arrived.foreach { d =>
+      prior.foreach { p =>
+        val inter = intersectSize(p.shs, d.shs)
+        // exact J >= 1/2: inter·(den+num) >= (sz1+sz2)·num — the batch
+        // predicate (Dedup.atLeastJaccard), never a rounded comparison
+        if (inter.toLong * 3 >= (p.shs.length + d.shs.length).toLong) {
+          val jac = round6(
+            inter.toDouble / (p.shs.length + d.shs.length - inter))
+          out += StreamNearDup(math.min(p.docId, d.docId),
+            math.max(p.docId, d.docId), jac)
+        }
+      }
+      val stored = StoredDoc(d.docId, d.shs)
+      prior += stored
+      seen.appendValue(stored)
+    }
+    out.iterator
+  }
+}
+
 /** One observation of an external job (the sensor's poll payload). */
 case class Poll(jobId: Long, ts: java.sql.Timestamp, status: String)
 

@@ -127,9 +127,6 @@ object ScaleProbe {
     if (mode == "ann" || mode == "all") factors.foreach { f =>
       val em = replicateEm(f)
       val n = em.count()
-      // the occupancy-held geometry now comes from the production
-      // auto-policy (planesFor/tablesFor — the neardupPairsAuto entry
-      // point), not a probe-local formula
       val deep = Similarity.planesFor(n)
       val tDeepTables = Similarity.tablesFor(deep)
 
@@ -144,10 +141,26 @@ object ScaleProbe {
               .localCheckpoint())
           f"pairs_p4=${shallow.count()} t_p4=$tShallow%.2f"
         } else "pairs_p4=skipped(candidate-space>1e9)"
-      val (deepDf, tDeep) = timed(
-        Similarity.neardupPairsOn(em, tables = tDeepTables, planesPerTable = deep)
+
+      // the production default entry point, end to end: single input
+      // cut, geometry policy, size-gated broadcast verify — THE number
+      // to compare round over round (the round-4 table measured this
+      // same entry point before the verify-join fix: 658 s at f=16)
+      val (autoDf, tAuto) = timed(
+        Similarity.neardupPairsAuto(em).localCheckpoint())
+      val pAuto = autoDf.count()
+
+      // multi-probe at the same depth: same per-pair miss bound with
+      // ~Q× fewer tables — the hashing/index-size trade, measured next
+      // to the exact-bucket compensation (tables_deep above)
+      val q = Similarity.probesFor(deep)
+      val tMpTables = Similarity.tablesForMultiProbe(deep, q)
+      val (mpDf, tMp) = timed(
+        Similarity.neardupPairsMultiProbe(em, tables = tMpTables,
+          planesPerTable = deep, probes = q,
+          broadcastVerify = n <= Similarity.BroadcastVerifyMaxRows)
           .localCheckpoint())
-      val pd = deepDf.count()
+      val pMp = mpDf.count()
 
       // IVF quantizer: the training cap (1000 here, deliberately below
       // the replicated corpus sizes so sampling engages) must keep
@@ -159,7 +172,8 @@ object ScaleProbe {
         Similarity.ivfProbe(em, cent, 4).localCheckpoint())
       val ivfRows = ivfDf.count()
       println(f"SCALE-ANN f=$f vecs=$n $shallowStats " +
-        f"planes_deep=$deep tables_deep=$tDeepTables pairs_deep=$pd t_deep=$tDeep%.2f " +
+        f"auto_geo=${tDeepTables}tx${deep}p pairs_auto=$pAuto t_auto=$tAuto%.2f " +
+        f"mp_geo=${tMpTables}tx${deep}px${q}q pairs_mp=$pMp t_mp=$tMp%.2f " +
         f"t_ivf_train=$tIvfTrain%.2f t_ivf=$tIvf%.2f ivf_rows=$ivfRows")
     }
     spark.stop()

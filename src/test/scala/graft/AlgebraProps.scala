@@ -203,6 +203,33 @@ object AlgebraProps extends Properties("Algebra") {
       n == rows.length && got == truth
     }
 
+  property("GlobalRank family equals Spark's rank/dense_rank/percent_rank/cume_dist on any data") =
+    forAll(genRowsNE) { rows =>
+      // rank over v DESC with deliberate ties (keys 0..20 repeat); k is
+      // only the row_number tie-break — the four family outputs must be
+      // tie-break-independent, so they are compared per (v, k) exactly
+      val d = df(rows)
+      val (fam, n) = operators.GlobalRank.withRankFamily(
+        d, Seq(col("v").desc), Seq(col("v")), Seq(col("k")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc)
+      val truth = d
+        .withColumn("rank", rank().over(w).cast("long"))
+        .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+        .withColumn("percent_rank", percent_rank().over(w))
+        .withColumn("cume_dist", cume_dist().over(w))
+        .collect()
+        .map(r => (r.getDouble(1), r.getLong(0)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .sorted.toSeq
+      val got = fam.select(col("v"), col("k"), col("rank"), col("dense_rank"),
+          col("percent_rank"), col("cume_dist"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .sorted.toSeq
+      n == rows.length && got == truth
+    }
+
   property("as-of join preserves every left row") =
     forAll(genRowsNE, genRows) { (a, b) =>
       val s = spark

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class DocRow(doc_id: Long, text: String)
+
 class StreamOpsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -178,6 +180,39 @@ class StreamOpsSpec extends SparkTestBase {
       .map(v => v.jobId -> ((v.verdict, v.nPolls))).toMap
     assert(verdicts(1L) == (("success", 2)))
     assert(verdicts(2L) == (("failed", 1)))
+  }
+
+  test("streaming near-dedup gate reproduces the batch q32 pair set (RocksDB state)") {
+    // the incremental-daily corpus: the fixture arrives in three
+    // micro-batch "days" in doc-id order; the accumulated signature
+    // store must carry across batches, and the streamed verdicts must
+    // equal the one-shot batch q32 pairs on the same corpus — the gate
+    // and the batch share every hash, band key, and the exact integer
+    // Jaccard predicate, so this is set equality, not approximation
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val docs = s2.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+    val in = MemoryStream[DocRow](newProductEncoder[DocRow], s2.sqlContext)
+    val q = StreamNearDedup.pairs(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ndg").start()
+    docs.grouped((docs.length + 2) / 3).foreach { day =>
+      in.addData(day.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // a pair colliding in several bands is emitted once per band → distinct
+    val streamed = s2.table("ndg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.q32Pipeline(s2, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup documents")
+    assert(streamed == batch,
+      s"stream missed ${(batch -- streamed).size}, invented ${(streamed -- batch).size} " +
+        s"of ${batch.size} batch pairs")
   }
 
   test("JSON-lines source round-trips (the reference's payload format)") {
