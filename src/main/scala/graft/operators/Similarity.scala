@@ -523,12 +523,25 @@ object Similarity extends QueryPack {
     * md5-bucket filter keeps ~`maxTrain` rows and only THAT bounded
     * sample is ever materialized. */
   private def trainingFrame(emAll: org.apache.spark.sql.DataFrame,
-      maxTrain: Long): (org.apache.spark.sql.DataFrame, Boolean) = {
+      maxTrain: Long): (org.apache.spark.sql.DataFrame, Boolean, Long) = {
     val n = emAll.count()
-    if (n <= maxTrain) (graft.Materialize.cut(emAll), false)
+    if (n <= maxTrain) (graft.Materialize.cut(emAll), false, n)
     else (graft.Materialize.cut(
-      emAll.filter(Det.md5Bucket(col("vec_id")) < lit(65536L * maxTrain / n))), true)
+      emAll.filter(Det.md5Bucket(col("vec_id")) < lit(65536L * maxTrain / n))), true, n)
   }
+
+  /** IVF cell-count policy: K ≈ √n (clamped to [16, 65536]) — the
+    * standard square-root rule. Per-query probe work scans ~nprobe/K of
+    * the corpus (falls as K grows) while per-row assignment costs K·dim
+    * multiplies (grows with K); the two balance at K ∝ √n, and the
+    * centroid model stays driver-sized (K·dim floats — ~8 MB at the
+    * clamp, broadcast like any dimension table). The registered q60
+    * keeps its fixture-pinned K=16 (its recall spec is calibrated
+    * there); [[ivfTopKAuto]] is the corpus-size entry point, measured in
+    * ScaleProbe's ivf section — probe cost flat-or-falling as K scales
+    * with the corpus is the recorded claim (BASELINE.md). */
+  private[graft] def cellsFor(n: Long): Int =
+    math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Deterministic 2-round Lloyd over a (materialized) training frame.
     * Seeds are its k lowest vec_ids; an md5-bucket sample is binomial,
@@ -568,6 +581,17 @@ object Similarity extends QueryPack {
       lloyd(trainingFrame(emAll, maxTrain)._1, k)
   }
 
+  /** [[ivfTopK]] under the K ≈ √n policy ([[cellsFor]]): one count
+    * decides the cell count, then the standard sample-train → assign →
+    * probe pipeline runs with it. */
+  private[graft] def ivfTopKAuto(emAll: org.apache.spark.sql.DataFrame,
+      nprobe: Int = 4, maxTrain: Long = 65536L): org.apache.spark.sql.DataFrame = {
+      GraftFunctions.register(emAll.sparkSession)
+      val (train, sampled, n) = trainingFrame(emAll, maxTrain)
+      val centroids = lloyd(train, cellsFor(n))
+      ivfProbe(if (sampled) emAll else train, centroids, nprobe)
+  }
+
   /** Assignment + probe over a trained centroid model: map-only cell
     * assignment of `base`, each query joined to its `nprobe` nearest
     * cells on cell id (the equi-join PlanSpec asserts), exact-cosine
@@ -575,7 +599,13 @@ object Similarity extends QueryPack {
     * here costs two scans of `base` (index side + the pushdown-pruned
     * query side) — deliberately NOT a full-corpus materialization, which
     * is exactly what the sample-trained design exists to avoid. */
-  private[graft] def ivfProbe(base: org.apache.spark.sql.DataFrame,
+  /** The probe equi-join before re-ranking: corpus assigned to cells
+    * map-only, each query joined to its `nprobe` nearest cells — one
+    * candidate row per (query, corpus vector in a probed cell). Exposed
+    * so ScaleProbe can measure candidate volume (∝ nprobe/K of the
+    * corpus per query) separately from assignment cost (∝ K·dim per
+    * corpus row) — the two sides of the K trade. */
+  private[graft] def ivfCandidates(base: org.apache.spark.sql.DataFrame,
       centroids: Array[Array[Float]], nprobe: Int): org.apache.spark.sql.DataFrame = {
       val index = base.select(col("vec_id"), col("embedding"),
         assignCol(centroids).as("cell"))
@@ -583,11 +613,15 @@ object Similarity extends QueryPack {
       val probes = qs.select(col("vec_id").as("qid"),
           col("embedding").as("qvec"),
           explode(cellsOf(centroids, nprobe)).as("cell"))
-
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
       index.join(broadcast(probes), "cell")
         .filter(col("vec_id") =!= col("qid"))
+  }
+
+  private[graft] def ivfProbe(base: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Float]], nprobe: Int): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      ivfCandidates(base, centroids, nprobe)
         .withColumn("cos", round(cosineNative(col("qvec"), col("embedding")), 6))
         .withColumn("rk", row_number().over(w).cast(IntegerType))
         .filter(col("rk") <= 5)
@@ -605,7 +639,7 @@ object Similarity extends QueryPack {
   private[graft] def ivfTopK(emAll: org.apache.spark.sql.DataFrame,
       k: Int, nprobe: Int, maxTrain: Long): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(emAll.sparkSession)
-      val (train, sampled) = trainingFrame(emAll, maxTrain)
+      val (train, sampled, _) = trainingFrame(emAll, maxTrain)
       val centroids = lloyd(train, k)
       ivfProbe(if (sampled) emAll else train, centroids, nprobe)
   }

@@ -120,8 +120,21 @@ object ScaleProbe {
       val n = em.count()
       val (cent, tIvfTrain) = timed(Similarity.trainQuantizer(em, 16, 1000L))
       val (ivfDf, tIvf) = timed(Similarity.ivfProbe(em, cent, 4).localCheckpoint())
+      // the K ≈ √n policy next to the pinned K=16: per-query probe
+      // fan-in is ~nprobe/K of the corpus, so probe cost must stay
+      // flat-or-falling as K scales with the corpus (the BASELINE claim)
+      val kAuto = Similarity.cellsFor(n)
+      val (centA, tTrainA) = timed(Similarity.trainQuantizer(em, kAuto, 1000L))
+      val (ivfA, tIvfA) = timed(Similarity.ivfProbe(em, centA, 4).localCheckpoint())
+      // candidate volume — the quantity the K policy actually shrinks
+      // (per-query fan-in ∝ nprobe/K of the corpus); assignment cost
+      // (∝ K·dim per corpus row) is the price, visible in t_ivf_kauto
+      val cand16 = Similarity.ivfCandidates(em, cent, 4).count()
+      val candA = Similarity.ivfCandidates(em, centA, 4).count()
       println(f"SCALE-IVF f=$f vecs=$n t_ivf_train=$tIvfTrain%.2f " +
-        f"t_ivf=$tIvf%.2f ivf_rows=${ivfDf.count()}")
+        f"t_ivf=$tIvf%.2f ivf_rows=${ivfDf.count()} cand_k16=$cand16 " +
+        f"k_auto=$kAuto t_train_kauto=$tTrainA%.2f t_ivf_kauto=$tIvfA%.2f " +
+        f"ivf_rows_kauto=${ivfA.count()} cand_kauto=$candA")
     }
 
     if (mode == "ann" || mode == "all") factors.foreach { f =>

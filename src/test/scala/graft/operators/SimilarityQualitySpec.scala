@@ -254,6 +254,31 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(e.getMessage.contains("empty training frame"))
   }
 
+  test("IVF K policy: K ≈ √n, anchored at the fixture floor, recall survives the auto K") {
+    // the policy floor reproduces the registered q60 geometry at fixture
+    // sizes where √n < 16 would under-partition
+    assert(Similarity.cellsFor(256) == 16)
+    assert(Similarity.cellsFor(500) == 23)
+    assert(Similarity.cellsFor(32000) == 179)
+    assert(Similarity.cellsFor(1L << 40) == 65536)
+    // monotone: a bigger corpus never gets fewer cells
+    val ns = Seq(16L, 256L, 1000L, 32000L, 1L << 20, 1L << 40)
+    ns.sliding(2).foreach { case Seq(a, b) =>
+      assert(Similarity.cellsFor(a) <= Similarity.cellsFor(b))
+    }
+    // the auto-K probe still ranks 5 per query with sane recall at
+    // fixture scale (K = 23, nprobe = 4 → ~17% of the corpus probed)
+    val rows = Similarity.ivfTopKAuto(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")).collect()
+    assert(rows.length == 50, s"auto-K probe must rank 5 per query, got ${rows.length}")
+    val exact = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF recall@5 at auto K=23 = $recall%.2f")
+    assert(recall >= 0.4, s"auto-K recall collapsed: $recall")
+  }
+
   test("IVF recall vs exact top-5 is reported and sane (q60 vs q41)") {
     val exact = Similarity.q41.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
