@@ -160,6 +160,12 @@ object Curation extends QueryPack {
     * driven by [[graft.tools.ScaleProbe]]'s curation mode. */
   private[graft] def chunkDedupOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // no narrow-input guard here, deliberately: chunk hashing is one
+    // xxhash64 pass per token — too cheap to amortize an extra exchange
+    // at small inputs (measured 0.33 → 0.76 s warm at sf0.1), and the
+    // window's own exchange parallelizes everything downstream. The
+    // guard belongs where per-row map work is heavy (shingle/LSH
+    // hashing — see graft.Parallelism.ensure call sites).
     val chunks = docs.select(col("doc_id"),
       posexplode(call_function("graft_chunk_hashes",
         split(col("text"), " "), lit(8))).as(Seq("pos", "chunk")))

@@ -45,9 +45,15 @@ object Dedup extends QueryPack {
     * the composed form pays three interpreted lambdas per doc. Callers
     * must have run `GraftFunctions.register(spark)`. */
   private[graft] def hashedShingleArray(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-      call_function("graft_hashed_shingles",
-        split(col("text"), " "), lit(3)).as("shs"))
+    // narrow-input guard: shingle hashing is the pair pipelines' biggest
+    // un-shuffled map cost, and a fixture-sized (or small-file-ingest)
+    // scan plans 1–2 partitions — see graft.Parallelism.ensure. A
+    // no-op on wide inputs and on streams (the streaming gate shares
+    // this head).
+    graft.Parallelism.ensure(d, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_hashed_shingles",
+          split(col("text"), " "), lit(3)).as("shs"))
 
   /** Prefix-filtered candidate pairs for Jaccard ≥ tau (= tauNum/tauDen) —
     * the scale-safe exact-candidate generator. Shingles get a global total

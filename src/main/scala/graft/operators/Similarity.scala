@@ -179,20 +179,12 @@ object Similarity extends QueryPack {
     * uses 32×4 — sized for the fixture envelope where the spec proves
     * exact recall; a 100 TB deployment holds recall by adding tables
     * while deepening planes (miss probability (1−cosᵖ)ᵗ). */
-  /** Pair pipelines inherit the input's partitioning into their most
-    * expensive map work (per-row LSH hashing, candidate generation, the
-    * distinct's partial aggregate — none of which shuffle first), so a
-    * NARROW input serializes them: a fixture-sized parquet read plans
-    * 1–2 partitions, and replicate-by-explode inherits that, leaving 30
-    * of 32 cores idle through the candidate stage — measured 658 s for
-    * the f=16 ScaleProbe row whose real work fits in a quarter of that.
-    * Raise narrow inputs to the cluster default up front (hash on
-    * vec_id — deterministic, no round-robin); wide inputs (any real
-    * deployment's scan) pass through untouched. */
-  private def ensureParallelism(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want, col("vec_id")) else df
-  }
+  /** Narrow-input guard for the pair pipelines' heavy un-shuffled map
+    * work (per-row LSH hashing, candidate generation, the distinct's
+    * partial aggregate) — see [[graft.Parallelism.ensure]]; measured
+    * 658 s → 152 s on the f=16 ScaleProbe row. */
+  private def ensureParallelism(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.Parallelism.ensure(df, col("vec_id"))
 
   private[graft] def neardupPairsOn(embeddings: org.apache.spark.sql.DataFrame,
       tables: Int, planesPerTable: Int,
