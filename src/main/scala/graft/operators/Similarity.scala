@@ -107,6 +107,44 @@ object Similarity extends QueryPack {
     },
     None)
 
+  /** The q42 ANN operator under multi-probe geometry — the regime where
+    * multi-probe actually WINS wall-clock (unlike pair mining, see
+    * [[neardupPairsMultiProbe]]): the INDEX side stores one exact packed
+    * key per table (t tables — the memory/shuffle cost that dominates a
+    * big corpus), while only the QUERY side (a handful of rows) fans out
+    * to t·probes keys. Holding recall while cutting tables ~Q× shrinks
+    * index hashing, index shuffle volume and state by the same factor —
+    * Lv et al.'s original motivation (VLDB'07: "several times fewer
+    * tables at the same recall"). Candidates collide on the packed key
+    * (equi-join, never a cross product), then exact-cosine re-rank, same
+    * as q42. Approximate → spec-checked (recall floor vs exact q41 in
+    * SimilarityQualitySpec), not oracle-checked, like q42 itself. */
+  private[graft] def annTopKMultiProbe(embeddings: org.apache.spark.sql.DataFrame,
+      tables: Int, planesPerTable: Int, probes: Int, k: Int = 5): org.apache.spark.sql.DataFrame = {
+      GraftFunctions.register(embeddings.sparkSession)
+      val em = embeddings
+      val index = em.select(col("vec_id"),
+        explode(lshProbeKeys(col("embedding"), tables, planesPerTable, 1)).as("key"))
+      val queries = em.filter(col("vec_id") < 10)
+      val probed = queries.select(col("vec_id").as("qid"),
+        explode(lshProbeKeys(col("embedding"), tables, planesPerTable, probes)).as("key"))
+      val candIds = index.join(broadcast(probed), "key")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+        .distinct()
+      val qVecs = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      candIds
+        .join(broadcast(qVecs), "qid")
+        .join(em, "vec_id")
+        .withColumn("cos", round(cosineNative(col("qvec"), col("embedding")), 6))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- q43
   /** Per-label centroid, exploded to (label, dim) — a typed vector
     * aggregate done with posexplode + exact-decimal mean so the oracle

@@ -306,4 +306,28 @@ class SimilarityQualitySpec extends SparkTestBase {
     info(f"ANN recall@5 = $recall%.2f (16-table × 4-plane sign-LSH)")
     assert(recall >= 0.6, s"recall collapsed: $recall")
   }
+
+  test("multi-probe ANN holds q42's recall with 4× fewer index tables") {
+    import org.apache.spark.sql.functions.col
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // q42's geometry is 16 exact tables; the multi-probe form indexes
+    // only 4 and recovers the recall by probing 11 buckets per table on
+    // the (tiny) query side — the index-size regime multi-probe is FOR
+    val mp = Similarity.annTopKMultiProbe(em, tables = 4,
+        planesPerTable = 4, probes = 11).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & mp).size.toDouble / exact.size
+    info(f"multi-probe ANN recall@5 = $recall%.2f (4 tables × 4 planes × 11 probes)")
+    assert(recall >= 0.6, s"multi-probe recall collapsed: $recall")
+    // cosines of true-positive results must match the exact ranking's
+    val exactCos = Similarity.q41.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.annTopKMultiProbe(em, 4, 4, 11).collect().foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
 }
