@@ -241,22 +241,33 @@ object Similarity extends QueryPack {
           col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vid1"), col("y.vec_id").as("vid2"))
-        .distinct()
       verifyPairs(cands, em, broadcastVerify)
   }
 
-  /** Exact-cosine verification of a candidate pair set: attach both
-    * vectors, compute the rounded cosine, keep pairs at or over the 0.45
-    * threshold. The candidate stream dwarfs the corpus whenever LSH is
-    * doing its job, so when the caller KNOWS the corpus side is small
-    * (`broadcastVerify` — the auto policy gates on row count) both
-    * attach joins broadcast the corpus and verification is a map-only
-    * pass over the candidate stream — the difference between shuffling
-    * |candidates| × vector-width bytes twice and shuffling nothing.
-    * Stats don't make this decision automatically: the corpus side here
-    * is usually a checkpoint (LogicalRDD), whose size Catalyst treats as
-    * unknown. At 100 TB the corpus is not broadcastable and the default
-    * shuffled form is the honest plan. */
+  /** Exact-cosine verification of a RAW candidate pair stream (may
+    * contain duplicates — a pair collides once per shared table/band):
+    * attach both vectors, compute the rounded cosine, keep pairs at or
+    * over the 0.45 threshold, dedup. The ORDER of dedup vs verify is
+    * the whole game, and it flips with the join strategy:
+    *
+    *  - `broadcastVerify` (corpus known small — the auto policy gates on
+    *    row count): both attach joins broadcast, so verification is a
+    *    MAP-ONLY pass over the raw candidate stream — codegen'd dot
+    *    products at memory bandwidth — and only the qualifying pairs
+    *    (true near-dups × band multiplicity, tiny) reach the distinct.
+    *    Deduping first would instead shuffle the full raw stream — at
+    *    the f=16 probe that shuffle WAS the pipeline: 278 M rows, 54 of
+    *    62 s (stage-profiled round 6; this ordering removes it).
+    *  - shuffled verify (the 100 TB plan — the corpus is not
+    *    broadcastable): dedup FIRST, because each attach join shuffles
+    *    the candidate stream and duplicates would ride through both
+    *    exchanges with vectors on their backs.
+    *
+    * Identical output by construction: duplicates carry identical
+    * (vid1, vid2) and the cosine is a pure function of the pair.
+    * Stats don't pick the strategy automatically — the corpus side is
+    * usually a checkpoint (LogicalRDD), whose size Catalyst treats as
+    * unknown. */
   private def verifyPairs(cands: org.apache.spark.sql.DataFrame,
       em: org.apache.spark.sql.DataFrame,
       broadcastVerify: Boolean): org.apache.spark.sql.DataFrame = {
@@ -266,11 +277,13 @@ object Similarity extends QueryPack {
         col("embedding").as("e1"), col("n1")))
       val right = side(em.select(col("vec_id").as("vid2"),
         col("embedding").as("e2"), col("n1").as("n2")))
-      cands.join(left, "vid1").join(right, "vid2")
+      val in = if (broadcastVerify) cands else cands.distinct()
+      val verified = in.join(left, "vid1").join(right, "vid2")
         .withColumn("cos", round(
           dotNative(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
         .filter(col("cos") >= 0.45)
         .select(col("vid1"), col("vid2"), col("cos"))
+      if (broadcastVerify) verified.distinct() else verified
   }
 
   /** Near-dup pairs via multi-probe sign-LSH (Lv et al. VLDB'07):
@@ -315,7 +328,6 @@ object Similarity extends QueryPack {
         .filter(col("pid") =!= col("vec_id"))
         .select(least(col("pid"), col("vec_id")).as("vid1"),
           greatest(col("pid"), col("vec_id")).as("vid2"))
-        .distinct()
       verifyPairs(cands, em, broadcastVerify)
   }
 

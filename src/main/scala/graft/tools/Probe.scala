@@ -1,50 +1,49 @@
 package graft.tools
 
-import graft.Tables
-import graft.operators.Dedup
+import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
-/** Dev scratch main for stage-level timing experiments. */
+/** Dev scratch main for stage-level timing experiments. Current form:
+  * profiles the embedding near-dup auto path on a replicated corpus
+  * (`runMain graft.tools.Probe <sfDir> <factor>`), printing every stage
+  * over 1 s — where does the f=16 wall actually go? */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val f = args.drop(1).headOption.map(_.toInt).getOrElse(16)
     val spark = graft.LocalSession()
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val secs = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield (a - b) / 1000.0).getOrElse(-1.0)
+        if (secs > 1.0) println(
+          f"PROBE-STAGE ${i.stageId}%5d tasks=${i.numTasks}%3d wall=$secs%7.2f " +
+            f"in=${i.taskMetrics.inputMetrics.recordsRead}%11d " +
+            f"sRead=${i.taskMetrics.shuffleReadMetrics.recordsRead}%11d " +
+            f"sWrite=${i.taskMetrics.shuffleWriteMetrics.recordsWritten}%11d  " +
+            i.name.take(60))
+      }
+    })
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables(spark, sfDir).documents
-    val shArr = time("hshArr checkpoint") { Dedup.hashedShingleArray(docs).localCheckpoint() }
-    val sh = shArr.select(col("doc_id"), explode(col("shs")).as("s"))
-    time("sh count") { println("  rows=" + sh.count()) }
-    val cands = time("prefix cands build+checkpoint") {
-      Dedup.prefixCandidates(shArr, 1, 2).localCheckpoint()
-    }
-    time("cands count") { println("  cands=" + cands.count()) }
-    val a = shArr.select(col("doc_id").as("d1"), col("shs").as("hs1"))
-    val b = shArr.select(col("doc_id").as("d2"), col("shs").as("hs2"))
-    val joined = cands.join(a, "d1").join(b, "d2")
-    time("verify: join only") { println("  j=" + joined.count()) }
-    val withInter = joined
-      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
-    time("verify: join+intersect") {
-      println("  sum=" + withInter.agg(sum(col("inter"))).head.getLong(0))
-    }
-    time("verify: full") {
-      Dedup.jaccardForCandidates(cands, shArr)
-        .filter(col("jac") >= 0.5).orderBy(col("d1"), col("d2"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("verify: full again") {
-      Dedup.jaccardForCandidates(cands, shArr)
-        .filter(col("jac") >= 0.5).orderBy(col("d1"), col("d2"))
-        .write.format("noop").mode("overwrite").save()
-    }
+    val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val em = (
+      if (f == 1) emBase
+      else emBase
+        .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+        .select(
+          (col("vec_id") * f + col("i")).as("vec_id"),
+          transform(col("embedding"), (x, idx) =>
+            when(idx === 0,
+              x + (col("i").cast("double") * lit(0.001)).cast("float"))
+              .otherwise(x)).as("embedding"))
+    ).localCheckpoint()
+    println("PROBE vecs=" + em.count())
+    val t0 = System.nanoTime()
+    val pairs = Similarity.neardupPairsAuto(em).localCheckpoint()
+    println(f"PROBE pairs=${pairs.count()} t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
