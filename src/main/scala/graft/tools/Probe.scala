@@ -27,6 +27,25 @@ object Probe {
       }
     })
     graft.functions.GraftFunctions.register(spark)
+    if (args.contains("docs")) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs = (
+        if (f == 1) base
+        else base
+          .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(
+            (col("doc_id") * f + col("i")).as("doc_id"),
+            when(col("i") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
+      ).localCheckpoint()
+      println("PROBE docs=" + docs.count())
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.exactPairs(docs).localCheckpoint()
+      println(f"PROBE pairs=${pairs.count()} t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
     val emBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val em = (
