@@ -85,6 +85,16 @@ object Dedup extends QueryPack {
     * valid a global total order as any other — the choice does not affect
     * losslessness, only which (equally valid) prefix is kept. */
   private[graft] def prefixCandidates(
+      hshArr: DataFrame, tauNum: Int, tauDen: Int): DataFrame =
+    prefixCandidatesRaw(hshArr, tauNum, tauDen).distinct()
+
+  /** [[prefixCandidates]] before its dedup: one row per (pair, shared
+    * prefix shingle) — a qualifying pair repeats once per prefix
+    * collision (small multiplicity; the prefix keeps ≤ |A|−⌈tau·|A|⌉+1
+    * shingles). The broadcast-verify path consumes this raw stream and
+    * dedups AFTER the threshold filter, when only true pairs remain —
+    * see [[jaccardForCandidates]]. */
+  private[graft] def prefixCandidatesRaw(
       hshArr: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val sh = hshArr.select(col("doc_id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("s"))
@@ -109,7 +119,6 @@ object Dedup extends QueryPack {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
         maxContrib * (tauDen + tauNum) >= (col("a.sz") + col("b.sz")) * tauNum)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
   }
 
   /** Exact Jaccard similarity for every doc pair sharing ≥1 shingle.
@@ -128,16 +137,28 @@ object Dedup extends QueryPack {
 
   /** Exact Jaccard for a *pre-selected* candidate pair set only — the
     * scalable verification shape: each candidate pair joins the two
-    * per-document shingle ARRAYS (equi-joins on doc id; the per-doc
-    * dimension auto-broadcasts at small scale and hash-shuffles at large)
-    * and |A∩B| is one codegen'd `array_intersect` per pair — never an
-    * explode back to (pair × shingle) rows, which multiplies the
-    * candidate set by average document size before aggregating it away
-    * again. */
+    * per-document shingle ARRAYS (equi-joins on doc id) and |A∩B| is one
+    * codegen'd `array_intersect` per pair — never an explode back to
+    * (pair × shingle) rows, which multiplies the candidate set by
+    * average document size before aggregating it away again.
+    *
+    * `broadcastArrays` is the same dedup/verify order flip as the
+    * embedding side (Similarity.verifyPairs, stage-profiled round 6):
+    * when the shingle-array table is known small, both attach joins
+    * broadcast it and verification is MAP-ONLY over the candidate
+    * stream — so callers pass the RAW (duplicated) candidate stream and
+    * dedup after their threshold filter, when only true pairs remain,
+    * instead of shuffling every raw candidate through a distinct first.
+    * Duplicates verify to identical rows (the jaccard is a pure function
+    * of the pair), so the orders are output-equal — DedupSpec pins both
+    * against the naive all-pairs form. At 100 TB the array table is not
+    * broadcastable: callers dedup first and this joins shuffled. */
   private[graft] def jaccardForCandidates(
-      cands: DataFrame /*d1, d2*/, hshArr: DataFrame /*doc_id, shs: array<long>*/): DataFrame = {
-    val a = hshArr.select(col("doc_id").as("d1"), col("shs").as("hs1"))
-    val b = hshArr.select(col("doc_id").as("d2"), col("shs").as("hs2"))
+      cands: DataFrame /*d1, d2*/, hshArr: DataFrame /*doc_id, shs: array<long>*/,
+      broadcastArrays: Boolean = false): DataFrame = {
+    def side(df: DataFrame) = if (broadcastArrays) broadcast(df) else df
+    val a = side(hshArr.select(col("doc_id").as("d1"), col("shs").as("hs1")))
+    val b = side(hshArr.select(col("doc_id").as("d2"), col("shs").as("hs2")))
     cands.join(a, "d1").join(b, "d2")
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("sz1", size(col("hs1")))
@@ -147,6 +168,13 @@ object Dedup extends QueryPack {
       .select(col("d1"), col("d2"), col("jac"),
         col("inter"), col("sz1"), col("sz2"))
   }
+
+  /** Gate for [[jaccardForCandidates]]'s broadcast form: corpora up to
+    * this many documents broadcast their hashed-shingle table in the
+    * verify joins (~100 MB at the fixture's ~120 shingles/doc — well
+    * inside executor memory and Spark's broadcast ceiling); larger
+    * corpora keep the shuffled attach with dedup-first. */
+  private[graft] val BroadcastShingleMaxDocs = 131072L
 
   /** Exact-threshold predicate J ≥ tauNum/tauDen in integer arithmetic:
     * inter/(sz1+sz2−inter) ≥ n/d ⇔ inter·(d+n) ≥ n·(sz1+sz2). Output
@@ -251,11 +279,14 @@ object Dedup extends QueryPack {
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
 
-      jaccardForCandidates(cands, hshArr)
+      // dedup/verify order per the broadcast gate (see jaccardForCandidates)
+      val bcast = hshArr.count() <= BroadcastShingleMaxDocs
+      val in = if (bcast) cands else cands.distinct()
+      val out = jaccardForCandidates(in, hshArr, bcast)
         .filter(atLeastJaccard(1, 2))
         .select(col("d1"), col("d2"), col("jac"))
+      if (bcast) out.distinct() else out
   }
 
   val q32 = QueryDef(
@@ -288,9 +319,15 @@ object Dedup extends QueryPack {
   private[graft] def exactPairs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val hshArr = hashedShingleArray(docs).cut()
-    jaccardForCandidates(prefixCandidates(hshArr, tauNum = 1, tauDen = 2), hshArr)
+    // dedup/verify order per the broadcast gate (see jaccardForCandidates)
+    val bcast = hshArr.count() <= BroadcastShingleMaxDocs
+    val cands =
+      if (bcast) prefixCandidatesRaw(hshArr, tauNum = 1, tauDen = 2)
+      else prefixCandidates(hshArr, tauNum = 1, tauDen = 2)
+    val out = jaccardForCandidates(cands, hshArr, bcast)
       .filter(atLeastJaccard(1, 2))
       .select(col("d1"), col("d2"), col("jac"))
+    if (bcast) out.distinct() else out
   }
 
   val q33 = QueryDef(
