@@ -60,7 +60,14 @@ object Bench {
       .foreach(n => if (SparkEntry.queries.contains(n)) execute(n))
 
     // view computations as their own measured line items (see scaladoc),
-    // min-of-2 like the queries: invalidate + recompute twice
+    // min-of-2 like the queries: invalidate + recompute twice, after one
+    // UNMEASURED warm computation — the view pipelines run near the
+    // front of the bench, and their first execution carries the JIT +
+    // codegen + file-footer cold start that has twice shown up as a
+    // phantom over_budget flag in driver artifacts (6.83 s cold vs
+    // 2.20 s quiet on identical code, rounds 5-6); warming first makes
+    // the min-of-2 measure the pipeline, not the engine's first contact
+    // with it
     def executeView(name: String)(invalidate: () => Unit,
         compute: () => Long): (String, Double) = {
       def once(): Double = {
@@ -73,6 +80,8 @@ object Bench {
             -1.0
         }
       }
+      val warm = once()
+      if (warm < 0) return name -> warm
       val a = once()
       if (a < 0) return name -> a
       val b = once()

@@ -22,7 +22,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   * scheduler's job; `.rdd` is undefined on them anyway). Map-only gates
   * deliberately do NOT use this: adding an exchange to a scan-shaped
   * query trades its zero-shuffle plan for parallelism the scan already
-  * has at any real input size (and PlanSpec pins those shapes). */
+  * has at any real input size (and PlanSpec pins those shapes).
+  *
+  * COST CAVEAT: reading the width goes through `df.rdd`, which
+  * instantiates the physical plan for the whole upstream frame (outside
+  * AQE's final re-plan). That is free on this operator's intended
+  * inputs — materialized cuts ([[Materialize.cut]]) and file scans,
+  * where the RDD is the checkpoint's block handle or the split plan —
+  * but it would eagerly plan (not run) an arbitrary unmaterialized
+  * frame. Call it on pipeline HEADS (scans/cuts), not on derived
+  * frames mid-plan. */
 object Parallelism {
   def ensure(df: DataFrame, keys: Column*): DataFrame = {
     if (df.isStreaming) return df

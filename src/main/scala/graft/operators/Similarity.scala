@@ -145,6 +145,26 @@ object Similarity extends QueryPack {
         .orderBy(col("qid"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- q84
+  /** The multi-probe ANN as a driver-visible query: the end-to-end path
+    * through `graft_lsh_probe_keys`
+    * ([[graft.functions.expressions.LshProbeKeys]]) exercised by every
+    * round's correctness artifact, not just specs. Geometry is the
+    * fixture-depth policy: planesFor(n ≤ 2048) = 4 planes →
+    * [[probesFor]](4) = 11 probes, and 4 index tables — the ~4× table
+    * reduction over q42's 16 exact tables that multi-probe exists to
+    * buy (index hashing, shuffle volume and state all shrink with it).
+    * Approximate → rows-only check like q42; the recall floor vs exact
+    * q41 and exact-cosine agreement are asserted in
+    * SimilarityQualitySpec. */
+  val q84 = QueryDef(
+    "q84_ann_multiprobe",
+    (spark, dir) =>
+      annTopKMultiProbe(
+        Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+        tables = 4, planesPerTable = 4, probes = 11),
+    None)
+
   // ---------------------------------------------------------------- q43
   /** Per-label centroid, exploded to (label, dim) — a typed vector
     * aggregate done with posexplode + exact-decimal mean so the oracle
@@ -251,7 +271,7 @@ object Similarity extends QueryPack {
     * the whole game, and it flips with the join strategy:
     *
     *  - `broadcastVerify` (corpus known small — the auto policy gates on
-    *    row count): both attach joins broadcast, so verification is a
+    *    estimated broadcast bytes, n·dim·4): both attach joins broadcast, so verification is a
     *    MAP-ONLY pass over the raw candidate stream — codegen'd dot
     *    products at memory bandwidth — and only the qualifying pairs
     *    (true near-dups × band multiplicity, tiny) reach the distinct.
@@ -451,10 +471,26 @@ object Similarity extends QueryPack {
     (4 to 20).takeWhile(p => math.ceil(math.log(0.002) /
       math.log1p(-math.pow(collisionAtThreshold, p))) <= MaxTables).last
 
-  /** Corpus sizes up to this many rows broadcast the corpus in the
-    * verify joins (≈64 MB of 64-dim floats — well inside executor
-    * memory); larger corpora use the default shuffled attach. */
-  private[graft] val BroadcastVerifyMaxRows = 250000L
+  /** Byte budget for broadcasting the corpus in the verify joins: the
+    * attach relation is ~n·dim·4 bytes of float payload (per-row id +
+    * array overhead absorbed by the margin to executor memory). Gating
+    * on BYTES, with the dimension probed from one corpus row, keeps the
+    * gate honest for arbitrary embedding widths — at 64-dim this
+    * reproduces the former 250k-row cutoff exactly, while a 1024-dim
+    * corpus just under 250k rows (a ~1 GB relation that would have been
+    * broadcast on BOTH attach joins) now takes the shuffled path. */
+  private[graft] val BroadcastVerifyMaxBytes = 64L << 20
+
+  /** The byte-gate as a row predicate: n rows of `dim`-wide float
+    * embeddings fit the broadcast-verify budget. */
+  private[graft] def broadcastVerifyFits(n: Long, dim: Int): Boolean =
+    dim > 0 && n * dim.toLong * 4L <= BroadcastVerifyMaxBytes
+
+  /** Embedding width probed from one row — 0 on an empty frame (which
+    * then takes the shuffled path vacuously). */
+  private[graft] def probeDim(em: org.apache.spark.sql.DataFrame): Int =
+    em.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** The documented default entry point for arbitrary corpora: q44's
     * pipeline under the occupancy-held geometry. The input is
@@ -469,12 +505,23 @@ object Similarity extends QueryPack {
     * proven-exact 32×4 (which this policy reproduces at fixture scale,
     * since planesFor(n ≤ 2048) = 4); a new deployment at a new corpus
     * size starts here instead of hand-picking. */
-  def neardupPairsAuto(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def neardupPairsAuto(embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    neardupPairsAutoImpl(embeddings, ExactDepthLimit)
+
+  /** [[neardupPairsAuto]] with an injectable depth wall — a SPEC HOOK,
+    * never a tuning knob: the production wall ([[ExactDepthLimit]], p ≥ 15)
+    * engages only at corpora ≳2M vectors, unreachable by any fixture, so
+    * the switched multi-probe branch is executed end-to-end by shrinking
+    * the wall below the fixture depth instead (SimilarityQualitySpec
+    * asserts the switched branch reproduces the exact-bucket pair set
+    * and brute force at planesFor(fixture) = 4). */
+  private[graft] def neardupPairsAutoImpl(embeddings: org.apache.spark.sql.DataFrame,
+      exactDepthLimit: Int): org.apache.spark.sql.DataFrame = {
     val em = graft.Materialize.cut(embeddings)
     val n = em.count()
     val p = planesFor(n)
-    val bcast = n <= BroadcastVerifyMaxRows
-    if (p <= ExactDepthLimit)
+    val bcast = broadcastVerifyFits(n, probeDim(em))
+    if (p <= exactDepthLimit)
       neardupPairsOn(em, tables = tablesFor(p), planesPerTable = p,
         broadcastVerify = bcast)
     else
@@ -585,6 +632,30 @@ object Similarity extends QueryPack {
   private[graft] def cellsFor(n: Long): Int =
     math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** One Lloyd round's per-cell means as ONE ROW PER CELL: the exact
+    * integer-scaled per-(cell, dim) mean (bit-identical to the original
+    * exploded form — the repack below never touches the values), then a
+    * second aggregation that packs each cell's (dim, mean) pairs into a
+    * dim-sorted array. The driver therefore collects ≤ K rows of arrays —
+    * K·dim FLOATS of model state, never K·dim Row objects: at the
+    * [[cellsFor]] clamp (K = 65536, dim 64) that is the difference
+    * between ~16 MB of payload and 4.2M driver-side Rows per round.
+    * `array_sort` on `struct(dimm, c)` orders by the leading field, so
+    * the packed array is deterministic regardless of aggregation order. */
+  private[graft] def cellDimMeans(train: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Float]]): org.apache.spark.sql.DataFrame =
+    train.select(assignCol(centroids).as("cell"),
+        posexplode(col("embedding")).as(Seq("dimm", "v")))
+      .groupBy(col("cell"), col("dimm"))
+      .agg((sum(round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+        .cast(DoubleType) / (count(lit(1)) * lit(1000000.0))).as("c"))
+
+  private[graft] def cellMeansFrame(train: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Float]]): org.apache.spark.sql.DataFrame =
+    cellDimMeans(train, centroids)
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dimm"), col("c")))).as("ms"))
+
   /** Deterministic 2-round Lloyd over a (materialized) training frame.
     * Seeds are its k lowest vec_ids; an md5-bucket sample is binomial,
     * so a tight cap can land under k — the quantizer then simply has
@@ -598,19 +669,16 @@ object Similarity extends QueryPack {
       require(centroids.nonEmpty, "ivf quantizer: empty training frame")
       val kEff = centroids.length
       val dim = centroids(0).length
-      // 2 Lloyd rounds: map-only assign, exact-integer per-cell mean
+      // 2 Lloyd rounds: map-only assign, exact-integer per-cell mean,
+      // collected as one packed array row per non-empty cell
       for (_ <- 0 until 2) {
-        val means = train.select(assignCol(centroids).as("cell"),
-            posexplode(col("embedding")).as(Seq("dimm", "v")))
-          .groupBy(col("cell"), col("dimm"))
-          .agg((sum(round(col("v").cast(DoubleType) * 1000000).cast(LongType))
-            .cast(DoubleType) / (count(lit(1)) * lit(1000000.0))).as("c"))
+        val means = cellMeansFrame(train, centroids)
           .collect()
-          .groupBy(_.getInt(0))
-          .view.mapValues { rows =>
+          .map { r =>
             val arr = new Array[Float](dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
-            arr
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ms")
+              .foreach(s => arr(s.getInt(0)) = s.getDouble(1).toFloat)
+            r.getInt(0) -> arr
           }.toMap
         centroids = Array.tabulate(kEff)(i => means.getOrElse(i, centroids(i)))
       }
@@ -811,5 +879,5 @@ object Similarity extends QueryPack {
     GROUP BY id
     ORDER BY vec_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60, q70, q79)
+  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84)
 }

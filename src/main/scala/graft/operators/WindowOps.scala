@@ -172,9 +172,10 @@ object WindowOps extends QueryPack {
       cume_dist() OVER wb AS cd
     FROM customer
     WINDOW
-      wt AS (ORDER BY FLOOR(CAST(c_acctbal AS DOUBLE) / 100) DESC, c_custkey),
-      wb AS (ORDER BY FLOOR(CAST(c_acctbal AS DOUBLE) / 100) DESC)
-    ORDER BY rn"""))
+      wt AS (ORDER BY FLOOR(CAST(c_acctbal AS DOUBLE) / 100) DESC NULLS LAST,
+        c_custkey ASC NULLS FIRST),
+      wb AS (ORDER BY FLOOR(CAST(c_acctbal AS DOUBLE) / 100) DESC NULLS LAST)
+    ORDER BY rn ASC NULLS FIRST"""))
 
   // ---------------------------------------------------------------- q24
   /** Moving average over a bounded row frame (last 3 events per user). */

@@ -150,8 +150,26 @@ object StreamNearDedup {
 
   /** `docs` needs `doc_id` and `text`; works on static frames and
     * streams alike (the spec runs it on a `MemoryStream` with RocksDB
-    * state). */
-  def pairs(docs: DataFrame): Dataset[StreamNearDup] = {
+    * state).
+    *
+    * `ttl` is the production state bound: with a TTL configured, each
+    * stored signature expires `ttl.ttlDuration` after it was written —
+    * an expired occupant stops generating pairs and its store entry is
+    * reclaimed by the state backend, so state size tracks the TTL
+    * window's arrival volume instead of the life of the query. TTL
+    * accounting is processing-time, so a configured TTL switches the
+    * processor to `TimeMode.ProcessingTime`; the default `TTLConfig.NONE`
+    * keeps the accumulate-forever incremental-corpus semantics (and the
+    * timer-free `TimeMode.None`) that the batch-parity spec pins.
+    * CAVEAT (same as the SensorStateMachine timeout): in processing-time
+    * mode the engine self-schedules state-cleanup batches, so a
+    * TTL-enabled query neither quiesces under `processAllAvailable` nor
+    * terminates under `Trigger.AvailableNow` (observed: hundreds of
+    * cleanup batches) — drive it with a `ProcessingTime` cadence, or
+    * with one-shot `Trigger.Once` runs over a shared checkpoint as the
+    * TTL spec does. */
+  def pairs(docs: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[StreamNearDup] = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
@@ -171,20 +189,26 @@ object StreamNearDedup {
         col("doc_id").as("docId"), col("shs"))
       .as[BandedDoc]
       .groupByKey(r => (r.band, r.bh))
-      .transformWithState(new NearDupProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 }
 
 /** Per-bucket near-dedup state machine: holds the bucket's signature
   * store, compares each arrival against it with the batch-exact Jaccard
-  * predicate, then admits the arrival to the store. */
-class NearDupProcessor extends StatefulProcessor[(Int, Long), BandedDoc, StreamNearDup] {
+  * predicate, then admits the arrival to the store. The `ttl` carries
+  * [[StreamNearDedup.pairs]]'s state bound down to the list state: the
+  * store's entries expire individually, so the candidate set a new
+  * arrival sees is exactly the TTL window's survivors. */
+class NearDupProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[(Int, Long), BandedDoc, StreamNearDup] {
   import org.apache.spark.sql.streaming.ListState
   @transient private var seen: ListState[StoredDoc] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     seen = getHandle.getListState[StoredDoc]("seen",
-      Encoders.product[StoredDoc], TTLConfig.NONE)
+      Encoders.product[StoredDoc], ttl)
 
   /** |A∩B| for two distinct-element long arrays (hash the smaller,
     * probe the larger — bucket occupants are small by LSH design). */

@@ -141,7 +141,13 @@ object ScaleProbe {
       val em = replicateEm(f)
       val n = em.count()
       val deep = Similarity.planesFor(n)
-      val tDeepTables = Similarity.tablesFor(deep)
+      // the exact-bucket compensation throws past ExactDepthLimit (it
+      // would need > MaxTables) — mirror neardupPairsAuto's switch and
+      // report the multi-probe geometry the auto path would actually run
+      val exactDepthOk = deep <= Similarity.ExactDepthLimit
+      val tDeepTables =
+        if (exactDepthOk) Similarity.tablesFor(deep).toString
+        else s">${Similarity.MaxTables}(multi-probe)"
 
       // The fixed 4-plane geometry is probed only while its candidate
       // space (~32·n²/2⁴) stays locally materializable — the point of the
@@ -171,7 +177,7 @@ object ScaleProbe {
       val (mpDf, tMp) = timed(
         Similarity.neardupPairsMultiProbe(em, tables = tMpTables,
           planesPerTable = deep, probes = q,
-          broadcastVerify = n <= Similarity.BroadcastVerifyMaxRows)
+          broadcastVerify = Similarity.broadcastVerifyFits(n, Similarity.probeDim(em)))
           .localCheckpoint())
       val pMp = mpDf.count()
 
@@ -184,8 +190,11 @@ object ScaleProbe {
       val (ivfDf, tIvf) = timed(
         Similarity.ivfProbe(em, cent, 4).localCheckpoint())
       val ivfRows = ivfDf.count()
+      val autoGeo =
+        if (exactDepthOk) s"${tDeepTables}tx${deep}p"
+        else s"${tMpTables}tx${deep}px${q}q(multi-probe)"
       println(f"SCALE-ANN f=$f vecs=$n $shallowStats " +
-        f"auto_geo=${tDeepTables}tx${deep}p pairs_auto=$pAuto t_auto=$tAuto%.2f " +
+        f"auto_geo=$autoGeo pairs_auto=$pAuto t_auto=$tAuto%.2f " +
         f"mp_geo=${tMpTables}tx${deep}px${q}q pairs_mp=$pMp t_mp=$tMp%.2f " +
         f"t_ivf_train=$tIvfTrain%.2f t_ivf=$tIvf%.2f ivf_rows=$ivfRows")
     }

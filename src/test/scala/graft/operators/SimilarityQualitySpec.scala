@@ -254,6 +254,38 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(e.getMessage.contains("empty training frame"))
   }
 
+  test("Lloyd's driver collect is one packed row per cell, values exactly the flat means") {
+    // the training aggregate reaches the driver as ≤ K array rows (K·dim
+    // FLOATS of model state), never K·dim scalar Rows — at the cellsFor
+    // clamp (K=65536, dim 64) that is ~16 MB of payload vs 4.2M Row
+    // objects per Lloyd round
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val k = 16
+    val seeds: Array[Array[Float]] = em.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val dim = seeds(0).length
+    val flat = Similarity.cellDimMeans(em, seeds).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val packed = Similarity.cellMeansFrame(em, seeds).collect()
+    // collected-row count == number of non-empty cells (all K here), not K·dim
+    assert(packed.length == flat.keySet.map(_._1).size)
+    assert(packed.length == k, s"expected all $k cells populated, got ${packed.length}")
+    assert(flat.size == k * dim)
+    packed.foreach { r =>
+      val cell = r.getInt(0)
+      val ms = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ms")
+      assert(ms.length == dim, s"cell $cell packed ${ms.length} dims, expected $dim")
+      // dim-sorted and bit-identical to the flat per-(cell, dim) means
+      assert(ms.map(_.getInt(0)) == (0 until dim),
+        s"cell $cell array not dim-ordered")
+      ms.foreach(s => assert(s.getDouble(1) == flat((cell, s.getInt(0))),
+        s"cell $cell dim ${s.getInt(0)} mean drifted"))
+    }
+  }
+
   test("IVF K policy: K ≈ √n, anchored at the fixture floor, recall survives the auto K") {
     // the policy floor reproduces the registered q60 geometry at fixture
     // sizes where √n < 16 would under-partition
@@ -329,5 +361,31 @@ class SimilarityQualitySpec extends SparkTestBase {
       exactCos.get((r.getLong(0), r.getLong(2)))
         .foreach(c => assert(c == r.getDouble(3)))
     }
+    // the registered q84 IS this operator at this geometry — the recall
+    // floor above therefore covers the driver-visible query
+    val viaQ84 = Similarity.q84.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(viaQ84 == mp, "q84 drifted from annTopKMultiProbe(4, 4, 11)")
+  }
+
+  test("depth-wall switch: the auto policy's multi-probe branch reproduces the exact pair set") {
+    import org.apache.spark.sql.functions.col
+    // the production wall (ExactDepthLimit, p ≥ 15) engages at corpora
+    // ≳2M vectors — unreachable by fixtures — so inject a wall of 3:
+    // planesFor(fixture) = 4 crosses it and the SWITCHED branch of
+    // neardupPairsAuto executes end-to-end at a verifiable depth
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def toSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Similarity.planesFor(em.count()) == 4)
+    val exactBranch = toSet(Similarity.neardupPairsAuto(em).collect())
+    val switched = toSet(
+      Similarity.neardupPairsAutoImpl(em, exactDepthLimit = 3).collect())
+    val bf = toSet(Similarity.bruteForceNearDup(spark, sf0001, 0.45).collect())
+    assert(bf.nonEmpty)
+    assert(exactBranch == bf, "exact-bucket branch drifted from brute force")
+    assert(switched == bf,
+      s"switched multi-probe branch missed ${(bf -- switched).size} / invented ${(switched -- bf).size} pairs")
   }
 }

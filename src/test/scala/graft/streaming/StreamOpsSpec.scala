@@ -215,6 +215,69 @@ class StreamOpsSpec extends SparkTestBase {
         s"of ${batch.size} batch pairs")
   }
 
+  test("streaming near-dedup TTL: expired signatures stop generating pairs; in-window pairs survive") {
+    // the production state bound (VERDICT r6 #5): with a TTL configured,
+    // a stored signature older than the TTL is gone from the candidate
+    // set — a same-text arrival after expiry sees an EMPTY store and
+    // emits nothing, so state tracks the TTL window's arrival volume,
+    // not the life of the query.
+    //
+    // Harness note: TTL accounting runs in processing-time mode, where
+    // the engine self-schedules state-cleanup batches — a continuous
+    // query never quiesces under processAllAvailable, and even
+    // Trigger.AvailableNow keeps scheduling cleanup batches (observed:
+    // 282 batches without terminating). Each arrival therefore runs as
+    // its own single-batch Trigger.Once query over a file source,
+    // restarting from one shared RocksDB checkpoint — which doubles as
+    // proof that the TTL'd signature store survives query restarts.
+    import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
+    val text = "the quick brown fox jumps over the lazy dog again and " +
+      "again every single day without fail in the morning light"
+    def mkDirs() = {
+      val root = java.nio.file.Files.createTempDirectory("ttlgate")
+      (s"$root/in", s"$root/ckpt", s"$root/out")
+    }
+    def runGate(s: org.apache.spark.sql.SparkSession, dirs: (String, String, String),
+        ttl: TTLConfig)(docId: Long): Unit = {
+      val (in, ckpt, out) = dirs
+      import s.implicits._
+      Seq(DocRow(docId, text)).toDF().write.mode("append").json(in)
+      val src = s.readStream.schema("doc_id LONG, text STRING").json(in)
+      val q = StreamNearDedup.pairs(src, ttl)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .format("parquet").option("path", out)
+        .start()
+      assert(q.awaitTermination(120000), s"gate run for doc $docId did not finish")
+    }
+    def pairsAt(s: org.apache.spark.sql.SparkSession, out: String) =
+      s.read.schema("d1 LONG, d2 LONG, jac DOUBLE").parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (a) short TTL, arrivals spaced past it: a stream of identical
+    // texts yields ZERO pairs — every arrival's candidate set expired
+    val dirsA = mkDirs()
+    val runA = runGate(s2, dirsA, TTLConfig(java.time.Duration.ofMillis(800))) _
+    (1L to 3L).foreach { i =>
+      runA(i)
+      Thread.sleep(2500) // comfortably past the 800 ms TTL
+    }
+    assert(pairsAt(s2, dirsA._3).isEmpty,
+      "signatures older than the TTL must not generate pairs")
+    // (b) generous TTL, arrivals inside the window: the gate's pairing
+    // logic is unchanged by TTL mode — the same-text pair is emitted
+    val dirsB = mkDirs()
+    val runB = runGate(s2, dirsB, TTLConfig(java.time.Duration.ofMinutes(10))) _
+    runB(1L)
+    runB(2L)
+    val pairsB = pairsAt(s2, dirsB._3)
+    assert(pairsB == Set((1L, 2L, 1.0)),
+      s"in-window same-text pair must survive TTL mode, got $pairsB")
+  }
+
   test("JSON-lines source round-trips (the reference's payload format)") {
     val dir = java.nio.file.Files.createTempDirectory("jsonsrc").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
