@@ -27,8 +27,8 @@ object ScaleProbe {
     // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "ivf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|ivf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -135,6 +135,39 @@ object ScaleProbe {
         f"t_ivf=$tIvf%.2f ivf_rows=${ivfDf.count()} cand_k16=$cand16 " +
         f"k_auto=$kAuto t_train_kauto=$tTrainA%.2f t_ivf_kauto=$tIvfA%.2f " +
         f"ivf_rows_kauto=${ivfA.count()} cand_kauto=$candA")
+    }
+
+    // ---- the depth-wall SWITCH itself, end to end: the production wall
+    // (ExactDepthLimit, p >= 15) needs a >= ~2M-vector corpus, so force
+    // the switched branch via the spec hook (wall = 3 < planesFor(n))
+    // and measure it AGAINST the exact-bucket auto path on the same
+    // corpus — same miss bound by construction, so the pair sets should
+    // agree (sym_diff counts any divergence loudly) while the geometry
+    // trades tables for probes. This is the measured twin of the
+    // SimilarityQualitySpec depth-wall equality assertion.
+    if (mode == "annwall") factors.foreach { f =>
+      val em = replicateEm(f)
+      val n = em.count()
+      val p = Similarity.planesFor(n)
+      val q = Similarity.probesFor(p)
+      val tMp = Similarity.tablesForMultiProbe(p, q)
+      val (autoDf, tAuto) = timed(
+        Similarity.neardupPairsAuto(em).localCheckpoint())
+      val (wallDf, tWall) = timed(
+        Similarity.neardupPairsAutoImpl(em, exactDepthLimit = 3).localCheckpoint())
+      val pairsAuto = autoDf.count()
+      val pairsWall = wallDf.count()
+      val symDiff =
+        autoDf.select(col("vid1"), col("vid2"))
+          .exceptAll(wallDf.select(col("vid1"), col("vid2"))).count() +
+        wallDf.select(col("vid1"), col("vid2"))
+          .exceptAll(autoDf.select(col("vid1"), col("vid2"))).count()
+      val exactGeo =
+        if (p <= Similarity.ExactDepthLimit) s"${Similarity.tablesFor(p)}tx${p}p"
+        else "beyond-wall(auto already multi-probe)"
+      println(f"SCALE-ANNWALL f=$f vecs=$n exact_geo=$exactGeo " +
+        f"wall_geo=${tMp}tx${p}px${q}q pairs_auto=$pairsAuto t_auto=$tAuto%.2f " +
+        f"pairs_wall=$pairsWall t_wall=$tWall%.2f sym_diff=$symDiff")
     }
 
     if (mode == "ann" || mode == "all") factors.foreach { f =>
