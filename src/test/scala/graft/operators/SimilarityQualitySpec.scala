@@ -368,6 +368,25 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(viaQ84 == mp, "q84 drifted from annTopKMultiProbe(4, 4, 11)")
   }
 
+  test("broadcast-verify gate is byte-based: wide embeddings lower the row cutoff") {
+    import org.apache.spark.sql.functions.col
+    // 64-dim reproduces the former 250k-row cutoff exactly...
+    assert(Similarity.broadcastVerifyFits(250000L, 64))
+    assert(!Similarity.broadcastVerifyFits(262145L, 64)) // 64 MB / (64*4) + 1
+    // ...while the ADVICE scenario — 1024-dim just under 250k rows, a
+    // ~1 GB relation that the old row gate would have broadcast on BOTH
+    // attach joins — now takes the shuffled path
+    assert(!Similarity.broadcastVerifyFits(249999L, 1024))
+    assert(Similarity.broadcastVerifyFits(16384L, 1024)) // 64 MB exactly
+    // degenerate inputs shuffle vacuously
+    assert(!Similarity.broadcastVerifyFits(1000L, 0))
+    // dim probing: real frame -> its width; empty frame -> 0
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    assert(Similarity.probeDim(em) == 64)
+    assert(Similarity.probeDim(em.filter(col("vec_id") < 0)) == 0)
+  }
+
   test("depth-wall switch: the auto policy's multi-probe branch reproduces the exact pair set") {
     import org.apache.spark.sql.functions.col
     // the production wall (ExactDepthLimit, p ≥ 15) engages at corpora
