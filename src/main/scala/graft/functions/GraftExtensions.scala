@@ -101,6 +101,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(e(2), "graft_lsh_buckets: planesPerTable"))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_bloom_agg(hash, estimatedItems)")
+        e(1) match {
+          case Literal(n: Long, org.apache.spark.sql.types.LongType) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(e.head, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg: estimatedItems must be a long literal")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_bloom_might_contain(bloom, hash)")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(e.head, e(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_lsh_probe_keys"),
       new ExpressionInfo(classOf[LshProbeKeys].getName, "graft_lsh_probe_keys"),
       (exprs: Seq[Expression]) => {

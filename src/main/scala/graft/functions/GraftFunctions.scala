@@ -3,7 +3,7 @@ package graft.functions
 import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Registration point for the library's native Catalyst expressions —
   * callable from both the Column API (`call_function`) and SQL. Idempotent;
@@ -119,6 +119,29 @@ object GraftFunctions {
           case _ => throw new IllegalArgumentException(
             "graft_lsh_buckets: tables and planesPerTable must be int literals")
         }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_bloom_agg(hash, estimatedItems) takes two arguments")
+        exprs(1) match {
+          case Literal(n: Long, LongType) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(exprs.head, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg: estimatedItems must be a long literal")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_bloom_might_contain(bloom, hash) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -398,5 +398,82 @@ object Curation extends QueryPack {
     FROM s
     ORDER BY source"""))
 
-  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74, q78)
+  // ---------------------------------------------------------------- q85
+  /** The q85 pipeline over an arbitrary `(doc_id, text, lang, source)`
+    * frame with an injectable sketch capacity — the spec drives this with
+    * a deliberately undersized estimate to prove bloom false positives
+    * cannot change the output (the exact verify join removes them). */
+  private[graft] def bloomPurgeOn(
+      docs: org.apache.spark.sql.DataFrame,
+      estimatedItems: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import graft.Materialize.CutSyntax
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val chunks = docs.select(col("doc_id"),
+      explode(call_function("graft_chunk_hashes",
+        split(col("text"), " "), lit(8))).as("c"))
+    // the benchmark side: fixed-size at any corpus scale (same broadcast
+    // justification as q66) — materialized once, reused by the sketch
+    // build and the exact verify join
+    val evalChunks = chunks.filter(col("doc_id") % 50 === 0)
+      .select(col("c")).distinct().cut()
+    val est = estimatedItems.getOrElse(math.max(1024L, evalChunks.count()))
+    val bloomBytes = evalChunks
+      .agg(call_function("graft_bloom_agg", col("c"), lit(est)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val train = chunks.filter(col("doc_id") % 50 =!= 0)
+    // map-side prefilter: at 100 TB this is the entire point — the
+    // overwhelming non-contaminated majority of chunk rows dies HERE,
+    // before any exchange, against a driver-built sketch whose size is
+    // bounded by the fixed benchmark suite (model state, like the IVF
+    // centroids), never by the corpus
+    val maybe =
+      if (bloomBytes == null) train.filter(lit(false))
+      else train.filter(call_function("graft_bloom_might_contain",
+        lit(bloomBytes), col("c")))
+    // exact verify: bloom has no false negatives, so the semi join over
+    // the surviving sliver reproduces the exact contaminated-doc set and
+    // the final anti join equals the plain (bloom-free) anti join
+    val purged = maybe.join(broadcast(evalChunks), Seq("c"), "leftsemi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .join(purged, Seq("doc_id"), "leftanti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-prefiltered benchmark purge — the decontamination DELETE pass
+    * (q66 reports flagged pairs; this one removes). A train document is
+    * purged iff it shares any non-overlapping 8-token chunk
+    * ([[graft.functions.expressions.ChunkHashes]], the q68 chunking) with
+    * the eval slice (`doc_id % 50 == 0`, q66's benchmark convention).
+    *
+    * Spark shape: Spark's own `BloomFilterAggregate` builds the sketch
+    * over the eval side's chunk hashes (driver-held, benchmark-bounded —
+    * ~1.2 MB per million chunks at the default 3% FPP);
+    * `BloomFilterMightContain` then prefilters the train chunk stream
+    * map-side, and only the maybes reach the broadcast semi join that
+    * removes false positives. Output is EXACTLY the anti join the oracle
+    * states — the sketch is invisible in the result, so this is fully
+    * oracle-checked, unlike sketch ops whose estimates leak into the
+    * output (q50). Same 64-bit chunk-hash collision caveat as q68
+    * (~1e-11; the string-keyed oracle would catch one). */
+  val q85 = QueryDef(
+    "q85_bloom_purge",
+    (spark, dir) => bloomPurgeOn(Tables(spark, dir).documents),
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    ch AS (
+      SELECT doc_id, array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM tok, UNNEST(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS t(i)),
+    ev AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 50 = 0),
+    purged AS (
+      SELECT DISTINCT doc_id FROM ch JOIN ev USING (chunk)
+      WHERE doc_id % 50 <> 0)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM purged)
+    ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74, q78, q85)
 }

@@ -446,6 +446,58 @@ object RelationalExt extends QueryPack {
     ORDER BY n.n_name ASC NULLS FIRST, l.c_acctbal DESC NULLS LAST,
       l.c_name ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q87
+  /** Changelog compaction — the upsert-with-tombstones merge an
+    * incremental-ingest pipeline runs to turn an event log into current
+    * state (the Kafka log-compaction / SCD type-1 MERGE semantic). Each
+    * `events` row is an upsert keyed by `user_id`; `event_type = 'error'`
+    * plays the delete tombstone (fixture-driven stand-in — a real
+    * changelog has an op column). The compacted state keeps, per key,
+    * only the LATEST row in the `(ts, event_id)` total order, and a key
+    * whose latest row is a tombstone disappears entirely.
+    *
+    * Spark shape: `max_by(payload_struct, struct(ts, event_id))` — an
+    * associative, map-side-combinable agg, so compaction is ONE hash
+    * aggregate whose shuffle carries a single struct per (partition, key).
+    * The textbook `row_number() = 1` window form (what the oracle states,
+    * since DuckDB lacks struct-ordered max_by) must instead shuffle every
+    * changelog row and sort each key's history — strictly worse at
+    * 100 TB, where key cardinality is huge and history is long. Ties are
+    * impossible (`event_id` is unique and tiebreaks `ts`), timestamps are
+    * emitted as BIGINT epoch micros (determinism rule 5) computed with
+    * the same ns→µs floor division `Tables.events` applies on read. */
+  /** The q87 pipeline over an arbitrary changelog frame with columns
+    * `(user_id, event_type, value, event_id, ts)` — the spec drives it
+    * with synthetic tombstone histories. */
+  private[graft] def compactOn(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("event_id"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("last.event_id").as("last_event_id"),
+        unix_micros(col("last.ts")).as("last_ts_us"))
+      .orderBy(col("user_id"))
+
+  val q87 = QueryDef(
+    "q87_changelog_compact",
+    (spark, dir) => compactOn(Tables(spark, dir).events),
+    Some("""WITH rk AS (
+      SELECT user_id, event_type, value, event_id,
+        epoch_ns(ts) // 1000 AS ts_us,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY epoch_ns(ts) // 1000 DESC NULLS LAST,
+                   event_id DESC NULLS LAST) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_type, value AS last_value,
+      event_id AS last_event_id, ts_us AS last_ts_us
+    FROM rk WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81, q82)
+    Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81, q82,
+      q87)
 }

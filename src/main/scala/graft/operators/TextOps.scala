@@ -668,6 +668,61 @@ object TextOps extends QueryPack {
     FROM n
     ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q86
+  /** MG summary width. Any token with true frequency > n/64 of the corpus
+    * is guaranteed in the candidate set (see [[graft.functions.FrequentItems]]);
+    * the exact recount then makes the output the TRUE heavy-hitter set. */
+  private[graft] val HeavyHitterCapacity = 64
+
+  /** The q86 pipeline over an arbitrary `(text)` frame — the spec drives
+    * it with skewed synthetic corpora that force real MG evictions. */
+  private[graft] def heavyHittersOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val mg = udaf(new graft.functions.FrequentItems(HeavyHitterCapacity),
+      ExpressionEncoder[Seq[String]]())
+    // pass 1 — ONE corpus scan producing both the candidate sketch and
+    // the exact token total: the shuffle carries #partitions × capacity
+    // summary entries plus one long, never the token stream
+    val head = docs.select(split(col("text"), " ").as("ts"))
+      .agg(mg(col("ts")).as("cands"),
+        coalesce(sum(size(col("ts")).cast("long")), lit(0L)).as("n"))
+      .head()
+    val cands = head.getSeq[String](0)
+    val n = head.getLong(1)
+    // pass 2 — exact recount of the ≤ capacity candidates: the isin
+    // literal filter kills every other token map-side, so this shuffle
+    // is capacity-bounded too; the threshold predicate is exact integer
+    // arithmetic on the TRUE counts (determinism rule 8), which also
+    // erases the sketch's merge-order dependence from the output
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(if (cands.isEmpty) lit(false) else col("token").isin(cands: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyHitterCapacity > lit(n))
+      .orderBy(col("cnt").desc_nulls_last, col("token").asc_nulls_first)
+  }
+
+  /** Corpus heavy hitters — the tokens above a 1/64 frequency share
+    * (vocabulary skew / boilerplate-token detection; also the candidate
+    * step of one BPE-merge round). Sketch-plus-verify shape: a mergeable
+    * Misra–Gries `Aggregator` ([[graft.functions.FrequentItems]], the
+    * same typed-UDAF slot as q59) nominates a guaranteed-superset
+    * candidate set in one pass, and an exact recount of just those
+    * candidates yields true counts — so unlike a pure sketch the output
+    * is exact and fully oracle-checked. The naive single-query form
+    * (`groupBy(token) HAVING`) shuffles the ENTIRE corpus vocabulary;
+    * this one shuffles two capacity-bounded aggregates. */
+  val q86 = QueryDef(
+    "q86_heavy_hitters",
+    (spark, dir) => heavyHittersOn(Tables(spark, dir).documents),
+    Some("""WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, COUNT(*) AS cnt
+    FROM tok GROUP BY token
+    HAVING COUNT(*) * 64 > (SELECT n FROM tot)
+    ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77)
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86)
 }

@@ -93,6 +93,15 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT graft_lsh_probe_keys(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 4, 2, 1) AS k")
         .collect()(0).getSeq[Long](0).toSeq
       assert(pk == lb.zipWithIndex.map { case (b, t) => (t.toLong << 2) | b })
+      // graft_bloom_agg / graft_bloom_might_contain: a sketch built over
+      // range(0,50) reports every member (no false negatives, ever)
+      import org.apache.spark.sql.functions.{call_function, col, lit, xxhash64}
+      val bf = s2.sql(
+        "SELECT graft_bloom_agg(xxhash64(id), 64L) AS b FROM range(0, 50)")
+        .collect()(0).getAs[Array[Byte]](0)
+      val members = s2.range(0, 50).filter(
+        call_function("graft_bloom_might_contain", lit(bf), xxhash64(col("id"))))
+      assert(members.count() == 50, "bloom must have no false negatives")
       // parity with the FunctionRegistry path (GraftFunctions.register)
       GraftFunctions.register(s2)
       val lb2 = s2.sql(

@@ -138,4 +138,49 @@ class CurationSpec extends SparkTestBase {
     // the fixture happens to be perfectly uniform — sanity: fracs valid
     rows.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
   }
+
+  test("q85 bloom purge equals the exact chunk anti-join (no bloom in the result)") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // exact reference, no sketch anywhere: purge train docs sharing any
+    // 8-token chunk hash with the eval slice
+    val chunks = docs.select(col("doc_id"),
+      explode(call_function("graft_chunk_hashes",
+        split(col("text"), " "), lit(8))).as("c"))
+    val evalChunks = chunks.filter(col("doc_id") % 50 === 0).select("c").distinct()
+    val purged = chunks.filter(col("doc_id") % 50 =!= 0)
+      .join(evalChunks, Seq("c"), "leftsemi").select("doc_id").distinct()
+    val expected = docs.filter(col("doc_id") % 50 =!= 0)
+      .join(purged, Seq("doc_id"), "leftanti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val got = Curation.bloomPurgeOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSet == expected)
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "total order")
+    // the purge must actually fire on the fixture (near-dups share chunks)
+    val trainCount = docs.filter(col("doc_id") % 50 =!= 0).count()
+    assert(got.length < trainCount, "fixture should purge at least one doc")
+  }
+
+  test("q85 bloom false positives cannot change the output (undersized sketch)") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // estimate 2 items for hundreds of inserted chunks → the sketch
+    // saturates and says 'maybe' almost everywhere; the exact verify
+    // join must still reproduce the honest-estimate output bit for bit
+    val honest = Curation.bloomPurgeOn(docs).collect().map(_.toSeq).toSeq
+    val flooded = Curation.bloomPurgeOn(docs, Some(2L)).collect().map(_.toSeq).toSeq
+    assert(flooded == honest)
+  }
+
+  test("q85 plan: bloom prefilter sits on the train chunk stream before the verify join") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = Curation.bloomPurgeOn(docs).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("might_contain"),
+      s"bloom prefilter missing from the purge plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"purge must stay equi-join shaped:\n$p")
+  }
 }

@@ -46,4 +46,49 @@ class RelationalExtSpec extends SparkTestBase {
       assert(med == exp, s"median mismatch for $prio")
     }
   }
+
+  test("q87 compaction equals the row_number()=1 window form") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables(spark, sf0001).events
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)
+    val expected = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val got = RelationalExt.compactOn(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    // tombstoned keys really disappear: every user whose latest event is
+    // an error is absent from the compacted state
+    val latestIsError = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(latestIsError.nonEmpty, "fixture should tombstone someone")
+    assert(got.map(_._1).toSet.intersect(latestIsError).isEmpty)
+  }
+
+  test("q87 on a synthetic history: upsert wins over older tombstone, ties impossible") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: delete then re-insert → present with the newer row
+      (1L, "error", 0.0, 10L, 1000L),
+      (1L, "purchase", 5.0, 11L, 2000L),
+      // user 2: insert then delete → absent
+      (2L, "signup", 1.0, 20L, 1000L),
+      (2L, "error", 0.0, 21L, 3000L),
+      // user 3: same µs timestamp twice → event_id breaks the tie
+      (3L, "signup", 1.0, 30L, 5000L),
+      (3L, "purchase", 9.0, 31L, 5000L))
+      .toDF("user_id", "event_type", "value", "event_id", "us")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"), timestamp_micros(col("us")).as("ts"))
+    val got = RelationalExt.compactOn(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "purchase", 11L), (3L, "purchase", 31L)))
+  }
 }
