@@ -457,8 +457,13 @@ object RelationalExt extends QueryPack {
     * whose latest row is a tombstone disappears entirely.
     *
     * Spark shape: `max_by(payload_struct, struct(ts, event_id))` — an
-    * associative, map-side-combinable agg, so compaction is ONE hash
-    * aggregate whose shuffle carries a single struct per (partition, key).
+    * associative, map-side-combinable agg, so compaction is ONE
+    * partial+final aggregate whose single shuffle carries one struct per
+    * (partition, key). The struct-typed buffer disqualifies HashAggregate,
+    * so the plan is a partial+final SortAggregate (in-partition sort by
+    * key, no extra exchange) — the property that matters at scale is the
+    * partial collapse before the exchange, which the window form lacks
+    * entirely.
     * The textbook `row_number() = 1` window form (what the oracle states,
     * since DuckDB lacks struct-ordered max_by) must instead shuffle every
     * changelog row and sort each key's history — strictly worse at
