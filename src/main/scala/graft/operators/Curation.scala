@@ -403,9 +403,17 @@ object Curation extends QueryPack {
     * frame with an injectable sketch capacity — the spec drives this with
     * a deliberately undersized estimate to prove bloom false positives
     * cannot change the output (the exact verify join removes them). */
-  private[graft] def bloomPurgeOn(
+  /** The assembled interior of [[bloomPurgeOn]] — exposed so
+    * [[graft.tools.ScaleProbe]] can count the prefilter's survivors
+    * without duplicating the pipeline. */
+  private[graft] final case class BloomPurgeParts(
+      evalChunks: org.apache.spark.sql.DataFrame,
+      trainChunks: org.apache.spark.sql.DataFrame,
+      maybe: org.apache.spark.sql.DataFrame)
+
+  private[graft] def bloomParts(
       docs: org.apache.spark.sql.DataFrame,
-      estimatedItems: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+      estimatedItems: Option[Long] = None): BloomPurgeParts = {
     import graft.Materialize.CutSyntax
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val chunks = docs.select(col("doc_id"),
@@ -430,10 +438,17 @@ object Curation extends QueryPack {
       if (bloomBytes == null) train.filter(lit(false))
       else train.filter(call_function("graft_bloom_might_contain",
         lit(bloomBytes), col("c")))
+    BloomPurgeParts(evalChunks, train, maybe)
+  }
+
+  private[graft] def bloomPurgeOn(
+      docs: org.apache.spark.sql.DataFrame,
+      estimatedItems: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val parts = bloomParts(docs, estimatedItems)
     // exact verify: bloom has no false negatives, so the semi join over
     // the surviving sliver reproduces the exact contaminated-doc set and
     // the final anti join equals the plain (bloom-free) anti join
-    val purged = maybe.join(broadcast(evalChunks), Seq("c"), "leftsemi")
+    val purged = parts.maybe.join(broadcast(parts.evalChunks), Seq("c"), "leftsemi")
       .select(col("doc_id")).distinct()
     docs.filter(col("doc_id") % 50 =!= 0)
       .join(purged, Seq("doc_id"), "leftanti")

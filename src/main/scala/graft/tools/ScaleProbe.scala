@@ -27,8 +27,8 @@ object ScaleProbe {
     // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -88,6 +88,85 @@ object ScaleProbe {
         Curation.chunkDedupOn(docs)
           .write.format("noop").mode("overwrite").save())
       println(f"SCALE-CUR f=$f docs=$nDocs t_gates=$tGates%.2f t_chunk=$tChunk%.2f")
+    }
+
+    // ---- the round-7 sketch-verify operators: what must be shown is
+    // that each one's SHUFFLE is bounded by something other than the
+    // corpus — the bloom prefilter's survivor count tracks true
+    // contamination (not input size), Misra–Gries summary traffic is
+    // capacity-bounded while the naive form shuffles the whole
+    // vocabulary, and compaction's partial agg collapses each
+    // partition to one row per key before its single exchange.
+    if (mode == "sketch") factors.foreach { f =>
+      import graft.operators.{RelationalExt, TextOps}
+      // BLOOM PURGE on the shared worst-case near-dup replication (tail
+      // tokens keep most replica chunks identical to the original's, so
+      // contamination really spreads with f)
+      val docs = replicateDocs(f)
+        .withColumn("lang", lit("xx")).withColumn("source", lit("s0"))
+      val nDocs = docs.count()
+      val parts = Curation.bloomParts(docs)
+      val nTrainChunks = parts.trainChunks.count()
+      val nMaybe = parts.maybe.count()
+      val (purged, tPurge) = timed(Curation.bloomPurgeOn(docs).localCheckpoint())
+      val kept = purged.count()
+      println(f"SCALE-BLOOM f=$f docs=$nDocs train_chunks=$nTrainChunks " +
+        f"bloom_maybe=$nMaybe kept=$kept t_purge=$tPurge%.2f")
+
+      // HEAVY HITTERS on a wide-vocabulary replication: every replica
+      // contributes 4 unique tokens, so vocabulary ~ 4·docs — the regime
+      // where the naive groupBy(token) shuffles the whole vocabulary and
+      // the MG pass shuffles 64-entry summaries. Both must agree exactly.
+      val wide = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" na"), col("doc_id").cast("string"),
+          lit(" nb"), col("doc_id").cast("string"),
+          lit(" nc"), col("doc_id").cast("string"),
+          lit(" nd"), col("doc_id").cast("string")).as("text"))
+        .localCheckpoint()
+      val toks = wide.select(explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.select(countDistinct(col("token"))).head().getLong(0)
+      val (mgRows, tMg) = timed(
+        TextOps.heavyHittersOn(wide).collect().toSeq)
+      val (naiveRows, tNaive) = timed {
+        val n = toks.count()
+        toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * TextOps.HeavyHitterCapacity > lit(n))
+          .orderBy(col("cnt").desc_nulls_last, col("token").asc_nulls_first)
+          .collect().toSeq
+      }
+      val hhMatch = mgRows.map(r => (r.getString(0), r.getLong(1))) ==
+        naiveRows.map(r => (r.getString(0), r.getLong(1)))
+      println(f"SCALE-HH f=$f docs=$nDocs vocab=$vocab hh=${mgRows.size} " +
+        f"t_mg=$tMg%.2f t_naive=$tNaive%.2f match=$hhMatch")
+
+      // CHANGELOG COMPACTION on a key-space replication (per-key history
+      // length fixed, key count ×f): the agg form vs the row_number
+      // window form, identical output required.
+      val evBase = graft.Tables(spark, sfDir).events
+      val ev = (
+        if (f == 1) evBase
+        else evBase.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("user_id") * f + col("i")).as("user_id"),
+            col("event_type"), col("value"),
+            (col("event_id") * f + col("i")).as("event_id"), col("ts"))
+      ).localCheckpoint()
+      val nEvents = ev.count()
+      val (aggDf, tAgg) = timed(RelationalExt.compactOn(ev).localCheckpoint())
+      val keys = aggDf.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)
+      val (winDf, tWin) = timed(
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("last_value"), col("event_id").as("last_event_id"),
+            unix_micros(col("ts")).as("last_ts_us"))
+          .orderBy(col("user_id")).localCheckpoint())
+      val compactDiff = aggDf.exceptAll(winDf).count() + winDf.exceptAll(aggDf).count()
+      println(f"SCALE-COMPACT f=$f events=$nEvents keys=$keys " +
+        f"t_agg=$tAgg%.2f t_window=$tWin%.2f sym_diff=$compactDiff")
     }
 
     // ---- embedding near-dup (q44 path): sign-LSH geometry vs corpus size
