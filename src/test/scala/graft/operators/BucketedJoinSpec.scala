@@ -34,4 +34,44 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(exchangesBeforeAgg == 0, s"bucketed join still shuffles:\n$plan")
     assert(joined.collect().map(_.getLong(1)).sum == li.count())
   }
+
+  test("q88: join sides neither shuffle nor sort; only the group-by exchanges") {
+    val df = Bucketed.coLocatedJoinPipeline(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint lost:\n$plan")
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllIn(plan).isEmpty, s"bucketed join side shuffles:\n$plan")
+    // Spark ≥3.0 re-sorts bucket contents rather than trusting written
+    // order (multi-file buckets would need a merge-sort) — but those
+    // sorts must stay LOCAL (global=false): in-task, no exchange
+    assert("Sort \\[(l_orderkey|o_orderkey)[^\n]*\\], true,".r
+      .findAllIn(plan).isEmpty, s"global sort on a bucketed join side:\n$plan")
+    // the plan's only hash exchange is the final aggregation's
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"unexpected exchange count:\n$plan")
+  }
+
+  test("q88: bucketed layout answers exactly like the plain-parquet join") {
+    import graft.{Det, Tables}
+    val t = Tables(spark, sf0001)
+    val plain = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+      .collect().toSeq
+    val bucketed = Bucketed.coLocatedJoinPipeline(spark, sf0001).collect().toSeq
+    assert(bucketed == plain)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("q88: table materialization is idempotent per (catalog, dir)") {
+    val (li1, o1) = Bucketed.ensureTables(spark, sf0001)
+    val n1 = spark.table(li1).count()
+    val (li2, o2) = Bucketed.ensureTables(spark, sf0001)
+    assert((li1, o1) == (li2, o2))
+    assert(spark.table(li2).count() == n1)
+  }
 }
