@@ -67,6 +67,22 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(bucketed.nonEmpty)
   }
 
+  test("key-equality filters prune to a single bucket (point lookups skip 15/16 of the scan)") {
+    val (li, _) = Bucketed.ensureTables(spark, sf0001)
+    // Spark's DisableUnnecessaryBucketedScan heuristic models only
+    // distribution/ordering benefit, so it turns bucketed reading OFF for
+    // a bare filter and the pruning opportunity with it; an isolated
+    // session pins the property the layout provides when the scan is on
+    val s2 = spark.newSession() // shares the external catalog
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val key = s2.table(li).select(col("l_orderkey")).head().getLong(0)
+    val df = s2.table(li).filter(col("l_orderkey") === key)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+      s"no bucket pruning:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q88: table materialization is idempotent per (catalog, dir)") {
     val (li1, o1) = Bucketed.ensureTables(spark, sf0001)
     val n1 = spark.table(li1).count()
