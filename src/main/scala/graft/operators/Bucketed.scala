@@ -43,9 +43,19 @@ object Bucketed extends QueryPack {
   /** Bucketed copies live outside the repo and outside the (static)
     * warehouse dir: one fresh temp root per JVM, so stale files from a
     * dead run can never be read — the session catalog and the files are
-    * always written together. */
-  private lazy val root: String =
-    java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    * always written together. Deleted on JVM exit (best-effort), so
+    * repeated bench/verify JVMs don't accumulate table copies in /tmp. */
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_bucketed")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () } // exit-time cleanup only
+    }
+    p.toString
+  }
 
   private val lock = new Object
 

@@ -83,6 +83,16 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("aggregation on the bucket key runs partial+final with no exchange") {
+    val (li, _) = Bucketed.ensureTables(spark, sf0001)
+    val agg = spark.table(li).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"bucket-key aggregation still shuffles:\n$plan")
+    assert(agg.count() == spark.table(li).select(col("l_orderkey")).distinct().count())
+  }
+
   test("q88: table materialization is idempotent per (catalog, dir)") {
     val (li1, o1) = Bucketed.ensureTables(spark, sf0001)
     val n1 = spark.table(li1).count()
