@@ -72,6 +72,20 @@ object StreamOps {
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL $interval"))
   }
 
+  /** Stream-static enrichment join: each arriving event picks up its
+    * dimension attributes (the classic "enrich the event stream with the
+    * user table"). The static side is explicitly broadcast, so every
+    * micro-batch joins map-side — the stream never shuffles, and there is
+    * no state store and no watermark requirement because the static side
+    * is not buffered (it is re-planned per micro-batch, so a file-backed
+    * dimension refresh is visible at the next batch). LEFT join by
+    * design: enrichment must never drop stream rows — events without a
+    * dimension row pass through with nulls for the dim columns. At scale
+    * the broadcast bound is the dimension's size, same as any broadcast
+    * join; a fact-sized "dimension" belongs in [[intervalJoin]] instead. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** The curation gate (q61 quality rules + q67 repetition rules) over a
     * STREAM of documents — incremental corpus curation: newly crawled
     * docs get their keep/drop verdicts on arrival instead of in a nightly

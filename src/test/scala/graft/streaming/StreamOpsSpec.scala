@@ -94,6 +94,29 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!rows.contains((1L, 102L)), "purchase of another user joined")
   }
 
+  test("stream-static enrichment attaches dim columns, keeps unmatched rows, broadcasts") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = StreamOps.enrichWithDim(in.toDF(), dim, "user_id")
+      .select(col("event_id"), col("tier"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 2, "click", 1.0),
+      Ev(3, ts("2024-01-01 10:02:00"), 7, "click", 1.0)) // no dim row
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)),
+      s"got $rows")
+    // the joiner is the same builder in batch — its plan must broadcast
+    // the dim (map-side per micro-batch, the stream side never shuffles)
+    val batchPlan = StreamOps.enrichWithDim(dim.limit(1), dim, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$batchPlan")
+  }
+
   test("sliding windows assign events to every overlapping window") {
     val in = MemoryStream[Ev]
     val q = StreamOps.slidingCounts(in.toDF(), "1 hour", "30 minutes", "5 minutes")
