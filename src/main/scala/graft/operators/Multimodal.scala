@@ -32,6 +32,40 @@ object Multimodal extends QueryPack {
       (ascii(substring(col("text"), 2, 1)) * 3 + 48).cast(IntegerType).as("height"),
       when(length(col("text")) % 2 === 0, "png").otherwise("jpg").as("format")))
 
+  /** Output row of the imperative decode path — the encoder IS the
+    * schema contract a real codec's output must keep. */
+  final case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+      format: String)
+
+  /** The imperative decode path a real codec plugs into: `mapPartitions`
+    * over the binary column — batch = partition, one JVM kernel call per
+    * row, byte-level header reads (exactly what a real image/audio
+    * header parser does), zero driver involvement. Parses the same fake
+    * header as [[fakeDecodeMeta]], so the spec can pin the two paths to
+    * identical output (`MultimodalSpec`): swapping in a real codec is
+    * replacing the body of the lambda, with partitioning, schema
+    * (the [[DecodedMedia]] encoder) and batch shape already proven.
+    * Kept out of the registered q47 plan deliberately — the native
+    * expression form is whole-stage-codegen'd and stays the production
+    * path until a real codec exists. Expects `doc_id` and a binary
+    * `blob` column. */
+  private[graft] def decodeMetaBatched(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // fake "header parse": byte 0 → width, byte 1 → height, length
+          // parity → container format (matches fakeDecodeMeta's ascii()
+          // reads — fixture text is ASCII, so byte == codepoint)
+          val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+          val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+          DecodedMedia(id, b0 * 4 + 64, b1 * 3 + 48,
+            if (bytes.length % 2 == 0) "png" else "jpg")
+        }
+      }.toDF()
+  }
+
   // ---------------------------------------------------------------- q46
   /** Multimodal join: text ⋈ embedding by id into one typed row — the
     * (text, vector, label) shape a training pipeline consumes. */
