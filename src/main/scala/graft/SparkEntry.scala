@@ -20,7 +20,8 @@ object SparkEntry {
     operators.TextOps,
     operators.Multimodal,
     operators.Curation,
-    operators.Bucketed)
+    operators.Bucketed,
+    operators.Sources)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)
 

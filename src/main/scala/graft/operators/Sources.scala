@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** File-source pack beyond parquet: JSONL (newline-delimited JSON), the
+  * landed form of the reference's JSON-over-HTTP payloads
+  * (`dags/update_tr_from_ex_dag.py:103,137` — every datum it moves is a
+  * JSON body; a scraper that persists them lands exactly one JSON object
+  * per line), read back with an EXPLICIT schema.
+  *
+  * Scale notes (100 TB): schema inference is a full extra pass over the
+  * data — never at scale; the explicit `StructType` here is the
+  * contract. JSONL splits on newlines, so a 100 TB directory parallelizes
+  * per-block like any text source (JSON escapes embedded newlines — the
+  * reason free text lands as JSONL/parquet rather than line-split CSV,
+  * where embedded newlines would force non-splittable `multiLine`
+  * reads; CSV/ORC round-trip + pushdown specs live in StreamOpsSpec).
+  * Corrupt rows: `PERMISSIVE` + `_corrupt_record` quarantines bad lines
+  * without failing the scan (spec-pinned) — at corpus scale a reader that
+  * dies on one malformed crawl record is unusable.
+  */
+object Sources extends QueryPack {
+
+  /** Documents as they land from a JSON feed: explicit, no inference. */
+  private[graft] val DocSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  /** One JSONL landing dir per JVM, deleted on exit (same lifecycle as
+    * [[Bucketed]]'s table copies). */
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () } // exit-time cleanup only
+    }
+    p.toString
+  }
+
+  private val lock = new Object
+  private val landed = scala.collection.mutable.Set.empty[String]
+
+  /** Idempotently lands the documents table as JSONL for `dir` and
+    * returns the path — the write is the "external feed" side of the
+    * round-trip, not part of the measured read semantics. */
+  private[graft] def ensureJsonl(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/docs_$tag"
+      if (!landed(path)) {
+        Tables(spark, dir).documents
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").json(path)
+        landed += path
+      }
+      path
+    }
+
+  /** Reads a JSONL directory with the explicit schema, quarantining
+    * malformed lines into `_corrupt_record` instead of failing. */
+  private[graft] def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(DocSchema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  // ---------------------------------------------------------------- q89
+  /** JSONL round-trip: land documents as JSON lines, read back with the
+    * explicit schema, aggregate per (lang, source). Values and types
+    * must survive the trip exactly — the oracle runs the same aggregate
+    * on the original parquet. */
+  val q89 = QueryDef(
+    "q89_jsonl_source",
+    (spark, dir) => {
+      val docs = readJsonl(spark, ensureJsonl(spark, dir))
+        .filter(col("_corrupt_record").isNull)
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q89)
+}
