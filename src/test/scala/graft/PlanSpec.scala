@@ -26,6 +26,16 @@ class PlanSpec extends SparkTestBase {
     assert(readSchema.contains("l_returnflag"))
   }
 
+  test("q89: the JSON scan parses only required fields (no doc_id read)") {
+    // schema pruning works on JSONL like on parquet: the reader skips
+    // unrequested fields at parse time — at a 100 TB landing zone that
+    // is the difference between parsing five fields and one
+    val p = plan(graft.operators.Sources.q89)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("doc_id"), s"unpruned JSON scan: $readSchema")
+    assert(readSchema.contains("lang"))
+  }
+
   test("q03: dimension joins are broadcast, not shuffled") {
     val p = plan(Relational.q03)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
