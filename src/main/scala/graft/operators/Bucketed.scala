@@ -59,16 +59,24 @@ object Bucketed extends QueryPack {
 
   private val lock = new Object
 
+  /** Table names are keyed by (temp root, dir): the root is fresh per
+    * JVM, so even against a PERSISTENT metastore a previous JVM's
+    * catalog entries (whose files died with its temp root) can never
+    * alias this JVM's tables — `tableExists` is true only for tables
+    * whose files this JVM wrote. */
   private def tag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(s"$root|$dir".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   /** Idempotently materializes bucketed+sorted copies of `orders` and
     * `lineitem` for `dir` (bucketed on the order key) and returns their
     * catalog names. First call per (JVM, dir) pays the one-time
     * repartition+write; later calls — and the second leg of the bench's
     * min-of-2 — reuse the catalog entries, which is exactly the
-    * amortization bucketing exists for. */
+    * amortization bucketing exists for. Both tables are checked (not
+    * just the first-written one), so a failure mid-materialization —
+    * lineitem landed, orders didn't — self-heals on the next call via
+    * the overwrite instead of latching the JVM onto a dangling name. */
   private[graft] def ensureTables(spark: SparkSession, dir: String): (String, String) =
     lock.synchronized {
       val t = tag(dir)
@@ -80,7 +88,7 @@ object Bucketed extends QueryPack {
           .bucketBy(Buckets, key).sortBy(key)
           .option("path", s"$root/$name")
           .format("parquet").saveAsTable(name)
-      if (!spark.catalog.tableExists(li)) {
+      if (!spark.catalog.tableExists(li) || !spark.catalog.tableExists(ord)) {
         val tb = Tables(spark, dir)
         write(tb.lineitem, "l_orderkey", li)
         write(tb.orders, "o_orderkey", ord)

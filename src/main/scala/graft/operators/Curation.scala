@@ -404,8 +404,11 @@ object Curation extends QueryPack {
     * a deliberately undersized estimate to prove bloom false positives
     * cannot change the output (the exact verify join removes them). */
   /** The assembled interior of [[bloomPurgeOn]] — exposed so
-    * [[graft.tools.ScaleProbe]] can count the prefilter's survivors
-    * without duplicating the pipeline. */
+    * [[graft.tools.ScaleProbe]] can count the prefilter's survivors with
+    * the same construction the production purge uses (the probe's timed
+    * purge still runs the full [[bloomPurgeOn]], sketch build included —
+    * the recorded t_purge is the production cost, and the count-only
+    * parts here run outside the timed region). */
   private[graft] final case class BloomPurgeParts(
       evalChunks: org.apache.spark.sql.DataFrame,
       trainChunks: org.apache.spark.sql.DataFrame,
@@ -488,7 +491,7 @@ object Curation extends QueryPack {
     FROM documents d
     WHERE d.doc_id % 50 <> 0
       AND d.doc_id NOT IN (SELECT doc_id FROM purged)
-    ORDER BY doc_id"""))
+    ORDER BY doc_id ASC NULLS FIRST"""))
 
   override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74, q78, q85)
 }

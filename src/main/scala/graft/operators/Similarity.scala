@@ -475,9 +475,11 @@ object Similarity extends QueryPack {
     * attach relation is ~n·dim·4 bytes of float payload (per-row id +
     * array overhead absorbed by the margin to executor memory). Gating
     * on BYTES, with the dimension probed from one corpus row, keeps the
-    * gate honest for arbitrary embedding widths — at 64-dim this
-    * reproduces the former 250k-row cutoff exactly, while a 1024-dim
-    * corpus just under 250k rows (a ~1 GB relation that would have been
+    * gate honest for arbitrary embedding widths — at 64-dim (256 B/row)
+    * the cutoff is 64 MiB / 256 B = 262,144 rows, a hair above the
+    * former 250,000-row gate (the 64 MiB budget is the round number;
+    * the old row count was its approximation), while a 1024-dim corpus
+    * just under 250k rows (a ~1 GB relation that would have been
     * broadcast on BOTH attach joins) now takes the shuffled path. */
   private[graft] val BroadcastVerifyMaxBytes = 64L << 20
 
@@ -486,11 +488,13 @@ object Similarity extends QueryPack {
   private[graft] def broadcastVerifyFits(n: Long, dim: Int): Boolean =
     dim > 0 && n * dim.toLong * 4L <= BroadcastVerifyMaxBytes
 
-  /** Embedding width probed from one row — 0 on an empty frame (which
-    * then takes the shuffled path vacuously). */
+  /** Embedding width probed from one row — 0 on an empty frame OR when
+    * the sampled row's embedding is null (size(null) is SQL NULL): both
+    * fall through to the shuffled path, never an NPE. */
   private[graft] def probeDim(em: org.apache.spark.sql.DataFrame): Int =
     em.select(size(col("embedding"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+      .headOption.collect { case r if !r.isNullAt(0) => r.getInt(0) }
+      .getOrElse(0)
 
   /** The documented default entry point for arbitrary corpora: q44's
     * pipeline under the occupancy-held geometry. The input is

@@ -100,4 +100,17 @@ class BucketedJoinSpec extends SparkTestBase {
     assert((li1, o1) == (li2, o2))
     assert(spark.table(li2).count() == n1)
   }
+
+  test("q88: a half-materialized state self-heals (both tables checked, not just the first)") {
+    val (li, o) = Bucketed.ensureTables(spark, sf0001)
+    val nOrders = spark.table(o).count()
+    // simulate a failure between the two writes: lineitem landed,
+    // orders didn't — the next ensure must re-materialize, not latch
+    // onto the dangling name
+    spark.sql(s"DROP TABLE $o")
+    assert(!spark.catalog.tableExists(o))
+    val (li2, o2) = Bucketed.ensureTables(spark, sf0001)
+    assert((li2, o2) == (li, o))
+    assert(spark.table(o2).count() == nOrders)
+  }
 }

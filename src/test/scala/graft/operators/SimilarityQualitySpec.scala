@@ -370,9 +370,12 @@ class SimilarityQualitySpec extends SparkTestBase {
 
   test("broadcast-verify gate is byte-based: wide embeddings lower the row cutoff") {
     import org.apache.spark.sql.functions.col
-    // 64-dim reproduces the former 250k-row cutoff exactly...
+    // at 64-dim the 64 MiB budget admits up to 262,144 rows (256 B/row)
+    // — the former 250k-row gate was the round-number approximation of
+    // this same budget, so the old regime stays inside the new cutoff...
     assert(Similarity.broadcastVerifyFits(250000L, 64))
-    assert(!Similarity.broadcastVerifyFits(262145L, 64)) // 64 MB / (64*4) + 1
+    assert(Similarity.broadcastVerifyFits(262144L, 64)) // 64 MiB / 256 B
+    assert(!Similarity.broadcastVerifyFits(262145L, 64)) // one row past it
     // ...while the ADVICE scenario — 1024-dim just under 250k rows, a
     // ~1 GB relation that the old row gate would have broadcast on BOTH
     // attach joins — now takes the shuffled path
@@ -385,6 +388,12 @@ class SimilarityQualitySpec extends SparkTestBase {
       .select(col("vec_id"), col("embedding"))
     assert(Similarity.probeDim(em) == 64)
     assert(Similarity.probeDim(em.filter(col("vec_id") < 0)) == 0)
+    // a sampled NULL embedding (size -> SQL NULL) must also fall through
+    // to the shuffled path, never NPE
+    val nullEm = em.limit(3).select(col("vec_id"),
+      org.apache.spark.sql.functions.lit(null)
+        .cast("array<float>").as("embedding"))
+    assert(Similarity.probeDim(nullEm) == 0)
   }
 
   test("depth-wall switch: the auto policy's multi-probe branch reproduces the exact pair set") {
