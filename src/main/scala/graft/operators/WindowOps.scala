@@ -406,6 +406,55 @@ object WindowOps extends QueryPack {
       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey"""))
 
+  // ---------------------------------------------------------------- q90
+  /** Time-series gap fill: the hourly per-type event series INCLUDING
+    * empty hours — each type's series is zero-filled between its own
+    * first and last active hour (per-key spans, so no cross product:
+    * the hour frame is `groupBy(type) → min/max → explode(sequence)`,
+    * equi-joined back to the observed buckets). Resampling with
+    * zero-fill is what makes a sparse event log usable as a dense
+    * model-input series — downstream window ops (q21/q24's running
+    * aggregates) silently skip missing buckets otherwise.
+    *
+    * Determinism: hour emitted as epoch seconds BIGINT (never a raw
+    * timestamp, contract rule 5); counts are exact.
+    *
+    * Scale: output rows = Σ per-type span-hours — bounded by type count
+    * × time span, independent of event volume; the only row-scale work
+    * is the hourly pre-aggregation (partial+final hash agg). */
+  val q90 = QueryDef(
+    "q90_gapfill",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val hourly = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      val frame = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      frame.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          unix_timestamp(col("h")).as("hour_epoch"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("hour_epoch").asc_nulls_first)
+    },
+    Some("""WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    sp AS (
+      SELECT event_type,
+        generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR) AS hs
+      FROM b GROUP BY event_type),
+    frame AS (SELECT event_type, unnest(hs) AS h FROM sp)
+    SELECT f.event_type,
+      epoch_ns(f.h) // 1000000000 AS hour_epoch,
+      COALESCE(b.n, 0) AS n
+    FROM frame f
+    LEFT JOIN b ON b.event_type = f.event_type AND b.h = f.h
+    ORDER BY f.event_type ASC NULLS FIRST, hour_epoch ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90)
 }

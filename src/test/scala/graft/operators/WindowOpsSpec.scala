@@ -39,6 +39,34 @@ class WindowOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q90 gap fill zero-fills each type's missing hours within its own span") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // type a: events at 10:xx and 13:xx -> 11:00 and 12:00 must appear
+    // with n=0; type b: one hour only -> no fill rows at all
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "a"),
+      (2L, Timestamp.valueOf("2024-01-01 10:50:00"), "a"),
+      (3L, Timestamp.valueOf("2024-01-01 13:10:00"), "a"),
+      (4L, Timestamp.valueOf("2024-01-01 22:00:00"), "b"))
+      .toDF("event_id", "ts", "event_type")
+    val hourly = rows.select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val frame = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val filled = frame.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_timestamp(col("h")).as("he"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(filled == Set(
+      ("a", h10, 2L), ("a", h10 + 3600, 0L), ("a", h10 + 7200, 0L),
+      ("a", h10 + 10800, 1L),
+      ("b", h10 + 43200, 1L)), filled.toString)
+  }
+
   test("q80 range frame matches a brute-force trailing-30-day scan") {
     val rows = WindowOps.q80.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
