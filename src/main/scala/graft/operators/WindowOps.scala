@@ -455,6 +455,57 @@ object WindowOps extends QueryPack {
     LEFT JOIN b ON b.event_type = f.event_type AND b.h = f.h
     ORDER BY f.event_type ASC NULLS FIRST, hour_epoch ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q91
+  /** Forward-fill imputation (LOCF — last observation carried forward)
+    * over q90's zero-filled frame: gap hours inherit the most recent
+    * observed hourly mean instead of a zero, the standard imputation for
+    * sampled metrics (a gauge that wasn't read is still at its last
+    * value; q90's zero-fill is for COUNTS, where absence really is 0).
+    * `last(ignoreNulls).over(unboundedPreceding→current)` is Spark's
+    * running-LOCF idiom; each type's span starts at its first observed
+    * hour, so the carried value is never null. Hourly means use the
+    * [[graft.Det]] decimal form — the carried values must be
+    * bit-identical cross-engine for the hash compare.
+    *
+    * Scale: same shape as q90 plus one partitioned window (shuffle on
+    * the type key, per-key sorted scan — never a global window). */
+  val q91 = QueryDef(
+    "q91_locf",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+          col("value"))
+      val hourly = e.groupBy(col("event_type"), col("h"))
+        .agg(davg(col("value")).as("v"))
+      val frame = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      frame.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          unix_timestamp(col("h")).as("hour_epoch"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("hour_epoch").asc_nulls_first)
+    },
+    Some(s"""WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        ${Det.sqlDavg("value")} AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    sp AS (
+      SELECT event_type,
+        generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR) AS hs
+      FROM b GROUP BY event_type),
+    frame AS (SELECT event_type, unnest(hs) AS h FROM sp)
+    SELECT event_type,
+      epoch_ns(h) // 1000000000 AS hour_epoch,
+      last_value(b.v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM frame LEFT JOIN b USING (event_type, h)
+    ORDER BY event_type ASC NULLS FIRST, hour_epoch ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91)
 }

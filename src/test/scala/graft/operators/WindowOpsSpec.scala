@@ -67,6 +67,36 @@ class WindowOpsSpec extends SparkTestBase {
       ("b", h10 + 43200, 1L)), filled.toString)
   }
 
+  test("q91 LOCF carries the last observed value across gap hours, never null") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), "a", 4.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:50:00"), "a", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 13:10:00"), "a", 9.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val hourly = rows.select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(graft.Det.davg(col("value")).as("v"))
+    val frame = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Long.MinValue, 0)
+    val locf = frame.join(hourly, Seq("event_type", "h"), "left")
+      .select(unix_timestamp(col("h")).as("he"),
+        last(col("v"), ignoreNulls = true).over(w).as("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    // 10:00 observed mean (4+2)/2=3.0; 11:00 and 12:00 are gaps -> carry
+    // 3.0; 13:00 observed 9.0
+    assert(locf == Map(h10 -> 3.0, (h10 + 3600) -> 3.0,
+      (h10 + 7200) -> 3.0, (h10 + 10800) -> 9.0), locf.toString)
+  }
+
   test("q80 range frame matches a brute-force trailing-30-day scan") {
     val rows = WindowOps.q80.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
