@@ -14,9 +14,16 @@ package graft
   * same-machine runs vary ±25% under shared tenant load and multi-stage
   * queries transiently DOUBLE when another tenant saturates the cores
   * (observed back-to-back same-code swings documented in BASELINE.md) —
-  * the min of two consecutive executions is the standard way to measure
-  * the code rather than the neighbors. A failure in either run still
-  * marks the query failed.
+  * the min of two executions is the standard way to measure the code
+  * rather than the neighbors. The two samples are INTERLEAVED as full
+  * passes (every query once in name order, then every query again)
+  * rather than back-to-back: back-to-back sampling let one multi-second
+  * tenant burst land on BOTH samples of the same few adjacent queries —
+  * three consecutive driver artifacts flagged contiguous front-of-run
+  * blocks that all reproduced under budget on a quiet box — while
+  * pass-separated samples put minutes between a query's two runs, so a
+  * burst must last the whole bench to defeat the min. A failure in
+  * either pass still marks the query failed.
   *
   * Materialized views: q44/q55 (and their consumers q64/q70) read
   * memoized per-session views after the first computation, so their
@@ -46,7 +53,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // best-of-2: min over two full consecutive executions (see scaladoc)
+    // warmup-only helper: two consecutive executions, unmeasured
     def execute(name: String): Double = {
       val a = executeOnce(name)
       if (a < 0) return a
@@ -96,7 +103,17 @@ object Bench {
         () => operators.Similarity.pairsCache.invalidate(spark, sfDir),
         () => operators.Similarity.neardupPairs(spark, sfDir).count()))
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n)) ++ views
+    // interleaved min-of-2 (see scaladoc): pass 1 over the full list,
+    // then pass 2, per-query min across the two passes. One-time landing
+    // writes (q88/q89 temp materializations) land in pass 1 and are
+    // excluded from the min exactly as they were under back-to-back.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> executeOnce(n)).toMap
+    val pass2 = names.map(n => n -> (if (pass1(n) < 0) -1.0 else executeOnce(n))).toMap
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    } ++ views
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)

@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.Curation,
     operators.Bucketed,
+    operators.Partitioned,
     operators.Sources)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)

@@ -23,14 +23,20 @@ import org.apache.spark.sql.types.IntegerType
 object Multimodal extends QueryPack {
 
   /** STUB decode: derives deterministic fake (width, height, format) from
-    * the first bytes of the blob — stands in for a real image header
-    * parse. Bytes here are ASCII text, so `ascii(substring(...))` reads
-    * byte k exactly. */
-  private def fakeDecodeMeta(df: DataFrame): DataFrame =
+    * the first BYTES of the blob — stands in for a real image header
+    * parse. Byte semantics, not character semantics: `substring` on the
+    * binary column slices bytes, and decoding the 1-byte slice as
+    * ISO-8859-1 maps byte value → codepoint exactly (0 for an empty
+    * slice, matching the imperative kernel's missing-byte default), so
+    * this path and [[decodeMetaBatched]] agree on ANY input, ASCII or
+    * not. Expects a binary `blob` column. */
+  private[graft] def fakeDecodeMeta(df: DataFrame): DataFrame = {
+    def byteAt(pos: Int) = ascii(decode(substring(col("blob"), pos, 1), "ISO-8859-1"))
     df.withColumn("media_meta", struct(
-      (ascii(substring(col("text"), 1, 1)) * 4 + 64).cast(IntegerType).as("width"),
-      (ascii(substring(col("text"), 2, 1)) * 3 + 48).cast(IntegerType).as("height"),
-      when(length(col("text")) % 2 === 0, "png").otherwise("jpg").as("format")))
+      (byteAt(1) * 4 + 64).cast(IntegerType).as("width"),
+      (byteAt(2) * 3 + 48).cast(IntegerType).as("height"),
+      when(length(col("blob")) % 2 === 0, "png").otherwise("jpg").as("format")))
+  }
 
   /** Output row of the imperative decode path — the encoder IS the
     * schema contract a real codec's output must keep. */

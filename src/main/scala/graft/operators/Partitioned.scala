@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-partitioned (directory-per-day) storage + partition pruning.
+  *
+  * The reference's feed is a DAILY batch (cron `'0 0 * * *'`,
+  * `dags/update_tr_from_ex_dag.py:82`): its landed form is a
+  * date-partitioned directory tree (`day=2024-01-08/part-*.parquet`), and
+  * at 100 TB partition pruning on that tree is the FIRST scan reducer —
+  * ahead of bucketing, pushdown or column pruning, because pruned
+  * partitions are never even listed into the scan. Two pruning paths,
+  * both exercised here and plan-asserted in `PartitionedSpec`:
+  *
+  *  - STATIC pruning (q92): a literal date predicate on the partition
+  *    column is resolved at planning time against the directory listing
+  *    only — a 7-day query over a 30-day table touches 7/30 of the files
+  *    regardless of table size.
+  *  - DYNAMIC partition pruning (q96): the qualifying days arrive from a
+  *    dimension-side filter, unknown at plan time. Spark's DPP rule
+  *    reuses the dimension's broadcast to filter the fact scan's
+  *    partition list at runtime (`dynamicpruningexpression` in the
+  *    scan's PartitionFilters) — the star-schema analogue of static
+  *    pruning, and the reason a date-partitioned fact + filtered
+  *    calendar dim never scans the full history.
+  *
+  * Scale notes (100 TB): partition count is the deploy knob — daily
+  * partitions keep directory listings in the thousands (vs per-hour
+  * layouts whose million-entry listings stall planning); one file per
+  * partition here (the writer repartitions by `day` first) stands in for
+  * "a few hundred MB per file" at production scale. The write is the
+  * landed feed itself, not query-time work. Nothing collects to the
+  * driver; the calendar dim is rows-per-day tiny and broadcast.
+  */
+object Partitioned extends QueryPack {
+  import Det._
+
+  /** Partitioned copies live in one fresh temp root per JVM, deleted on
+    * exit — same lifecycle as [[Bucketed]]'s table copies, for the same
+    * reason (no stale layouts across runs, no writes inside the repo). */
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_partitioned")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () } // exit-time cleanup only
+    }
+    p.toString
+  }
+
+  private val lock = new Object
+  private val landed = scala.collection.mutable.Set.empty[String]
+
+  /** Idempotently lands `events` as a day-partitioned directory tree for
+    * `dir` and returns the path. `repartition(day)` first, so every day
+    * directory holds exactly one file (the dynamic-partition-insert
+    * pattern that avoids the tasks×partitions small-file explosion — at
+    * 100 TB the same move, with a per-day file-count target, is what
+    * keeps the layout readable). First call per (JVM, dir) pays the
+    * write; later calls — and the bench's second pass — reuse it. */
+  private[graft] def ensureEventsByDay(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/events_by_day_$tag"
+      if (!landed(path)) {
+        Tables(spark, dir).events
+          .withColumn("day", to_date(col("ts")))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+        landed += path
+      }
+      path
+    }
+
+  /** Reads the partitioned layout back; `day` comes from the directory
+    * names (partition-value inference types it DATE — asserted in
+    * PartitionedSpec, it is part of the output schema contract). */
+  private[graft] def eventsByDay(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureEventsByDay(spark, dir))
+
+  /** Tiny calendar dimension derived from the layout's own partition
+    * column (a production deployment would join its real date dim; the
+    * derived one keeps the fixture self-contained): one row per day with
+    * a day-of-week attribute to filter on. Partition-column-only scan —
+    * no data columns are read to build it. */
+  private[graft] def dayDim(spark: SparkSession, dir: String): DataFrame =
+    eventsByDay(spark, dir).select(col("day")).distinct()
+      .withColumn("dow", dayofweek(col("day"))) // 1 = Sunday .. 7 = Saturday
+
+  /** q92 pipeline: literal one-week predicate on the partition column —
+    * planning-time pruning to 7 of 30 directories (plan-asserted). */
+  private[graft] def prunedWeekPipeline(spark: SparkSession, dir: String): DataFrame =
+    eventsByDay(spark, dir)
+      .filter(col("day").between(lit("2024-01-08").cast("date"),
+        lit("2024-01-14").cast("date")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** q96 pipeline: the qualifying days come from the dimension filter
+    * (weekends), so only DYNAMIC pruning can skip the other 22
+    * directories — the dim is broadcast and its values re-used as a
+    * runtime partition filter on the fact scan (plan-asserted). */
+  private[graft] def dppJoinPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val weekend = dayDim(spark, dir).filter(col("dow").isin(1, 7)).select(col("day"))
+    eventsByDay(spark, dir)
+      .join(broadcast(weekend), Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** Static partition pruning: one week of a day-partitioned events
+    * table. Same answer as filtering the plain table on CAST(ts AS DATE)
+    * — partitioning is a layout choice, not a semantic one; the plan
+    * property (7 of 30 partitions listed into the scan) is what makes it
+    * an operator, asserted in PartitionedSpec. */
+  val q92 = QueryDef(
+    "q92_partition_prune",
+    (spark, dir) => prunedWeekPipeline(spark, dir),
+    Some(s"""SELECT CAST(ts AS DATE) AS day, event_type,
+      COUNT(*) AS n_events,
+      ${sqlDsum("value")} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    ORDER BY day NULLS FIRST, event_type NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q96
+  /** Dynamic partition pruning: weekend traffic via a filtered calendar
+    * dim joined on the partition column. The oracle states the semantics
+    * directly (weekend-day filter); the engine gets the answer by
+    * broadcasting the 8-row dim and runtime-pruning the fact scan to the
+    * matching 8 directories. */
+  val q96 = QueryDef(
+    "q96_dpp_join",
+    (spark, dir) => dppJoinPipeline(spark, dir),
+    Some(s"""SELECT CAST(ts AS DATE) AS day,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      ${sqlDsum("value")} AS sum_value
+    FROM events
+    WHERE isodow(CAST(ts AS DATE)) IN (6, 7)
+    GROUP BY 1
+    ORDER BY day NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q92, q96)
+}

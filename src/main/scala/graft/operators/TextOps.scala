@@ -675,7 +675,14 @@ object TextOps extends QueryPack {
   private[graft] val HeavyHitterCapacity = 64
 
   /** The q86 pipeline over an arbitrary `(text)` frame — the spec drives
-    * it with skewed synthetic corpora that force real MG evictions. */
+    * it with skewed synthetic corpora that force real MG evictions.
+    *
+    * The frame is scanned TWICE (candidate sketch, then exact recount)
+    * with no materialization between — the exactness guarantee therefore
+    * requires a DETERMINISTIC input: a file-backed scan (q86's case) or a
+    * [[graft.Materialize.cut]] result. A non-deterministic derived frame
+    * (sampling, rand(), a changing view) could show the two passes
+    * different data; callers with such inputs must `.cut()` first. */
   private[graft] def heavyHittersOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val mg = udaf(new graft.functions.FrequentItems(HeavyHitterCapacity),

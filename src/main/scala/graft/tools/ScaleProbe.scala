@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * scale when the corpus grows N× with worst-case near-duplicate
   * density. Results → BASELINE.md "Scale headroom".
   *
-  * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [docs|ann|all] 1 4 16"`
+  * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
+  * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket |
+  * delta | all. `all` runs only the three BASELINE-table sections
+  * (docs, curation, ann); the targeted modes (annwall, ivf, sketch,
+  * bucket, delta) are one-off measurement protocols run by name.
   *
   * Each factor f replicates every document f×: replica 0 is the
   * original, replicas 1..f−1 append a distinct tail token, so every
@@ -24,7 +28,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // usage: ScaleProbe [sfDir] [docs|curation|ann|all] [factor...]
+    // usage: ScaleProbe [sfDir] [mode] [factor...] — modes listed in the
+    // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
     require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "all")(mode),

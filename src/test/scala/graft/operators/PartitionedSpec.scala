@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{Det, SparkTestBase, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Partition pruning is a plan property, not a result property — the
+  * answers must equal the plain-table queries (oracle-checked for q92/q96
+  * too), while the scans must list only the qualifying day directories:
+  * statically for a literal date predicate, dynamically (DPP) when the
+  * days come from a filtered dimension. */
+class PartitionedSpec extends SparkTestBase {
+
+  /** AQE-off session: the executed plan is the real tree, so scans and
+    * their driver metrics are directly reachable (under AQE the plan
+    * hides behind AdaptiveSparkPlanExec stages). Plan-shape tests only —
+    * the result-equality tests run on the default session. */
+  private def planSession(): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+
+  /** The events-side scan (column-pruned, but always reading the `value`
+    * data column), not the calendar-dim scan (partition column only). */
+  private def eventsScan(df: DataFrame): FileSourceScanExec = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "value") => f
+    }
+    assert(scans.size == 1,
+      s"expected one fact scan:\n${df.queryExecution.executedPlan}")
+    scans.head
+  }
+
+  test("partitioned layout reads back complete, day typed DATE, one file per day dir") {
+    val ev = Partitioned.eventsByDay(spark, sf0001)
+    assert(ev.schema("day").dataType == DateType)
+    assert(ev.count() == Tables(spark, sf0001).events.count())
+    // writer contract: exactly one parquet file per day directory
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(Partitioned.ensureEventsByDay(spark, sf0001))
+    val dayDirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("day=")).toSeq
+    assert(dayDirs.size == 30, s"expected 30 day dirs, got ${dayDirs.size}")
+    dayDirs.foreach { d =>
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"$d holds ${files.size} files, want 1")
+    }
+  }
+
+  test("q92: literal date predicate prunes the scan to 7 of 30 partitions") {
+    val s2 = planSession()
+    val df = Partitioned.prunedWeekPipeline(s2, sf0001)
+    df.collect()
+    val scan = eventsScan(df)
+    val read = scan.metrics("numPartitions").value
+    assert(read == 7,
+      s"expected 7 partitions read, got $read:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q92: partitioned-layout answer ≡ plain-table answer") {
+    val t = Tables(spark, sf0001)
+    val plain = t.events
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day").between(lit("2024-01-08").cast("date"),
+        lit("2024-01-14").cast("date")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+      .collect().toSeq
+    val parted = Partitioned.prunedWeekPipeline(spark, sf0001).collect().toSeq
+    assert(parted == plain)
+    assert(parted.nonEmpty)
+  }
+
+  test("q96: dynamic partition pruning fires and prunes to the 8 weekend partitions") {
+    val s2 = planSession()
+    val df = Partitioned.dppJoinPipeline(s2, sf0001)
+    val scan = eventsScan(df)
+    // the runtime filter must be IN the scan, planned before execution
+    assert(scan.partitionFilters.map(_.toString)
+        .exists(_.contains("dynamicpruning")),
+      s"no DPP filter on the fact scan:\n${df.queryExecution.executedPlan}")
+    df.collect()
+    val read = scan.metrics("numPartitions").value
+    assert(read == 8,
+      s"DPP read $read partitions, want 8 (weekends):\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q96: DPP answer ≡ plain weekend-filtered aggregate") {
+    val plain = Tables(spark, sf0001).events
+      .withColumn("day", to_date(col("ts")))
+      .filter(dayofweek(col("day")).isin(1, 7))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day").asc_nulls_first)
+      .collect().toSeq
+    val dpp = Partitioned.dppJoinPipeline(spark, sf0001).collect().toSeq
+    assert(dpp == plain)
+    assert(dpp.size == 8)
+  }
+
+  test("layout materialization is idempotent per (JVM, dir)") {
+    val p1 = Partitioned.ensureEventsByDay(spark, sf0001)
+    val n1 = spark.read.parquet(p1).count()
+    val p2 = Partitioned.ensureEventsByDay(spark, sf0001)
+    assert(p1 == p2)
+    assert(spark.read.parquet(p2).count() == n1)
+  }
+}
