@@ -114,6 +114,32 @@ object Bucketed extends QueryPack {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** Literal keys for the q94 point lookup — orderkeys are dense 0..N−1
+    * in the fixture at every SF, so these exist at sf0.001 through
+    * sf0.1. 8 keys hash into ≤ 8 of the 16 buckets. */
+  private[graft] val PointKeys: Seq[Long] = Seq(2L, 5L, 11L, 19L, 23L, 42L, 77L, 101L)
+
+  /** q94 pipeline: the two non-join payoffs of the bucketed layout in one
+    * query. The `IN` on the bucket key prunes the scan to the buckets
+    * those keys hash into (≤ 8 of 16 — `SelectedBucketsCount` in the
+    * plan), and the group-by on the bucket key aggregates with NO hash
+    * exchange: the scan's bucketed distribution already satisfies the
+    * aggregation's requirement, so partial and final collapse into one
+    * stage. Both properties are asserted in BucketedJoinSpec; at 100 TB
+    * they make key-scoped audits ("show me these 8 orders") touch 1/2 of
+    * the files and zero network. */
+  private[graft] def pointLookupAggPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (li, _) = ensureTables(spark, dir)
+    spark.table(li)
+      .filter(col("l_orderkey").isin(PointKeys: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey").asc_nulls_first)
+  }
+
   // ---------------------------------------------------------------- q88
   /** Revenue rollup over the bucketed orders ⋈ lineitem join. Same
     * answer as the plain-parquet join (the oracle runs on the original
@@ -131,5 +157,22 @@ object Bucketed extends QueryPack {
     GROUP BY o_orderpriority, l_linestatus
     ORDER BY o_orderpriority NULLS FIRST, l_linestatus NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q88)
+  // ---------------------------------------------------------------- q94
+  /** Bucket-pruned point lookup + exchange-free bucket-key aggregation.
+    * Same answer as the plain-parquet filter+agg (the oracle runs on the
+    * original lineitem — layout, not semantics); the pruning and the
+    * missing exchange are the operator, plan-asserted in
+    * BucketedJoinSpec. */
+  val q94 = QueryDef(
+    "q94_bucket_prune_agg",
+    (spark, dir) => pointLookupAggPipeline(spark, dir),
+    Some(s"""SELECT l_orderkey, COUNT(*) AS n_items,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (2, 5, 11, 19, 23, 42, 77, 101)
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q88, q94)
 }

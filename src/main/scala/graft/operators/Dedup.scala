@@ -358,6 +358,134 @@ object Dedup extends QueryPack {
     WHERE i * 3 >= s1.sz + s2.sz
     ORDER BY d1, d2"""))
 
+  // ---------------------------------------------------------------- q93
+  /** Incremental (delta-vs-corpus) near-dedup — the daily-BATCH analogue
+    * of the streaming gate (`StreamOps.nearDedupGate`): dedup today's
+    * landing against the accumulated corpus WITHOUT recomputing any
+    * corpus-internal pair. This is the reference's `catchup=False` daily
+    * rerun semantic (`dags/update_tr_from_ex_dag.py:84`) applied to the
+    * LLM pipeline: each midnight only the new partition needs near-dup
+    * screening, and corpus×corpus work — the part that grows
+    * quadratically as the corpus accumulates — is exactly the part a
+    * daily pipeline must never repeat.
+    *
+    * Same lossless prefix + positional filtering as [[exactPairs]], but
+    * CROSS-SET: both sides rank their shingles in one shared total order
+    * (corpus document frequency, shingle hash as tie-break — the
+    * corpus-side (shingle → df) table and corpus prefix table are
+    * precisely the reusable index a production pipeline persists between
+    * daily runs), and the candidate join is delta-prefix ⋈ corpus-prefix
+    * only. Delta-only shingles take df 0: the order stays consistent on
+    * both sides — losslessness needs only SOME shared total order — and
+    * rare-first keeps the per-shingle fan-out bounded. Verification
+    * attaches delta arrays to one side and corpus arrays to the other;
+    * no corpus pair ever meets another corpus pair anywhere in the plan
+    * (spec-asserted on the candidate set, which is provably
+    * ⊆ delta × corpus by construction of the join). */
+  private[graft] def incrementalPairs(corpus: DataFrame, delta: DataFrame,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val (cArr, dArr, cands) = incrementalPlan(corpus, delta, tauNum, tauDen)
+    // verify each candidate with one array_intersect, delta arrays on
+    // d1, corpus arrays on d2 (same shape as jaccardForCandidates)
+    cands
+      .join(dArr.select(col("doc_id").as("d1"), col("shs").as("hs1")), "d1")
+      .join(cArr.select(col("doc_id").as("d2"), col("shs").as("hs2")), "d2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("sz1", size(col("hs1")))
+      .withColumn("sz2", size(col("hs2")))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(atLeastJaccard(tauNum, tauDen))
+      .select(col("d1").as("delta_id"), col("d2").as("corpus_id"), col("jac"))
+  }
+
+  /** The q93 pipeline up to its candidate set: returns the two hashed
+    * shingle-array frames and the candidate pairs. Exposed so the spec
+    * can assert the candidates are ⊆ delta × corpus on the REAL plan. */
+  private[graft] def incrementalPlan(corpus: DataFrame, delta: DataFrame,
+      tauNum: Int, tauDen: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // arrays feed prefix ranking AND verification — materialize once
+    val cArr = hashedShingleArray(corpus).cut()
+    val dArr = hashedShingleArray(delta).cut()
+    val cSh = cArr.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("s"))
+    val dSh = dArr.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("s"))
+    // the persisted-index analogue: df over the CORPUS only — the delta
+    // never changes the order the corpus side was indexed under
+    val dfreq = cSh.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+    def prefixOf(sh: DataFrame): DataFrame = {
+      val ordered = Window.partitionBy(col("doc_id"))
+        .orderBy(col("dfreq"), col("s"))
+      sh.join(dfreq, Seq("s"), "left")
+        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+        .withColumn("rk", row_number().over(ordered))
+        // same exact-integer prefix bound as prefixCandidatesRaw
+        .filter(col("sz") * tauNum <= (col("sz") - col("rk") + 1) * tauDen)
+        .select(col("doc_id"), col("s"), col("rk"), col("sz"))
+    }
+    (cArr, dArr, incrementalCandidates(prefixOf(dSh), prefixOf(cSh), tauNum, tauDen))
+  }
+
+  /** The q93 candidate join in isolation (delta prefix ⋈ corpus prefix
+    * with the positional filter) — factored out so the spec can assert
+    * its output is ⊆ delta × corpus on arbitrary prefix frames. */
+  private[graft] def incrementalCandidates(dPre: DataFrame, cPre: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val maxContrib = least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1
+    dPre.as("a").join(cPre.as("b"),
+        col("a.s") === col("b.s") &&
+        maxContrib * (tauDen + tauNum) >= (col("a.sz") + col("b.sz")) * tauNum)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** The deterministic corpus/delta boundary for q93: md5-bucket of the
+    * doc id (contract rule — cross-engine-stable, never xxhash64), delta
+    * = top ~20% of the bucket space. Matches q62's 80% boundary, so the
+    * "corpus" is exactly q62's train set and the "delta" its val+test. */
+  private[graft] val DeltaBucketThreshold = 52429
+
+  val q93 = QueryDef(
+    "q93_incremental_dedup",
+    (spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val bucket = Det.md5Bucket(col("doc_id"))
+      val corpus = docs.filter(bucket < DeltaBucketThreshold)
+      val delta = docs.filter(bucket >= DeltaBucketThreshold)
+      // materialize the (tiny) result before the total sort — same
+      // range-sampling re-execution guard as q32/q33
+      incrementalPairs(corpus, delta).cut()
+        .orderBy(col("delta_id"), col("corpus_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    split AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) >= 52429 AS is_delta
+      FROM tok),
+    inter AS (
+      SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id IN (SELECT doc_id FROM split WHERE is_delta)
+        AND b.doc_id IN (SELECT doc_id FROM split WHERE NOT is_delta)
+      GROUP BY 1, 2)
+    SELECT delta_id, corpus_id,
+      ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = delta_id
+    JOIN sizes s2 ON s2.doc_id = corpus_id
+    WHERE i * 3 >= s1.sz + s2.sz
+    ORDER BY delta_id, corpus_id"""))
+
   // ---------------------------------------------------------------- q34
   /** SimHash (64-bit, token-level) + hamming ≤ 6 near-dup pairs.
     * Candidates via 4 × 16-bit chunk keys (a pair within hamming ≤ 6 in
@@ -604,5 +732,5 @@ object Dedup extends QueryPack {
     FROM k
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q55, q64)
+  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q55, q64, q93)
 }

@@ -99,5 +99,61 @@ object Sources extends QueryPack {
     GROUP BY lang, source
     ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q89)
+  /** Idempotently lands the documents table as headerless CSV for `dir`
+    * — the delimited-feed sibling of [[ensureJsonl]], same lifecycle. */
+  private[graft] def ensureCsv(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/docs_csv_$tag"
+      if (!landed(path)) {
+        Tables(spark, dir).documents
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").option("header", "false").csv(path)
+        landed += path
+      }
+      path
+    }
+
+  /** Reads a CSV directory with the explicit schema (no header, no
+    * inference — inference is an extra full pass, same rule as JSONL),
+    * quarantining malformed lines into `_corrupt_record`. CSV is for
+    * newline-free delimited feeds (metrics exports, key-value dumps);
+    * free text with embedded newlines lands as JSONL/parquet instead,
+    * where a row can't span lines (see the pack scaladoc). */
+  private[graft] def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(DocSchema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  // ---------------------------------------------------------------- q95
+  /** CSV round-trip: land documents as delimited lines, read back with
+    * the explicit schema, aggregate per source. Values and types must
+    * survive the trip exactly — the oracle runs the same aggregate on
+    * the original parquet. */
+  val q95 = QueryDef(
+    "q95_csv_source",
+    (spark, dir) => {
+      val docs = readCsv(spark, ensureCsv(spark, dir))
+        .filter(col("_corrupt_record").isNull)
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      COUNT(DISTINCT lang) AS n_langs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY source
+    ORDER BY source NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q89, q95)
 }

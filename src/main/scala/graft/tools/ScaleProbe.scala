@@ -32,8 +32,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -172,6 +172,43 @@ object ScaleProbe {
       val compactDiff = aggDf.exceptAll(winDf).count() + winDf.exceptAll(aggDf).count()
       println(f"SCALE-COMPACT f=$f events=$nEvents keys=$keys " +
         f"t_agg=$tAgg%.2f t_window=$tWin%.2f sym_diff=$compactDiff")
+    }
+
+    // ---- incremental delta-vs-corpus dedup (q93): the claim is that a
+    // day's landing dedups against the accumulated corpus WITHOUT paying
+    // for corpus-internal pairs. Corpus-grown runs replicate the corpus
+    // side with worst-case dup density — its INTERNAL pair space grows
+    // ~f² — and the incremental wall must not track that space (a full
+    // re-dedup would); it tracks the delta's true cross-match workload,
+    // which grows ~f (each corpus replica matches). The inverse runs
+    // (delta grown, corpus fixed) show the cost that legitimately grows
+    // with the day's landing itself.
+    if (mode == "delta") {
+      val bucket = graft.Det.md5Bucket(col("doc_id"))
+      val corpus0 = base.filter(bucket < Dedup.DeltaBucketThreshold)
+      val delta0 = base.filter(bucket >= Dedup.DeltaBucketThreshold)
+      factors.foreach { f =>
+        def rep(df: DataFrame): DataFrame = (
+          if (f == 1) df
+          else df.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+            .select((col("doc_id") * f + col("i")).as("doc_id"),
+              when(col("i") === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
+        ).localCheckpoint()
+        // replica-0 id transform only: keeps ids disjoint from the other
+        // side's replicas (corpus0/delta0 are disjoint, so k*f never
+        // equals j*f+i for 0<i<f), text unchanged
+        def shift(df: DataFrame): DataFrame =
+          df.select((col("doc_id") * f).as("doc_id"), col("text")).localCheckpoint()
+        val (pc, tc) = timed(
+          Dedup.incrementalPairs(rep(corpus0), shift(delta0)).localCheckpoint())
+        val nc = pc.count()
+        val (pd, td) = timed(
+          Dedup.incrementalPairs(shift(corpus0), rep(delta0)).localCheckpoint())
+        val nd = pd.count()
+        println(f"SCALE-DELTA f=$f corpus_grown: pairs=$nc t=$tc%.2f " +
+          f"delta_grown: pairs=$nd t=$td%.2f")
+      }
     }
 
     // ---- bucketed co-located join (q88): the claim to quantify is that

@@ -93,6 +93,35 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(agg.count() == spark.table(li).select(col("l_orderkey")).distinct().count())
   }
 
+  test("q94: IN-filter prunes buckets AND the bucket-key agg plans no hash exchange") {
+    val df = Bucketed.pointLookupAggPipeline(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val selected = "SelectedBucketsCount: (\\d+) out of 16".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(selected.isDefined, s"no bucket pruning in the q94 scan:\n$plan")
+    assert(selected.get >= 1 && selected.get <= Bucketed.PointKeys.size,
+      s"expected ≤ ${Bucketed.PointKeys.size} buckets selected, got $selected:\n$plan")
+    // the scan's bucketed distribution satisfies the group-by: the only
+    // exchange in the plan is the final ORDER BY's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"bucket-key aggregation still shuffles:\n$plan")
+  }
+
+  test("q94: bucketed point-lookup agg answers exactly like the plain-parquet form") {
+    import graft.{Det, Tables}
+    val plain = Tables(spark, sf0001).lineitem
+      .filter(col("l_orderkey").isin(Bucketed.PointKeys: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey").asc_nulls_first)
+      .collect().toSeq
+    val bucketed = Bucketed.pointLookupAggPipeline(spark, sf0001).collect().toSeq
+    assert(bucketed == plain)
+    assert(bucketed.nonEmpty)
+  }
+
   test("q88: table materialization is idempotent per (catalog, dir)") {
     val (li1, o1) = Bucketed.ensureTables(spark, sf0001)
     val n1 = spark.table(li1).count()

@@ -82,6 +82,52 @@ class DedupSpec extends SparkTestBase {
     native.foreach { case (id, sig) => assert(sig == expected(id), s"doc $id") }
   }
 
+  test("q93 incremental path equals the naive cross-set Jaccard (nothing lost or invented)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bucket = graft.Det.md5Bucket(col("doc_id"))
+    val corpus = docs.filter(bucket < Dedup.DeltaBucketThreshold)
+    val delta = docs.filter(bucket >= Dedup.DeltaBucketThreshold)
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth: naive all-pairs over the union, crossing pairs only,
+    // reoriented delta-first (jaccardPairs orders by d1 < d2)
+    val naive = Dedup.jaccardPairs(Dedup.shingles(docs))
+      .filter(col("inter") * 3 >= col("sz1") + col("sz2"))
+      .select("d1", "d2", "jac").collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (deltaIds(a) && corpusIds(b)) Some((a, b, j))
+        else if (deltaIds(b) && corpusIds(a)) Some((b, a, j))
+        else None
+      }.toSet
+    val inc = Dedup.incrementalPairs(corpus, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty, "fixture split should contain crossing near-duplicates")
+    assert(inc == naive,
+      s"incremental lost ${(naive -- inc).size}, invented ${(inc -- naive).size}")
+  }
+
+  test("q93 candidates are strictly delta × corpus — the corpus never meets itself") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bucket = graft.Det.md5Bucket(col("doc_id"))
+    val corpus = docs.filter(bucket < Dedup.DeltaBucketThreshold)
+    val delta = docs.filter(bucket >= Dedup.DeltaBucketThreshold)
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (_, _, cands) = Dedup.incrementalPlan(corpus, delta, 1, 2)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (d1, d2) =>
+      assert(deltaIds(d1), s"candidate left side $d1 is not a delta doc")
+      assert(corpusIds(d2), s"candidate right side $d2 is not a corpus doc")
+    }
+  }
+
+  test("q93 with an empty delta finds nothing (and doesn't fail)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(Dedup.incrementalPairs(docs, docs.limit(0)).count() == 0)
+  }
+
   test("q55 keeper assignment equals driver-side union-find over the exact pairs") {
     val pairs = Dedup.q33.fn(spark, sf0001).select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -41,4 +41,34 @@ class SourcesSpec extends SparkTestBase {
       .forEach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  test("csv round-trip preserves values and types exactly") {
+    val docs = Tables(spark, sf0001).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = Sources.readCsv(spark, Sources.ensureCsv(spark, sf0001))
+      .filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.schema == docs.schema, s"schema drift: ${back.schema}")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("malformed CSV lines are quarantined, not fatal, and don't poison good rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_bad")
+    val p = dir.resolve("part-0.csv")
+    // row 2 has a non-numeric doc_id AND too many fields; row 3 is fine
+    java.nio.file.Files.writeString(p,
+      """1,ok,en,s0,2
+        |oops,not,a,valid,row,with,extra,fields
+        |3,also ok,de,s1,7
+        |""".stripMargin)
+    val df = Sources.readCsv(spark, dir.toString).cache() // same corrupt-column-only caveat as JSONL
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 1)
+      assert(good.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    } finally df.unpersist()
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
 }
