@@ -506,6 +506,52 @@ object WindowOps extends QueryPack {
     FROM frame LEFT JOIN b USING (event_type, h)
     ORDER BY event_type ASC NULLS FIRST, hour_epoch ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q97
+  /** Batch twin of the streaming stream-stream interval join
+    * ([[graft.streaming.StreamOps.intervalJoin]], spec'd on two
+    * MemoryStreams): each error event joined to the same user's
+    * purchases in the PRECEDING hour — same inner-join shape, same
+    * one-sided time bound. The join is an equi-join on the user key with
+    * the interval as a join-time range predicate (never a cartesian —
+    * the workload PlanSpec guard sees this query like every other), the
+    * standard batch form of a watermarked interval join.
+    *
+    * Determinism: both engines compare integer MICROsecond epochs —
+    * Spark's events loader truncates the parquet nanos to µs, and the
+    * oracle applies the same `epoch_ns // 1000` truncation, so no
+    * sub-µs fringe can flip a boundary match between engines (contract
+    * rule: no raw-timestamp comparisons across engines on the ns
+    * table). */
+  val q97 = QueryDef(
+    "q97_interval_join_batch",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          unix_micros(col("ts")).as("err_us"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_us"), col("value"))
+      errs.join(purch,
+          col("user_id") === col("p_user") &&
+          col("p_us") <= col("err_us") &&
+          col("p_us") >= col("err_us") - lit(3600L * 1000000L))
+        .groupBy(col("err_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("purch_value"))
+        .orderBy(col("err_id").asc_nulls_first)
+    },
+    Some(s"""SELECT e.event_id AS err_id, e.user_id,
+      COUNT(*) AS n_purchases,
+      ${sqlDsum("p.value")} AS purch_value
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+      AND epoch_ns(p.ts) // 1000 <= epoch_ns(e.ts) // 1000
+      AND epoch_ns(p.ts) // 1000 >= epoch_ns(e.ts) // 1000 - 3600000000
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY err_id NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97)
 }

@@ -86,12 +86,21 @@ class StreamOpsSpec extends SparkTestBase {
     purchases.addData(Ev(103, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0))
     errors.addData(Ev(2, ts("2024-01-01 15:00:00"), 9, "error", 0.0))
     q.processAllAvailable()
+    // a LATE purchase, hours behind the advanced watermark: with the
+    // matching error's buffered state already evicted, it must produce
+    // no retroactive join row — the bounded-state contract in action
+    purchases.addData(Ev(104, ts("2024-01-01 09:45:00"), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    val evicted = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsRemoved).sum
     q.stop()
     val rows = spark.table("ssj").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.contains((1L, 100L)), s"expected (1,100) in $rows")
     assert(!rows.contains((1L, 101L)), "purchase outside the interval joined")
     assert(!rows.contains((1L, 102L)), "purchase of another user joined")
+    assert(!rows.contains((1L, 104L)), "late purchase joined after state eviction")
+    assert(evicted > 0, "watermark advance never evicted buffered join state")
   }
 
   test("stream-static enrichment attaches dim columns, keeps unmatched rows, broadcasts") {
