@@ -416,4 +416,40 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(switched == bf,
       s"switched multi-probe branch missed ${(bf -- switched).size} / invented ${(switched -- bf).size} pairs")
   }
+
+  test("wide-embedding corpus flips the auto verify path to shuffled at the byte cutoff, end-to-end") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // The ADVICE scenario driven through the REAL policy entry point:
+    // a 4096-dim corpus (16 KiB/row) whose row count straddles the byte
+    // budget. The cutoff row count is derived from the PROBED dimension
+    // of the synthetic frame — not hand-coded — so a budget or probe
+    // regression moves both sides of the assertion together.
+    val dim = 4096
+    def corpus(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        j => sin(col("id") * j.cast("double")).cast("float")).as("embedding"))
+    val probedDim = Similarity.probeDim(corpus(4))
+    assert(probedDim == dim, s"probe read $probedDim, corpus is $dim-wide")
+    val cutoffRows = Similarity.BroadcastVerifyMaxBytes / (probedDim * 4L)
+    // both attach joins in verifyPairs carry an explicit broadcast hint
+    // on the broadcast path and none on the shuffled path; the hint
+    // survives optimization as Join.hint, so the decision is visible
+    // without executing the pair join
+    def hintedJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    def allJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    val atCutoff = Similarity.neardupPairsAuto(corpus(cutoffRows))
+    val onePast = Similarity.neardupPairsAuto(corpus(cutoffRows + 1))
+    // sanity: both plans have the candidate self-join + two attach joins
+    assert(allJoins(atCutoff) >= 3 && allJoins(onePast) >= 3)
+    assert(hintedJoins(atCutoff) == 2,
+      s"corpus AT the byte cutoff ($cutoffRows x $dim-dim) must broadcast both attach joins")
+    assert(hintedJoins(onePast) == 0,
+      s"corpus ONE ROW past the byte cutoff must take the shuffled verify path")
+  }
 }
