@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Curation,
     operators.Bucketed,
     operators.Partitioned,
+    operators.Snapshots,
     operators.Sources)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)

@@ -117,6 +117,66 @@ object Partitioned extends QueryPack {
       .orderBy(col("day").asc_nulls_first)
   }
 
+  /** Latest landed day, from the partition directory listing only — a
+    * partition-column scan never reads data files, so this is a listing
+    * operation even at 100 TB. */
+  private[graft] def lastDay(spark: SparkSession, dir: String): java.sql.Date =
+    dayDim(spark, dir).agg(max(col("day"))).collect()(0).getDate(0)
+
+  /** Per-(day, event_type) partial-aggregate STATE for every day before
+    * the latest — the persisted half of incremental view maintenance.
+    * Partials are strictly re-aggregatable: row count, exact DECIMAL sum
+    * (kept decimal in the state so the final merge is still exact), min,
+    * max. Never an average — avg is derived at merge time from sum and
+    * count, because mean-of-means is wrong under uneven day sizes.
+    * Landed once per (JVM, dir), like the layouts: the one-time history
+    * scan is the state's construction cost; every day after that, the
+    * incremental path below touches ONE partition. */
+  private[graft] def ensureAggState(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/agg_state_$tag"
+      if (!landed(path)) {
+        val last = lastDay(spark, dir)
+        eventsByDay(spark, dir).filter(col("day") < lit(last))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("sum_value_dec"),
+            min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+          .write.mode("overwrite").parquet(path)
+        landed += path
+      }
+      path
+    }
+
+  /** q98 pipeline — incremental aggregate maintenance: merge the
+    * persisted per-day partials with partials computed from ONLY the
+    * latest day's directory (static pruning to 1 of 30 partitions,
+    * plan-asserted in PartitionedSpec). At 100 TB this is the difference
+    * between rescanning the full history every morning and scanning one
+    * day: the state table is partition-count × group-count tiny, and the
+    * merge re-aggregates exactly (decimal sums, min/max, counts). */
+  private[graft] def incrementalAggPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val state = spark.read.parquet(ensureAggState(spark, dir))
+    val last = lastDay(spark, dir)
+    val delta = eventsByDay(spark, dir).filter(col("day") === lit(last))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("sum_value_dec"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    state.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value_dec")).cast("double").as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   // ---------------------------------------------------------------- q92
   /** Static partition pruning: one week of a day-partitioned events
     * table. Same answer as filtering the plain table on CAST(ts AS DATE)
@@ -152,5 +212,26 @@ object Partitioned extends QueryPack {
     GROUP BY 1
     ORDER BY day NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q92, q96)
+  // ---------------------------------------------------------------- q98
+  /** Incremental aggregate maintenance over the daily landing. The
+    * oracle states the SEMANTIC contract — the merged result equals a
+    * full recompute over every day — while the engine gets there by
+    * merging persisted partials with one partition's delta. n_events is
+    * a sum of partial counts (LongType), matching the oracle's
+    * COUNT(*); the decimal sum stays decimal until the final cast so
+    * the merge is exact in any order. */
+  val q98 = QueryDef(
+    "q98_incremental_agg",
+    (spark, dir) => incrementalAggPipeline(spark, dir),
+    Some(s"""SELECT event_type,
+      COUNT(*) AS n_events,
+      ${sqlDsum("value")} AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      ${sqlDsum("value")} / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY event_type NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q92, q96, q98)
 }

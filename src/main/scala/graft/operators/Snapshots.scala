@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff — change-data extraction between two full table
+  * versions.
+  *
+  * The reference's feed lands a complete snapshot per day
+  * (`catchup=False` daily rerun, `dags/update_tr_from_ex_dag.py:82-84`);
+  * the day-over-day delta is derived, not delivered. Extracting it —
+  * which keys were added, removed, changed — is the inverse of q87's
+  * changelog COMPACTION (which folds a change stream back into a
+  * snapshot), and at 100 TB it is what turns a full-snapshot feed into
+  * an incremental pipeline: downstream consumers process the diff, not
+  * the snapshot.
+  *
+  * Shape: one full-outer EQUI-join on the key — presence decides
+  * added/removed, a null-safe struct comparison over the compared
+  * columns decides changed vs unchanged. No hashing is involved in the
+  * comparison (a row hash would be cheaper per byte shuffled but float
+  * columns have no cross-engine-stable string form; the struct compare
+  * is exact and oracle-mirrorable with per-column IS DISTINCT FROM).
+  *
+  * Scale notes (100 TB): the diff shuffles both snapshots on the key —
+  * unavoidable for arbitrary layouts, and AQE handles skew. For a
+  * RECURRING daily diff the right deployment stores snapshots in the
+  * q88 bucketed layout on the key, which makes this join — like any
+  * other join on the bucket key — exchange-free; the operator itself is
+  * layout-agnostic. Output is bounded by the true change volume, never
+  * snapshot size.
+  */
+object Snapshots extends QueryPack {
+
+  /** Per-key change rows between two snapshots: `(key, change)` for
+    * every key whose presence or compared columns differ —
+    * `added` / `removed` / `changed`; unchanged keys are filtered out
+    * before anything leaves the join. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String, compareCols: Seq[String]): DataFrame = {
+    def packed(df: DataFrame, side: String) =
+      df.select(col(key).as("k"),
+        struct(compareCols.map(col): _*).as(side))
+    packed(oldSnap, "old_v")
+      .join(packed(newSnap, "new_v"), Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("old_v").isNull, lit("added"))
+          .when(col("new_v").isNull, lit("removed"))
+          .when(!(col("old_v") <=> col("new_v")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("k").as(key), col("change"))
+  }
+
+  private val keep =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  /** Deterministic day-2 snapshot of `orders`, derived from the md5
+    * bucket of the key (the contract's cross-engine hash idiom — never
+    * xxhash64): ~5% of keys deleted (bucket < 3277 of 65536), ~5%
+    * updated (3277 ≤ bucket < 6554: status → 'U', price + 10), ~5%
+    * added (bucket ≥ 62259 re-emitted under key + 10^8). Everything is
+    * a pure function of the key, so DuckDB rebuilds the identical
+    * snapshot in the oracle. */
+  private[graft] def ordersSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables(spark, dir).orders
+    val bkt: Column = Det.md5Bucket(col("o_orderkey"))
+    val oldSnap = o.select(keep.map(col): _*)
+    val survivors = o.filter(bkt >= 3277)
+      .withColumn("o_orderstatus",
+        when(bkt < 6554, lit("U")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(bkt < 6554, col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+      .select(keep.map(col): _*)
+    val added = o.filter(bkt >= 62259)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .select(keep.map(col): _*)
+    (oldSnap, survivors.unionByName(added))
+  }
+
+  private val sqlBkt =
+    "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER)"
+
+  // ---------------------------------------------------------------- q99
+  /** Snapshot diff of orders vs its simulated next-day version. The
+    * oracle rebuilds both snapshots from the same md5-bucket rules and
+    * diffs them with a FULL JOIN + per-column IS DISTINCT FROM — the
+    * relational statement of the semantics the engine implements with
+    * one packed struct compare. */
+  val q99 = QueryDef(
+    "q99_snapshot_diff",
+    (spark, dir) => {
+      val (oldSnap, newSnap) = ordersSnapshots(spark, dir)
+      diff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+    Some(s"""WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, $sqlBkt AS bkt
+      FROM orders),
+    old_snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM b),
+    new_snap AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN bkt < 6554 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN bkt < 6554 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM b WHERE bkt >= 3277
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM b WHERE bkt >= 62259)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           ELSE 'changed' END AS change
+    FROM old_snap o FULL JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR (o.o_custkey IS DISTINCT FROM n.o_custkey)
+       OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+       OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+       OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+    ORDER BY o_orderkey NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q99)
+}

@@ -105,6 +105,32 @@ class PartitionedSpec extends SparkTestBase {
     assert(dpp.size == 8)
   }
 
+  test("q98: incremental merge ≡ full recompute over the complete history") {
+    val full = Tables(spark, sf0001).events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .orderBy(col("event_type").asc_nulls_first)
+      .collect().toSeq
+    val inc = Partitioned.incrementalAggPipeline(spark, sf0001).collect().toSeq
+    assert(inc == full, "merged partials drifted from the full recompute")
+    assert(inc.nonEmpty)
+  }
+
+  test("q98: with the state landed, the fact-table scan reads exactly 1 of 30 partitions") {
+    val s2 = planSession()
+    Partitioned.ensureAggState(s2, sf0001) // idempotent; the history scan is paid here
+    val df = Partitioned.incrementalAggPipeline(s2, sf0001)
+    // eventsScan keys on the raw `value` column, which only the DELTA
+    // scan reads — the state table holds partials (sum_value_dec etc.)
+    val scan = eventsScan(df)
+    df.collect()
+    val read = scan.metrics("numPartitions").value
+    assert(read == 1,
+      s"delta path read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
+  }
+
   test("layout materialization is idempotent per (JVM, dir)") {
     val p1 = Partitioned.ensureEventsByDay(spark, sf0001)
     val n1 = spark.read.parquet(p1).count()
