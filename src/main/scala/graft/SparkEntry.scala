@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Bucketed,
     operators.Partitioned,
     operators.Snapshots,
+    operators.Layout,
     operators.Sources)
 
   def allQueries: Seq[QueryDef] = packs.flatMap(_.queries)

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators beyond directory partitioning: schema
+  * evolution across file generations, and multi-dimensional (Z-order)
+  * clustering with file-level min/max skipping.
+  *
+  * Both are landed-feed concerns of the reference's daily batch
+  * (`dags/update_tr_from_ex_dag.py:82` — a feed that runs every day for
+  * years WILL change schema, and WILL be queried on columns the
+  * partition key doesn't cover):
+  *
+  *  - SCHEMA EVOLUTION (q100): the upstream added a column mid-history.
+  *    Old files simply lack it; `mergeSchema` unifies the generations at
+  *    read time and the missing column reads as NULL — no rewrite of the
+  *    old petabytes, which at 100 TB is the only affordable answer.
+  *  - Z-ORDER + FILE SKIPPING (q101): directory partitioning prunes ONE
+  *    column (the partition key). For selective predicates on other
+  *    columns, cluster files along a space-filling curve over TWO columns
+  *    and keep a per-file min/max index — a query box on EITHER column
+  *    maps to few z-ranges, so few files. A single-column sort gives the
+  *    same skipping for its sort column but none for the second
+  *    (spec-measured in `LayoutSpec`); the z-curve buys bounded locality
+  *    in both. This is the OSS-Spark statement of the data-skipping
+  *    indexes in lakehouse table formats: Spark's parquet reader prunes
+  *    ROW GROUPS by footer stats once a file is opened, but nothing
+  *    OSS-side prunes whole files — the index table closes that gap.
+  *
+  * Scale notes (100 TB): the index is one row per FILE (min/max per
+  * indexed column) — ~10⁵ rows for 100 TB of 1 GB files, broadcast-tiny,
+  * and the only driver-side state here (same bounded-by-layout class as
+  * GlobalRank's partition boundaries). Layout construction is a one-time
+  * landed-feed cost, exactly like the q88 bucketed and q92 partitioned
+  * copies; queries pay only the pruned read.
+  */
+object Layout extends QueryPack {
+  import Det._
+
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_layout")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () } // exit-time cleanup only
+    }
+    p.toString
+  }
+
+  private val lock = new Object
+  private val landed = scala.collection.mutable.Set.empty[String]
+
+  private def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  // ------------------------------------------------------------- q100
+  /** The day the upstream started emitting `value`. Generation 1
+    * (before) is written WITHOUT the column — its files physically lack
+    * it, as a real historical landing would. */
+  private val EvolutionDay = "2024-01-16"
+
+  /** Lands `events` as a two-generation tree: `gen=1` files without the
+    * `value` column, `gen=2` files with it. One write per generation —
+    * the generations genuinely differ in physical schema, which is the
+    * whole point. */
+  private[graft] def ensureEvolved(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val path = s"$root/events_evolved_${tag(dir)}"
+      if (!landed(path)) {
+        val ev = Tables(spark, dir).events
+          .withColumn("day", to_date(col("ts")))
+        val boundary = lit(EvolutionDay).cast("date")
+        ev.filter(col("day") < boundary).drop("value")
+          .coalesce(4).write.mode("overwrite").parquet(s"$path/gen=1")
+        ev.filter(col("day") >= boundary)
+          .coalesce(4).write.mode("overwrite").parquet(s"$path/gen=2")
+        landed += path
+      }
+      path
+    }
+
+  /** Unified read over both generations. `mergeSchema` is required:
+    * without it the scan schema is whichever footer Spark samples first,
+    * and gen-1 reads would miss `value` entirely (pinned in LayoutSpec). */
+  private[graft] def evolvedEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(ensureEvolved(spark, dir))
+
+  /** q100 pipeline: per-type totals where `value` exists only for the
+    * new generation — `count(value)` and the decimal sum see NULLs for
+    * every gen-1 row, exactly the semantics the oracle states with a
+    * date CASE over the un-evolved table. */
+  private[graft] def evolutionPipeline(spark: SparkSession, dir: String): DataFrame =
+    evolvedEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        count(col("value")).as("n_with_value"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  val q100 = QueryDef(
+    "q100_schema_evolution",
+    (spark, dir) => evolutionPipeline(spark, dir),
+    Some(s"""SELECT event_type,
+      COUNT(*) AS n_total,
+      COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '$EvolutionDay' THEN value END)
+        AS n_with_value,
+      ${sqlDsum(s"CASE WHEN CAST(ts AS DATE) >= DATE '$EvolutionDay' THEN value END")}
+        AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY event_type NULLS FIRST"""))
+
+  // ------------------------------------------------------------- q101
+  /** Files per clustered layout. Stands in for "one ~1 GB file per
+    * z-range" at production scale; the index is one row per file. */
+  private[graft] val ZFiles = 32
+
+  /** 16-bit min/max-normalized bucket of `c` — the per-dimension
+    * quantization the z-curve interleaves. Monotone, so a range
+    * predicate on `c` maps to a contiguous bucket band. */
+  private def bucket16(c: Column, lo: Double, hi: Double): Column = {
+    val span = if (hi > lo) hi - lo else 1.0
+    least(floor((c.cast("double") - lit(lo)) / lit(span) * 65535.0), lit(65535.0))
+      .cast("long")
+  }
+
+  /** Bit-interleave two 16-bit bucket values into one 32-bit Morton
+    * (z-curve) key. A plain column-expression tree — 64 shift/mask
+    * terms, inside whole-stage codegen, no UDF. */
+  private[graft] def zInterleave(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Lands `events` clustered by `orderKey` into [[ZFiles]] range
+    * partitions (one file each, locally sorted for row-group locality),
+    * then derives the file-skipping index: per-file min/max of both
+    * indexed columns, computed from the written data itself — exact by
+    * construction. Returns (layoutPath, indexPath). */
+  private def landClustered(spark: SparkSession, dir: String, name: String,
+      orderKey: DataFrame => Column): (String, String) =
+    lock.synchronized {
+      val path = s"$root/${name}_${tag(dir)}"
+      val idx = s"${path}_idx"
+      if (!landed(path)) {
+        val ev = Tables(spark, dir).events
+        ev.withColumn("zk", orderKey(ev))
+          .repartitionByRange(ZFiles, col("zk"))
+          .sortWithinPartitions(col("zk"))
+          .drop("zk")
+          .write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"),
+            min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+          .coalesce(1).write.mode("overwrite").parquet(idx)
+        landed += path
+      }
+      (path, idx)
+    }
+
+  /** Z-ordered layout over (user_id, value). Normalization bounds come
+    * from one agg over the source — layout-construction work, like the
+    * write itself. */
+  private[graft] def ensureZOrdered(spark: SparkSession, dir: String): (String, String) =
+    landClustered(spark, dir, "events_zorder", { ev =>
+      val b = ev.agg(min(col("user_id")).cast("double"), max(col("user_id")).cast("double"),
+        min(col("value")), max(col("value"))).collect()(0)
+      zInterleave(
+        bucket16(col("user_id"), b.getDouble(0), b.getDouble(1)),
+        bucket16(col("value"), b.getDouble(2), b.getDouble(3)))
+    })
+
+  /** Single-column comparison layout (sorted by `user_id` only) — the
+    * spec measures that it skips on user_id but NOT on value. */
+  private[graft] def ensureLinear(spark: SparkSession, dir: String): (String, String) =
+    landClustered(spark, dir, "events_linear", _ => col("user_id"))
+
+  /** The files whose [min,max] interval for `col` overlaps [lo,hi] —
+    * the skip decision. The index is file-count-sized; collecting it is
+    * the same bounded driver state as GlobalRank's boundary rows. A
+    * file with an all-NULL indexed column has NULL bounds and cannot
+    * match a range predicate, so dropping it is correct. */
+  private[graft] def qualifyingFiles(spark: SparkSession, idxPath: String,
+      minCol: String, maxCol: String, lo: Double, hi: Double): Seq[String] =
+    spark.read.parquet(idxPath)
+      .filter(col(maxCol) >= lit(lo) && col(minCol) <= lit(hi))
+      .select(col("file")).collect().toSeq.map(_.getString(0))
+
+  /** Index-pruned read: open ONLY the qualifying files, then re-apply
+    * the row-level predicate (the index prunes files, it does not
+    * evaluate the filter). */
+  private[graft] def skippingRead(spark: SparkSession, layout: String,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.read.parquet(layout).filter(lit(false))
+    else spark.read.parquet(files: _*)
+
+  /** q101 pipeline: a selective user_id band over the z-ordered layout.
+    * The index maps the band to its z-curve runs — few files opened
+    * (spec-measured); the answer is layout-independent and the oracle
+    * states it over the plain table. */
+  private[graft] def zSkipPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (layout, idx) = ensureZOrdered(spark, dir)
+    val files = qualifyingFiles(spark, idx, "min_uid", "max_uid", 10d, 19d)
+    skippingRead(spark, layout, files)
+      .filter(col("user_id").between(10L, 19L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  val q101 = QueryDef(
+    "q101_zorder_skip",
+    (spark, dir) => zSkipPipeline(spark, dir),
+    Some(s"""SELECT event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      ${sqlDsum("value")} AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 19
+    GROUP BY 1
+    ORDER BY event_type NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q100, q101)
+}

@@ -124,5 +124,115 @@ object Snapshots extends QueryPack {
        OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
     ORDER BY o_orderkey NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q99)
+  // --------------------------------------------------------------- q102
+  /** SCD Type-2 apply: fold a day's snapshot into a versioned dimension.
+    *
+    * The dimension carries one row per (key, version) with
+    * `valid_from` / `valid_to` (NULL = still current) / `is_current`.
+    * Applying a snapshot at `effectiveDate`:
+    *
+    *  - unchanged current rows pass through untouched;
+    *  - changed keys close the current version (`valid_to` =
+    *    effectiveDate) AND open a new one;
+    *  - removed keys close the current version;
+    *  - added keys open a first version;
+    *  - already-closed history rows pass through untouched.
+    *
+    * Shape: ONE key-equi full-outer join of the CURRENT slice against
+    * the snapshot (the same join q99's diff runs — presence + one
+    * null-safe struct compare decide the action), then map-side unions;
+    * closed history never enters the join. At 100 TB the cost is the
+    * diff's cost; on a bucketed layout (q88) the join is exchange-free.
+    */
+  def scd2Apply(dim: DataFrame, snap: DataFrame, key: String,
+      compareCols: Seq[String], effectiveDate: String): DataFrame = {
+    val eff = lit(effectiveDate).cast("date")
+    val current = dim.filter(col("valid_to").isNull)
+    val history = dim.filter(col("valid_to").isNotNull)
+    val oldSide = current.select(col(key).as("k"),
+      struct(compareCols.map(col): _*).as("old_v"),
+      col("valid_from").as("old_from"))
+    val newSide = snap.select(col(key).as("k"),
+      struct(compareCols.map(col): _*).as("new_v"))
+    // null-safe: `same` is false for added (old NULL) and removed (new NULL)
+    val j = oldSide.join(newSide, Seq("k"), "full_outer")
+      .withColumn("same", col("old_v") <=> col("new_v"))
+    val keptOrClosed = j.filter(col("old_v").isNotNull)
+      .select(col("k"), col("old_v").as("v"), col("old_from").as("valid_from"),
+        when(col("same"), lit(null).cast("date")).otherwise(eff).as("valid_to"))
+    val opened = j.filter(col("new_v").isNotNull && !col("same"))
+      .select(col("k"), col("new_v").as("v"),
+        eff.as("valid_from"), lit(null).cast("date").as("valid_to"))
+    val packedHistory = history.select(col(key).as("k"),
+      struct(compareCols.map(col): _*).as("v"),
+      col("valid_from"), col("valid_to"))
+    keptOrClosed.unionByName(opened).unionByName(packedHistory)
+      .select((col("k").as(key) +:
+        compareCols.map(c => col(s"v.$c").as(c))) :+
+        col("valid_from") :+ col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
+  /** q102: the orders dimension initialized from the day-1 snapshot
+    * (every key current since 2024-01-01) with the simulated day-2
+    * snapshot applied. (key, valid_from) is unique — changed keys carry
+    * a closed day-1 row and an open day-2 row — so the ORDER BY is
+    * total. The oracle states the same fold relationally: FULL JOIN +
+    * IS DISTINCT FROM per column, a closed/open row per action. */
+  val q102 = QueryDef(
+    "q102_scd2_apply",
+    (spark, dir) => {
+      val (day1, day2) = ordersSnapshots(spark, dir)
+      val dim = day1
+        .withColumn("valid_from", lit("2024-01-01").cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+      scd2Apply(dim, day2, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+          "2024-01-02")
+        .orderBy(col("o_orderkey").asc_nulls_first,
+          col("valid_from").asc_nulls_first)
+    },
+    Some(s"""WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, $sqlBkt AS bkt
+      FROM orders),
+    old_snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM b),
+    new_snap AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN bkt < 6554 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN bkt < 6554 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM b WHERE bkt >= 3277
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM b WHERE bkt >= 62259),
+    j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_custkey AS oc, o.o_orderstatus AS os,
+             o.o_totalprice AS op, o.o_orderpriority AS opr,
+             n.o_custkey AS nc, n.o_orderstatus AS ns,
+             n.o_totalprice AS np, n.o_orderpriority AS npr,
+             (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+              AND NOT (o.o_custkey IS DISTINCT FROM n.o_custkey)
+              AND NOT (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+              AND NOT (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+              AND NOT (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority))
+               AS same
+      FROM old_snap o FULL JOIN new_snap n ON o.o_orderkey = n.o_orderkey)
+    SELECT ok AS o_orderkey, oc AS o_custkey, os AS o_orderstatus,
+           op AS o_totalprice, opr AS o_orderpriority,
+           DATE '2024-01-01' AS valid_from,
+           CASE WHEN same THEN NULL ELSE DATE '2024-01-02' END AS valid_to,
+           same AS is_current
+    FROM j WHERE ok IS NOT NULL
+    UNION ALL
+    SELECT nk, nc, ns, np, npr,
+           DATE '2024-01-02', NULL, true
+    FROM j WHERE nk IS NOT NULL AND NOT same
+    ORDER BY o_orderkey NULLS FIRST, valid_from NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q99, q102)
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Det, SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Layout operators are result-transparent (the answers must equal the
+  * plain-table queries — both are oracle-checked too) while the layout
+  * buys a physical property: q100's merged read spans physically
+  * different file schemas; q101's index opens only the files whose
+  * min/max interval overlaps the predicate, on EITHER z-dimension —
+  * which a single-column sort cannot do for its second column. */
+class LayoutSpec extends SparkTestBase {
+
+  /** sf0.01: 150 users / 10k rows — wide enough domains that the spec's
+    * predicate bands are genuinely selective (on sf0.001's 15 users a
+    * 10-wide user band is a third of the domain). */
+  private val sf001 = "/root/testdata/sf0.01"
+
+  // ------------------------------------------------------------- q100
+  test("q100: gen-1 files physically lack `value`; merged read restores it as nullable") {
+    val path = Layout.ensureEvolved(spark, sf0001)
+    val gen1 = spark.read.parquet(s"$path/gen=1")
+    assert(!gen1.schema.fieldNames.contains("value"),
+      "gen-1 files must not contain the evolved column")
+    val merged = Layout.evolvedEvents(spark, sf0001)
+    assert(merged.schema("value").dataType == DoubleType)
+    val n = Tables(spark, sf0001).events.count()
+    assert(merged.count() == n, "merged read must span both generations")
+    // every gen-1 row reads NULL; every gen-2 row reads its source value
+    assert(merged.filter(col("gen") === 1 && col("value").isNotNull).count() == 0)
+    assert(merged.filter(col("gen") === 2 && col("value").isNull).count() == 0)
+  }
+
+  test("q100: evolved-layout aggregate ≡ date-CASE aggregate on the un-evolved table") {
+    val plain = Tables(spark, sf0001).events
+      .withColumn("v2",
+        when(to_date(col("ts")) >= lit("2024-01-16").cast("date"), col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), count(col("v2")).as("n_with_value"),
+        Det.dsum(col("v2")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+      .collect().toSeq
+    val evolved = Layout.evolutionPipeline(spark, sf0001).collect().toSeq
+    assert(evolved == plain)
+    assert(evolved.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- q101
+  test("q101: index-pruned answer ≡ plain filtered aggregate") {
+    val plain = Tables(spark, sf001).events
+      .filter(col("user_id").between(10L, 19L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+      .collect().toSeq
+    val skipped = Layout.zSkipPipeline(spark, sf001).collect().toSeq
+    assert(skipped == plain)
+    assert(skipped.nonEmpty)
+  }
+
+  test("q101: the z-order index skips files on BOTH dimensions; a linear sort only on its own") {
+    val (_, zIdx) = Layout.ensureZOrdered(spark, sf001)
+    val (_, linIdx) = Layout.ensureLinear(spark, sf001)
+    val total = spark.read.parquet(zIdx).count()
+    assert(total >= 16, s"layout produced only $total files")
+
+    def files(idx: String, dim: String, lo: Double, hi: Double): Int = {
+      val (mn, mx) = if (dim == "uid") ("min_uid", "max_uid") else ("min_val", "max_val")
+      Layout.qualifyingFiles(spark, idx, mn, mx, lo, hi).size
+    }
+    // ~6% user band: both layouts cluster user_id and both skip hard
+    val zU = files(zIdx, "uid", 10, 19)
+    val linU = files(linIdx, "uid", 10, 19)
+    assert(zU <= total / 2, s"z-order read $zU of $total files for the user band")
+    assert(linU <= total / 4, s"linear sort read $linU of $total files for its own column")
+    // ~4% value band: only the z-curve clusters the SECOND dimension —
+    // the user-sorted layout holds the full value range in every file
+    val zV = files(zIdx, "val", 100, 120)
+    val linV = files(linIdx, "val", 100, 120)
+    assert(linV >= total - 2,
+      s"linear layout unexpectedly skipped value files ($linV of $total)")
+    assert(zV <= total / 2,
+      s"z-order read $zV of $total files for the value band (linear reads $linV)")
+  }
+
+  test("q101: pruned read re-applies the row predicate (index prunes files, not rows)") {
+    val (layout, idx) = Layout.ensureZOrdered(spark, sf001)
+    val files = Layout.qualifyingFiles(spark, idx, "min_uid", "max_uid", 10, 19)
+    val opened = Layout.skippingRead(spark, layout, files)
+    // qualifying files may contain out-of-band rows — the pipeline's
+    // filter removes them; verify the raw union really is a superset
+    val inBand = opened.filter(col("user_id").between(10L, 19L)).count()
+    val expected = Tables(spark, sf001).events
+      .filter(col("user_id").between(10L, 19L)).count()
+    assert(inBand == expected, "pruned files lost in-band rows")
+    assert(opened.count() >= inBand)
+  }
+
+  test("q101: an empty qualifying set yields an empty, correctly-shaped frame") {
+    val (layout, idx) = Layout.ensureZOrdered(spark, sf0001)
+    val none = Layout.qualifyingFiles(spark, idx, "min_uid", "max_uid", 1e9, 2e9)
+    assert(none.isEmpty)
+    val df = Layout.skippingRead(spark, layout, none)
+    assert(df.schema.fieldNames.contains("user_id"))
+    assert(df.count() == 0)
+  }
+}

@@ -44,4 +44,59 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Seq("added", "removed", "changed").forall(s => got.exists(_._2 == s)),
       "fixture must exercise all three change kinds")
   }
+
+  private def scdDim(rows: Seq[(Long, String, String, Option[String])]) =
+    rows.toDF("id", "s", "vf", "vt")
+      .select(col("id"), col("s"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"))
+
+  test("scd2Apply: unchanged passes through; changed closes+opens; removed closes; added opens; history untouched") {
+    val dim = scdDim(Seq(
+      (1L, "a", "2024-01-01", None),                    // unchanged
+      (2L, "b", "2024-01-01", None),                    // will change
+      (3L, "c", "2024-01-01", None),                    // will be removed
+      (2L, "b0", "2023-12-01", Some("2024-01-01"))))    // closed history
+    val snap = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "s")
+    val out = Snapshots.scd2Apply(dim, snap, "id", Seq("s"), "2024-01-02")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3)), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", "2024-01-01", "null", true),
+      (2L, "b", "2024-01-01", "2024-01-02", false),
+      (2L, "B", "2024-01-02", "null", true),
+      (3L, "c", "2024-01-01", "2024-01-02", false),
+      (4L, "d", "2024-01-02", "null", true),
+      (2L, "b0", "2023-12-01", "2024-01-01", false)), s"got $out")
+  }
+
+  test("scd2Apply with the current snapshot is a no-op") {
+    val dim = scdDim(Seq(
+      (1L, "a", "2024-01-01", None),
+      (2L, "b", "2024-01-01", None),
+      (1L, "a0", "2023-12-01", Some("2024-01-01"))))
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val out = Snapshots.scd2Apply(dim, snap, "id", Seq("s"), "2024-01-02")
+    val expected = dim.withColumn("is_current", col("valid_to").isNull)
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
+  test("q102 reconciles with q99's diff: version counts per key follow the change kind") {
+    val changes = Snapshots.q99.fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Snapshots.q102.fn(spark, sf0001)
+      .select(col("o_orderkey"), col("is_current")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toSeq
+    val byKey = rows.groupBy(_._1)
+    // at most one current version per key — the SCD-2 invariant
+    assert(byKey.forall { case (_, vs) => vs.count(_._2) <= 1 })
+    byKey.foreach { case (k, vs) =>
+      changes.get(k) match {
+        case Some("changed") => assert(vs.size == 2 && vs.count(_._2) == 1, s"key $k: $vs")
+        case Some("removed") => assert(vs == Seq(k -> false), s"key $k: $vs")
+        case Some("added")   => assert(vs == Seq(k -> true), s"key $k: $vs")
+        case _               => assert(vs == Seq(k -> true), s"unchanged key $k: $vs")
+      }
+    }
+  }
 }
