@@ -341,21 +341,25 @@ object RelationalExt extends QueryPack {
   /** Map-type surface: `from_json` to MapType (schema-free key space, vs
     * q49's fixed struct) + map_keys / map_values / element_at. Collections
     * are emitted comma-joined (scalar output columns only, per the
-    * determinism contract). */
+    * determinism contract). Like q49, the map is parsed ONCE into a named
+    * column the three outputs reference — CollapseProject declines to
+    * inline a non-cheap alias used more than once, so the optimized plan
+    * carries exactly one `from_json` instead of leaning on codegen
+    * subexpression elimination to rescue a triple parse. */
   val q57 = QueryDef(
     "q57_map_funcs",
     (spark, dir) => {
       val e = Tables(spark, dir).events
-      val m = from_json(col("props"),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.IntegerType))
       e.filter(col("props").rlike("^\\{\"k\": [0-9]+\\}$"))
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
         .select(
           col("event_id"),
-          array_join(map_keys(m), ",").as("ks"),
-          array_join(transform(map_values(m), v => v.cast("string")), ",").as("vs"),
-          element_at(m, lit("k")).as("k"))
+          array_join(map_keys(col("m")), ",").as("ks"),
+          array_join(transform(map_values(col("m")), v => v.cast("string")), ",").as("vs"),
+          element_at(col("m"), lit("k")).as("k"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id,

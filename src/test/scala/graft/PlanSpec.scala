@@ -103,6 +103,13 @@ class PlanSpec extends SparkTestBase {
     assert(parses == 1, s"expected exactly one from_json, got $parses:\n$p")
   }
 
+  test("q57: the JSON map is parsed once, not once per referencing output") {
+    val p = operators.RelationalExt.q57.fn(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val parses = "from_json".r.findAllIn(p).size
+    assert(parses == 1, s"expected exactly one from_json, got $parses:\n$p")
+  }
+
   test("malformed JSON degrades to null (PERMISSIVE), not failure") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
