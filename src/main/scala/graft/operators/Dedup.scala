@@ -732,5 +732,91 @@ object Dedup extends QueryPack {
     FROM k
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q55, q64, q93)
+  // ---------------------------------------------------------------- q103
+  /** Winnowing fingerprint near-dedup (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm): per document, hash every word 3-gram in
+    * position order, slide a window of 4 consecutive gram hashes and
+    * keep each window's MINIMUM as a fingerprint — winnowing's guarantee
+    * is that any shared run of ≥ w+k−1 tokens between two documents
+    * yields at least one shared fingerprint, with a 2/(w+1) expected
+    * sampling density, so it catches contiguous-overlap plagiarism/
+    * boilerplate that set-based MinHash (q32) dilutes. Pairs are then
+    * documents sharing ≥ 3 distinct fingerprints.
+    *
+    * Scale shape: the gram hash + window-min is map-side except ONE
+    * shuffle on doc_id (the per-doc window — co-partitioned, never
+    * global), and pair generation is the same capped equi-join as the
+    * LSH family: fingerprints seen in > 50 documents are dropped before
+    * the self-join (ubiquitous boilerplate carries no pair signal, and
+    * the cap bounds every join bucket at 50² — the workload-wide
+    * PlanSpec cross-product guard sees this query like any other).
+    *
+    * Determinism: grams are hashed by md5 prefix — the one hash both
+    * engines compute identically (contract: never xxhash64 across
+    * engines) — and window minima compare those integer hashes, so the
+    * fingerprint sets match DuckDB's bit-for-bit. */
+  /** Distinct winnowing fingerprints per document: (doc_id, fp). k=3
+    * word grams, window w=4, md5-prefix hashes (see q103 scaladoc). */
+  private[graft] def winnowFingerprints(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = d
+      .select(col("doc_id"), toks.as("toks"), (size(toks) - 2).as("ng"))
+      .filter(col("ng") >= 4) // need one full window of w=4 grams
+      .select(col("doc_id"), col("ng"),
+        explode(sequence(lit(1), col("ng"))).as("pos"), col("toks"))
+      .select(col("doc_id"), col("ng"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("toks"), col("pos"), lit(3))).cast("binary")), 1, 8),
+          16, 10).cast("long").as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .withColumn("fp", min(col("h")).over(byDoc.rowsBetween(0, 3)))
+      .filter(col("pos") <= col("ng") - 3) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Pairs of documents sharing ≥ minShared winnowing fingerprints, with
+    * fingerprints seen in > dfCap documents dropped before the self-join. */
+  private[graft] def winnowPairs(d: DataFrame, minShared: Int, dfCap: Int): DataFrame = {
+    val capped = winnowFingerprints(d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= dfCap)
+      .select(col("doc_id"), col("fp"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  val q103 = QueryDef(
+    "q103_winnow_dedup",
+    (spark, dir) => winnowPairs(Tables(spark, dir).documents, 3, 50),
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, len(t) - 2 AS ng, i AS pos,
+        CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS BIGINT) AS h
+      FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) - 2 >= 4),
+    w AS (
+      SELECT doc_id, ng, pos,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 3),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+      WHERE df <= 50)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103)
 }

@@ -730,6 +730,89 @@ object TextOps extends QueryPack {
     HAVING COUNT(*) * 64 > (SELECT n FROM tot)
     ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q104
+  /** BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2, b=0.75) of
+    * every document against a fixed query term set — the retrieval
+    * primitive a training-data pipeline uses for quality-targeted
+    * selection and decontamination triage, one step past q39's TF-IDF.
+    *
+    * Scale shape: corpus-sized work is one tokenize+filter map pass and
+    * one (doc_id, tok) partial-agg shuffle; everything term-global is
+    * tiny and broadcast — `df` is |terms| rows, the corpus stats frame is
+    * ONE row (the cross join is a 1-row broadcast, whitelisted in the
+    * PlanSpec cross-product guard next to q39's scalar subquery). Top-20
+    * is TakeOrderedAndProject (per-partition heads + driver merge), not a
+    * global sort.
+    *
+    * Determinism: per-doc score sums its ≤3 term contributions in FIXED
+    * pivot order (hash, join, scan) — never SUM over an unordered term
+    * group, whose float fold order differs between engines. `avgdl` is
+    * exact-integer SUM / COUNT (never engine-native AVG, whose
+    * accumulation order is unspecified), and both engines evaluate the
+    * identical double expression tree, so `round(.., 6)` agrees
+    * bit-for-bit. Ties at the top-20 boundary break by doc_id. */
+  /** BM25 top-20 for the fixed (hash, join, scan) query — see q104
+    * scaladoc for the shape and determinism rules. */
+  private[graft] def bm25Top20(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val lens = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin("hash", "join", "scan"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val parts = tf
+        .join(broadcast(df), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tok"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("wt"))
+      parts.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(
+            coalesce(max(when(col("tok") === "hash", col("wt"))), lit(0.0)) +
+            coalesce(max(when(col("tok") === "join", col("wt"))), lit(0.0)) +
+            coalesce(max(when(col("tok") === "scan", col("wt"))), lit(0.0)), 6)
+            .as("score_r"))
+        .orderBy(col("score_r").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(20)
+  }
+
+  val q104 = QueryDef(
+    "q104_bm25",
+    (spark, dir) => bm25Top20(Tables(spark, dir).documents),
+    Some("""WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('hash', 'join', 'scan')
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    parts AS (
+      SELECT t.doc_id, t.tok,
+        ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+          * (t.tf * 2.2)
+          / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS wt
+      FROM tf t JOIN df d USING (tok) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s)
+    SELECT doc_id, COUNT(*) AS n_terms,
+      round(COALESCE(MAX(CASE WHEN tok = 'hash' THEN wt END), 0) +
+            COALESCE(MAX(CASE WHEN tok = 'join' THEN wt END), 0) +
+            COALESCE(MAX(CASE WHEN tok = 'scan' THEN wt END), 0), 6) AS score_r
+    FROM parts
+    GROUP BY doc_id
+    ORDER BY score_r DESC NULLS LAST, doc_id ASC NULLS FIRST
+    LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86)
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86, q104)
 }

@@ -176,6 +176,50 @@ class DedupSpec extends SparkTestBase {
       (4L, 4L), (5L, 4L), (6L, 4L), (7L, 7L), (8L, 7L)))
   }
 
+  test("winnowing: a shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    // Winnowing's coverage guarantee (Schleimer et al. §4): any match of
+    // length >= w+k-1 (= 6 tokens at k=3, w=4) is caught by at least one
+    // common fingerprint. Two docs share a 12-token run amid distinct text.
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"one two three four five $run six seven eight nine ten eleven"),
+      (2L, s"red green blue cyan violet $run amber teal navy olive maroon pink"),
+      (3L, "wholly unrelated content with no overlap at all in any window of text here")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "shared run missed")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty, "false fingerprint overlap")
+    // density: fingerprints are a strict subsample of the gram stream
+    val nGrams1 = d.filter($"doc_id" === 1L).select(
+      size(split($"text", " ")) - 2).as[Int].head()
+    assert(byDoc(1L).size <= nGrams1 - 3)
+  }
+
+  test("winnowing: identical docs yield identical fingerprint sets; q103 pairs them") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = Seq((1L, text), (2L, text),
+      (3L, "completely different words entirely unrelated content in every single position"))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.winnowFingerprints(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    val pairs = Dedup.winnowPairs(d, minShared = 3, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("q103 on fixtures: ordered a<b pairs, capped fingerprints, non-empty") {
+    val rows = Dedup.q103.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "fixture near-duplicates should share fingerprints")
+    assert(rows.forall { case (a, b, n) => a < b && n >= 3 })
+  }
+
   test("simhash: identical docs at hamming 0, near-identical within 6") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -138,4 +138,36 @@ class TextOpsSpec extends SparkTestBase {
       assert(r.getInt(1) >= r.getInt(3), s"doc $id length inversion")
     }
   }
+
+  test("bm25: matches the hand-computed formula on a tiny corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash join scan hash extra pad pad2 pad3"), // dl=8 tf: hash 2, join 1, scan 1
+      (2L, "hash alpha beta gamma"),                   // dl=4 tf: hash 1
+      (3L, "nothing relevant here at all")             // dl=5, no query terms
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Top20(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = 3L
+    val avgdl = 17.0 / 3
+    def w(tf: Long, df: Long, dl: Int): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r6(w(2, 2, 8) + w(1, 1, 8) + w(1, 1, 8))
+    val exp2 = r6(w(1, 2, 4))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 1L)),
+      s"got ${out.toSeq}") // doc 3 matches nothing; doc 1 outscores doc 2
+    assert(math.abs(out(0)._3 - exp1) < 1e-9, s"${out(0)._3} vs $exp1")
+    assert(math.abs(out(1)._3 - exp2) < 1e-9, s"${out(1)._3} vs $exp2")
+  }
+
+  test("q104 on fixtures: top-20, scores descending, 1..3 terms matched") {
+    val rows = TextOps.q104.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    assert(rows.forall { case (_, nt, _) => nt >= 1 && nt <= 3 })
+    assert(rows.map(_._3).toSeq.sliding(2).forall(p => p.head >= p.last))
+  }
 }
