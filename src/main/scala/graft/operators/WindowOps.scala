@@ -552,6 +552,93 @@ object WindowOps extends QueryPack {
     GROUP BY 1, 2
     ORDER BY err_id NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q105
+  /** Ordered-funnel analysis (signup → view → purchase): the event-
+    * sequence conversion query every product/event pipeline runs. Each
+    * stage is the user's FIRST qualifying event strictly after their
+    * previous stage's time — the strict-order semantics (a view before
+    * the signup does not count), not mere set membership.
+    *
+    * Scale shape: per-stage min-aggregates and every join are equi on
+    * `user_id`, so the whole funnel is shuffles on one high-cardinality
+    * key (Spark reuses the exchange across same-key stages); no window
+    * sort over the full stream, no cross products. Stage depth adds
+    * joins linearly — a 10-stage funnel is 10 bounded equi-joins, which
+    * survives a 100 TB event log.
+    *
+    * Determinism: stage times compare as integer µs epochs
+    * ([[Tables.events]] canonical µs ↔ the oracle's `epoch_ns // 1000`),
+    * and the output is the per-user terminal stage, not a timestamp. */
+  val q105 = QueryDef(
+    "q105_funnel",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+      val v = e.filter(col("event_type") === "view")
+        .join(s, "user_id").filter(col("us") > col("s_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("us") > col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      s.join(v, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          when(col("p_us").isNotNull, "purchase")
+            .when(col("v_us").isNotNull, "view")
+            .otherwise("signup").as("stage"))
+        .orderBy(col("user_id").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+    s AS (SELECT user_id, MIN(us) AS s_us FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(us) AS v_us FROM e JOIN s USING (user_id)
+          WHERE event_type = 'view' AND us > s_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'purchase' AND us > v_us GROUP BY e.user_id)
+    SELECT s.user_id,
+      CASE WHEN p.p_us IS NOT NULL THEN 'purchase'
+           WHEN v.v_us IS NOT NULL THEN 'view'
+           ELSE 'signup' END AS stage
+    FROM s LEFT JOIN v ON s.user_id = v.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q106
+  /** Cohort retention: users grouped by first-seen day (their cohort),
+    * counted per day-offset of later activity — the day-N retention
+    * triangle. Two shuffles total: one on `user_id` for the cohort
+    * assignment, one on the (cohort, offset) pair for the final count;
+    * the per-user distinct-activity dedup rides the first shuffle's
+    * partitioning. DATE output per the determinism contract (session TZ
+    * pinned UTC ↔ DuckDB naive-µs casts agree on the calendar day). */
+  val q106 = QueryDef(
+    "q106_cohort_retention",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+      e.distinct()
+        .join(cohort, "user_id")
+        .select(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_d"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_d").asc_nulls_first, col("day_offset").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    cohort AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id)
+    SELECT cohort_d,
+      CAST(date_diff('day', cohort_d, d) AS INT) AS day_offset,
+      COUNT(*) AS n_users
+    FROM e JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_d ASC NULLS FIRST, day_offset ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
+      q105, q106)
 }

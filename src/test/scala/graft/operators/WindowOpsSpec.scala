@@ -116,4 +116,50 @@ class WindowOpsSpec extends SparkTestBase {
       assert(cents == in.map(_._4).sum, s"order $okey cents")
     }
   }
+
+  /** Synthetic events table written through parquet so Tables.events'
+    * schema-adaptive load path is exercised. */
+  private def eventsDir(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"), col("user_id"),
+        col("event_type"), lit(1.0).as("value"), lit("""{"k": 1}""").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q105 funnel: strict stage order — a purchase without a prior view stays 'signup'") {
+    val dir = eventsDir(Seq(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 01:00:00", 1L, "view"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      // user 2: view BEFORE signup — view must not count
+      (4L, "2024-01-02 00:00:00", 2L, "view"),
+      (5L, "2024-01-02 01:00:00", 2L, "signup"),
+      // user 3: signup then purchase but never a view — strict order stops at signup
+      (6L, "2024-01-03 00:00:00", 3L, "signup"),
+      (7L, "2024-01-03 01:00:00", 3L, "purchase"),
+      // user 4: never signed up — not in the funnel at all
+      (8L, "2024-01-04 00:00:00", 4L, "purchase")))
+    val out = WindowOps.q105.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "purchase"), (2L, "signup"), (3L, "signup")))
+  }
+
+  test("q106 cohort retention: day-offset counts from each user's first-seen day") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 05:00:00", 1L, "view"),   // u1 cohort 01-01
+      (2L, "2024-01-02 06:00:00", 1L, "view"),   // u1 offset 1
+      (3L, "2024-01-02 07:00:00", 1L, "click"),  // same user+day → one active row
+      (4L, "2024-01-04 08:00:00", 1L, "view"),   // u1 offset 3
+      (5L, "2024-01-01 09:00:00", 2L, "view"),   // u2 cohort 01-01
+      (6L, "2024-01-02 10:00:00", 3L, "view")))  // u3 cohort 01-02
+    val out = WindowOps.q106.fn(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
 }
