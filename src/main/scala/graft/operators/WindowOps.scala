@@ -561,10 +561,14 @@ object WindowOps extends QueryPack {
     *
     * Scale shape: per-stage min-aggregates and every join are equi on
     * `user_id`, so the whole funnel is shuffles on one high-cardinality
-    * key (Spark reuses the exchange across same-key stages); no window
-    * sort over the full stream, no cross products. Stage depth adds
-    * joins linearly — a 10-stage funnel is 10 bounded equi-joins, which
-    * survives a 100 TB event log.
+    * key; no window sort over the full stream, no cross products. Stage
+    * depth adds joins linearly — a 10-stage funnel is 10 bounded
+    * equi-joins, which survives a 100 TB event log. Each stage's
+    * subtree appears in at most two downstream plans (the next stage
+    * and the final assembly), so the recomputation bound is 2× per
+    * stage; on a dominant event scan, `.cut()` the per-stage per-user
+    * aggregates (they are user-cardinality small) to trade that for
+    * materialization.
     *
     * Determinism: stage times compare as integer µs epochs
     * ([[Tables.events]] canonical µs ↔ the oracle's `epoch_ns // 1000`),
