@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket |
-  * delta | all. `all` runs only the three BASELINE-table sections
-  * (docs, curation, ann); the targeted modes (annwall, ivf, sketch,
-  * bucket, delta) are one-off measurement protocols run by name.
+  * delta | winnow | all. `all` runs only the three BASELINE-table
+  * sections (docs, curation, ann); the targeted modes (annwall, ivf,
+  * sketch, bucket, delta, winnow) are one-off measurement protocols run
+  * by name.
   *
   * Each factor f replicates every document f×: replica 0 is the
   * original, replicas 1..f−1 append a distinct tail token, so every
@@ -32,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -77,6 +78,23 @@ object ScaleProbe {
       }
       println(f"SCALE f=$f docs=$nDocs pairs_exact=$nExact pairs_minhash=$nMinhash " +
         f"t_exact=$tExact%.2f t_minhash=$tMinhash%.2f t_labels=$tLabels%.2f")
+    }
+
+    // ---- winnowing (q103): the gram hash + per-doc window-min stage is
+    // linear in token count; pair cost must track the TRUE overlapping
+    // pair count (here ~f² per replica clique), with the df cap bounding
+    // any single fingerprint's join bucket at 50² regardless of corpus
+    // size — the same candidates-track-output property as MinHash-LSH.
+    if (mode == "winnow") factors.foreach { f =>
+      val docs = replicateDocs(f)
+      val nDocs = docs.count()
+      val (fps, tFp) = timed(Dedup.winnowFingerprints(docs).localCheckpoint())
+      val nFps = fps.count()
+      val (pairs, tPairs) = timed(
+        Dedup.winnowPairs(docs, 3, 50).localCheckpoint())
+      val nPairs = pairs.count()
+      println(f"SCALE-WINNOW f=$f docs=$nDocs fps=$nFps pairs=$nPairs " +
+        f"t_fp=$tFp%.2f t_pairs=$tPairs%.2f")
     }
 
     // ---- curation passes: the map-only gates must be LINEAR in corpus
