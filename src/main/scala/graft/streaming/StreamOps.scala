@@ -362,6 +362,86 @@ object SensorProcessor {
   }
 }
 
+/** One event entering the streaming funnel gate. */
+case class FunnelEvent(userId: Long, eventType: String, us: Long)
+
+/** A stage transition emitted by the funnel gate: `userId` advanced to
+  * `stage` at event time `us` (µs epoch). */
+case class FunnelTransition(userId: Long, stage: String, us: Long)
+
+/** Per-user funnel progress: current stage index (0 = not in funnel,
+  * 1 = signup, 2 = view, 3 = purchase) and the event time that reached it. */
+case class FunnelState(stage: Int, us: Long)
+
+/** Streaming form of the q105 ordered funnel
+  * ([[graft.operators.WindowOps.q105]]): a per-user stage machine on
+  * `transformWithState`, keyed by `user_id`, that advances
+  * signup → view → purchase on the first qualifying event STRICTLY after
+  * the previous stage's event time and emits one transition row per
+  * advance (append mode — transitions are immutable facts).
+  *
+  * State is one [[FunnelState]] per user (two fields — a 10-stage funnel
+  * is still one small record), so the store distributes across executors
+  * on the same high-cardinality key as every other per-user operator.
+  *
+  * Semantics note (same caveat as [[StreamNearDedup]]'s arrival-order
+  * form): the gate processes events in event-time order WITHIN each
+  * micro-batch but trusts arrival order across batches — an event
+  * arriving after a later-timed event has already advanced the stage is
+  * ignored, where batch q105 (global min-aggregates) would have used it.
+  * On an in-order stream the terminal stages are exactly q105's
+  * (spec-asserted on the fixture events); out-of-order tolerance belongs
+  * to a watermark-buffered variant, orthogonal to the gate's logic. */
+object StreamFunnel {
+  /** `events` needs `user_id`, `event_type`, `ts`; works on static
+    * frames and streams alike. */
+  def transitions(events: DataFrame): Dataset[FunnelTransition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"))
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-user stage machine behind [[StreamFunnel]]. */
+class FunnelProcessor
+    extends StatefulProcessor[Long, FunnelEvent, FunnelTransition] {
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+
+  private val stageNames = Array("", "signup", "view", "purchase")
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+      timerValues: TimerValues): Iterator[FunnelTransition] = {
+    var cur = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
+    // event-time order within the batch; µs ties cannot advance two
+    // stages (strictly-after predicate), matching q105's strict order
+    rows.toArray.sortBy(_.us).foreach { e =>
+      val next = (cur.stage, e.eventType) match {
+        case (0, "signup") => 1
+        case (1, "view") if e.us > cur.us => 2
+        case (2, "purchase") if e.us > cur.us => 3
+        case _ => 0
+      }
+      if (next > cur.stage) {
+        cur = FunnelState(next, e.us)
+        out += FunnelTransition(key, stageNames(next), e.us)
+      }
+    }
+    if (cur.stage > 0) st.update(cur)
+    out.iterator
+  }
+}
+
 /** Trigger-rule routing (`all_success` / `one_failed`,
   * `update_tr_from_ex_dag.py:139,150`) for streams: each micro-batch is
   * split into an accepted sink and a dead-letter sink inside one

@@ -456,4 +456,65 @@ class StreamOpsSpec extends SparkTestBase {
       .toSet
     assert(streamed == batch, "stream/batch scrub divergence")
   }
+
+  test("funnel gate: strict order across micro-batches, state survives the batch boundary") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamFunnel.transitions(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("funnel")
+      .start()
+    // batch 1: u1 signs up and views; u2 views WITHOUT a signup (ignored)
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 1.0),
+      Ev(2, ts("2024-01-01 11:00:00"), 1, "view", 1.0),
+      Ev(3, ts("2024-01-01 10:30:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: u1 purchases (needs batch-1 state); u2 purchases (still stage 0);
+    // u3 purchases with no funnel history at all
+    in.addData(
+      Ev(4, ts("2024-01-01 12:00:00"), 1, "purchase", 1.0),
+      Ev(5, ts("2024-01-01 12:30:00"), 2, "purchase", 1.0),
+      Ev(6, ts("2024-01-01 12:45:00"), 3, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table("funnel")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "signup"), (1L, "view"), (1L, "purchase")),
+      s"got $got")
+  }
+
+  test("funnel gate on an in-order stream reaches exactly q105's terminal stages") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamFunnel.transitions(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("funnelq105")
+      .start()
+    // two arrival chunks so per-user state crosses a batch boundary
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rank = Map("signup" -> 1, "view" -> 2, "purchase" -> 3)
+    val streamed = s2.table("funnelq105")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(t => rank(t._2)).max).toMap
+    val batch = graft.operators.WindowOps.q105.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), rank(r.getString(1)))).toMap
+    assert(streamed == batch, s"stream/batch funnel divergence: " +
+      s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
 }
