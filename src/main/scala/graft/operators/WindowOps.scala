@@ -642,7 +642,46 @@ object WindowOps extends QueryPack {
     GROUP BY 1, 2
     ORDER BY cohort_d ASC NULLS FIRST, day_offset ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q107
+  /** Clickstream path transitions: the event-type transition matrix
+    * (prev → next counts) over each user's time-ordered event sequence —
+    * with q105's funnel and q106's retention, the third classic
+    * event-sequence analytic. One per-user window (`lag` over a
+    * high-cardinality key — state distributes, never a global sort) and
+    * one small group-by on the |types|² transition space.
+    *
+    * Determinism: the per-user order is (µs epoch, event_id) — event_id
+    * breaks any same-microsecond tie identically in both engines, so
+    * `lag` sees one well-defined sequence. */
+  val q107 = QueryDef(
+    "q107_path_transitions",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc_nulls_first, col("event_id").asc_nulls_first)
+      e.withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type").asc_nulls_first, col("event_type").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, event_id
+      FROM events),
+    t AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_type
+      FROM e)
+    SELECT prev_type, event_type, COUNT(*) AS n
+    FROM t
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY prev_type ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106)
+      q105, q106, q107)
 }

@@ -148,6 +148,22 @@ class WindowOpsSpec extends SparkTestBase {
     assert(out == Seq((1L, "purchase"), (2L, "signup"), (3L, "signup")))
   }
 
+  test("q107 path transitions: per-user ordered bigram counts, first events excluded") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),   // u1: signup->view->view->purchase
+      (2L, "2024-01-01 01:00:00", 1L, "view"),
+      (3L, "2024-01-01 02:00:00", 1L, "view"),
+      (4L, "2024-01-01 03:00:00", 1L, "purchase"),
+      (5L, "2024-01-02 00:00:00", 2L, "view"),     // u2: view->signup
+      (6L, "2024-01-02 01:00:00", 2L, "signup"),
+      (7L, "2024-01-03 00:00:00", 3L, "click")))   // u3: single event, no transition
+    val out = WindowOps.q107.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("signup", "view", 1L), ("view", "purchase", 1L),
+      ("view", "signup", 1L), ("view", "view", 1L)))
+  }
+
   test("q106 cohort retention: day-offset counts from each user's first-seen day") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 05:00:00", 1L, "view"),   // u1 cohort 01-01
