@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Bucketed,
     operators.Partitioned,
     operators.Snapshots,
+    operators.Analytic,
     operators.Layout,
     operators.Sources)
 

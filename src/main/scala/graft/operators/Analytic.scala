@@ -1,0 +1,551 @@
+package graft.operators
+
+import graft.{Det, QueryDef, QueryPack, Tables}
+import graft.Det.{dsum, sqlDsum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** Statistical / time-analytic operator pack: interval sweep-line
+  * concurrency, grouped OLS regression, weighted deterministic sampling,
+  * histogram profiling, robust (median/MAD) outlier detection, and
+  * reciprocal-rank fusion of two retrieval rankings.
+  *
+  * The reference's analytics stop at orchestration (SURVEY §2.1); this
+  * pack extends the engine's inventory with the profiling/QA primitives a
+  * training-data pipeline runs next to curation — distribution profiling
+  * before/after a filter gate (q111), anomaly triage on telemetry (q112),
+  * weighted corpus subsampling (q110), load/occupancy analysis of the
+  * event stream (q108), drift trends (q109) and multi-signal retrieval
+  * fusion (q113).
+  *
+  * Shared determinism rules (ARCHITECTURE.md contract): every float
+  * reduction is an exact decimal/integer sum (never engine-order double
+  * SUM), every output float is rounded, every ORDER BY is total with
+  * explicit null placement, days are emitted as DATE and instants as
+  * epoch BIGINT, and cross-engine sampling keys come from md5 prefixes.
+  */
+object Analytic extends QueryPack {
+
+  // --------------------------------------------------------------- q108
+  /** Peak concurrency per day — the classic interval sweep-line, shaped
+    * for a cluster: each event opens a session `[ts, ts + floor(value)
+    * seconds)` (the fixture's `value` doubles as a duration; real
+    * deployments have explicit end timestamps) and the question is the
+    * maximum number of simultaneously-open sessions each day.
+    *
+    * Algorithm: every interval emits a `+1` delta at its start and a
+    * `-1` at its end (half-open: at equal instants ends sort before
+    * starts, so a session ending exactly when another starts never
+    * overlaps it); the running delta sum in time order is the
+    * concurrency curve, and its per-day max is the answer. The running
+    * sum is a PARTITIONED window (by day), never a global one — each
+    * day's curve is independent given the day-start level, and that
+    * carry-in level is recovered relationally: with sub-day durations
+    * (fixture max 490 s; the operator contract documents < 24 h) a
+    * session is open at a midnight iff it starts the previous day and
+    * ends this day, so `carry(D)` is a count aggregate over
+    * `end_day = start_day + 1` — an equi-grouping, no prefix scan over
+    * days, no driver state.
+    *
+    * Scale: two narrow map passes (delta emission), one hash exchange on
+    * `day` for the window sort and one for the carry count; day is a
+    * natural high-cardinality-enough partition key for an events table
+    * (and a skewed hot day is exactly AQE's skew-split case). Contrast
+    * with a global-order sweep, which would be a GlobalRank-style range
+    * shuffle — partitioning by the calendar makes the carry computable
+    * by equi-join instead, which is the cheaper 100 TB shape.
+    *
+    * Determinism: deltas and their running sums are integers; the window
+    * order `(t_us, delta, event_id)` is total (`event_id` appears once
+    * per side). `floor(value)` not a cast — DuckDB CAST(double AS INT)
+    * rounds half-to-even while Spark truncates. */
+  val q108 = QueryDef(
+    "q108_peak_concurrency",
+    (spark, dir) => {
+      val iv = Tables(spark, dir).events.select(
+        col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + floor(col("value")).cast(LongType) * 1000000L).as("e_us"))
+      val deltas = iv.select(col("event_id"), col("s_us").as("t_us"), lit(1).as("delta"))
+        .unionByName(iv.select(col("event_id"), col("e_us").as("t_us"), lit(-1).as("delta")))
+        .withColumn("day", to_date(timestamp_micros(col("t_us"))))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("t_us"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val peaks = deltas.withColumn("r", sum(col("delta")).over(w))
+        .groupBy(col("day")).agg(max(col("r")).as("max_run"))
+      val carry = iv
+        .withColumn("s_day", to_date(timestamp_micros(col("s_us"))))
+        .withColumn("e_day", to_date(timestamp_micros(col("e_us"))))
+        .filter(col("e_day") === date_add(col("s_day"), 1))
+        .groupBy(col("e_day").as("day")).agg(count(lit(1)).as("c"))
+      peaks.join(carry, Seq("day"), "left")
+        .select(
+          col("day"),
+          coalesce(col("c"), lit(0L)).as("carry_in"),
+          (coalesce(col("c"), lit(0L)) + greatest(lit(0L), col("max_run"))).as("peak"))
+        .orderBy(col("day").asc_nulls_first)
+    },
+    Some("""WITH iv AS (
+      SELECT event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e_us
+      FROM events),
+    deltas AS (
+      SELECT event_id, s_us AS t_us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_id, e_us AS t_us, -1 AS delta FROM iv),
+    run AS (
+      SELECT CAST(make_timestamp(t_us) AS DATE) AS day,
+             SUM(delta) OVER (PARTITION BY CAST(make_timestamp(t_us) AS DATE)
+               ORDER BY t_us, delta, event_id ROWS UNBOUNDED PRECEDING) AS r
+      FROM deltas),
+    peaks AS (SELECT day, MAX(r) AS max_run FROM run GROUP BY day),
+    carry AS (
+      SELECT CAST(make_timestamp(e_us) AS DATE) AS day, COUNT(*) AS c
+      FROM iv
+      WHERE CAST(make_timestamp(e_us) AS DATE) = CAST(make_timestamp(s_us) AS DATE) + 1
+      GROUP BY 1)
+    SELECT p.day, CAST(COALESCE(c.c, 0) AS BIGINT) AS carry_in,
+           CAST(COALESCE(c.c, 0) + GREATEST(0, p.max_run) AS BIGINT) AS peak
+    FROM peaks p LEFT JOIN carry c ON p.day = c.day
+    ORDER BY p.day ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q109
+  /** Per-nation OLS trend of order value over time — grouped linear
+    * regression from sufficient statistics, the distributed form of
+    * `regr_slope`/`regr_intercept`/`r2`.
+    *
+    * The whole regression reduces to six per-group sums (n, Σx, Σx²,
+    * Σy, Σxy, Σy²) — ONE map-side-combinable hash aggregate, then pure
+    * per-group scalar math. That is the textbook 100 TB shape: no
+    * second pass, no per-group sort, state O(groups).
+    *
+    * Determinism: x (days since 1998-01-01) is integral, so Σx/Σx² are
+    * exact longs; y enters sums only as DECIMAL(18,2) (Σy, Σxy, Σy² are
+    * exact decimal accumulations — never engine-order double SUM, the
+    * [[Det]] rule); both engines then evaluate the identical double
+    * expression over identical stats. The native `regr_*`/`covar_pop`
+    * aggregates in both engines are rejected precisely because their
+    * double accumulation is reduction-order-dependent. */
+  val q109 = QueryDef(
+    "q109_group_regression",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val pts = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name"),
+          datediff(col("o_orderdate").cast("date"), lit("1998-01-01").cast("date"))
+            .cast(LongType).as("x"),
+          col("o_totalprice").as("y"))
+      // Scale 2 (prices are cents): y² stays scale 4 and its UNSCALED
+      // value fits int64, which DuckDB's decimal multiply requires at
+      // these operand widths — scale 6 squares overflow its int64 path,
+      // and widening an operand makes Spark (precision-capped at 38)
+      // round the scale-12 product while DuckDB keeps it exact.
+      val yd = col("y").cast(DecimalType(18, 2))
+      val xd = col("x").cast(DecimalType(18, 0))
+      val s = pts.groupBy(col("n_name")).agg(
+        count(lit(1)).as("n_pts"),
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+        sum(yd).cast(DoubleType).as("sy"),
+        sum(xd * yd).cast(DoubleType).as("sxy"),
+        sum(yd * yd).cast(DoubleType).as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+      val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))
+      s.select(
+          col("n_name"), col("n_pts"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
+          round(r2num / r2den, 6).as("r2"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+    Some("""WITH pts AS (
+      SELECT n_name,
+        CAST(date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        o_totalprice AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    s AS (
+      SELECT n_name,
+        COUNT(*) AS n_pts,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM pts GROUP BY n_name)
+    SELECT n_name, n_pts,
+      round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept,
+      round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+            ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s ORDER BY n_name ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q110
+  /** Weighted sampling without replacement (Efraimidis–Spiliotopoulos
+    * A-ES): each document draws key `ln(u) / w` with `u ∈ (0,1)` and
+    * weight `w = n_chars`; the global top-k by key IS an exact weighted
+    * sample without replacement. The pipeline idiom for "sample 1%
+    * of the corpus proportionally to document length" — one map pass +
+    * TakeOrdered, no shuffle of the corpus.
+    *
+    * Determinism: `u` is not a PRNG draw but the first 32 md5 bits of
+    * the doc id (+0.5, scaled by 2^32 — a power of two, so the division
+    * is exact), the contract's cross-engine hash idiom widened from
+    * [[Det.md5Bucket]]'s 16 bits so ties are rare; remaining ties break
+    * by doc_id. Same stable-under-retry argument as md5Bucket: the
+    * sample is a pure function of the data, valid because md5 bits are
+    * uniform and independent of the weight column.
+    *
+    * Scale: keys are computed in a map pass; global top-100 plans as
+    * TakeOrderedAndProject (per-partition heads, driver merge of
+    * P×100 rows) — no global sort, no window. */
+  val q110 = QueryDef(
+    "q110_weighted_sample",
+    (spark, dir) => {
+      val u32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast(LongType)
+      val k = log((u32.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)) / col("n_chars")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"), k.as("k"))
+        .orderBy(col("k").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("k"), 9).as("samp_key"))
+    },
+    Some("""WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+           / 4294967296.0) / n_chars AS k
+      FROM documents)
+    SELECT doc_id, source, n_chars, round(k, 9) AS samp_key
+    FROM keyed
+    ORDER BY k DESC NULLS LAST, doc_id ASC NULLS FIRST
+    LIMIT 100"""))
+
+  // --------------------------------------------------------------- q111
+  /** Equi-width histogram of order value per market segment — the
+    * distribution-profiling pass a curation pipeline runs before and
+    * after every filter gate. Bin index is explicit floor arithmetic
+    * (never a double→int CAST: DuckDB rounds, Spark truncates), counts
+    * and exact-decimal sums plus min/max (exact doubles) per cell.
+    * ONE hash aggregate on (segment, bin) after an equi-join to the
+    * customer dim; fully map-side combinable, output is |segments|×|bins|
+    * rows regardless of input scale. */
+  val q111 = QueryDef(
+    "q111_histogram",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("c_mktsegment"),
+          floor(col("o_totalprice") / 50000.0).cast(IntegerType).as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("bin").asc_nulls_first)
+    },
+    Some(s"""SELECT c_mktsegment,
+      CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bin,
+      COUNT(*) AS n,
+      ${sqlDsum("o_totalprice")} AS sum_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment ASC NULLS FIRST, bin ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q112
+  /** Robust outlier detection per event type: median/MAD score
+    * (`|x − med| / (1.4826·MAD)`), the heavy-tail-safe alternative to
+    * z-scores — mean/stddev move with the outliers they are supposed to
+    * flag; the median and MAD don't.
+    *
+    * Shape: two exact-percentile aggregates over the same grouping key
+    * (median, then MAD of deviations) + two equi-joins of the tiny
+    * per-type stats back to the rows. Exact `percentile` collects a
+    * group's values — bounded here (5 event types × per-type values on
+    * one executor each); the 100 TB deployment swaps `approx_percentile`
+    * in (same plan shape, sketch-mergeable, no collection) and keeps the
+    * final filter — the oracle-checked exact form pins the semantics.
+    *
+    * Determinism: interpolated exact percentiles over identical doubles
+    * agree cross-engine (q35 precedent); the 1.3 threshold on the
+    * continuous score has measure-zero boundary risk (unlike rational
+    * Jaccard ratios, which concentrate on exact fractions and need
+    * integer predicates — the [[Dedup.atLeastJaccard]] rule). */
+  val q112 = QueryDef(
+    "q112_robust_outliers",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(d, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("z", col("d") / (lit(1.4826) * col("mad")))
+        .filter(col("z") > 1.3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("robust_z"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+    Some("""WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           round(d.d / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.d / (1.4826 * m.mad) > 1.3
+    ORDER BY d.event_id ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q113
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of two
+    * retrieval signals: the q104 BM25 lexical top-20 and a corpus-wide
+    * length-quality ranking. `RRF(d) = Σ_r 1/(60 + rank_r(d))` — the
+    * standard zero-tuning way to merge lexical and dense/quality
+    * rankings for retrieval-augmented selection.
+    *
+    * Ranks, not scores, cross signals — so both rankings go through
+    * [[GlobalRank.withRowNumber]] (range-partitioned two-pass rank; the
+    * corpus-wide quality rank NEVER plans a single-partition window).
+    * The BM25 side ranks a ≤20-row frame; joining it back is a
+    * broadcast equi-join. Fused scores are rationals from integer
+    * ranks: exact cross-engine doubles, unique per (rank_q, rank_b)
+    * pair, so the final top-20 cut is deterministic.
+    *
+    * Scale: GlobalRank's range exchange over the corpus is the only
+    * corpus-sized shuffle; the fusion join is broadcast; final top-20 is
+    * TakeOrdered. */
+  val q113 = QueryDef(
+    "q113_rrf_fusion",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val (qual, _) = GlobalRank.withRowNumber(
+        d.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc), "rank_q")
+      val (bmRanked, _) = GlobalRank.withRowNumber(
+        TextOps.bm25Top20(d).select(col("doc_id"), col("score_r")),
+        Seq(col("score_r").desc, col("doc_id").asc), "rank_b")
+      val f = qual
+        .join(broadcast(bmRanked.select(col("doc_id"), col("rank_b"))), Seq("doc_id"), "left")
+        .withColumn("fscore",
+          lit(1.0) / (lit(60.0) + col("rank_q")) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_b")), lit(0.0)))
+      f.orderBy(col("fscore").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(20)
+        .select(col("doc_id"), col("rank_q"), col("rank_b"),
+          round(col("fscore"), 8).as("rrf"))
+    },
+    Some("""WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('hash', 'join', 'scan')
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    parts AS (
+      SELECT t.doc_id, t.tok,
+        ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+          * (t.tf * 2.2)
+          / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS wt
+      FROM tf t JOIN df d USING (tok) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s),
+    bm AS (
+      SELECT doc_id,
+        round(COALESCE(MAX(CASE WHEN tok = 'hash' THEN wt END), 0) +
+              COALESCE(MAX(CASE WHEN tok = 'join' THEN wt END), 0) +
+              COALESCE(MAX(CASE WHEN tok = 'scan' THEN wt END), 0), 6) AS score_r
+      FROM parts GROUP BY doc_id
+      ORDER BY score_r DESC NULLS LAST, doc_id ASC NULLS FIRST
+      LIMIT 20),
+    bmr AS (
+      SELECT doc_id,
+        row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank_b
+      FROM bm),
+    qual AS (
+      SELECT doc_id,
+        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_q
+      FROM documents),
+    f AS (
+      SELECT q.doc_id, q.rank_q, b.rank_b,
+        1.0 / (60.0 + q.rank_q) + COALESCE(1.0 / (60.0 + b.rank_b), 0.0) AS fscore
+      FROM qual q LEFT JOIN bmr b ON q.doc_id = b.doc_id)
+    SELECT doc_id, rank_q, rank_b, round(fscore, 8) AS rrf
+    FROM f
+    ORDER BY fscore DESC NULLS LAST, doc_id ASC NULLS FIRST
+    LIMIT 20"""))
+
+  // --------------------------------------------------------------- q114
+  /** Pairwise Pearson correlation matrix over lineitem's numeric
+    * measures (quantity, extended price, discount) — the feature-drift /
+    * redundancy screen a pipeline runs over profile columns. All three
+    * correlations come from ONE map-side-combinable aggregate of ten
+    * exact sufficient statistics (the q109 trick squared: every pair
+    * shares the same single pass); `corr()` itself is rejected for the
+    * same reason as `regr_*` — its double accumulation is
+    * reduction-order-dependent.
+    *
+    * Decimal scales are chosen so every product's UNSCALED value fits
+    * int64 (DuckDB's narrow multiply path): quantity is integral →
+    * scale 0; price is cents, ≤ 1.05e5 → scale 2 (squares ≈ 1.1e14);
+    * discount ≤ 0.1 → scale 6 (squares ≈ 1e10). `sqrt` is IEEE
+    * exactly-rounded, so identical stats give identical doubles. */
+  val q114 = QueryDef(
+    "q114_corr_matrix",
+    (spark, dir) => {
+      val a = col("l_quantity").cast(DecimalType(18, 0))
+      val b = col("l_extendedprice").cast(DecimalType(18, 2))
+      val c = col("l_discount").cast(DecimalType(18, 6))
+      val s = Tables(spark, dir).lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(a).cast(DoubleType).as("sa"),
+        sum(b).cast(DoubleType).as("sb"),
+        sum(c).cast(DoubleType).as("sc"),
+        sum(a * a).cast(DoubleType).as("saa"),
+        sum(b * b).cast(DoubleType).as("sbb"),
+        sum(c * c).cast(DoubleType).as("scc"),
+        sum(a * b).cast(DoubleType).as("sab"),
+        sum(a * c).cast(DoubleType).as("sac"),
+        sum(b * c).cast(DoubleType).as("sbc"))
+      def corr2(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
+        (col("n") * sxy - sx * sy) /
+          sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy))
+      s.select(
+        col("n_rows"),
+        round(corr2(col("sab"), col("sa"), col("sb"), col("saa"), col("sbb")), 6)
+          .as("corr_qty_price"),
+        round(corr2(col("sac"), col("sa"), col("sc"), col("saa"), col("scc")), 6)
+          .as("corr_qty_disc"),
+        round(corr2(col("sbc"), col("sb"), col("sc"), col("sbb"), col("scc")), 6)
+          .as("corr_price_disc"))
+    },
+    Some("""WITH s AS (
+      SELECT COUNT(*) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sa,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sb,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sc,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS saa,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sbb,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS scc,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sab,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sac,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sbc
+      FROM lineitem)
+    SELECT n_rows,
+      round((n*sab - sa*sb) / sqrt((n*saa - sa*sa) * (n*sbb - sb*sb)), 6) AS corr_qty_price,
+      round((n*sac - sa*sc) / sqrt((n*saa - sa*sa) * (n*scc - sc*sc)), 6) AS corr_qty_disc,
+      round((n*sbc - sb*sc) / sqrt((n*sbb - sb*sb) * (n*scc - sc*sc)), 6) AS corr_price_disc
+    FROM s"""))
+
+  // --------------------------------------------------------------- q115
+  /** Rolling 28-day OLS trend per nation — q109's regression under a
+    * sliding event-time frame, the drift-detection form ("is this
+    * source's quality slope turning negative this month?").
+    *
+    * Two-level shape that survives 100 TB: first collapse rows to ONE
+    * row per (nation, day) carrying the day's exact partial sums (hash
+    * aggregate, map-side combinable — the only row-sized pass), then a
+    * `RANGE BETWEEN 27 PRECEDING AND CURRENT ROW` window PARTITIONED BY
+    * nation over the tiny daily frame rolls the six statistics. The
+    * window input is |groups|×|days| regardless of fact scale, and the
+    * range frame is keyed on the integer day so sparse calendars windows
+    * correctly (a rows-frame would silently widen past 28 days).
+    *
+    * Same determinism argument as q109: integral x (days since
+    * 1998-01-01), decimal y sums, identical double math; days whose
+    * trailing frame has a single distinct x (degenerate regressor) are
+    * filtered by the exact integer predicate `n·Σx² − (Σx)² > 0` —
+    * integer-valued doubles, no epsilon. */
+  val q115 = QueryDef(
+    "q115_rolling_regression",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val pts = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name"),
+          datediff(col("o_orderdate").cast("date"), lit("1998-01-01").cast("date"))
+            .cast(LongType).as("x"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("yd"))
+      val daily = pts.groupBy(col("n_name"), col("x")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("yd")).as("sy_d"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("x"))
+        .rangeBetween(-27, 0)
+      val rolled = daily.select(
+        col("n_name"), col("x"),
+        sum(col("cnt")).over(w).cast(DoubleType).as("n"),
+        sum(col("x") * col("cnt")).over(w).cast(DoubleType).as("sx"),
+        sum(col("x") * col("x") * col("cnt")).over(w).cast(DoubleType).as("sxx"),
+        sum(col("sy_d")).over(w).cast(DoubleType).as("sy"),
+        sum(col("x").cast(DecimalType(18, 0)) * col("sy_d")).over(w).cast(DoubleType).as("sxy"))
+      rolled
+        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0.0)
+        .select(
+          col("n_name"), col("x").as("day_x"),
+          col("n").cast(LongType).as("n_28d"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_28d"))
+        .orderBy(col("n_name").asc_nulls_first, col("day_x").asc_nulls_first)
+    },
+    Some("""WITH pts AS (
+      SELECT n_name,
+        CAST(date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS yd
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    daily AS (
+      SELECT n_name, x, COUNT(*) AS cnt, SUM(yd) AS sy_d
+      FROM pts GROUP BY n_name, x),
+    rolled AS (
+      SELECT n_name, x,
+        CAST(SUM(cnt) OVER w AS DOUBLE) AS n,
+        CAST(SUM(x * cnt) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(x * x * cnt) OVER w AS DOUBLE) AS sxx,
+        CAST(SUM(sy_d) OVER w AS DOUBLE) AS sy,
+        -- narrow casts: DuckDB's decimal multiply errors past combined
+        -- width 38; |x| < 10^4 and |sy_d| < 10^18/100 here, both exact
+        CAST(SUM(CAST(x AS DECIMAL(8,0)) * CAST(sy_d AS DECIMAL(20,2))) OVER w AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY n_name ORDER BY x
+                   RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT n_name, x AS day_x,
+      CAST(n AS BIGINT) AS n_28d,
+      round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_28d
+    FROM rolled
+    WHERE n*sxx - sx*sx > 0.0
+    ORDER BY n_name ASC NULLS FIRST, day_x ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q108, q109, q110, q111, q112, q113, q114, q115)
+}

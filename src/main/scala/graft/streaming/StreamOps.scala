@@ -460,3 +460,94 @@ object BatchRouter {
     } finally { cached.unpersist() }
   }
 }
+
+/** One ±1 concurrency delta acting inside one UTC day. */
+case class ConcDelta(day: Int, tUs: Long, delta: Int, eventId: Long)
+
+/** Running gauge state for one day: current level + peak so far. */
+case class ConcState(level: Long, peak: Long)
+
+/** Per-day peak-concurrency gauge row (peak is monotone per day). */
+case class ConcGauge(day: Int, peak: Long)
+
+/** Streaming twin of q108's interval sweep-line: a per-day
+  * peak-concurrency GAUGE over the live session stream.
+  *
+  * Where batch q108 recovers each day's midnight carry-in with an
+  * equi-join, the streaming form removes the carry entirely by CLIPPING
+  * every session to day boundaries ([[StreamConcurrency.deltas]]): a
+  * session spanning midnight contributes `+1` again at the next
+  * midnight, so every day's concurrency curve starts at level 0 and the
+  * days become independent stream keys — `transformWithState` state is
+  * one (level, peak) pair per day, distributed on the same key the
+  * deltas shuffle on, TTL-free because days retire naturally (a
+  * production deployment adds `TTLConfig` at its retention horizon).
+  *
+  * Same in-order contract as [[StreamFunnel]]/[[StreamNearDedup]]:
+  * deltas are processed in event-time order WITHIN a micro-batch and
+  * trusted across batches; on an in-order delta stream the final gauge
+  * per day equals batch q108's `peak` exactly (spec-asserted on the
+  * fixture). Out-of-order tolerance would buffer behind a watermark —
+  * orthogonal to the gauge logic. */
+object StreamConcurrency {
+  private val UsPerDay: Long = 86400L * 1000000L
+
+  /** Day-clipped ±1 delta segments of `[ts, ts + floor(value) s)`.
+    * Works on static frames and streams alike (narrow ops only).
+    * Sessions shorter than 24 h span at most two days, so the explode
+    * emits ≤ 2 segments (4 deltas) per event. */
+  def deltas(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(1000000L))
+          .as("e_us"))
+      // integer `div`, never `/`: double division rounds at exact-midnight
+      // boundaries
+      .withColumn("s_day", expr(s"s_us div $UsPerDay").cast("int"))
+      .withColumn("e1_day",
+        greatest(col("s_day"), expr(s"(e_us - 1) div $UsPerDay").cast("int")))
+      .withColumn("day", explode(sequence(col("s_day"), col("e1_day"))))
+      .select(col("day"), col("event_id"),
+        greatest(col("s_us"), col("day").cast("long") * UsPerDay).as("seg_s"),
+        least(col("e_us"), (col("day") + 1).cast("long") * UsPerDay).as("seg_e"))
+      .select(col("day"), col("event_id"), explode(array(
+        struct(col("seg_s").as("tUs"), lit(1).as("delta")),
+        struct(col("seg_e").as("tUs"), lit(-1).as("delta")))).as("d"))
+      .select(col("day"), col("d.tUs").as("tUs"), col("d.delta").as("delta"),
+        col("event_id").as("eventId"))
+
+  /** The stateful gauge over [[deltas]] rows; emits each day's peak once
+    * per micro-batch that touches it (peak is monotone — readers keep
+    * the max/latest per day). */
+  def gauge(deltaRows: DataFrame): Dataset[ConcGauge] = {
+    val spark = deltaRows.sparkSession
+    import spark.implicits._
+    deltaRows.as[ConcDelta]
+      .groupByKey(_.day)
+      .transformWithState(new ConcProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** The per-day (level, peak) machine behind [[StreamConcurrency]]. */
+class ConcProcessor extends StatefulProcessor[Int, ConcDelta, ConcGauge] {
+  @transient private var st: ValueState[ConcState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[ConcState]("conc",
+      Encoders.product[ConcState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[ConcDelta],
+      timerValues: TimerValues): Iterator[ConcGauge] = {
+    var cur = if (st.exists()) st.get() else ConcState(0L, 0L)
+    // event-time order within the batch; ends before starts at equal t
+    // (half-open intervals), eventId makes the order total — the same
+    // (t, delta, id) order as q108's window sort
+    rows.toArray.sortBy(d => (d.tUs, d.delta, d.eventId)).foreach { d =>
+      val level = cur.level + d.delta
+      cur = ConcState(level, math.max(cur.peak, level))
+    }
+    st.update(cur)
+    Iterator.single(ConcGauge(key, cur.peak))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks of the Analytic pack on sf0.001 — every
+  * operator's distributed plan is re-derived with a naive in-memory
+  * computation over the collected fixture (1 000 events / 500 docs). */
+class AnalyticSpec extends SparkTestBase {
+
+  private val usPerDay = 86400L * 1000000L
+
+  test("q108: per-day peaks match a naive global sweep over the full timeline") {
+    val iv = Tables(spark, sf0001).events
+      .select(col("event_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + floor(col("value")).cast("long") * 1000000L).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // global sweep: (+1 at s, -1 at e), ends before starts at equal t
+    val points = iv.flatMap { case (id, s, e) => Seq((s, 1, id), (e, -1, id)) }
+      .sortBy { case (t, d, id) => (t, d, id) }
+    var cur = 0L
+    // level at each instant, tracked per UTC day; a day's peak includes
+    // the level standing at its first instant (carry-in)
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    var prevDay = Long.MinValue
+    for ((t, d, _) <- points) {
+      val day = Math.floorDiv(t, usPerDay)
+      if (day != prevDay && prevDay != Long.MinValue) {
+        // concurrency standing as the new day opens (before this point)
+        if (cur > 0) peaks(day) = math.max(peaks.getOrElse(day, 0L), cur)
+      }
+      cur += d
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), cur)
+      prevDay = day
+    }
+    val got = Analytic.q108.fn(spark, sf0001).collect()
+      .map(r => (Math.floorDiv(r.getDate(0).toLocalDate.toEpochDay * usPerDay, usPerDay),
+        r.getLong(2))).toMap
+    val expected = peaks.toMap.map { case (d, p) => d -> math.max(p, 0L) }
+    assert(got == expected.filter { case (d, _) => got.contains(d) })
+    assert(got.keySet == expected.keySet,
+      s"day sets differ: ${got.keySet.diff(expected.keySet)} / ${expected.keySet.diff(got.keySet)}")
+    // the fixture must actually exercise midnight carry-over
+    val carries = Analytic.q108.fn(spark, sf0001).collect().map(_.getLong(1)).sum
+    assert(carries > 0, "fixture has no midnight-spanning session; carry path untested")
+  }
+
+  test("q109: slope/intercept/r2 match a naive per-group OLS") {
+    val t = Tables(spark, sf0001)
+    val pts = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        datediff(col("o_orderdate").cast("date"), lit("1998-01-01").cast("date")).as("x"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toDouble, r.getDouble(2)))
+    val byNation = pts.groupBy(_._1)
+    val got = Analytic.q109.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == byNation.keySet)
+    for ((nation, rows) <- byNation) {
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum
+      val sy = rows.map(_._3).sum
+      val sxy = rows.map(p => p._2 * p._3).sum
+      val sxx = rows.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gSlope, gIntercept, gR2) = got(nation)
+      assert(gn == rows.length)
+      assert(math.abs(gSlope - slope) < 1e-3, s"$nation slope $gSlope vs $slope")
+      assert(math.abs(gIntercept - intercept) < 1.0, s"$nation intercept")
+      assert(gR2 >= 0.0 && gR2 <= 1.0, s"$nation r2 out of range: $gR2")
+    }
+  }
+
+  test("q110: keys reproduce from MessageDigest md5 and the cut is the true top-100") {
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def key(docId: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      val u32 = java.lang.Long.parseLong(hex, 16)
+      math.log((u32 + 0.5) / 4294967296.0) / w
+    }
+    val expected = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(100)
+    val got = Analytic.q110.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.length == 100)
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+      "top-100 membership/order differs from the brute-force A-ES sample")
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-8) }
+  }
+
+  test("q110: the sample is length-biased — mean sampled length exceeds corpus mean") {
+    val corpusMean = Tables(spark, sf0001).documents
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMean = Analytic.q110.fn(spark, sf0001)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q111: cells partition the joined input and bounds respect bin edges") {
+    val t = Tables(spark, sf0001)
+    val total = t.orders.join(t.customer, col("o_custkey") === col("c_custkey")).count()
+    val rows = Analytic.q111.fn(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val bin = r.getInt(1); val lo = bin * 50000.0; val hi = (bin + 1) * 50000.0
+      assert(r.getDouble(4) >= lo && r.getDouble(5) < hi,
+        s"bin $bin holds values outside [$lo, $hi)")
+    }
+  }
+
+  test("q112: flagged rows are exactly those beyond the median/MAD threshold") {
+    val vals = Tables(spark, sf0001).events
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = 0.5 * (n - 1); val lo = s(pos.toInt)
+      lo + (s(math.ceil(pos).toInt) - lo) * (pos - pos.toInt)
+    }
+    val expected = vals.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val med = medianOf(rows.map(_._3))
+      val mad = medianOf(rows.map(r => math.abs(r._3 - med)))
+      rows.toSeq.collect { case (id, _, v) if math.abs(v - med) / (1.4826 * mad) > 1.3 => id }
+    }.toSet
+    val got = Analytic.q112.fn(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"flag sets differ: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    assert(got.nonEmpty, "fixture yields no outliers; threshold dead")
+  }
+
+  test("q113: fused top-20 matches a naive two-ranking RRF") {
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rankQ = docs.sortBy { case (id, nc) => (-nc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val bm = TextOps.bm25Top20(Tables(spark, sf0001).documents)
+      .select(col("doc_id"), col("score_r")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val rankB = bm.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = docs.map { case (id, _) =>
+      val f = 1.0 / (60.0 + rankQ(id)) + rankB.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, f)
+    }.sortBy { case (id, f) => (-f, id) }.take(20)
+    val got = Analytic.q113.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == fused.map(_._1).toSeq)
+    got.zip(fused).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-7) }
+    // the fusion must actually mix signals: some top-20 doc carries a
+    // BM25 rank and some does not
+    val gotRankB = Analytic.q113.fn(spark, sf0001).collect().map(r => Option(r.get(2)))
+    assert(gotRankB.exists(_.isDefined) && gotRankB.exists(_.isEmpty),
+      "top-20 comes entirely from one signal; fusion untested")
+  }
+
+  test("q114: correlations match naive Pearson and sit in [-1, 1]") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def pearson(xs: Array[Double], ys: Array[Double]): Double = {
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val got = Analytic.q114.fn(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == rows.length)
+    val expected = Seq(
+      pearson(rows.map(_._1), rows.map(_._2)),
+      pearson(rows.map(_._1), rows.map(_._3)),
+      pearson(rows.map(_._2), rows.map(_._3)))
+    Seq(got.getDouble(1), got.getDouble(2), got.getDouble(3)).zip(expected)
+      .foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-4, s"corr $g vs naive $e")
+        assert(g >= -1.0 && g <= 1.0)
+      }
+    // the three measures are generated independently in this fixture
+    // (unlike true TPC-H, price is NOT qty × unit) — so the interesting
+    // property is that near-zero correlations are still reproduced
+    // exactly, not buried in reduction noise
+    assert(Seq(1, 2, 3).forall(i => math.abs(got.getDouble(i)) < 0.1),
+      "independent fixture columns should be near-uncorrelated")
+  }
+
+  test("q115: each trailing frame holds exactly the points within 27 days and its slope is the frame's OLS") {
+    val t = Tables(spark, sf0001)
+    val pts = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        datediff(col("o_orderdate").cast("date"), lit("1998-01-01").cast("date")).as("x"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getDouble(2)))
+      .groupBy(_._1)
+    val got = Analytic.q115.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // spot-check every 25th output cell against a naive frame recompute
+    got.keys.toSeq.sortBy(identity).zipWithIndex.filter(_._2 % 25 == 0).map(_._1)
+      .foreach { case (nation, day) =>
+        val frame = pts(nation).filter(p => p._2 >= day - 27 && p._2 <= day)
+        val (gn, gSlope) = got((nation, day))
+        assert(gn == frame.length, s"($nation,$day) frame size $gn vs ${frame.length}")
+        val n = frame.length.toDouble
+        val sx = frame.map(_._2.toDouble).sum; val sy = frame.map(_._3).sum
+        val sxy = frame.map(p => p._2 * p._3).sum
+        val sxx = frame.map(p => p._2.toDouble * p._2).sum
+        val den = n * sxx - sx * sx
+        assert(den > 0, s"($nation,$day) emitted with degenerate frame")
+        assert(math.abs(gSlope - (n * sxy - sx * sy) / den) < 1e-2,
+          s"($nation,$day) slope mismatch")
+      }
+    // degenerate single-day frames must be filtered, not emitted as NaN/null
+    assert(!got.values.exists { case (_, s) => s.isNaN }, "NaN slope leaked")
+  }
+}

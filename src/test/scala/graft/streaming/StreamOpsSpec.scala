@@ -517,4 +517,65 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch, s"stream/batch funnel divergence: " +
       s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
+
+  test("concurrency gauge: level survives the batch boundary within a day") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    // the gauge consumes a DELTA stream (a production feed emits +1 on
+    // session open and -1 on close as separate wire events, in time
+    // order); two opens land in batch 1, the third open + all closes in
+    // batch 2 — the true peak 3 requires batch-1's standing level
+    val day = 19723 // 2024-01-01
+    val base = 19723L * 86400L * 1000000L
+    val in = MemoryStream[(Int, Long, Int, Long)](
+      newProductEncoder[(Int, Long, Int, Long)], s2.sqlContext)
+    val q = StreamConcurrency.gauge(
+        in.toDF().toDF("day", "tUs", "delta", "eventId"))
+      .writeStream.outputMode("append").format("memory").queryName("conc")
+      .start()
+    in.addData((day, base, 1, 1L), (day, base + 30_000000L, 1, 2L))
+    q.processAllAvailable()
+    in.addData(
+      (day, base + 60_000000L, 1, 3L),
+      (day, base + 100_000000L, -1, 1L),
+      (day, base + 130_000000L, -1, 2L),
+      (day, base + 160_000000L, -1, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val peaks = s2.table("conc").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(peaks.map(_._2).max == 3L, s"got ${peaks.mkString(";")}")
+  }
+
+  test("concurrency gauge on an in-order delta stream reaches exactly q108's per-day peaks") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    // precompute day-clipped deltas from the fixture, deliver in global
+    // event-time order so every day-key's subsequence is in order
+    val deltaRows = StreamConcurrency.deltas(graft.Tables(s2, sf0001).events)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy { case (_, t, d, id) => (t, d, id) }
+    val in = MemoryStream[(Int, Long, Int, Long)](
+      newProductEncoder[(Int, Long, Int, Long)], s2.sqlContext)
+    val q = StreamConcurrency.gauge(
+        in.toDF().toDF("day", "tUs", "delta", "eventId"))
+      .writeStream.outputMode("append").format("memory").queryName("concq108")
+      .start()
+    in.addData(deltaRows.take(deltaRows.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(deltaRows.drop(deltaRows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s2.table("concq108").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = graft.operators.Analytic.q108.fn(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay.toInt, r.getLong(2))).toMap
+    assert(streamed == batch, s"stream/batch concurrency divergence: " +
+      s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
 }
