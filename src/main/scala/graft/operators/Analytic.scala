@@ -61,33 +61,37 @@ object Analytic extends QueryPack {
     * order `(t_us, delta, event_id)` is total (`event_id` appears once
     * per side). `floor(value)` not a cast — DuckDB CAST(double AS INT)
     * rounds half-to-even while Spark truncates. */
+  /** The q108 pipeline over any `(event_id, ts, value)` frame —
+    * factored out so ScaleProbe can drive it on replicated corpora. */
+  private[graft] def peakConcurrency(events: DataFrame): DataFrame = {
+    val iv = events.select(
+      col("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + floor(col("value")).cast(LongType) * 1000000L).as("e_us"))
+    val deltas = iv.select(col("event_id"), col("s_us").as("t_us"), lit(1).as("delta"))
+      .unionByName(iv.select(col("event_id"), col("e_us").as("t_us"), lit(-1).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("t_us"))))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("t_us"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = deltas.withColumn("r", sum(col("delta")).over(w))
+      .groupBy(col("day")).agg(max(col("r")).as("max_run"))
+    val carry = iv
+      .withColumn("s_day", to_date(timestamp_micros(col("s_us"))))
+      .withColumn("e_day", to_date(timestamp_micros(col("e_us"))))
+      .filter(col("e_day") === date_add(col("s_day"), 1))
+      .groupBy(col("e_day").as("day")).agg(count(lit(1)).as("c"))
+    peaks.join(carry, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("c"), lit(0L)).as("carry_in"),
+        (coalesce(col("c"), lit(0L)) + greatest(lit(0L), col("max_run"))).as("peak"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
   val q108 = QueryDef(
     "q108_peak_concurrency",
-    (spark, dir) => {
-      val iv = Tables(spark, dir).events.select(
-        col("event_id"),
-        unix_micros(col("ts")).as("s_us"),
-        (unix_micros(col("ts")) + floor(col("value")).cast(LongType) * 1000000L).as("e_us"))
-      val deltas = iv.select(col("event_id"), col("s_us").as("t_us"), lit(1).as("delta"))
-        .unionByName(iv.select(col("event_id"), col("e_us").as("t_us"), lit(-1).as("delta")))
-        .withColumn("day", to_date(timestamp_micros(col("t_us"))))
-      val w = Window.partitionBy(col("day"))
-        .orderBy(col("t_us"), col("delta"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val peaks = deltas.withColumn("r", sum(col("delta")).over(w))
-        .groupBy(col("day")).agg(max(col("r")).as("max_run"))
-      val carry = iv
-        .withColumn("s_day", to_date(timestamp_micros(col("s_us"))))
-        .withColumn("e_day", to_date(timestamp_micros(col("e_us"))))
-        .filter(col("e_day") === date_add(col("s_day"), 1))
-        .groupBy(col("e_day").as("day")).agg(count(lit(1)).as("c"))
-      peaks.join(carry, Seq("day"), "left")
-        .select(
-          col("day"),
-          coalesce(col("c"), lit(0L)).as("carry_in"),
-          (coalesce(col("c"), lit(0L)) + greatest(lit(0L), col("max_run"))).as("peak"))
-        .orderBy(col("day").asc_nulls_first)
-    },
+    (spark, dir) => peakConcurrency(Tables(spark, dir).events),
     Some("""WITH iv AS (
       SELECT event_id, epoch_us(ts) AS s_us,
              epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e_us
@@ -484,6 +488,29 @@ object Analytic extends QueryPack {
     * trailing frame has a single distinct x (degenerate regressor) are
     * filtered by the exact integer predicate `n·Σx² − (Σx)² > 0` —
     * integer-valued doubles, no epsilon. */
+  /** The q115 window stage over any `(n_name, x, cnt, sy_d)` daily-sums
+    * frame — factored out so ScaleProbe can grow the group×day grid
+    * independently of the fact table. */
+  private[graft] def rollingSlopes(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("x"))
+      .rangeBetween(-27, 0)
+    val rolled = daily.select(
+      col("n_name"), col("x"),
+      sum(col("cnt")).over(w).cast(DoubleType).as("n"),
+      sum(col("x") * col("cnt")).over(w).cast(DoubleType).as("sx"),
+      sum(col("x") * col("x") * col("cnt")).over(w).cast(DoubleType).as("sxx"),
+      sum(col("sy_d")).over(w).cast(DoubleType).as("sy"),
+      sum(col("x").cast(DecimalType(18, 0)) * col("sy_d")).over(w).cast(DoubleType).as("sxy"))
+    rolled
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0.0)
+      .select(
+        col("n_name"), col("x").as("day_x"),
+        col("n").cast(LongType).as("n_28d"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_28d"))
+      .orderBy(col("n_name").asc_nulls_first, col("day_x").asc_nulls_first)
+  }
+
   val q115 = QueryDef(
     "q115_rolling_regression",
     (spark, dir) => {
@@ -499,23 +526,7 @@ object Analytic extends QueryPack {
       val daily = pts.groupBy(col("n_name"), col("x")).agg(
         count(lit(1)).as("cnt"),
         sum(col("yd")).as("sy_d"))
-      val w = Window.partitionBy(col("n_name")).orderBy(col("x"))
-        .rangeBetween(-27, 0)
-      val rolled = daily.select(
-        col("n_name"), col("x"),
-        sum(col("cnt")).over(w).cast(DoubleType).as("n"),
-        sum(col("x") * col("cnt")).over(w).cast(DoubleType).as("sx"),
-        sum(col("x") * col("x") * col("cnt")).over(w).cast(DoubleType).as("sxx"),
-        sum(col("sy_d")).over(w).cast(DoubleType).as("sy"),
-        sum(col("x").cast(DecimalType(18, 0)) * col("sy_d")).over(w).cast(DoubleType).as("sxy"))
-      rolled
-        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0.0)
-        .select(
-          col("n_name"), col("x").as("day_x"),
-          col("n").cast(LongType).as("n_28d"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_28d"))
-        .orderBy(col("n_name").asc_nulls_first, col("day_x").asc_nulls_first)
+      rollingSlopes(daily)
     },
     Some("""WITH pts AS (
       SELECT n_name,

@@ -493,5 +493,51 @@ object Curation extends QueryPack {
       AND d.doc_id NOT IN (SELECT doc_id FROM purged)
     ORDER BY doc_id ASC NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q66, q67, q68, q69, q74, q78, q85)
+  // --------------------------------------------------------------- q117
+  /** RAG/embedding chunking: split each document into overlapping
+    * token windows (32 tokens, stride 24 → 8-token overlap) as rows —
+    * the retrieval-side counterpart of q74's training-side sequence
+    * packing, and the unit the Similarity pack would embed and index.
+    *
+    * Pure narrow pipeline: tokenize → posexplode the stride-grid start
+    * offsets → one `slice` per chunk; zero shuffles besides the output
+    * sort, so chunking parallelizes embarrassingly and composes with
+    * any upstream filter pushdown. Chunk identity is (doc_id,
+    * chunk_idx) with chunk_idx = start/stride — deterministic, no
+    * monotonically_increasing_id. The tail chunk keeps its natural
+    * short length (n_tokens ≤ 32) rather than padding: padding policy
+    * belongs to the embedder, truncation loses corpus. */
+  val q117 = QueryDef(
+    "q117_rag_chunks",
+    (spark, dir) => {
+      val W = 32
+      val S = 24
+      Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), col("ts"),
+          posexplode(sequence(lit(0), size(col("ts")) - 1, lit(S)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("ts"), col("start") + 1, lit(W)).as("ct"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ct")).as("n_tokens"),
+          array_join(col("ct"), " ").as("chunk"))
+        .orderBy(col("doc_id").asc_nulls_first, col("chunk_idx").asc_nulls_first)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts, UNNEST(range(0, len(ts), 24)) AS start FROM tok),
+    ch AS (
+      SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        list_slice(ts, start + 1, least(start + 32, len(ts))) AS ct
+      FROM st)
+    SELECT doc_id, chunk_idx,
+      CAST(len(ct) AS INT) AS n_tokens,
+      array_to_string(ct, ' ') AS chunk
+    FROM ch
+    ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117)
 }

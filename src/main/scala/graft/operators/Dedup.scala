@@ -817,6 +817,84 @@ object Dedup extends QueryPack {
     HAVING count(*) >= 3
     ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q116
+  /** Asymmetric containment dedup: ordered pairs (A, B) with
+    * `C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 3/4` —
+    * the excerpt/quotation detector Jaccard structurally misses (a
+    * 30-token passage quoted inside a 500-token page has J ≈ 0.06 but
+    * C ≈ 1).
+    *
+    * Candidate generation stays equi-join shaped, the [[prefixCandidates]]
+    * argument specialized to containment: `C(A→B) ≥ τ ⇒ |A∩B| ≥ ⌈τ|A|⌉`,
+    * so A must collide with B inside A's `|A| − ⌈τ|A|⌉ + 1`-prefix under
+    * any shared total shingle order — the SAME exact integer prefix
+    * bound as Jaccard's. The container side joins its FULL shingle list
+    * (containment puts no lower bound on |A∩B|/|B|, so B cannot be
+    * prefix-reduced) — the honest scale statement: per-shingle fan-out
+    * is `df(s) × |prefixes holding s|`, and rarest-first ordering keeps
+    * prefixes out of the high-df buckets, the same mechanism that keeps
+    * q33 sub-quadratic, minus B-side prefix reduction. The feasibility
+    * cut `|B| ≥ ⌈τ|A|⌉` (|A∩B| ≤ |B|) is applied inside the join in the
+    * same exact integer arithmetic. Verification is one
+    * `array_intersect` per candidate ([[jaccardForCandidates]]) and the
+    * output filter is the exact integer predicate
+    * `inter·tauDen ≥ szA·tauNum` — never a rounded-float compare
+    * (Jaccard-rule 9 applies verbatim: containment ratios concentrate
+    * on small rationals). */
+  private[graft] def containmentPairs(
+      docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val arr = hashedShingleArray(docs).cut()
+    val sh = arr.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+    val ordered = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq"), col("s"))
+    // same materialization rule as prefixCandidatesRaw: the prefix/full
+    // tables share the explode → dfreq pipeline on both join sides
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("rk", row_number().over(ordered))
+      .cut()
+    val prefixA = ranked
+      .filter(col("sz") * tauNum <= (col("sz") - col("rk") + 1) * tauDen)
+      .select(col("doc_id").as("d_a"), col("s"), col("sz").as("sz_a"))
+    val fullB = ranked.select(col("doc_id").as("d_b"), col("s"), col("sz").as("sz_b"))
+    val cands = prefixA.join(fullB,
+        Seq("s").map(c => prefixA(c) === fullB(c)).reduce(_ && _) &&
+          col("d_a") =!= col("d_b") &&
+          col("sz_b") * tauDen >= col("sz_a") * tauNum)
+      .select(col("d_a").as("d1"), col("d_b").as("d2"))
+      .distinct()
+    jaccardForCandidates(cands, arr)
+      .filter(col("inter") * tauDen >= col("sz1") * tauNum)
+      .select(col("d1").as("d_a"), col("d2").as("d_b"),
+        round(col("inter").cast("double") / col("sz1"), 6).as("cont"))
+  }
+
+  val q116 = QueryDef(
+    "q116_containment_dedup",
+    (spark, dir) =>
+      containmentPairs(Tables(spark, dir).documents, 3, 4).cut()
+        .orderBy(col("d_a").asc_nulls_first, col("d_b").asc_nulls_first),
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d_a, b.doc_id AS d_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT d_a, d_b, ROUND(i * 1.0 / s1.sz, 6) AS cont
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d_a
+    WHERE i * 4 >= s1.sz * 3
+    ORDER BY d_a ASC NULLS FIRST, d_b ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103)
+    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116)
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Analytic, Curation, Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket |
-  * delta | winnow | all. `all` runs only the three BASELINE-table
+  * delta | winnow | analytic | all. `all` runs only the three BASELINE-table
   * sections (docs, curation, ann); the targeted modes (annwall, ivf,
   * sketch, bucket, delta, winnow) are one-off measurement protocols run
   * by name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "analytic", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|analytic|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -95,6 +95,56 @@ object ScaleProbe {
       val nPairs = pairs.count()
       println(f"SCALE-WINNOW f=$f docs=$nDocs fps=$nFps pairs=$nPairs " +
         f"t_fp=$tFp%.2f t_pairs=$tPairs%.2f")
+    }
+
+    // ---- analytic (q108/q115): the sweep-line has two scaling axes —
+    // DENSITY (more sessions inside the same days: the per-day window
+    // sort grows ~f·log f and a hot day is AQE skew-split's case) and
+    // CALENDAR (more days at constant density: day partitions multiply,
+    // wall should track rows ~linearly). The rolling-regression window
+    // runs over the |groups|×|days| daily frame, so its cost must track
+    // that grid, independent of how many fact rows collapsed into it.
+    if (mode == "analytic") {
+      def replicateEvents(f: Int, shiftDays: Boolean): DataFrame = {
+        val e = graft.Tables(spark, sfDir).events
+          .select(col("event_id"), col("ts"), col("value"))
+        (if (f == 1) e
+         else e.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+           .select(
+             (col("event_id") * f + col("i")).as("event_id"),
+             (if (shiftDays) expr("ts + make_interval(0, 0, 0, i * 35, 0, 0, 0)")
+              else col("ts")).as("ts"),
+             col("value"))
+        ).localCheckpoint()
+      }
+      factors.foreach { f =>
+        val dense = replicateEvents(f, shiftDays = false)
+        val nDense = dense.count()
+        val (_, tDense) = timed(
+          Analytic.peakConcurrency(dense)
+            .write.format("noop").mode("overwrite").save())
+        val wide = replicateEvents(f, shiftDays = true)
+        val (_, tWide) = timed(
+          Analytic.peakConcurrency(wide)
+            .write.format("noop").mode("overwrite").save())
+        println(f"SCALE-ANALYTIC-CONC f=$f events=$nDense " +
+          f"t_dense_days_const=$tDense%.2f t_wide_days_x$f=$tWide%.2f")
+      }
+      factors.foreach { f =>
+        // synthetic daily grid: 25 groups × f×2400 days of exact sums
+        val daily = spark.range(0, 25L * f * 2400)
+          .select(
+            concat(lit("g"), (col("id") % 25)).as("n_name"),
+            (col("id") / 25).cast("long").as("x"),
+            (col("id") % 7 + 1).as("cnt"),
+            ((col("id") % 1000) + lit(BigDecimal(0.5))).cast("decimal(18,2)").as("sy_d"))
+          .localCheckpoint()
+        val nDaily = daily.count()
+        val (_, tRoll) = timed(
+          Analytic.rollingSlopes(daily)
+            .write.format("noop").mode("overwrite").save())
+        println(f"SCALE-ANALYTIC-ROLL f=$f grid=$nDaily t_roll=$tRoll%.2f")
+      }
     }
 
     // ---- curation passes: the map-only gates must be LINEAR in corpus

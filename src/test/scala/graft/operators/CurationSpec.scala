@@ -183,4 +183,27 @@ class CurationSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"purge must stay equi-join shaped:\n$p")
   }
+
+  test("q117 chunks reproduce a naive sliding-window chunker and tile the token stream") {
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      (0 until ts.length by 24).zipWithIndex.map { case (st, idx) =>
+        val ct = ts.slice(st, math.min(st + 32, ts.length))
+        (id, idx, ct.length, ct.mkString(" "))
+      }
+    }.toSet
+    val got = Curation.q117.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == expected,
+      s"chunk mismatch: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // coverage: chunk token counts per doc add to >= token count (overlap >= 0)
+    val byDoc = got.groupBy(_._1)
+    docs.foreach { case (id, t) =>
+      val n = t.split(" ", -1).length
+      assert(byDoc(id).toSeq.map(_._3).sum >= n, s"doc $id: chunks do not cover all tokens")
+    }
+  }
 }

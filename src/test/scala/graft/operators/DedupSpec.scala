@@ -235,4 +235,52 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
+
+  test("q116 containment pairs equal the naive all-ordered-pairs form (prefix filter lossless)") {
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shset(t: String): Set[String] = {
+      val ts = t.split(" ")
+      if (ts.length < 3) Set(t)
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shset(t) }.toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      inter = (sa & sb).size if inter * 4 >= sa.size * 3
+    } yield (a, b) -> math.rint(inter * 1e6 / sa.size) / 1e6).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val got = Dedup.containmentPairs(
+        graft.Tables(spark, sf0001).documents, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 1e-6, s"$k: $c vs ${expected(k)}") }
+    // the fixture's near-dups are length-symmetric (every sf0.001 pair
+    // qualifies both ways) — directionality is pinned on a synthetic
+    // excerpt below, where only quote ⊆ page must fire
+    assert(got.nonEmpty, "fixture yields no containment pairs")
+  }
+
+  test("q116 containment is DIRECTIONAL: an excerpt maps into its page, never the reverse") {
+    import spark.implicits._
+    val quote = (1 to 30).map(i => s"w$i").mkString(" ")
+    val page = quote + " " + (100 to 200).map(i => s"w$i").mkString(" ")
+    val other = (300 to 340).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, page), (3L, other)).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val got = Dedup.containmentPairs(docs, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    assert(got((1L, 2L)) > 0.99, "full excerpt should have containment ~1")
+  }
+
+  test("q116 candidate join is equi-shaped (no cartesian/BNLJ after the shingle prep cut)") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = Dedup.containmentPairs(graft.Tables(spark, sf0001).documents, 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment pair generation went quadratic:\n$p")
+  }
 }
