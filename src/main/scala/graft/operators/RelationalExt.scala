@@ -506,7 +506,43 @@ object RelationalExt extends QueryPack {
     FROM rk WHERE rn = 1 AND event_type <> 'error'
     ORDER BY user_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q119
+  /** Market-basket co-occurrence mining: the top-20 part pairs bought
+    * together in the same order — the association-mining primitive
+    * behind "related items" and feature co-occurrence screens.
+    *
+    * The pair explosion is PER BASKET, not per corpus: the self-join is
+    * an EQUI-join on `l_orderkey` with `p1 < p2`, so fan-out per order
+    * is C(k,2) for basket size k (fixture max 17 → ≤ 136 pairs/order;
+    * a pathological million-item basket is a data bug the pipeline caps
+    * upstream, not a join strategy problem). One hash aggregate on the
+    * pair key (map-side combinable), then TakeOrdered for the top-20 —
+    * never a global sort. This is a-priori's support-counting first
+    * pass; higher-order itemsets iterate the same bounded join. */
+  val q119 = QueryDef(
+    "q119_cooccurrence",
+    (spark, dir) => {
+      val items = Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc_nulls_last,
+          col("p1").asc_nulls_first, col("p2").asc_nulls_first)
+        .limit(20)
+    },
+    Some("""WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC NULLS LAST, p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
+    LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81, q82,
-      q87)
+      q87, q119)
 }

@@ -813,6 +813,83 @@ object TextOps extends QueryPack {
     ORDER BY score_r DESC NULLS LAST, doc_id ASC NULLS FIRST
     LIMIT 20"""))
 
+  // --------------------------------------------------------------- q118
+  /** Blocked fuzzy dictionary resolution (entity resolution): map each
+    * DIRTY name variant back to its canonical dictionary entry by
+    * blocking + bounded edit distance — the join a pipeline runs when a
+    * feed arrives with typo'd categorical values.
+    *
+    * The dirty side is a deterministic twin of the distinct part-name
+    * dictionary (q76's dirty-twin idiom: the corruption is a pure
+    * md5-bucket function of the name, so the DuckDB oracle rebuilds the
+    * identical corruption): names in even md5 buckets lose the character
+    * at position `3 + bucket mod (len−3)` — past the first two chars, so
+    * the 2-char blocking prefix survives; odd buckets pass through
+    * clean (exact matches must resolve too).
+    *
+    * Scale shape, stated honestly: candidate pairs are quadratic WITHIN
+    * a block, so blocking quality is the whole game — here the
+    * dictionary (64 distinct names) resolves against itself per 2-char
+    * prefix block, then corpus rows would broadcast-join the resolved
+    * dictionary (dictionary-sized work, never corpus-sized — the same
+    * dictionary-vs-corpus split as q86's candidate recount). Levenshtein
+    * is evaluated only inside blocks, and the winner per dirty name is
+    * the (distance, name)-lexicographic minimum via a window PARTITIONED
+    * by dirty name. */
+  val q118 = QueryDef(
+    "q118_fuzzy_resolve",
+    (spark, dir) => {
+      val names = Tables(spark, dir).part.select(col("p_name")).distinct()
+      val p = col("p_name")
+      val bkt = Det.md5Bucket(p)
+      // delete position ≥ 3 so the 2-char blocking prefix survives the
+      // corruption (a deletion at position 2 would change the block key
+      // and the blocked join would legitimately miss it)
+      val pos = lit(3) + pmod(bkt, length(p) - 3)
+      val corrupted = concat(p.substr(lit(1), pos - 1), p.substr(pos + 1, length(p)))
+      val dirtyNames = names.select(
+          when(pmod(bkt, lit(2)) === 0, corrupted).otherwise(p).as("dirty"))
+        .distinct()
+      val blockedDirty = dirtyNames
+        .withColumn("blk", substring(col("dirty"), 1, 2))
+      val blockedClean = names
+        .withColumn("blk", substring(col("p_name"), 1, 2))
+      val cands = blockedDirty.join(blockedClean, "blk")
+        .withColumn("dist", levenshtein(col("dirty"), col("p_name")))
+        .filter(col("dist") <= 2)
+      val w = Window.partitionBy(col("dirty"))
+        .orderBy(col("dist"), col("p_name"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dirty"), col("p_name").as("resolved"), col("dist"))
+        .orderBy(col("dirty").asc_nulls_first)
+    },
+    Some("""WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name,
+        CAST('0x' || substr(md5(CAST(p_name AS VARCHAR)), 1, 4) AS INTEGER) AS bkt
+      FROM names),
+    dirty AS (
+      SELECT DISTINCT
+        CASE WHEN bkt % 2 = 0 THEN
+          substring(p_name, 1, 3 + (bkt % (length(p_name) - 3)) - 1) ||
+          substring(p_name, 3 + (bkt % (length(p_name) - 3)) + 1)
+        ELSE p_name END AS dirty
+      FROM keyed),
+    cands AS (
+      SELECT d.dirty, n.p_name, levenshtein(d.dirty, n.p_name) AS dist
+      FROM dirty d JOIN names n
+        ON substring(d.dirty, 1, 2) = substring(n.p_name, 1, 2)
+      WHERE levenshtein(d.dirty, n.p_name) <= 2),
+    best AS (
+      SELECT dirty, p_name AS resolved, dist,
+        row_number() OVER (PARTITION BY dirty ORDER BY dist, p_name) AS rn
+      FROM cands)
+    SELECT dirty, resolved, CAST(dist AS INTEGER) AS dist
+    FROM best WHERE rn = 1
+    ORDER BY dirty ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86, q104)
+    Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
+      q104, q118)
 }

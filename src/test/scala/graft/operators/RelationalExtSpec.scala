@@ -91,4 +91,19 @@ class RelationalExtSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
     assert(got == Seq((1L, "purchase", 11L), (3L, "purchase", 31L)))
   }
+
+  test("q119 top-20 equals a naive basket pair count with deterministic tie order") {
+    val rows = graft.Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val counts = rows.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, l) => (p._1, p._2, l.size.toLong) }
+    val expected = counts.toSeq
+      .sortBy { case (p1, p2, n) => (-n, p1, p2) }.take(20)
+    val out = RelationalExt.q119.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected, s"got=${out.take(5)} expected=${expected.take(5)}")
+  }
 }

@@ -170,4 +170,44 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, nt, _) => nt >= 1 && nt <= 3 })
     assert(rows.map(_._3).toSeq.sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("q118 resolution reproduces a naive blocked-levenshtein resolver on the real dictionary") {
+    val names = graft.Tables(spark, sf0001).part
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    def bucket(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dirty = names.map { n =>
+      val b = bucket(n)
+      if (b % 2 == 0) {
+        val pos = 3 + b % (n.length - 3) // 1-based deletion position
+        n.substring(0, pos - 1) + n.substring(pos)
+      } else n
+    }.distinct
+    val expected = dirty.flatMap { d =>
+      val cands = names.filter(n => n.take(2) == d.take(2))
+        .map(n => (lev(d, n), n)).filter(_._1 <= 2)
+      if (cands.isEmpty) None
+      else { val (dist, res) = cands.min; Some(d -> ((res, dist))) }
+    }.toMap
+    val got = TextOps.q118.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"diff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) => (k, v, expected(k)) }.take(3)}")
+    // the corruption must be real AND recoverable: some dirty name differs
+    // from every clean name yet still resolves
+    assert(got.keys.exists(d => !names.contains(d)), "no name was actually corrupted")
+    assert(got.collect { case (d, (_, dist)) if dist > 0 => d }.nonEmpty,
+      "all resolutions were exact; edit-distance path untested")
+  }
 }
