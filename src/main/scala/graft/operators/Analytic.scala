@@ -557,6 +557,197 @@ object Analytic extends QueryPack {
     WHERE n*sxx - sx*sx > 0.0
     ORDER BY n_name ASC NULLS FIRST, day_x ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q120
+  /** Gini concentration of order value per nation — the inequality
+    * screen a pipeline runs on source/revenue distributions ("does one
+    * customer dominate this segment?"). `G = 2·Σᵢ i·yᵢ / (n·Σy) −
+    * (n+1)/n` over each group's values sorted ascending.
+    *
+    * The rank is a window PARTITIONED by nation (per-group sorts,
+    * never global); `Σ i·yᵢ` accumulates as exact decimals — the rank
+    * tie-break (o_orderkey) cannot change the result because within a
+    * tie block `Σ i·y = y·Σ i` is permutation-invariant, so the output
+    * is well-defined even though ranks on ties are not.
+    *
+    * Scale: one hash exchange on the group key for the window sort, one
+    * map-side-combinable aggregate. Group count bounds the output. */
+  val q120 = QueryDef(
+    "q120_gini",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val pts = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("yd"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("yd").asc, col("o_orderkey").asc)
+      pts.withColumn("i", row_number().over(w).cast(DecimalType(18, 0)))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("yd")).cast(DoubleType).as("sy"),
+          sum(col("i") * col("yd")).cast(DoubleType).as("siy"))
+        .select(col("n_name"), col("n_orders"),
+          round(lit(2.0) * col("siy") / (col("n") * col("sy")) -
+            (col("n") + 1.0) / col("n"), 6).as("gini"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+    Some("""WITH pts AS (
+      SELECT n_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS yd
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    ranked AS (
+      SELECT n_name, yd,
+        row_number() OVER (PARTITION BY n_name ORDER BY yd, o_orderkey) AS i
+      FROM pts),
+    s AS (
+      SELECT n_name, COUNT(*) AS n_orders, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(yd) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(i AS DECIMAL(8,0)) * CAST(yd AS DECIMAL(20,2))) AS DOUBLE) AS siy
+      FROM ranked GROUP BY n_name)
+    SELECT n_name, n_orders,
+      round(2.0 * siy / (n * sy) - (n + 1.0) / n, 6) AS gini
+    FROM s ORDER BY n_name ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q121
+  /** Two-proportion z-test on an A/B split of users — "did variant B
+    * convert better, and is the lift significant?" The experiment-
+    * analysis primitive over the events stream: variant from the md5
+    * bucket of the user id (deterministic, reproducible in the oracle —
+    * never `rand()`), conversion = the user logged ≥ 14 purchase events
+    * (≈ the fixture's per-user purchase mean — "has any purchase" is
+    * vacuous here, every user has one, and a constant proportion makes
+    * the pooled variance 0, which ANSI mode correctly refuses to divide
+    * by; the degenerate case is also guarded to NULL explicitly).
+    *
+    * All inputs to the statistic are exact integer counts (distinct
+    * users / converted users per variant), so the pooled z-score is one
+    * identical double expression in both engines. Shape: one
+    * aggregate keyed on user (high-cardinality, distributes), then a
+    * 2-row variant aggregate pivoted wide — everything map-side
+    * combinable, output is ONE row. */
+  val q121 = QueryDef(
+    "q121_ab_test",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val perUser = e.groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14)
+          .cast(IntegerType).as("conv"))
+        .withColumn("variant", pmod(Det.md5Bucket(col("user_id")), lit(2)))
+      val s = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val wide = s.agg(
+        max(when(col("variant") === 0, col("n_users"))).as("n0"),
+        max(when(col("variant") === 0, col("n_conv"))).as("c0"),
+        max(when(col("variant") === 1, col("n_users"))).as("n1"),
+        max(when(col("variant") === 1, col("n_conv"))).as("c1"))
+      val p0 = col("c0").cast(DoubleType) / col("n0")
+      val p1 = col("c1").cast(DoubleType) / col("n1")
+      val pp = (col("c0") + col("c1")).cast(DoubleType) / (col("n0") + col("n1"))
+      val varTerm = pp * (lit(1.0) - pp) * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))
+      val z = when(varTerm > 0.0, (p1 - p0) / sqrt(varTerm))
+      wide.select(
+        col("n0"), col("c0"), col("n1"), col("c1"),
+        round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+        round(z, 6).as("z"),
+        (abs(z) > 1.959964).as("significant"))
+    },
+    Some("""WITH per_user AS (
+      SELECT user_id,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+             THEN 1 ELSE 0 END AS conv,
+        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INTEGER) % 2
+          AS variant
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(conv) AS n_conv
+      FROM per_user GROUP BY variant),
+    wide AS (
+      SELECT
+        CAST(MAX(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n0,
+        CAST(MAX(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS c0,
+        CAST(MAX(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n1,
+        CAST(MAX(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS c1
+      FROM s),
+    stat AS (
+      SELECT n0, c0, n1, c1,
+        c0 * 1.0 / n0 AS p0, c1 * 1.0 / n1 AS p1,
+        ((c0 + c1) * 1.0 / (n0 + n1)) * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+          * (1.0 / n0 + 1.0 / n1) AS var_term
+      FROM wide)
+    SELECT n0, c0, n1, c1,
+      round(p0, 6) AS p0, round(p1, 6) AS p1,
+      round(CASE WHEN var_term > 0.0 THEN (p1 - p0) / sqrt(var_term) END, 6) AS z,
+      abs(CASE WHEN var_term > 0.0 THEN (p1 - p0) / sqrt(var_term) END) > 1.959964
+        AS significant
+    FROM stat"""))
+
+  // --------------------------------------------------------------- q122
+  /** Population stability index between the first and second half of
+    * the event month — THE production drift alarm ("has this feature's
+    * distribution moved since training?"). Value range binned
+    * equi-width; `PSI = Σ_bins (pa − pb)·ln(pa/pb)` with Laplace
+    * smoothing `(n+1)/(N+B)` so empty bins stay finite and the metric
+    * is defined on any split.
+    *
+    * Output is the per-bin contribution table plus a `bin = -1` total
+    * row — the shape an alerting job consumes (threshold the total,
+    * attribute to bins). The per-period totals are a 1-row broadcast
+    * into the 10-row bin frame (q104's whitelisted tiny-broadcast
+    * pattern, PlanSpec cross-product allowed-list); corpus-sized work
+    * is the single binning aggregate, map-side combinable. The total
+    * row's PSI sums the ROUNDED per-bin contributions through an exact
+    * decimal cast, so it equals what a reader of the table would sum. */
+  val q122 = QueryDef(
+    "q122_psi_drift",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .withColumn("bin",
+          least(greatest(floor(col("value") / 50.0).cast(IntegerType), lit(0)), lit(9)))
+        .withColumn("period",
+          when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b")))
+      val bins = e.groupBy(col("bin")).agg(
+        sum(when(col("period") === "a", 1).otherwise(0)).as("na"),
+        sum(when(col("period") === "b", 1).otherwise(0)).as("nb"))
+      val totals = bins.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val pa = (col("na") + 1.0) / (col("ta") + 10.0)
+      val pb = (col("nb") + 1.0) / (col("tb") + 10.0)
+      val perBin = bins.crossJoin(broadcast(totals))
+        .select(col("bin"), col("na"), col("nb"),
+          round((pa - pb) * log(pa / pb), 6).as("psi"))
+      val total = perBin.agg(
+        lit(-1).as("bin"), sum(col("na")).as("na"), sum(col("nb")).as("nb"),
+        round(sum(col("psi").cast(DecimalType(18, 6)))
+          .cast(DoubleType), 6).as("psi"))
+      perBin.unionByName(total)
+        .orderBy(col("bin").asc_nulls_first)
+    },
+    Some("""WITH binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bin,
+        CASE WHEN date_part('day', ts) <= 15 THEN 'a' ELSE 'b' END AS period
+      FROM events),
+    bins AS (
+      SELECT bin,
+        SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM binned GROUP BY bin),
+    totals AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM bins),
+    per_bin AS (
+      SELECT bin, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        round(((na + 1.0) / (ta + 10.0) - (nb + 1.0) / (tb + 10.0)) *
+              ln(((na + 1.0) / (ta + 10.0)) / ((nb + 1.0) / (tb + 10.0))), 6)
+          AS psi
+      FROM bins CROSS JOIN totals)
+    SELECT CAST(bin AS INTEGER) AS bin, na, nb, psi FROM per_bin
+    UNION ALL
+    SELECT -1 AS bin, CAST(SUM(na) AS BIGINT) AS na, CAST(SUM(nb) AS BIGINT) AS nb,
+      round(CAST(SUM(CAST(psi AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+    FROM per_bin
+    ORDER BY bin ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q108, q109, q110, q111, q112, q113, q114, q115)
+    Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122)
 }

@@ -199,7 +199,10 @@ class PlanSpec extends SparkTestBase {
       "q41_cosine_topk", "q63_stratified_sample",
       // q104's corpus-stats frame is ONE row (n_docs, avgdl), broadcast
       // into the per-(doc, term) weights — tiny at any corpus scale.
-      "q104_bm25")
+      "q104_bm25",
+      // q122's per-period totals are ONE row broadcast into the 10-row
+      // bin frame — same tiny-stats pattern as q104.
+      "q122_psi_drift")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -226,4 +226,83 @@ class AnalyticSpec extends SparkTestBase {
     // degenerate single-day frames must be filtered, not emitted as NaN/null
     assert(!got.values.exists { case (_, s) => s.isNaN }, "NaN slope leaked")
   }
+
+  private def md5Bucket16(s: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("q120: per-nation Gini matches the naive sorted-rank formula and sits in [0, 1)") {
+    val t = Tables(spark, sf0001)
+    val pts = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+    val got = Analytic.q120.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == pts.keySet)
+    for ((nation, rows) <- pts) {
+      val ys = rows.map(_._2).sorted
+      val n = ys.length.toDouble
+      val siy = ys.zipWithIndex.map { case (y, i) => (i + 1) * y }.sum
+      val gini = 2.0 * siy / (n * ys.sum) - (n + 1.0) / n
+      val (gn, gG) = got(nation)
+      assert(gn == ys.length)
+      assert(math.abs(gG - gini) < 1e-4, s"$nation gini $gG vs $gini")
+      assert(gG >= 0.0 && gG < 1.0)
+    }
+  }
+
+  test("q121: z-statistic reproduces from raw per-user counts") {
+    val events = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = events.groupBy(_._1).toSeq.map { case (u, es) =>
+      (md5Bucket16(u.toString) % 2, if (es.count(_._2 == "purchase") >= 14) 1 else 0)
+    }
+    val byVar = perUser.groupBy(_._1)
+    val (n0, c0) = (byVar(0).size, byVar(0).map(_._2).sum)
+    val (n1, c1) = (byVar(1).size, byVar(1).map(_._2).sum)
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    val r = Analytic.q121.fn(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n0.toLong, c0.toLong, n1.toLong, c1.toLong)))
+    assert(math.abs(r.getDouble(6) - z) < 1e-5, s"z ${r.getDouble(6)} vs $z")
+    // the metric must discriminate: conversions strictly between 0 and all
+    assert(c0 > 0 && c0 < n0 && c1 > 0 && c1 < n1,
+      "degenerate conversion proportions; threshold needs retuning")
+  }
+
+  test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
+    val events = Tables(spark, sf0001).events
+      .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val binned = events.map { case (v, d) =>
+      (math.min(math.max(math.floor(v / 50.0).toInt, 0), 9), if (d <= 15) "a" else "b")
+    }
+    val ta = binned.count(_._2 == "a").toDouble
+    val tb = binned.count(_._2 == "b").toDouble
+    val expected = binned.groupBy(_._1).map { case (bin, rows) =>
+      val na = rows.count(_._2 == "a"); val nb = rows.count(_._2 == "b")
+      val pa = (na + 1.0) / (ta + 10.0); val pb = (nb + 1.0) / (tb + 10.0)
+      bin -> ((na.toLong, nb.toLong, (pa - pb) * math.log(pa / pb)))
+    }
+    val rows = Analytic.q122.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perBin = rows.filter(_._1 >= 0)
+    assert(perBin.map(_._1).toSet == expected.keySet)
+    perBin.foreach { case (bin, na, nb, psi) =>
+      val (ena, enb, epsi) = expected(bin)
+      assert(na == ena && nb == enb)
+      assert(math.abs(psi - epsi) < 1e-5, s"bin $bin psi $psi vs $epsi")
+    }
+    val total = rows.find(_._1 == -1).get
+    assert(math.abs(total._4 - perBin.map(_._4).sum) < 1e-5,
+      "total row must equal the sum of per-bin contributions")
+    assert(total._2 == perBin.map(_._2).sum && total._3 == perBin.map(_._3).sum)
+  }
 }
