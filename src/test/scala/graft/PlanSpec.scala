@@ -302,4 +302,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_nearest_cells"),
       "native cell assignment not in the IVF plan")
   }
+
+  test("q108: ONE day-hash exchange feeds both the window and the peak aggregate") {
+    val p = plan(graft.operators.Analytic.q108)
+    // the sweep's running-sum window and the max-per-day aggregate must
+    // share the day partitioning: exchanges = day hash (1) + carry-count
+    // hash (1) + final output sort range (1); a fourth would mean the
+    // peak aggregate re-shuffled what the window already partitioned
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 3, s"q108 grew an extra exchange (got $exchanges):\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"q108 single-partition funnel:\n$p")
+  }
+
+  test("q110: weighted sample plans as TakeOrdered over one scan — zero shuffles") {
+    val p = plan(graft.operators.Analytic.q110)
+    assert(p.contains("TakeOrderedAndProject"), s"q110 lost the top-k short-circuit:\n$p")
+    assert(!p.contains("Exchange"), s"q110 must not shuffle the corpus:\n$p")
+  }
+
+  test("q119: basket pair generation is an equi join on the order key") {
+    val p = plan(graft.operators.RelationalExt.q119)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q119 went quadratic:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q119 lost the top-k short-circuit:\n$p")
+  }
+
+  test("q115: the rolling window runs partitioned by group over the daily aggregate") {
+    val p = plan(graft.operators.Analytic.q115)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q115 rolling window collapsed to a single partition:\n$p")
+    // the window input must be the (group, day) aggregate, not raw facts:
+    // a Window directly over the join would show no partial aggregate
+    assert(p.contains("HashAggregate") && p.contains("Window"),
+      s"q115 lost the daily pre-aggregation:\n$p")
+  }
 }
