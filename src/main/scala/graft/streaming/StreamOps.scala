@@ -551,3 +551,88 @@ class ConcProcessor extends StatefulProcessor[Int, ConcDelta, ConcGauge] {
     Iterator.single(ConcGauge(key, cur.peak))
   }
 }
+
+/** One token routed to its hash shard. */
+case class TokenShard(shard: Int, token: String)
+
+/** Bounded Misra–Gries summary state for one shard. */
+case class MGState(tokens: Array[String], counts: Array[Long])
+
+/** One candidate entry emitted per batch: the shard's current summary
+  * plus how many tokens that shard has folded so far (`nSeen` lets a
+  * reader pick each shard's LATEST emission and bound the undercount). */
+case class MGEntry(shard: Int, token: String, mgCount: Long, nSeen: Long)
+
+/** Streaming heavy-hitters gate — the live twin of batch q86: a
+  * per-shard Misra–Gries summary maintained in `transformWithState`
+  * over the token stream, emitting each shard's candidate set every
+  * micro-batch.
+  *
+  * Sharding is BY TOKEN (md5-prefix hash — the contract's deterministic
+  * hash, never hashCode): shards see disjoint token subsets, so a
+  * token's full stream count lands in exactly one shard and the MG
+  * guarantee localizes — any token with true count > nShard/capacity is
+  * present in its shard's summary ([[graft.functions.FrequentItems]]'s
+  * bound). With S shards of ≈ n/S tokens and capacity 512, every token
+  * above the q86 gate `n/64` sits far above its shard's `n/(S·512)`
+  * floor, so the UNION of shard candidates is a superset of the true
+  * heavy set — callers re-count candidates exactly and filter on true
+  * counts, identical to the batch pipeline's verify pass (and the
+  * reason the end-to-end gate is deterministic while the sketch
+  * interior is not).
+  *
+  * State per shard is one ≤ capacity-entry map — bounded regardless of
+  * stream length, the property that keeps the gate runnable forever.
+  * The MG fold itself reuses the batch Aggregator's `reduce` (one code
+  * path for both engines' sketch semantics). */
+object StreamHeavyHitters {
+
+  /** Explode documents into (shard, token) rows — works on static
+    * frames and streams alike. */
+  def tokenShards(docs: DataFrame, shards: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .withColumn("shard",
+        pmod(graft.Det.md5Bucket(col("token")), lit(shards)).cast("int"))
+
+  /** The stateful per-shard summary over [[tokenShards]] rows. */
+  def gauge(tokenRows: DataFrame, capacity: Int): Dataset[MGEntry] = {
+    val spark = tokenRows.sparkSession
+    import spark.implicits._
+    tokenRows.select(col("shard"), col("token")).as[TokenShard]
+      .groupByKey(_.shard)
+      .transformWithState(new MGProcessor(capacity), TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-shard Misra–Gries machine behind [[StreamHeavyHitters]]. */
+class MGProcessor(capacity: Int)
+    extends StatefulProcessor[Int, TokenShard, MGEntry] {
+  @transient private var st: ValueState[MGState] = _
+  @transient private var seen: ValueState[Long] = _
+  private val mg = new graft.functions.FrequentItems(capacity)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[MGState]("mg",
+      Encoders.product[MGState], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Int, rows: Iterator[TokenShard],
+      timerValues: TimerValues): Iterator[MGEntry] = {
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    if (st.exists()) {
+      val s = st.get()
+      var i = 0
+      while (i < s.tokens.length) { buf.update(s.tokens(i), s.counts(i)); i += 1 }
+    }
+    val toks = rows.map(_.token).toSeq
+    mg.reduce(buf, toks)
+    val n = (if (seen.exists()) seen.get() else 0L) + toks.length
+    seen.update(n)
+    val arr = buf.toArray.sortBy(_._1)
+    st.update(MGState(arr.map(_._1), arr.map(_._2)))
+    arr.iterator.map { case (t, c) => MGEntry(key, t, c, n) }
+  }
+}

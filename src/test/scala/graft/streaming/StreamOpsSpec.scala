@@ -578,4 +578,47 @@ class StreamOpsSpec extends SparkTestBase {
     assert(streamed == batch, s"stream/batch concurrency divergence: " +
       s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
+
+  test("heavy-hitter gate: final shard candidates + exact recount reproduce batch q86") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val tokRows = StreamHeavyHitters
+      .tokenShards(graft.Tables(s2, sf0001).documents, 16)
+      .collect().map(r => (r.getInt(1), r.getString(0)))
+    val in = MemoryStream[(Int, String)](
+      newProductEncoder[(Int, String)], s2.sqlContext)
+    val q = StreamHeavyHitters.gauge(
+        in.toDF().toDF("shard", "token"), capacity = 512)
+      .writeStream.outputMode("append").format("memory").queryName("hh")
+      .start()
+    // two arrival chunks: per-shard MG state must carry across the batch
+    // boundary for split-count tokens to stay above their floor
+    in.addData(tokRows.take(tokRows.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(tokRows.drop(tokRows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // final emission per shard = rows carrying that shard's max nSeen
+    val all = s2.table("hh").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val finalBy = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val last = rows.map(_._4).max
+      rows.filter(_._4 == last).toSeq
+    }
+    val candidates = finalBy.map(_._2).toSet
+    // exact recount over the full token stream (the batch verify pass)
+    val counts = tokRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = tokRows.length.toLong
+    val trueHeavy = counts.collect { case (t, c) if c * 64 > n => t }.toSet
+    assert(trueHeavy.subsetOf(candidates),
+      s"MG guarantee violated; missing=${trueHeavy -- candidates}")
+    val gateOutput = candidates.filter(t => counts(t) * 64 > n)
+    val batch = graft.operators.TextOps.q86.fn(spark, sf0001).collect()
+      .map(_.getString(0)).toSet
+    assert(gateOutput == batch,
+      s"stream/batch heavy-hitter divergence: only-stream=${gateOutput -- batch}, " +
+        s"only-batch=${batch -- gateOutput}")
+  }
 }
