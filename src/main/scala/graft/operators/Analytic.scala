@@ -748,6 +748,217 @@ object Analytic extends QueryPack {
     FROM per_bin
     ORDER BY bin ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q123
+  /** Re-aggregatable distinct-user sketches: per-(type, day) HLL partial
+    * sketches (`hll_sketch_agg`, Apache DataSketches) merged across days
+    * with `hll_union_agg` into a per-type distinct estimate — THE
+    * incremental-maintenance pattern for 100 TB counting: a daily job
+    * appends one tiny sketch row per (type, day); any rollup (per type,
+    * per week, all-time) is a union over stored sketches and never
+    * rescans history. q50's `approx_count_distinct` answers one query;
+    * this materializes the mergeable STATE the warehouse keeps.
+    *
+    * Rows-only by design (sketch estimates are library-specific — q50
+    * precedent; the exact distinct surface is oracle-checked by q82 and
+    * q09): the spec asserts the merged estimate lands within HLL's
+    * error bound of the exact distinct and that merging is
+    * order-insensitive (register max-merge is commutative).
+    *
+    * Scale: one hash aggregate to (type, day) partials — map-side
+    * combinable, shuffle carries one ~1 KB sketch per cell, never user
+    * ids — then a group-count-sized union. Estimates are deterministic:
+    * the register state is a pure function of the input SET. */
+  val q123 = QueryDef(
+    "q123_sketch_union",
+    (spark, dir) => {
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("days_merged"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    None)
+
+  // --------------------------------------------------------------- q124
+  /** Equi-DEPTH histogram of order value — decile cells each holding
+    * n/10 rows, the quantile-profiling dual of q111's equi-width bins
+    * (equi-width answers "how much mass per value range", equi-depth
+    * "what value range per mass decile" — the form feeding monotone
+    * binning, spend tiering and drift baselines).
+    *
+    * The decile boundary is NOT an interpolated percentile compared
+    * against values (a boundary can land exactly ON a data value —
+    * knife-edge float equality, contract rule 5); it is integer
+    * arithmetic on the global row number: `bin = (rank−1)·10 div n`.
+    * Exactly n%10 bins get the extra row, ntile's ANSI split
+    * ([[GlobalRank.ntileFromRank]] precedent).
+    *
+    * Scale: the global total-order rank is [[GlobalRank.withRowNumber]]
+    * (range-partitioned two-pass — never a SinglePartition window, the
+    * workload PlanSpec guard), then one map-side-combinable aggregate
+    * to 10 cells. */
+  val q124 = QueryDef(
+    "q124_equidepth_hist",
+    (spark, dir) => {
+      val o = Tables(spark, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+      val (ranked, n) = GlobalRank.withRowNumber(
+        o, Seq(col("o_totalprice").asc, col("o_orderkey").asc), "r")
+      ranked
+        .withColumn("decile", expr(s"CAST(((r - 1) * 10) DIV ${n}L AS INT)"))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("decile").asc_nulls_first)
+    },
+    Some(s"""WITH ranked AS (
+      SELECT o_totalprice,
+        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+        COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT CAST(((r - 1) * 10) // n AS INT) AS decile,
+      COUNT(*) AS n_rows,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price,
+      ${sqlDsum("o_totalprice")} AS sum_price
+    FROM ranked
+    GROUP BY 1
+    ORDER BY decile ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q125
+  /** Chi-square independence test on the segment × priority contingency
+    * table — "does order priority depend on market segment?", the
+    * categorical-drift / association screen next to q122's numeric PSI.
+    * Output is the analyst's table: every cell with its observed count,
+    * expected count under independence (row·col/N) and χ² contribution,
+    * plus an ('ALL','ALL') total row carrying the statistic.
+    *
+    * Every input to the math is an exact integer count, so expected
+    * counts and contributions are identical doubles cross-engine; the
+    * total row sums the ROUNDED per-cell contributions through an exact
+    * decimal cast (q122's total-row rule — the statistic equals what a
+    * reader of the table would sum).
+    *
+    * Scale: ONE corpus-sized hash aggregate to |segments|×|priorities|
+    * cells; margins are re-aggregates OF THE CELLS (never a second
+    * corpus pass) equi-broadcast back, and the 1-row N total is the
+    * q122-whitelisted tiny cross join. */
+  val q125 = QueryDef(
+    "q125_chi_square",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val cells = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_obs"))
+      val rowTot = cells.groupBy(col("c_mktsegment")).agg(sum(col("n_obs")).as("rt"))
+      val colTot = cells.groupBy(col("o_orderpriority")).agg(sum(col("n_obs")).as("ct"))
+      val grand = cells.agg(sum(col("n_obs")).as("gt"))
+      val e = col("rt").cast(DoubleType) * col("ct") / col("gt")
+      val contrib = (col("n_obs") - e) * (col("n_obs") - e) / e
+      val perCell = cells
+        .join(broadcast(rowTot), "c_mktsegment")
+        .join(broadcast(colTot), "o_orderpriority")
+        .crossJoin(broadcast(grand))
+        .select(col("c_mktsegment"), col("o_orderpriority"), col("n_obs"),
+          round(e, 6).as("exp_n"), round(contrib, 6).as("chi2_part"))
+      val total = perCell.agg(
+        lit("ALL").as("c_mktsegment"), lit("ALL").as("o_orderpriority"),
+        sum(col("n_obs")).as("n_obs"),
+        lit(null).cast(DoubleType).as("exp_n"),
+        round(sum(col("chi2_part").cast(DecimalType(18, 6))).cast(DoubleType), 6)
+          .as("chi2_part"))
+      perCell.unionByName(total)
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""WITH cells AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_obs
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    rt AS (SELECT c_mktsegment, SUM(n_obs) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT o_orderpriority, SUM(n_obs) AS ct FROM cells GROUP BY 1),
+    gt AS (SELECT SUM(n_obs) AS gt FROM cells),
+    per_cell AS (
+      SELECT c.c_mktsegment, c.o_orderpriority,
+        CAST(c.n_obs AS BIGINT) AS n_obs,
+        round(CAST(r.rt AS DOUBLE) * t.ct / g.gt, 6) AS exp_n,
+        round((c.n_obs - CAST(r.rt AS DOUBLE) * t.ct / g.gt)
+            * (c.n_obs - CAST(r.rt AS DOUBLE) * t.ct / g.gt)
+            / (CAST(r.rt AS DOUBLE) * t.ct / g.gt), 6) AS chi2_part
+      FROM cells c
+      JOIN rt r USING (c_mktsegment)
+      JOIN ct t USING (o_orderpriority)
+      CROSS JOIN gt g)
+    SELECT c_mktsegment, o_orderpriority, n_obs, exp_n, chi2_part FROM per_cell
+    UNION ALL
+    SELECT 'ALL' AS c_mktsegment, 'ALL' AS o_orderpriority,
+      CAST(SUM(n_obs) AS BIGINT) AS n_obs,
+      CAST(NULL AS DOUBLE) AS exp_n,
+      round(CAST(SUM(CAST(chi2_part AS DECIMAL(18,6))) AS DOUBLE), 6) AS chi2_part
+    FROM per_cell
+    ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q126
+  /** Seasonal-baseline anomaly profile: each event scores against the
+    * MEDIAN of its own (event_type, day-of-week) cell — "is Tuesday's
+    * checkout latency hot relative to NORMAL Tuesdays?" — the
+    * seasonality-aware twin of q112's global-per-type screen (a weekly
+    * cycle turns a naive global baseline into a false-alarm generator).
+    * Output: per-cell volume, median baseline, count and rate of events
+    * exceeding baseline + 150.
+    *
+    * Shape: one hash aggregate to the 5×7 cell grid (exact percentile —
+    * bounded per-cell collection, q112's documented approx_percentile
+    * swap at corpus scale), broadcast back, one counting re-aggregate.
+    * Determinism: q112's rules — interpolated exact percentiles agree
+    * cross-engine on identical doubles; the +150 threshold on a
+    * continuous value has measure-zero boundary risk; counts and their
+    * ratio are exact integers divided once. Spark's `dayofweek` is
+    * 1-based Sunday, DuckDB's `dow` 0-based Sunday — the engine emits
+    * `dayofweek − 1` so both sides speak the 0=Sunday convention. */
+  val q126 = QueryDef(
+    "q126_seasonal_outliers",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("event_type"),
+          (dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"),
+          col("value"))
+      val base = e.groupBy(col("event_type"), col("dow"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      e.join(broadcast(base), Seq("event_type", "dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(max(col("med")), 6).as("med_value"),
+          sum(when(col("value") > col("med") + 150.0, 1L).otherwise(0L)).as("n_hot"))
+        .withColumn("hot_rate",
+          round(col("n_hot").cast(DoubleType) / col("n_events"), 6))
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow, value
+      FROM events),
+    base AS (
+      SELECT event_type, dow, quantile_cont(value, 0.5) AS med
+      FROM e GROUP BY 1, 2)
+    SELECT e.event_type, e.dow,
+      COUNT(*) AS n_events,
+      round(MAX(b.med), 6) AS med_value,
+      CAST(SUM(CASE WHEN e.value > b.med + 150.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hot,
+      round(CAST(SUM(CASE WHEN e.value > b.med + 150.0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 6) AS hot_rate
+    FROM e JOIN base b USING (event_type, dow)
+    GROUP BY 1, 2
+    ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122)
+    Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
+      q123, q124, q125, q126)
 }

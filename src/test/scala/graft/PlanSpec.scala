@@ -202,7 +202,10 @@ class PlanSpec extends SparkTestBase {
       "q104_bm25",
       // q122's per-period totals are ONE row broadcast into the 10-row
       // bin frame — same tiny-stats pattern as q104.
-      "q122_psi_drift")
+      "q122_psi_drift",
+      // q125's grand total is ONE row broadcast into the ≤|segments|×
+      // |priorities| contingency cells — same tiny-stats pattern.
+      "q125_chi_square")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

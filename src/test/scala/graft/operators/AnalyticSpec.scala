@@ -277,6 +277,109 @@ class AnalyticSpec extends SparkTestBase {
       "degenerate conversion proportions; threshold needs retuning")
   }
 
+  test("q123: merged sketch estimates land within HLL error of exact and merging is partition-insensitive") {
+    val events = Tables(spark, sf0001).events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val exact = events.groupBy(_._1).map { case (t, rows) =>
+      t -> ((rows.map(_._2).distinct.size.toLong, rows.map(_._3).distinct.size.toLong))
+    }
+    val got = Analytic.q123.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == exact.keySet)
+    for ((t, (days, users)) <- exact) {
+      val (gDays, gEst) = got(t)
+      assert(gDays == days, s"$t merged $gDays day-sketches, fixture has $days days")
+      // default lgK=12 → relative standard error ≈ 1.6 %; 5 % is > 3σ
+      assert(math.abs(gEst - users) <= math.max(1L, (0.05 * users).toLong),
+        s"$t estimate $gEst vs exact $users")
+    }
+    // re-aggregatability: partials built under a different partitioning
+    // union to the SAME register state, hence identical estimates
+    val repart = Tables(spark, sf0001).events.repartition(7, col("user_id"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart == got.map { case (t, (_, e)) => t -> e },
+      "sketch union is not partitioning-insensitive")
+  }
+
+  test("q124: deciles hold the ANSI-ntile row counts and cover the value range in order") {
+    val prices = Tables(spark, sf0001).orders
+      .select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+    val n = prices.length
+    val rows = Analytic.q124.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0 until 10), "expected exactly deciles 0–9")
+    assert(rows.map(_._2).sum == n)
+    // (rank−1)·10 div n puts the n%10 extra rows in the FIRST bins
+    val expectedSizes = (0 until 10).map(i => n / 10 + (if (i < n % 10) 1 else 0))
+    assert(rows.map(_._2).toSeq == expectedSizes.map(_.toLong))
+    assert(rows.head._3 == prices.head && rows.last._4 == prices.last)
+    rows.sliding(2).foreach { case Array((_, _, _, hi), (_, _, lo, _)) =>
+      assert(hi <= lo, s"decile boundaries out of order: $hi > $lo")
+    }
+  }
+
+  test("q125: per-cell expected counts and contributions match a naive chi-square") {
+    val t = Tables(spark, sf0001)
+    val obs = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = obs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rt = obs.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val ct = obs.groupBy(_._2).map { case (k, v) => k -> v.length.toDouble }
+    val gt = obs.length.toDouble
+    val rows = Analytic.q125.fn(spark, sf0001).collect()
+    val perCell = rows.filter(_.getString(0) != "ALL")
+    assert(perCell.map(r => (r.getString(0), r.getString(1))).toSet == cells.keySet)
+    perCell.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val e = rt(k._1) * ct(k._2) / gt
+      assert(r.getLong(2) == cells(k))
+      assert(math.abs(r.getDouble(3) - e) < 1e-5, s"$k expected ${r.getDouble(3)} vs $e")
+      val contrib = (cells(k) - e) * (cells(k) - e) / e
+      assert(math.abs(r.getDouble(4) - contrib) < 1e-5, s"$k contrib")
+    }
+    val total = rows.find(_.getString(0) == "ALL").get
+    assert(total.getLong(2) == obs.length)
+    assert(total.isNullAt(3), "total row must carry a NULL expected count")
+    assert(math.abs(total.getDouble(4) - perCell.map(_.getDouble(4)).sum) < 1e-5,
+      "total chi2 must equal the sum of per-cell contributions")
+  }
+
+  test("q126: per-(type, dow) hot counts match a naive seasonal-median recompute") {
+    val events = Tables(spark, sf0001).events
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"), col("value"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = 0.5 * (n - 1); val lo = s(pos.toInt)
+      lo + (s(math.ceil(pos).toInt) - lo) * (pos - pos.toInt)
+    }
+    val expected = events.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      val med = medianOf(rows.map(_._3))
+      k -> ((rows.length.toLong, med, rows.count(_._3 > med + 150.0).toLong))
+    }
+    val got = Analytic.q126.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, (n, med, hot)) <- expected) {
+      val (gN, gMed, gHot, gRate) = got(k)
+      assert(gN == n && gHot == hot, s"$k counts ($gN,$gHot) vs ($n,$hot)")
+      assert(math.abs(gMed - med) < 1e-5, s"$k median $gMed vs $med")
+      assert(math.abs(gRate - hot.toDouble / n) < 1e-5)
+    }
+    // the threshold must discriminate: hot events exist but are a minority
+    val totHot = expected.values.map(_._3).sum
+    val totN = expected.values.map(_._1).sum
+    assert(totHot > 0, "no seasonal outliers in fixture; threshold dead")
+    assert(totHot < totN / 2, "threshold flags a majority; not an outlier gate")
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
