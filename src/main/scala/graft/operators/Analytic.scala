@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, QueryDef, QueryPack, Tables}
+import graft.{Det, Materialize, QueryDef, QueryPack, Tables}
 import graft.Det.{dsum, sqlDsum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -958,7 +958,137 @@ object Analytic extends QueryPack {
     GROUP BY 1, 2
     ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q127
+  /** PageRank over the nation-level trade graph — "which trade hub is
+    * structurally central?", the canonical iterative graph computation
+    * (q55's label propagation is the other): nodes are nations, a
+    * directed edge src→dst weighs how many lineitems customers of `src`
+    * bought from suppliers of `dst`, and rank flows along transition
+    * probabilities with damping 0.85 for five rounds.
+    *
+    * Determinism is the interesting part: textbook PageRank sums double
+    * contributions across in-edges — reduction-order-dependent, the
+    * exact failure mode [[Det]] exists for. Here EVERYTHING is 64-bit
+    * fixed-point integer arithmetic in nano-units (SCALE = 10⁹):
+    * transition probability `pw = w·SCALE div out_w`, contribution
+    * `r·pw div SCALE`, update `0.15·SCALE div n + 85·Σc div 100` — all
+    * truncating integer ops both engines define identically, so five
+    * rounds reproduce bit-exactly under any partitioning (the oracle
+    * unrolls the five rounds as CTE layers). Bounds: r ≤ SCALE and
+    * pw ≤ SCALE keep every product ≤ 10¹⁸ < 2⁶³ (at an edge-weight
+    * scale where `w·SCALE` itself would overflow, pre-divide w and
+    * out_w by a common factor — the probabilities are scale-free).
+    *
+    * Scale: the corpus-sized work is ONE edge aggregation (lineitem ⋈
+    * orders shuffle join; nation dims broadcast) collapsing 100 TB of
+    * facts to |nations|² edge rows, materialized once
+    * ([[graft.Materialize.cut]] — five iterations must not replay the
+    * fact scan); each round is then an equi-join + aggregate over the
+    * tiny edge/rank frames (AQE broadcasts them). Rank never leaves the
+    * cluster; n (= 25, the nation dim) is the only driver scalar, the
+    * bounded-model-state pattern (q60 centroids, GlobalRank offsets). */
+  val q127 = QueryDef(
+    "q127_pagerank",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val SCALE = 1000000000L
+      val nat = t.nation.select(col("n_nationkey"), col("n_name"))
+      val n = nat.count()
+      val cust = t.customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("src"))
+      val supp = t.supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("dst"))
+      val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      val pe = Materialize.cut(edges.join(outw, "src")
+        .select(col("src"), col("dst"), expr(s"(w * ${SCALE}L) div ow").as("pw")))
+      val nodes = nat.select(col("n_name").as("node"))
+      val base = (15L * SCALE / 100L) / n
+      var rank = nodes.withColumn("r", lit(SCALE / n))
+      for (_ <- 1 to 5) {
+        val contrib = pe.join(rank, pe("src") === rank("node"))
+          .select(col("dst"), expr(s"(pw * r) div ${SCALE}L").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+      }
+      rank.select(col("node").as("n_name"), col("r").as("rank_ppb"),
+          round(col("r") / lit(1000000000.0), 9).as("pagerank"))
+        .orderBy(col("rank_ppb").desc_nulls_last, col("n_name").asc_nulls_first)
+    },
+    Some("""WITH cust AS (
+      SELECT c_custkey, n_name AS src FROM customer
+      JOIN nation ON c_nationkey = n_nationkey),
+    supp AS (
+      SELECT s_suppkey, n_name AS dst FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN cust ON o_custkey = c_custkey
+      JOIN supp ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    pe AS (
+      SELECT e.src, e.dst, (e.w * 1000000000) // o.ow AS pw
+      FROM edges e JOIN outw o USING (src)),
+    nn AS (SELECT COUNT(*) AS n FROM nation),
+    r0 AS (
+      SELECT n_name AS node, 1000000000 // (SELECT n FROM nn) AS r
+      FROM nation),
+    r1 AS (
+      SELECT b.n_name AS node,
+        150000000 // (SELECT n FROM nn) +
+        (85 * COALESCE(CAST(SUM((p.pw * r.r) // 1000000000) AS BIGINT), 0)) // 100 AS r
+      FROM nation b
+      LEFT JOIN pe p ON p.dst = b.n_name
+      LEFT JOIN r0 r ON r.node = p.src
+      GROUP BY 1),
+    r2 AS (
+      SELECT b.n_name AS node,
+        150000000 // (SELECT n FROM nn) +
+        (85 * COALESCE(CAST(SUM((p.pw * r.r) // 1000000000) AS BIGINT), 0)) // 100 AS r
+      FROM nation b
+      LEFT JOIN pe p ON p.dst = b.n_name
+      LEFT JOIN r1 r ON r.node = p.src
+      GROUP BY 1),
+    r3 AS (
+      SELECT b.n_name AS node,
+        150000000 // (SELECT n FROM nn) +
+        (85 * COALESCE(CAST(SUM((p.pw * r.r) // 1000000000) AS BIGINT), 0)) // 100 AS r
+      FROM nation b
+      LEFT JOIN pe p ON p.dst = b.n_name
+      LEFT JOIN r2 r ON r.node = p.src
+      GROUP BY 1),
+    r4 AS (
+      SELECT b.n_name AS node,
+        150000000 // (SELECT n FROM nn) +
+        (85 * COALESCE(CAST(SUM((p.pw * r.r) // 1000000000) AS BIGINT), 0)) // 100 AS r
+      FROM nation b
+      LEFT JOIN pe p ON p.dst = b.n_name
+      LEFT JOIN r3 r ON r.node = p.src
+      GROUP BY 1),
+    r5 AS (
+      SELECT b.n_name AS node,
+        150000000 // (SELECT n FROM nn) +
+        (85 * COALESCE(CAST(SUM((p.pw * r.r) // 1000000000) AS BIGINT), 0)) // 100 AS r
+      FROM nation b
+      LEFT JOIN pe p ON p.dst = b.n_name
+      LEFT JOIN r4 r ON r.node = p.src
+      GROUP BY 1)
+    SELECT node AS n_name, CAST(r AS BIGINT) AS rank_ppb,
+      round(r / 1000000000.0, 9) AS pagerank
+    FROM r5
+    ORDER BY rank_ppb DESC NULLS LAST, n_name ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126)
+      q123, q124, q125, q126, q127)
 }

@@ -380,6 +380,48 @@ class AnalyticSpec extends SparkTestBase {
     assert(totHot < totN / 2, "threshold flags a majority; not an outlier gate")
   }
 
+  test("q127: fixed-point ranks reproduce bit-exactly from a naive iteration and conserve mass") {
+    val t = Tables(spark, sf0001)
+    val SCALE = 1000000000L
+    val nations = t.nation.select(col("n_name")).collect().map(_.getString(0))
+    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ow = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val pe = edges.map { case (s, d, w) => (s, d, w * SCALE / ow(s)) }
+    val n = nations.length.toLong
+    val base = (15L * SCALE / 100L) / n
+    var rank = nations.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to 5) {
+      val in = pe.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, pw) => pw * rank(s) / SCALE }.sum
+      }
+      rank = nations.map(nm => nm -> (base + 85L * in.getOrElse(nm, 0L) / 100L)).toMap
+    }
+    val got = Analytic.q127.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == nations.toSet)
+    assert(got == rank, {
+      val diffs = nations.filter(nm => got(nm) != rank(nm))
+        .map(nm => s"$nm: ${got(nm)} vs ${rank(nm)}")
+      s"fixed-point mismatch (must be BIT-exact): ${diffs.mkString("; ")}"
+    })
+    // damped rank mass is conserved up to integer-truncation dust
+    val mass = got.values.sum
+    assert(mass <= SCALE && mass > SCALE - 10000L * n,
+      s"rank mass $mass outside the truncation-dust band")
+    // the graph must actually discriminate (not a uniform stationary dist)
+    assert(got.values.toSet.size > 1, "all ranks equal; fixture graph degenerate")
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
