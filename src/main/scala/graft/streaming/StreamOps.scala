@@ -636,3 +636,109 @@ class MGProcessor(capacity: Int)
     arr.iterator.map { case (t, c) => MGEntry(key, t, c, n) }
   }
 }
+
+/** One binned live event routed to its (bin, shard) cell. */
+case class BinRow(cell: Int, bin: Int)
+
+/** One running-count emission per touched cell per micro-batch (`n` is
+  * monotone — readers keep each cell's max as "latest"). */
+case class BinCount(cell: Int, bin: Int, n: Long)
+
+/** Streaming distribution-drift gate — the live twin of batch q122: the
+  * production alarm "has this feature's live distribution moved off the
+  * training baseline?" evaluated continuously instead of in a nightly
+  * batch.
+  *
+  * Live events bin exactly as q122 (equi-width, clamped 0–9) and each
+  * row routes to one of `shards` cells per bin (md5-prefix of the event
+  * id — the contract's deterministic hash). Cells see disjoint row
+  * subsets, so a cell's running count is exact and the per-bin live
+  * count is the SUM of its shard cells — sharding exists because a
+  * 10-key `transformWithState` would funnel a 100 TB/day stream through
+  * ten tasks; 10×S cells spread the same exact arithmetic (the
+  * [[StreamHeavyHitters]] localization argument, without its sketch
+  * slack — counting is exact per cell).
+  *
+  * State per cell is ONE long — bounded forever. Each micro-batch every
+  * touched cell re-emits its running count; a reader folds the latest
+  * (= max, counts are monotone) per cell and joins the static baseline
+  * through [[psi]], which reproduces q122's Laplace-smoothed table
+  * bit-exactly (spec-asserted: streaming the month's second half
+  * against the first half's [[baselineBins]] yields exactly the batch
+  * q122 rows). */
+object StreamDrift {
+
+  private def binCol: org.apache.spark.sql.Column =
+    least(greatest(floor(col("value") / 50.0).cast("int"), lit(0)), lit(9))
+
+  /** q122's equi-width bins over a live event frame, each row routed to
+    * its (bin, md5-shard) cell. Narrow ops only — works on static
+    * frames and streams alike. */
+  def binned(events: DataFrame, shards: Int): DataFrame =
+    events.select(binCol.as("bin"), col("event_id"))
+      .select(
+        (col("bin") * shards +
+          pmod(graft.Det.md5Bucket(col("event_id")), lit(shards))).cast("int")
+          .as("cell"),
+        col("bin"))
+
+  /** The stateful per-cell running count over [[binned]] rows. */
+  def gauge(binRows: DataFrame): Dataset[BinCount] = {
+    val spark = binRows.sparkSession
+    import spark.implicits._
+    binRows.select(col("cell"), col("bin")).as[BinRow]
+      .groupByKey(_.cell)
+      .transformWithState(new BinCellProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Per-bin counts of the static baseline window (q122's period-a
+    * half), column-named for [[psi]]'s join. */
+  def baselineBins(events: DataFrame): DataFrame =
+    events.select(binCol.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("na"))
+
+  /** Fold gauge emissions (latest per cell) against a static baseline
+    * into q122's smoothed PSI table: per-bin rows + the bin = -1 total.
+    * Mirrors q122's arithmetic exactly — including summing the ROUNDED
+    * per-bin contributions through an exact decimal for the total. */
+  def psi(entries: DataFrame, baseline: DataFrame, shards: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val live = entries.groupBy(col("cell")).agg(max(col("n")).as("n"))
+      .withColumn("bin", expr(s"cell div $shards").cast("int"))
+      .groupBy(col("bin")).agg(sum(col("n")).as("nb"))
+    val bins = baseline.select(col("bin").cast("int").as("bin"), col("na"))
+      .join(live, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val totals = bins.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val pa = (col("na") + 1.0) / (col("ta") + 10.0)
+    val pb = (col("nb") + 1.0) / (col("tb") + 10.0)
+    val perBin = bins.crossJoin(broadcast(totals))
+      .select(col("bin"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 6).as("psi"))
+    val total = perBin.agg(
+      lit(-1).as("bin"), sum(col("na")).as("na"), sum(col("nb")).as("nb"),
+      round(sum(col("psi").cast(DecimalType(18, 6))).cast(DoubleType), 6)
+        .as("psi"))
+    perBin.unionByName(total).orderBy(col("bin").asc_nulls_first)
+  }
+}
+
+/** The per-cell running counter behind [[StreamDrift]]. */
+class BinCellProcessor extends StatefulProcessor[Int, BinRow, BinCount] {
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[BinRow],
+      timerValues: TimerValues): Iterator[BinCount] = {
+    var bin = -1
+    var add = 0L
+    rows.foreach { r => bin = r.bin; add += 1 }
+    val n = (if (st.exists()) st.get() else 0L) + add
+    st.update(n)
+    Iterator.single(BinCount(key, bin, n))
+  }
+}

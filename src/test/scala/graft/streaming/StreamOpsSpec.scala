@@ -621,4 +621,38 @@ class StreamOpsSpec extends SparkTestBase {
       s"stream/batch heavy-hitter divergence: only-stream=${gateOutput -- batch}, " +
         s"only-batch=${batch -- gateOutput}")
   }
+
+  test("drift gate: latest per-cell counts fold to exactly q122's PSI table") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val ev = graft.Tables(s2, sf0001).events
+    // the training window (q122's period a) is the static baseline; the
+    // month's second half arrives as the live stream in two chunks
+    val baseline = StreamDrift.baselineBins(ev.filter(dayofmonth(col("ts")) <= 15))
+    val liveRows = StreamDrift.binned(ev.filter(dayofmonth(col("ts")) > 15), 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val in = MemoryStream[(Int, Int)](newProductEncoder[(Int, Int)], s2.sqlContext)
+    val q = StreamDrift.gauge(in.toDF().toDF("cell", "bin"))
+      .writeStream.outputMode("append").format("memory").queryName("drift")
+      .start()
+    in.addData(liveRows.take(liveRows.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(liveRows.drop(liveRows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val entries = s2.table("drift")
+    // per-cell counts must carry across the micro-batch boundary
+    val perCellEmissions = entries.collect().map(r => (r.getInt(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perCellEmissions.values.exists(_.size > 1),
+      "no cell emitted a raised count in batch 2; state carry untested")
+    val got = StreamDrift.psi(entries, baseline, 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = graft.operators.Analytic.q122.fn(s2, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq,
+      s"stream/batch PSI divergence:\n stream=${got.mkString(";")}\n batch=${batch.mkString(";")}")
+  }
 }
