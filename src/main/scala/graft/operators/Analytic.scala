@@ -709,9 +709,11 @@ object Analytic extends QueryPack {
           least(greatest(floor(col("value") / 50.0).cast(IntegerType), lit(0)), lit(9)))
         .withColumn("period",
           when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b")))
-      val bins = e.groupBy(col("bin")).agg(
+      // cut: totals, perBin and the total row all consume `bins`; without
+      // it Catalyst replays the corpus binning aggregate per consumer
+      val bins = Materialize.cut(e.groupBy(col("bin")).agg(
         sum(when(col("period") === "a", 1).otherwise(0)).as("na"),
-        sum(when(col("period") === "b", 1).otherwise(0)).as("nb"))
+        sum(when(col("period") === "b", 1).otherwise(0)).as("nb")))
       val totals = bins.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
       val pa = (col("na") + 1.0) / (col("ta") + 10.0)
       val pb = (col("nb") + 1.0) / (col("tb") + 10.0)
@@ -852,10 +854,13 @@ object Analytic extends QueryPack {
     "q125_chi_square",
     (spark, dir) => {
       val t = Tables(spark, dir)
-      val cells = t.orders
+      // the cut makes "margins re-aggregate the CELLS" true in the
+      // EXECUTED plan too: without it Catalyst replays the corpus
+      // join+aggregate once per margin consumer (4 fact passes)
+      val cells = Materialize.cut(t.orders
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_obs"))
+        .agg(count(lit(1)).as("n_obs")))
       val rowTot = cells.groupBy(col("c_mktsegment")).agg(sum(col("n_obs")).as("rt"))
       val colTot = cells.groupBy(col("o_orderpriority")).agg(sum(col("n_obs")).as("ct"))
       val grand = cells.agg(sum(col("n_obs")).as("gt"))
