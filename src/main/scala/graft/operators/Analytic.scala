@@ -1093,7 +1093,128 @@ object Analytic extends QueryPack {
     FROM r5
     ORDER BY rank_ppb DESC NULLS LAST, n_name ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q128
+  /** Declarative data-quality constraint report (the Deequ pattern): a
+    * rule suite — completeness, value domains, ranges, key uniqueness,
+    * referential integrity — evaluated over the landing tables into the
+    * audit artifact a pipeline gates a publish on: one row per rule
+    * with checked/violation counts and a pass verdict.
+    *
+    * Shape: ALL of a table's row-local rules fold into ONE conditional
+    * aggregate over one scan (`stack` unpivots the 1-row result to rule
+    * rows — never one pass per rule); uniqueness rides the same
+    * aggregate as `count − countDistinct`; each referential rule is one
+    * left join counting null probes (violations and n_checked from the
+    * same pass — no separate anti join + count). Everything is exact
+    * integer counts: deterministic at any parallelism.
+    *
+    * A NULL in a domain/range column counts as a violation of that rule
+    * (completeness folded into the predicate), so `NOT IN`'s null
+    * semantics can't silently pass bad rows. */
+  /** The q128 rule engine over arbitrary frames — factored so the spec
+    * can feed deliberately corrupted copies. */
+  private[graft] def dqReport(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val oAgg = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_cust"),
+      sum(when(col("o_orderpriority").isNull ||
+        !col("o_orderpriority").isin(prios: _*), 1L).otherwise(0L)).as("v_prio"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0.0, 1L)
+        .otherwise(0L)).as("v_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"))
+    val oRules = oAgg.select(lit("orders").as("tbl"), col("n").as("n_checked"),
+      expr("""stack(4,
+        'completeness_custkey', v_cust,
+        'domain_orderpriority', v_prio,
+        'range_totalprice_positive', v_price,
+        'unique_orderkey', v_uniq) AS (rule, n_violations)"""))
+    val lAgg = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull || col("l_quantity") < 1.0 ||
+        col("l_quantity") > 50.0, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount").isNull || col("l_discount") < 0.0 ||
+        col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"),
+      sum(when(col("l_extendedprice").isNull || col("l_extendedprice") <= 0.0, 1L)
+        .otherwise(0L)).as("v_eprice"))
+    val lRules = lAgg.select(lit("lineitem").as("tbl"), col("n").as("n_checked"),
+      expr("""stack(3,
+        'range_discount_0_10pct', v_disc,
+        'range_extendedprice_positive', v_eprice,
+        'range_quantity_1_50', v_qty) AS (rule, n_violations)"""))
+    // parent side deduped: a corrupt parent with duplicate keys must
+    // surface in ITS uniqueness rule, not fan out the child's probe count
+    val ri1 = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")).dropDuplicates("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem").as("tbl"), col("n_checked"),
+        lit("ref_orderkey_in_orders").as("rule"), col("n_violations"))
+    val ri2 = orders.select(col("o_custkey"))
+      .join(customer.select(col("c_custkey")).dropDuplicates("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("orders").as("tbl"), col("n_checked"),
+        lit("ref_custkey_in_customer").as("rule"), col("n_violations"))
+    oRules.unionByName(lRules).unionByName(ri1).unionByName(ri2)
+      .select(col("tbl"), col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("tbl").asc_nulls_first, col("rule").asc_nulls_first)
+  }
+
+  val q128 = QueryDef(
+    "q128_dq_report",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      dqReport(t.orders, t.lineitem, t.customer)
+    },
+    Some("""WITH o AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
+        CAST(SUM(CASE WHEN o_orderpriority IS NULL OR o_orderpriority NOT IN
+          ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq
+      FROM orders),
+    l AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_eprice
+      FROM lineitem),
+    rules AS (
+      SELECT 'orders' AS tbl, 'completeness_custkey' AS rule, n AS n_checked, v_cust AS n_violations FROM o
+      UNION ALL SELECT 'orders', 'domain_orderpriority', n, v_prio FROM o
+      UNION ALL SELECT 'orders', 'range_totalprice_positive', n, v_price FROM o
+      UNION ALL SELECT 'orders', 'unique_orderkey', n, v_uniq FROM o
+      UNION ALL SELECT 'lineitem', 'range_discount_0_10pct', n, v_disc FROM l
+      UNION ALL SELECT 'lineitem', 'range_extendedprice_positive', n, v_eprice FROM l
+      UNION ALL SELECT 'lineitem', 'range_quantity_1_50', n, v_qty FROM l
+      UNION ALL
+      SELECT 'lineitem', 'ref_orderkey_in_orders', COUNT(*),
+        CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem li
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON li.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders', 'ref_custkey_in_customer', COUNT(*),
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders od
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON od.o_custkey = c.c_custkey)
+    SELECT tbl, rule, n_checked, n_violations, n_violations = 0 AS pass
+    FROM rules
+    ORDER BY tbl ASC NULLS FIRST, rule ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127)
+      q123, q124, q125, q126, q127, q128)
 }

@@ -422,6 +422,58 @@ class AnalyticSpec extends SparkTestBase {
     assert(got.values.toSet.size > 1, "all ranks equal; fixture graph degenerate")
   }
 
+  test("q128: all-pass on the clean fixture; injected violations counted exactly per rule") {
+    val t = Tables(spark, sf0001)
+    val clean = Analytic.q128.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(clean.length == 9, s"expected 9 rules, got ${clean.length}")
+    assert(clean.forall(r => r._4 == 0L && r._5),
+      s"clean fixture must pass every rule: ${clean.filterNot(_._5).mkString(";")}")
+    // corrupt targeted copies (fresh negative orderkeys so only the two
+    // verbatim duplicates trip the uniqueness rule)
+    def freshKeys(df: org.apache.spark.sql.DataFrame, start: Long) =
+      df.withColumn("o_orderkey", lit(start) + monotonically_increasing_id())
+    val o = t.orders
+    val dirtyOrders = o
+      .unionByName(freshKeys(o.limit(3), -1000000000L)
+        .withColumn("o_custkey", lit(null).cast("long")))
+      .unionByName(freshKeys(o.limit(2), -2000000000L)
+        .withColumn("o_orderpriority", lit("BOGUS")))
+      .unionByName(freshKeys(o.limit(4), -3000000000L)
+        .withColumn("o_totalprice", lit(-1.0)))
+      .unionByName(freshKeys(o.limit(2), -4000000000L)
+        .withColumn("o_custkey", lit(99999999L)))
+      .unionByName(o.limit(2)) // verbatim: duplicate keys
+    val l = t.lineitem
+    val dirtyLine = l
+      .unionByName(l.limit(2).withColumn("l_quantity", lit(0.0)))
+      .unionByName(l.limit(3).withColumn("l_discount", lit(0.5)))
+      .unionByName(l.limit(1).withColumn("l_extendedprice", lit(-5.0)))
+      .unionByName(l.limit(2).withColumn("l_orderkey", lit(-7L)))
+    val nO = o.count(); val nL = l.count()
+    val got = Analytic.dqReport(dirtyOrders, dirtyLine, t.customer).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = Map(
+      ("orders", "completeness_custkey") -> ((nO + 13, 3L)),
+      ("orders", "domain_orderpriority") -> ((nO + 13, 2L)),
+      ("orders", "range_totalprice_positive") -> ((nO + 13, 4L)),
+      ("orders", "unique_orderkey") -> ((nO + 13, 2L)),
+      // the 3 null custkeys probe nothing and count alongside the 2 dangling
+      ("orders", "ref_custkey_in_customer") -> ((nO + 13, 5L)),
+      ("lineitem", "range_quantity_1_50") -> ((nL + 8, 2L)),
+      ("lineitem", "range_discount_0_10pct") -> ((nL + 8, 3L)),
+      ("lineitem", "range_extendedprice_positive") -> ((nL + 8, 1L)),
+      ("lineitem", "ref_orderkey_in_orders") -> ((nL + 8, 2L)))
+    assert(got == expected, {
+      val diffs = (got.keySet ++ expected.keySet).toSeq.sorted
+        .filter(k => got.get(k) != expected.get(k))
+        .map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}")
+      diffs.mkString("; ")
+    })
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
