@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
@@ -573,19 +574,28 @@ object WindowOps extends QueryPack {
     * Determinism: stage times compare as integer µs epochs
     * ([[Tables.events]] canonical µs ↔ the oracle's `epoch_ns // 1000`),
     * and the output is the per-user terminal stage, not a timestamp. */
+  /** The strict-order per-stage first-time frames over a
+    * `(user_id, event_type, us)` event frame — factored so q129's
+    * transition-timing percentiles reuse the identical funnel
+    * semantics. Returns (signup, view, purchase) per-user min-times. */
+  private[graft] def funnelStages(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+    val v = e.filter(col("event_type") === "view")
+      .join(s, "user_id").filter(col("us") > col("s_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    (s, v, p)
+  }
+
   val q105 = QueryDef(
     "q105_funnel",
     (spark, dir) => {
       val e = Tables(spark, dir).events
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val s = e.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
-      val v = e.filter(col("event_type") === "view")
-        .join(s, "user_id").filter(col("us") > col("s_us"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(v, "user_id").filter(col("us") > col("v_us"))
-        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      val (s, v, p) = funnelStages(e)
       s.join(v, Seq("user_id"), "left_outer")
         .join(p, Seq("user_id"), "left_outer")
         .select(col("user_id"),
@@ -609,6 +619,66 @@ object WindowOps extends QueryPack {
     FROM s LEFT JOIN v ON s.user_id = v.user_id
            LEFT JOIN p ON s.user_id = p.user_id
     ORDER BY s.user_id ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q129
+  /** Funnel transition timing: how long converting users took per stage
+    * hop (signup→view, view→purchase) — the latency companion to q105's
+    * conversion counts ("how MANY converted" vs "how FAST"). Median and
+    * p90 seconds per transition from the exact same strict-order stage
+    * frames ([[funnelStages]]).
+    *
+    * Latencies are integer µs differences of per-user stage minima;
+    * exact interpolated percentiles over integers agree cross-engine
+    * (q82's cents precedent). The µs→seconds conversion rounds in the
+    * exact DECI-µs domain first (`round(p·10)` — interpolated values
+    * are exact tenths of a µs, so ·10 is integer-valued, never a
+    * round-half boundary) and then divides once: `round(x/1e6, 6)`
+    * directly would land EXACTLY on the rounding half-boundary whenever
+    * the median interpolates to .5 µs, where the engines' double
+    * rounding legitimately differs by an ulp (observed at sf0.01). Exact
+    * `percentile` buffers one group's values — per-transition, user-
+    * cardinality bounded; the 100 TB swap is `approx_percentile` (same
+    * plan shape, sketch-mergeable), q112's documented pattern.
+    *
+    * Scale: the funnel is q105's equi-join chain on `user_id`; each
+    * timing aggregate is one extra reduce over the (tiny) converted-user
+    * frames. Output is |transitions| rows. */
+  val q129 = QueryDef(
+    "q129_funnel_timing",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val (s, v, p) = funnelStages(e)
+      val sv = v.join(s, "user_id").select((col("v_us") - col("s_us")).as("d"))
+      val vp = p.join(v, "user_id").select((col("p_us") - col("v_us")).as("d"))
+      def timed(frame: DataFrame, name: String) = frame.agg(
+        lit(name).as("transition"),
+        count(lit(1)).as("n_users"),
+        (round(expr("percentile(d, 0.5)") * 10.0, 0) / 10000000.0).as("med_s"),
+        (round(expr("percentile(d, 0.9)") * 10.0, 0) / 10000000.0).as("p90_s"))
+      timed(sv, "signup_to_view").unionByName(timed(vp, "view_to_purchase"))
+        .orderBy(col("transition").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+    s AS (SELECT user_id, MIN(us) AS s_us FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(us) AS v_us FROM e JOIN s USING (user_id)
+          WHERE event_type = 'view' AND us > s_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'purchase' AND us > v_us GROUP BY e.user_id),
+    sv AS (SELECT v.v_us - s.s_us AS d FROM v JOIN s USING (user_id)),
+    vp AS (SELECT p.p_us - v.v_us AS d FROM p JOIN v USING (user_id))
+    SELECT 'signup_to_view' AS transition, COUNT(*) AS n_users,
+      round(quantile_cont(d, 0.5) * 10.0) / 10000000.0 AS med_s,
+      round(quantile_cont(d, 0.9) * 10.0) / 10000000.0 AS p90_s
+    FROM sv
+    UNION ALL
+    SELECT 'view_to_purchase', COUNT(*),
+      round(quantile_cont(d, 0.5) * 10.0) / 10000000.0,
+      round(quantile_cont(d, 0.9) * 10.0) / 10000000.0
+    FROM vp
+    ORDER BY transition ASC NULLS FIRST"""))
 
   // ---------------------------------------------------------------- q106
   /** Cohort retention: users grouped by first-seen day (their cohort),
@@ -683,5 +753,5 @@ object WindowOps extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107)
+      q105, q106, q107, q129)
 }

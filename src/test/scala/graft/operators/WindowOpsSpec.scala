@@ -148,6 +148,38 @@ class WindowOpsSpec extends SparkTestBase {
     assert(out == Seq((1L, "purchase"), (2L, "signup"), (3L, "signup")))
   }
 
+  test("q129 funnel timing: percentiles over exact per-user hop latencies; counts agree with q105 stages") {
+    val dir = eventsDir(Seq(
+      // u1: signup→view in 3600 s, view→purchase in 7200 s
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 01:00:00", 1L, "view"),
+      (3L, "2024-01-01 03:00:00", 1L, "purchase"),
+      // u2: signup→view in 60 s, never purchases
+      (4L, "2024-01-02 00:00:00", 2L, "signup"),
+      (5L, "2024-01-02 00:01:00", 2L, "view"),
+      // u3: pre-signup view must not shorten the hop (strict order: the
+      // counted view is the one AFTER signup — 600 s)
+      (6L, "2024-01-03 00:00:00", 3L, "view"),
+      (7L, "2024-01-03 01:00:00", 3L, "signup"),
+      (8L, "2024-01-03 01:10:00", 3L, "view")))
+    val out = WindowOps.q129.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // signup_to_view latencies: {3600, 60, 600} → median 600, p90 interp
+    // between 600 and 3600 at pos 1.8 → 3000
+    assert(out == Seq(
+      ("signup_to_view", 3L, 600.0, 3000.0),
+      ("view_to_purchase", 1L, 7200.0, 7200.0)), s"got $out")
+    // fixture-wide: transition counts must equal q105's stage reach
+    val stages = WindowOps.q105.fn(spark, sf0001).collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val timing = WindowOps.q129.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(timing("signup_to_view") ==
+      stages.getOrElse("view", 0L) + stages.getOrElse("purchase", 0L))
+    assert(timing("view_to_purchase") == stages.getOrElse("purchase", 0L))
+  }
+
   test("q107 path transitions: per-user ordered bigram counts, first events excluded") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "signup"),   // u1: signup->view->view->purchase
