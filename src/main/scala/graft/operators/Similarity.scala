@@ -883,5 +883,83 @@ object Similarity extends QueryPack {
     GROUP BY id
     ORDER BY vec_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84)
+  // ---------------------------------------------------------------- q130
+  /** Cluster labeling (the BERTopic c-TF-IDF step): each multi-member
+    * near-dup cluster gets its top-3 distinctive terms — "what IS this
+    * cluster?", the corpus-understanding artifact a curation run ships
+    * next to q70's keeper table. Score is class-based TF-IDF with a
+    * LINEAR idf, `tf_c / (1 + df_clusters)`: rankings are identical to
+    * the ln form inside each cluster (idf is a per-term monotone
+    * factor), and exact integer rationals compare bit-identically in
+    * both engines — no libm `ln` in the ranking path, and the OUTPUT is
+    * the integer pair (tf_c, df_c), so no float leaves the query at
+    * all.
+    *
+    * Shape: cluster labels reuse [[Dedup.propagateMinLabels]] over the
+    * memoized [[neardupPairs]] view (equi-join rounds, PlanSpec-guarded
+    * at the pipeline level); then one token explode over the labeled
+    * docs, a (cluster, token) hash aggregate (cut — the df re-aggregate
+    * and the score join both consume it), a token-keyed df join and a
+    * per-CLUSTER window (partitioned — never global). Oracle rebuilds
+    * the clusters with q70's recursive CTE. */
+  val q130 = QueryDef(
+    "q130_cluster_ctfidf",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+      val pairs = neardupPairs(spark, dir).select(col("vid1"), col("vid2"))
+      val labels = Dedup.propagateMinLabels(em.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("lbl").as("keeper"))
+      val multi = labels.groupBy(col("keeper")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("keeper"))
+      val toks = Tables(spark, dir).documents
+        .join(labels, col("doc_id") === col("vec_id"))
+        .join(broadcast(multi), "keeper")
+        .select(col("keeper"), explode(split(col("text"), " ")).as("token"))
+      val tf =
+        toks.groupBy(col("keeper"), col("token")).agg(count(lit(1)).as("tf_c")).cut()
+      val dfC = tf.groupBy(col("token")).agg(count(lit(1)).as("df_c"))
+      val w = Window.partitionBy(col("keeper"))
+        .orderBy((col("tf_c").cast(DoubleType) / (lit(1.0) + col("df_c"))).desc,
+          col("token").asc)
+      tf.join(dfC, "token")
+        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select(col("keeper"), col("rnk"), col("token"), col("tf_c"), col("df_c"))
+        .orderBy(col("keeper").asc_nulls_first, col("rnk").asc_nulls_first)
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM pairs
+      UNION ALL SELECT v2, v1 FROM pairs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    labels AS (SELECT id AS vec_id, MIN(r) AS keeper FROM reach GROUP BY id),
+    multi AS (SELECT keeper FROM labels GROUP BY keeper HAVING COUNT(*) >= 2),
+    toks AS (
+      SELECT l.keeper, UNNEST(string_split(d.text, ' ')) AS token
+      FROM documents d
+      JOIN labels l ON d.doc_id = l.vec_id
+      JOIN multi m ON l.keeper = m.keeper),
+    tf AS (SELECT keeper, token, COUNT(*) AS tf_c FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df_c FROM tf GROUP BY token),
+    ranked AS (
+      SELECT t.keeper, t.token,
+        CAST(t.tf_c AS BIGINT) AS tf_c, CAST(d.df_c AS BIGINT) AS df_c,
+        CAST(row_number() OVER (PARTITION BY t.keeper
+          ORDER BY CAST(t.tf_c AS DOUBLE) / (1.0 + d.df_c) DESC, t.token ASC)
+          AS INT) AS rnk
+      FROM tf t JOIN df d USING (token))
+    SELECT keeper, rnk, token, tf_c, df_c
+    FROM ranked
+    WHERE rnk <= 3
+    ORDER BY keeper ASC NULLS FIRST, rnk ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130)
 }

@@ -452,4 +452,34 @@ class SimilarityQualitySpec extends SparkTestBase {
     assert(hintedJoins(onePast) == 0,
       s"corpus ONE ROW past the byte cutoff must take the shuffled verify path")
   }
+
+  test("q130: labels exactly the multi-member clusters; top-3 matches a naive c-TF-IDF from q70's labels") {
+    val labels = Similarity.q70.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val multi = labels.groupBy(_._2).filter(_._2.length >= 2).keySet
+    assert(multi.nonEmpty, "fixture has no multi-member cluster; q130 untestable")
+    val texts = graft.Tables(spark, sf0001).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val keeperOf = labels.toMap
+    val tf = scala.collection.mutable.Map.empty[(Long, String), Long]
+    for ((vid, k) <- labels if multi(k); tok <- texts(vid).split(" "))
+      tf((k, tok)) = tf.getOrElse((k, tok), 0L) + 1L
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size.toLong).toMap
+    val expected = tf.keys.groupBy(_._1).toSeq.flatMap { case (k, keys) =>
+      keys.toSeq.map { case (_, tok) => (tok, tf((k, tok)), df(tok)) }
+        .sortBy { case (tok, t, d) => (-(t.toDouble / (1.0 + d)), tok) }
+        .take(3).zipWithIndex
+        .map { case ((tok, t, d), i) => (k, i + 1, tok, t, d) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Similarity.q130.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.map(_._1).toSet == multi, "labeled cluster set differs from q70 multi-member keepers")
+    assert(got == expected, {
+      val d1 = got.filterNot(expected.contains); val d2 = expected.filterNot(got.contains)
+      s"only-got=${d1.take(5).mkString(";")} only-expected=${d2.take(5).mkString(";")}"
+    })
+  }
 }
