@@ -1214,7 +1214,90 @@ object Analytic extends QueryPack {
     FROM rules
     ORDER BY tbl ASC NULLS FIRST, rule ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q131
+  /** Order-independent table checksums — the reconciliation primitive
+    * for a 100 TB migration/replication: both sides compute one
+    * (n_rows, fingerprint) row per table from a single scan and compare;
+    * any divergent row flips the fingerprint. XOR of per-row hashes is
+    * the aggregate: commutative/associative (partitioning-independent,
+    * map-side combinable), overflow-free, and O(1) state — the shape a
+    * fleet-wide parity check must have.
+    *
+    * Cross-engine determinism of the ROW serialization is the whole
+    * design: md5 over a canonical `|`-joined string (the contract's
+    * hash — never xxhash), 15 hex chars → a positive 60-bit BIGINT.
+    * Every column enters in a form both engines print identically —
+    * integers as-is, monetary/ratio doubles as ROUNDed integer
+    * cents/percents (raw double formatting differs across engines),
+    * timestamps as DATE strings.
+    *
+    * Caveat, stated honestly: XOR cancels EVEN multiplicities (a row
+    * duplicated twice fingerprints like the row being absent), so the
+    * reconciliation unit is the (n_rows, checksum) PAIR — the count
+    * catches what parity hides. Spec-asserted. */
+  /** 60-bit md5-prefix row hash of a canonical serialization. */
+  private def rowHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** Monetary/ratio double as exact integer cents (both engines ROUND
+    * identically — the value is 2-dp, never near a half boundary). */
+  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
+
+  /** One (tbl, n_rows, checksum) fingerprint row: XOR of row hashes —
+    * factored so the spec can drive permutation/sensitivity cases. */
+  private[graft] def tableFingerprint(name: String, df: DataFrame,
+      ser: Column): DataFrame =
+    df.select(rowHash60(ser).as("hh"))
+      .agg(lit(name).as("tbl"), count(lit(1)).as("n_rows"),
+        expr("bit_xor(hh)").as("checksum"))
+
+  val q131 = QueryDef(
+    "q131_table_checksum",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val sum1 = tableFingerprint _
+      val o = sum1("orders", t.orders, concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")), col("o_orderdate").cast("date"),
+        col("o_orderpriority")))
+      val l = sum1("lineitem", t.lineitem, concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        round(col("l_quantity"), 0).cast(LongType), cents(col("l_extendedprice")),
+        cents(col("l_discount")), cents(col("l_tax")),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate").cast("date")))
+      val c = sum1("customer", t.customer, concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")), col("c_mktsegment")))
+      o.unionByName(l).unionByName(c)
+        .orderBy(col("tbl").asc_nulls_first)
+    },
+    Some("""SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+      bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        o_orderkey, o_custkey, o_orderstatus,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT),
+        CAST(o_orderdate AS DATE), o_orderpriority)), 1, 15) AS BIGINT))
+        AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+      bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CAST(ROUND(l_quantity) AS BIGINT),
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+        CAST(ROUND(l_discount * 100) AS BIGINT),
+        CAST(ROUND(l_tax * 100) AS BIGINT),
+        l_returnflag, l_linestatus, CAST(l_shipdate AS DATE))), 1, 15) AS BIGINT))
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+      bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        c_custkey, c_name, c_nationkey,
+        CAST(ROUND(c_acctbal * 100) AS BIGINT), c_mktsegment)), 1, 15) AS BIGINT))
+    FROM customer
+    ORDER BY tbl ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128)
+      q123, q124, q125, q126, q127, q128, q131)
 }

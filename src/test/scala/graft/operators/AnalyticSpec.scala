@@ -474,6 +474,39 @@ class AnalyticSpec extends SparkTestBase {
     })
   }
 
+  test("q131: fingerprint is row-order/partitioning-invariant and flips on any single-value change") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, s"name_$i", (i % 7).toInt)).toDF("k", "nm", "g")
+    val ser = concat_ws("|", col("k"), col("nm"), col("g"))
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Analytic.tableFingerprint("t", df, ser).collect()(0)
+      (r.getLong(1), r.getLong(2))
+    }
+    val base = fp(rows)
+    assert(base._1 == 500L)
+    // XOR aggregate: any partitioning / row order reaches the same value
+    assert(fp(rows.repartition(13, col("g"))) == base)
+    assert(fp(rows.orderBy(col("nm").desc)) == base)
+    // sensitivity: one changed value, one dropped row, one duplicated row
+    val oneChanged = rows.withColumn("nm",
+      when(col("k") === 250L, lit("name_250_CORRUPT")).otherwise(col("nm")))
+    assert(fp(oneChanged)._2 != base._2, "changed value must flip the checksum")
+    val oneDropped = rows.filter(col("k") =!= 250L)
+    assert(fp(oneDropped) != base)
+    // XOR pair-cancellation: a duplicated row cancels its own original
+    // contribution, leaving exactly the dropped-row checksum — the
+    // count is what catches even multiplicities, which is why the
+    // fingerprint row carries BOTH
+    val oneDuped = rows.unionByName(rows.filter(col("k") === 250L))
+    assert(fp(oneDuped)._2 == fp(oneDropped)._2 && fp(oneDuped)._1 == 501L)
+    // fixture smoke: three tables, stable fingerprints across two runs
+    val a = Analytic.q131.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Analytic.q131.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b && a.map(_._1) == Seq("customer", "lineitem", "orders"))
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
