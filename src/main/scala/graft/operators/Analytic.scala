@@ -992,38 +992,54 @@ object Analytic extends QueryPack {
     * tiny edge/rank frames (AQE broadcasts them). Rank never leaves the
     * cluster; n (= 25, the nation dim) is the only driver scalar, the
     * bounded-model-state pattern (q60 centroids, GlobalRank offsets). */
+  private val PrScale = 1000000000L
+
+  /** The q127 corpus stage: collapse the fact tables to the weighted
+    * |nations|² edge list — factored so ScaleProbe can grow the fact
+    * side independently of the iteration stage. */
+  private[graft] def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+      cust: DataFrame, supp: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  /** The q127 iteration stage over a materialized edge frame: five
+    * damped fixed-point rounds, edge-sized work per round. */
+  private[graft] def pageRankOnEdges(edges: DataFrame, nodes: DataFrame,
+      n: Long): DataFrame = {
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val pe = Materialize.cut(edges.join(outw, "src")
+      .select(col("src"), col("dst"), expr(s"(w * ${PrScale}L) div ow").as("pw")))
+    val base = (15L * PrScale / 100L) / n
+    var rank = nodes.withColumn("r", lit(PrScale / n))
+    for (_ <- 1 to 5) {
+      val contrib = pe.join(rank, pe("src") === rank("node"))
+        .select(col("dst"), expr(s"(pw * r) div ${PrScale}L").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+    }
+    rank
+  }
+
   val q127 = QueryDef(
     "q127_pagerank",
     (spark, dir) => {
       val t = Tables(spark, dir)
-      val SCALE = 1000000000L
       val nat = t.nation.select(col("n_nationkey"), col("n_name"))
       val n = nat.count()
       val cust = t.customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("src"))
       val supp = t.supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("dst"))
-      val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-      val pe = Materialize.cut(edges.join(outw, "src")
-        .select(col("src"), col("dst"), expr(s"(w * ${SCALE}L) div ow").as("pw")))
+      val edges = tradeEdges(t.lineitem, t.orders, cust, supp)
       val nodes = nat.select(col("n_name").as("node"))
-      val base = (15L * SCALE / 100L) / n
-      var rank = nodes.withColumn("r", lit(SCALE / n))
-      for (_ <- 1 to 5) {
-        val contrib = pe.join(rank, pe("src") === rank("node"))
-          .select(col("dst"), expr(s"(pw * r) div ${SCALE}L").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-        rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-      }
-      rank.select(col("node").as("n_name"), col("r").as("rank_ppb"),
+      pageRankOnEdges(edges, nodes, n)
+        .select(col("node").as("n_name"), col("r").as("rank_ppb"),
           round(col("r") / lit(1000000000.0), 9).as("pagerank"))
         .orderBy(col("rank_ppb").desc_nulls_last, col("n_name").asc_nulls_first)
     },

@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "analytic", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|analytic|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "analytic", "pagerank", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|analytic|pagerank|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -95,6 +95,35 @@ object ScaleProbe {
       val nPairs = pairs.count()
       println(f"SCALE-WINNOW f=$f docs=$nDocs fps=$nFps pairs=$nPairs " +
         f"t_fp=$tFp%.2f t_pairs=$tPairs%.2f")
+    }
+
+    // ---- pagerank (q127): the two stages must scale on DIFFERENT axes —
+    // the edge aggregation linearly with the fact tables (it is one
+    // shuffle join + hash agg), the five fixed-point iterations with the
+    // |nations|² EDGE frame only (constant as facts grow: the entire
+    // point of collapsing to edges before iterating).
+    if (mode == "pagerank") factors.foreach { f =>
+      val t = graft.Tables(spark, sfDir)
+      val li0 = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      val li = (if (f == 1) li0
+        else li0.withColumn("i", explode(sequence(lit(0), lit(f - 1)))).drop("i"))
+        .localCheckpoint()
+      val nLi = li.count()
+      val nat = t.nation.select(col("n_nationkey"), col("n_name"))
+      val n = nat.count()
+      val cust = t.customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("src"))
+      val supp = t.supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("dst"))
+      val (edges, tEdges) = timed(
+        Analytic.tradeEdges(li, t.orders, cust, supp).localCheckpoint())
+      val nEdges = edges.count()
+      val nodes = nat.select(col("n_name").as("node"))
+      val (_, tIter) = timed(
+        Analytic.pageRankOnEdges(edges, nodes, n)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-PAGERANK f=$f lineitem=$nLi edges=$nEdges " +
+        f"t_edges_linear=$tEdges%.2f t_iter_const=$tIter%.2f")
     }
 
     // ---- analytic (q108/q115): the sweep-line has two scaling axes —
