@@ -234,5 +234,99 @@ object Snapshots extends QueryPack {
     FROM j WHERE nk IS NOT NULL AND NOT same
     ORDER BY o_orderkey NULLS FIRST, valid_from NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q99, q102)
+  // --------------------------------------------------------------- q132
+  /** SCD2 point-in-time lookup — the QUERY side of q102's versioned
+    * dimension: "what did this key look like on date D?", the join every
+    * as-of fact enrichment runs against a slowly-changing dimension.
+    * Each key probes a deterministic date (md5-parity of the key →
+    * day 1 or day 2, oracle-reproducible) and resolves to the version
+    * with `valid_from ≤ D < valid_to` (NULL end = still open); a key
+    * with no version covering D — removed before it, or added after —
+    * comes back `active = false`, which an inner join would silently
+    * drop.
+    *
+    * Scale shape: the lookup is a KEY-equi join with the interval
+    * predicate carried in the join condition — the interval filter
+    * rides the hash join (never a range-only join over versions), and
+    * SCD2's invariant (versions of a key tile time disjointly)
+    * guarantees ≤ 1 match per probe, so no post-join dedup. The dim is
+    * cut: the probe-key scan and the lookup both consume it. */
+  val q132 = QueryDef(
+    "q132_scd2_lookup",
+    (spark, dir) => {
+      val (day1, day2) = ordersSnapshots(spark, dir)
+      val dim0 = day1
+        .withColumn("valid_from", lit("2024-01-01").cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val dim = graft.Materialize.cut(
+        scd2Apply(dim0, day2, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+          "2024-01-02"))
+      val probes = dim.select(col("o_orderkey")).distinct()
+        .withColumn("probe_date",
+          when(pmod(Det.md5Bucket(col("o_orderkey")), lit(2)) === 0,
+            lit("2024-01-01")).otherwise(lit("2024-01-02")).cast("date"))
+      probes.alias("p").join(dim.alias("d"),
+          col("p.o_orderkey") === col("d.o_orderkey") &&
+            col("d.valid_from") <= col("p.probe_date") &&
+            (col("d.valid_to").isNull || col("d.valid_to") > col("p.probe_date")),
+          "left")
+        .select(col("p.o_orderkey").as("o_orderkey"), col("p.probe_date"),
+          col("d.o_orderkey").isNotNull.as("active"),
+          col("d.o_orderstatus").as("o_orderstatus"),
+          col("d.valid_from").as("valid_from"))
+        .orderBy(col("o_orderkey").asc_nulls_first,
+          col("probe_date").asc_nulls_first)
+    },
+    Some(s"""WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, $sqlBkt AS bkt
+      FROM orders),
+    old_snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM b),
+    new_snap AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN bkt < 6554 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN bkt < 6554 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM b WHERE bkt >= 3277
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM b WHERE bkt >= 62259),
+    j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+              AND NOT (o.o_custkey IS DISTINCT FROM n.o_custkey)
+              AND NOT (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+              AND NOT (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+              AND NOT (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority))
+               AS same
+      FROM old_snap o FULL JOIN new_snap n ON o.o_orderkey = n.o_orderkey),
+    dim AS (
+      SELECT ok AS o_orderkey, os AS o_orderstatus,
+             DATE '2024-01-01' AS valid_from,
+             CASE WHEN same THEN NULL ELSE DATE '2024-01-02' END AS valid_to
+      FROM j WHERE ok IS NOT NULL
+      UNION ALL
+      SELECT nk, ns, DATE '2024-01-02', NULL
+      FROM j WHERE nk IS NOT NULL AND NOT same),
+    probes AS (
+      SELECT DISTINCT o_orderkey,
+        CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                    AS INTEGER) % 2 = 0
+             THEN DATE '2024-01-01' ELSE DATE '2024-01-02' END AS probe_date
+      FROM dim)
+    SELECT p.o_orderkey, p.probe_date,
+      d.o_orderkey IS NOT NULL AS active,
+      d.o_orderstatus, d.valid_from
+    FROM probes p
+    LEFT JOIN dim d ON d.o_orderkey = p.o_orderkey
+      AND d.valid_from <= p.probe_date
+      AND (d.valid_to IS NULL OR d.valid_to > p.probe_date)
+    ORDER BY p.o_orderkey ASC NULLS FIRST, p.probe_date ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q99, q102, q132)
 }

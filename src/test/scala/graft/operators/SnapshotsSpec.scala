@@ -99,4 +99,33 @@ class SnapshotsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q132: each probe resolves to the unique covering version; uncovered probes come back inactive") {
+    // ground truth: the q102 dim (already brute-force-verified above)
+    val dim = Snapshots.q102.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        r.getDate(5).toString, Option(r.getDate(6)).map(_.toString)))
+    val byKey = dim.groupBy(_._1)
+    def md5b(k: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = byKey.map { case (k, versions) =>
+      val probe = if (md5b(k) % 2 == 0) "2024-01-01" else "2024-01-02"
+      val hit = versions.find { case (_, _, from, to) =>
+        from <= probe && to.forall(_ > probe) }
+      (k, probe) -> hit.map(h => (h._2, h._3))
+    }
+    val got = Snapshots.q132.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (if (r.getBoolean(2)) Some((r.getString(3), r.getDate(4).toString))
+         else { assert(r.isNullAt(3) && r.isNullAt(4)); None })).toMap
+    assert(got.keySet == expected.keySet, "probe row set differs")
+    assert(got == expected)
+    // the fixture must exercise both outcomes and both probe days
+    assert(got.values.exists(_.isEmpty), "no inactive probe; removed/added paths untested")
+    assert(got.values.count(_.nonEmpty) > got.size / 2, "most probes should resolve")
+    assert(got.keys.map(_._2).toSet.size == 2, "only one probe day exercised")
+  }
 }
