@@ -680,6 +680,46 @@ object WindowOps extends QueryPack {
     FROM vp
     ORDER BY transition ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q133
+  /** Rolling 7-day distinct active users per day — the WAU curve, and
+    * the operator SQL windows cannot express (DISTINCT inside a sliding
+    * frame is unsupported — and would hold a per-frame set anyway).
+    *
+    * The distributed form is the contribute-forward trick: dedupe to
+    * (user, activity day) once, explode each into its 7 target days
+    * (activity on d makes the user active for windows d..d+6), then ONE
+    * distinct aggregate per target day. Linear in the window length —
+    * k×|user-days| intermediate rows and two key-partitioned shuffles,
+    * vs 7 self-joins or a per-day frame set. At month-scale windows the
+    * mergeable-sketch path (per-day HLL partials unioned over the
+    * window, q123's machinery) is the approximate swap with k-free
+    * shuffle volume. Trailing days past the last activity keep their
+    * lookback semantics and are emitted (documented; the curve's tail
+    * decays over the final 6 days).
+    *
+    * Determinism: exact integer counts keyed by DATE (contract rule —
+    * session TZ pinned UTC ↔ DuckDB naive casts agree). */
+  val q133 = QueryDef(
+    "q133_rolling_distinct",
+    (spark, dir) => {
+      val ud = Tables(spark, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      ud.withColumn("i", explode(sequence(lit(0), lit(6))))
+        .select(col("user_id"), expr("date_add(d, i)").as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy(col("day").asc_nulls_first)
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    c AS (
+      SELECT user_id, d + CAST(t.i AS INTEGER) AS day
+      FROM ud CROSS JOIN UNNEST(range(0, 7)) AS t(i))
+    SELECT day, COUNT(DISTINCT user_id) AS u7
+    FROM c
+    GROUP BY day
+    ORDER BY day ASC NULLS FIRST"""))
+
   // ---------------------------------------------------------------- q106
   /** Cohort retention: users grouped by first-seen day (their cohort),
     * counted per day-offset of later activity — the day-N retention
@@ -753,5 +793,5 @@ object WindowOps extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129)
+      q105, q106, q107, q129, q133)
 }

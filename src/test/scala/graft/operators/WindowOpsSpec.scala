@@ -180,6 +180,22 @@ class WindowOpsSpec extends SparkTestBase {
     assert(timing("view_to_purchase") == stages.getOrElse("purchase", 0L))
   }
 
+  test("q133 rolling distinct: each day's count is the exact 7-day-lookback distinct user set") {
+    val acts = graft.Tables(spark, sf0001).events
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expected = acts.flatMap { case (u, d) => (0 to 6).map(i => (u, d.plusDays(i))) }
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val got = WindowOps.q133.fn(spark, sf0001).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == expected)
+    // lookback semantics: a window day must be able to EXCEED its own
+    // day's activity (users active earlier in the window, not that day)
+    val daily = acts.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    assert(got.exists { case (d, u7) => u7 > daily.getOrElse(d, 0L) },
+      "no day shows lookback accumulation; window semantics untested")
+  }
+
   test("q107 path transitions: per-user ordered bigram counts, first events excluded") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "signup"),   // u1: signup->view->view->purchase
