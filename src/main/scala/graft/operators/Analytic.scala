@@ -1313,7 +1313,116 @@ object Analytic extends QueryPack {
     FROM customer
     ORDER BY tbl ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q134
+  /** Weighted median per group — "the price at which half the QUANTITY
+    * trades", the volume-aware center the plain median misrepresents
+    * when row sizes vary (exactly the estimator a mixture-weighting or
+    * pricing pipeline wants). Definition: the smallest value v with
+    * cumulative weight(≤ v) ≥ half the group's total weight.
+    *
+    * All arithmetic is exact integers: values as cents, weights as
+    * integral quantities, and the half-total comparison is
+    * `2·cumw ≥ totw` — no division, no .5 boundary, no percentile
+    * interpolation to disagree on. Shape: one window partitioned by
+    * group (cumulative weight in value order — a per-group sort, never
+    * global), the group totals ride the same window (unbounded frame),
+    * and one min-aggregate picks the crossing value. Two keyed
+    * shuffles at any scale. */
+  val q134 = QueryDef(
+    "q134_weighted_median",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem.select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"),
+        round(col("l_quantity"), 0).cast(LongType).as("w"))
+      val byVal = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      li.withColumn("cumw", sum(col("w")).over(byVal))
+        .withColumn("totw", sum(col("w")).over(all))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("cents")).as("wmedian_cents"),
+          max(col("totw")).as("total_weight"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+    Some("""WITH li AS (
+      SELECT l_returnflag,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+        CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, cents, w,
+        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM li)
+    SELECT l_returnflag,
+      MIN(cents) AS wmedian_cents,
+      CAST(MAX(totw) AS BIGINT) AS total_weight
+    FROM c
+    WHERE cumw * 2 >= totw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q135
+  /** Join-cardinality forecast + skew diagnosis WITHOUT running the
+    * join: per-key count profiles of both sides, `Σ_k cnt_l(k)·cnt_r(k)`
+    * = the exact inner-join output size, and the top contributing keys
+    * = where the skew lives. The planning artifact an engineer reads
+    * before shipping a 100 TB join — "is this join 10× the input, and
+    * is it three keys' fault?" — and what a salting decision (q72)
+    * keys off.
+    *
+    * Shape: one count-aggregate per side (map-side combinable), an
+    * equi-join of the two PROFILE frames (key-cardinality-sized, not
+    * row-sized), one tiny total. All counts exact integers; the output
+    * is the ('TOTAL', join size, distinct keys) row plus the top-5
+    * skew keys with per-key products and their share in ppm (exact
+    * integer div). */
+  val q135 = QueryDef(
+    "q135_join_cardinality",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val lp = t.lineitem.groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("cl"))
+      val rp = t.orders.groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("cr"))
+      val prof = Materialize.cut(lp.join(rp, "k")
+        .select(col("k"), (col("cl") * col("cr")).as("rows_out")))
+      val tot = prof.agg(sum(col("rows_out")).as("t"), count(lit(1)).as("nk"))
+      val top = prof.crossJoin(broadcast(tot))
+        .orderBy(col("rows_out").desc_nulls_last, col("k").asc_nulls_first)
+        .limit(5)
+        .select(col("k").cast("string").as("key"), col("rows_out"),
+          expr("(rows_out * 1000000L) div t").as("share_ppm"))
+      val total = tot.select(lit("TOTAL").as("key"), col("t").as("rows_out"),
+        col("nk").as("share_ppm"))
+      top.unionByName(total)
+        .orderBy(col("rows_out").desc_nulls_last, col("key").asc_nulls_first)
+    },
+    Some("""WITH lp AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1),
+    rp AS (
+      SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1),
+    prof AS (
+      SELECT lp.k, CAST(lp.cl * rp.cr AS BIGINT) AS rows_out
+      FROM lp JOIN rp USING (k)),
+    tot AS (SELECT SUM(rows_out) AS t, COUNT(*) AS nk FROM prof),
+    top AS (
+      SELECT CAST(k AS VARCHAR) AS key, rows_out,
+        (rows_out * 1000000) // (SELECT t FROM tot) AS share_ppm
+      FROM prof
+      ORDER BY rows_out DESC NULLS LAST, k ASC NULLS FIRST
+      LIMIT 5)
+    SELECT key, rows_out, CAST(share_ppm AS BIGINT) AS share_ppm FROM top
+    UNION ALL
+    SELECT 'TOTAL', CAST(t AS BIGINT), CAST(nk AS BIGINT) FROM tot
+    ORDER BY rows_out DESC NULLS LAST, key ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q131)
+      q123, q124, q125, q126, q127, q128, q131, q134, q135)
 }

@@ -205,7 +205,10 @@ class PlanSpec extends SparkTestBase {
       "q122_psi_drift",
       // q125's grand total is ONE row broadcast into the ≤|segments|×
       // |priorities| contingency cells — same tiny-stats pattern.
-      "q125_chi_square")
+      "q125_chi_square",
+      // q135's join-size total is ONE row broadcast into the top-5 cut
+      // of the key-profile frame — same tiny-stats pattern.
+      "q135_join_cardinality")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

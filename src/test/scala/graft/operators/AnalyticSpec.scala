@@ -507,6 +507,53 @@ class AnalyticSpec extends SparkTestBase {
     assert(a == b && a.map(_._1) == Seq("customer", "lineitem", "orders"))
   }
 
+  test("q134: weighted medians match a naive cumulative-weight scan and differ from unweighted") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2))))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tot = rs.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      g -> ((med, tot))
+    }
+    val got = Analytic.q134.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // the weighting must matter: at least one group's weighted median
+    // differs from its plain (unweighted) median of cents
+    val plain = rows.groupBy(_._1).map { case (g, rs) =>
+      val s = rs.map(_._2).sorted; g -> s((s.length - 1) / 2)
+    }
+    assert(expected.exists { case (g, (m, _)) => m != plain(g) },
+      "weighted ≡ unweighted on every group; fixture exercises nothing")
+  }
+
+  test("q135: forecast total equals the executed join's row count; top keys are the true heaviest") {
+    val t = Tables(spark, sf0001)
+    val actual = t.lineitem.join(t.orders,
+      col("l_orderkey") === col("o_orderkey")).count()
+    val rows = Analytic.q135.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = rows.find(_._1 == "TOTAL").get
+    assert(total._2 == actual,
+      s"forecast ${total._2} vs executed join $actual")
+    val prof = t.lineitem.groupBy(col("l_orderkey")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // orders keys are unique, so per-key product = lineitem count; the
+    // CUT is numeric-tie-broken, the display order string-keyed
+    val trueTop = prof.toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+      .sortBy { case (k, c) => (-c, k.toString) }
+    val gotTop = rows.filter(_._1 != "TOTAL")
+      .map(r => (r._1.toLong, r._2)).toSeq
+    assert(gotTop == trueTop, s"got=$gotTop true=$trueTop")
+    rows.filter(_._1 != "TOTAL").foreach { r =>
+      assert(r._3 == r._2 * 1000000L / actual, s"share_ppm wrong for ${r._1}")
+    }
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
