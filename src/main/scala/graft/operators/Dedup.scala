@@ -895,6 +895,78 @@ object Dedup extends QueryPack {
     WHERE i * 4 >= s1.sz * 3
     ORDER BY d_a ASC NULLS FIRST, d_b ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q136
+  /** Cluster survivorship under a QUALITY policy: q55 keeps each
+    * near-dup cluster's minimum id (a label, not a judgment); real
+    * curation keeps the BEST member — here the longest document
+    * (n_chars, ties by doc_id), the "most complete copy" rule a corpus
+    * pipeline applies when near-dups differ by truncation. Same
+    * clusters ([[clusterLabels]], the memoized view), different keeper.
+    *
+    * Shape: one doc-keyed equi-join to attach the quality signal, one
+    * window PARTITIONED by cluster picking rank 1 (cluster-keyed —
+    * never global), survivors equi-joined back. The policy column is an
+    * exact integer, so the argmax is tie-safe cross-engine. Oracle
+    * rebuilds the clusters with q55's recursive CTE. */
+  val q136 = QueryDef(
+    "q136_survivorship",
+    (spark, dir) => {
+      val labels = clusterLabels(spark, dir)
+      val sized = labels.join(
+        Tables(spark, dir).documents.select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      val w = Window.partitionBy(col("keeper"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val survivors = sized.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("keeper"), col("doc_id").as("survivor"))
+      labels.join(survivors, "keeper")
+        .select(col("doc_id"), col("keeper"), col("survivor"),
+          (col("doc_id") === col("survivor")).as("keep"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 3 >= s1.sz + s2.sz),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    labels AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id),
+    sized AS (
+      SELECT l.doc_id, l.keeper, d.n_chars
+      FROM labels l JOIN documents d USING (doc_id)),
+    survivors AS (
+      SELECT keeper, doc_id AS survivor FROM (
+        SELECT keeper, doc_id,
+          row_number() OVER (PARTITION BY keeper
+            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM sized)
+      WHERE rn = 1)
+    SELECT l.doc_id, l.keeper, s.survivor, l.doc_id = s.survivor AS keep
+    FROM labels l JOIN survivors s USING (keeper)
+    ORDER BY l.doc_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116)
+    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136)
 }

@@ -283,4 +283,24 @@ class DedupSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment pair generation went quadratic:\n$p")
   }
+
+  test("q136: the survivor is each cluster's longest member; policy visibly differs from q55's min-id") {
+    val labels = Dedup.q55.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nchars = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = labels.groupBy(_._2).toSeq.flatMap { case (k, members) =>
+      val surv = members.map(_._1).maxBy(id => (nchars(id), -id))
+      members.toSeq.map { case (id, _) => id -> ((k, surv, id == surv)) }
+    }.toMap
+    val got = Dedup.q136.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == expected)
+    // the policy must be visible: some cluster's longest member is not
+    // its min-id keeper
+    assert(got.values.exists { case (k, surv, _) => surv != k },
+      "every survivor equals the min-id keeper; quality policy unexercised")
+  }
 }
