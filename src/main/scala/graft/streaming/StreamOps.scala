@@ -725,6 +725,66 @@ object StreamDrift {
   }
 }
 
+/** One live event routed to its UTC epoch-day. */
+case class DayUser(day: Int, userId: Long)
+
+/** One distinct-estimate emission per touched day per micro-batch. */
+case class DistinctGauge(day: Int, estUsers: Long)
+
+/** Streaming distinct-user gauge — the live twin of the q123/q133
+  * counting family: per-day unique users estimated from an HLL sketch
+  * maintained in `transformWithState`. Exact per-key distinct state
+  * grows with the user set (unbounded on an open stream); the sketch is
+  * the shape that runs forever — ~1 KB per day REGARDLESS of user
+  * count, the same mergeable-register argument as q123's stored
+  * partials.
+  *
+  * Parity is EXACT, not approximate-vs-approximate hand-waving: the
+  * processor maintains the same DataSketches HLL (lgK 12, HLL_8) that
+  * Spark's `hll_sketch_agg` builds, and register state is a pure
+  * function of the input SET (per-bucket max — arrival order and batch
+  * boundaries cannot change it), so the end-of-stream estimate equals
+  * the batch aggregate's estimate bit-for-bit (spec-asserted). */
+object StreamDistinct {
+
+  /** (epoch-day, user) rows — narrow ops only; static or streaming. */
+  def dayUsers(events: DataFrame): DataFrame =
+    events.select(
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"),
+      col("user_id").as("userId"))
+
+  /** The stateful per-day sketch over [[dayUsers]] rows. */
+  def gauge(rows: DataFrame): Dataset[DistinctGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("day"), col("userId")).as[DayUser]
+      .groupByKey(_.day)
+      .transformWithState(new HllDayProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-day HLL sketch machine behind [[StreamDistinct]]. */
+class HllDayProcessor extends StatefulProcessor[Int, DayUser, DistinctGauge] {
+  import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+  import org.apache.datasketches.memory.Memory
+
+  @transient private var st: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Array[Byte]]("sk", Encoders.BINARY, TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[DayUser],
+      timerValues: TimerValues): Iterator[DistinctGauge] = {
+    val sk =
+      if (st.exists()) HllSketch.heapify(Memory.wrap(st.get()))
+      else new HllSketch(12, TgtHllType.HLL_8)
+    rows.foreach(r => sk.update(r.userId))
+    st.update(sk.toUpdatableByteArray)
+    Iterator.single(DistinctGauge(key, Math.round(sk.getEstimate)))
+  }
+}
+
 /** The per-cell running counter behind [[StreamDrift]]. */
 class BinCellProcessor extends StatefulProcessor[Int, BinRow, BinCount] {
   @transient private var st: ValueState[Long] = _

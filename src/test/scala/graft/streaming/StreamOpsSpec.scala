@@ -655,4 +655,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(got.toSeq == batch.toSeq,
       s"stream/batch PSI divergence:\n stream=${got.mkString(";")}\n batch=${batch.mkString(";")}")
   }
+
+  test("distinct gauge: end-of-stream sketch estimates equal batch hll_sketch_agg bit-for-bit") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val dayRows = StreamDistinct.dayUsers(graft.Tables(s2, sf0001).events)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val in = MemoryStream[(Int, Long)](newProductEncoder[(Int, Long)], s2.sqlContext)
+    val q = StreamDistinct.gauge(in.toDF().toDF("day", "userId"))
+      .writeStream.outputMode("append").format("memory").queryName("wau")
+      .start()
+    in.addData(dayRows.take(dayRows.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(dayRows.drop(dayRows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // register state only grows → estimates are monotone; latest = max
+    val streamed = s2.table("wau").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = StreamDistinct.dayUsers(graft.Tables(s2, sf0001).events)
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("userId"))).as("est"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"stream/batch sketch divergence: " +
+        s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+    // cross-boundary growth: some day's estimate rose in batch 2
+    val perDay = s2.table("wau").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perDay.values.exists(_.size > 1),
+      "no day re-emitted a grown estimate; state carry untested")
+  }
 }
