@@ -538,6 +538,66 @@ object Curation extends QueryPack {
     FROM ch
     ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q137
+  /** Token-budget apportionment across sources — largest-remainder
+    * (Hamilton) method: given a training budget B, each source gets
+    * `⌊B·t_s/T⌋` tokens and the `B − Σ⌊·⌋` leftovers go to the largest
+    * remainders. The mix-PLANNING step downstream of q78's weights:
+    * what a curriculum builder actually emits is an integer allocation
+    * that sums EXACTLY to the budget — proportional rounding that
+    * neither over- nor under-commits, which naive per-source rounding
+    * cannot guarantee.
+    *
+    * Everything is exact integer arithmetic (`div`/`%` on longs — at a
+    * scale where B·t overflows int64, pre-divide t and T by a common
+    * factor; the proportions are scale-free). The windows here are
+    * GLOBAL but run AFTER the per-source aggregate — they move the
+    * |sources|-row dimension frame, not data (q78's whitelisted
+    * pattern, and the same argument). One corpus-sized token-count
+    * aggregate is the only row-scale work. */
+  val q137 = QueryDef(
+    "q137_token_apportion",
+    (spark, dir) => {
+      val B = 1000000L
+      val src = Tables(spark, dir).documents
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).as("t"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byRem = Window.orderBy(col("rem").desc, col("source").asc)
+      src
+        .withColumn("tot", sum(col("t")).over(all))
+        .withColumn("base", expr(s"(${B}L * t) div tot"))
+        .withColumn("rem", expr(s"(${B}L * t) % tot"))
+        .withColumn("rr", row_number().over(byRem))
+        .withColumn("leftover", lit(B) - sum(col("base")).over(all))
+        .select(col("source"), col("t").as("n_tokens"),
+          col("base").as("base_quota"),
+          (col("rr") <= col("leftover")).cast("int").as("extra"),
+          (col("base") + (col("rr") <= col("leftover")).cast("long")).as("alloc"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS t_all FROM src),
+    base AS (
+      SELECT source, t,
+        (1000000 * t) // t_all AS base, (1000000 * t) % t_all AS rem
+      FROM src CROSS JOIN tot),
+    ranked AS (
+      SELECT source, t, base, rem,
+        row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+      FROM base),
+    lo AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS leftover FROM base)
+    SELECT source, t AS n_tokens,
+      CAST(base AS BIGINT) AS base_quota,
+      CAST(CASE WHEN rr <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS INT)
+        AS extra,
+      CAST(base + CASE WHEN rr <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+        AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q66, q67, q68, q69, q74, q78, q85, q117)
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137)
 }

@@ -206,4 +206,27 @@ class CurationSpec extends SparkTestBase {
       assert(byDoc(id).toSeq.map(_._3).sum >= n, s"doc $id: chunks do not cover all tokens")
     }
   }
+
+  test("q137: allocations sum exactly to the budget and follow the largest-remainder order") {
+    val rows = Curation.q137.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val B = 1000000L
+    assert(rows.map(_._5).sum == B, s"allocations sum to ${rows.map(_._5).sum}, not $B")
+    rows.foreach { case (src, _, base, extra, alloc) =>
+      assert(extra == 0 || extra == 1)
+      assert(alloc == base + extra, s"$src alloc mismatch")
+    }
+    // proportionality: base quota is the exact floor of the share
+    val tTot = rows.map(_._2).sum
+    rows.foreach { case (src, t, base, _, _) =>
+      assert(base == B * t / tTot, s"$src base quota not the exact floor")
+    }
+    // the +1s go to the LARGEST remainders (ties by source name)
+    val byRem = rows.sortBy { case (src, t, _, _, _) => (-(B * t % tTot), src) }
+    val leftover = B - rows.map(_._3).sum
+    val expectedExtra = byRem.take(leftover.toInt).map(_._1).toSet
+    assert(rows.filter(_._4 == 1).map(_._1).toSet == expectedExtra,
+      "extra tokens not assigned by largest remainder")
+    assert(leftover > 0, "fixture leftover is zero; remainder path unexercised")
+  }
 }
