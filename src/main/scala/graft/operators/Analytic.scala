@@ -1422,7 +1422,56 @@ object Analytic extends QueryPack {
     SELECT 'TOTAL', CAST(t AS BIGINT), CAST(nk AS BIGINT) FROM tot
     ORDER BY rows_out DESC NULLS LAST, key ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q138
+  /** User-lifetime life table — the survival-analysis form of retention
+    * (q106 counts activity; this counts LIFETIMES): lifetime = days
+    * between a user's first and last event, and for each observed
+    * lifetime t the table reports how many users "died" at t
+    * (`n_events`) and how many were still alive entering t
+    * (`n_at_risk` = users with lifetime ≥ t). The Kaplan–Meier curve is
+    * the running product of (1 − d/n) over these rows — left to the
+    * reader deliberately: the TABLE is exact integers (cross-engine
+    * bit-stable), while a materialized product column would ride
+    * engine-specific windowed-double accumulation (DuckDB's windowed
+    * sums use segment trees — a different association order than
+    * Spark's sequential frame scan).
+    *
+    * Shape: one user-keyed min/max aggregate (corpus-sized,
+    * map-side-combinable), one aggregate to the ≤|days| lifetime
+    * distribution, then the reverse-cumulative n_at_risk as a global
+    * range window over that tiny frame — q78's whitelisted
+    * dimension-window pattern (the window moves ≤|days| rows, never
+    * data). */
+  val q138 = QueryDef(
+    "q138_life_table",
+    (spark, dir) => {
+      val spans = Tables(spark, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy(col("user_id"))
+        .agg(datediff(max(col("d")), min(col("d"))).as("lifetime"))
+      val dist = spans.groupBy(col("lifetime"))
+        .agg(count(lit(1)).as("n_events"))
+      val atRisk = Window.orderBy(col("lifetime").asc)
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      dist.withColumn("n_at_risk", sum(col("n_events")).over(atRisk))
+        .select(col("lifetime"), col("n_events"), col("n_at_risk"))
+        .orderBy(col("lifetime").asc_nulls_first)
+    },
+    Some("""WITH spans AS (
+      SELECT user_id,
+        CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+          AS INT) AS lifetime
+      FROM events GROUP BY user_id),
+    dist AS (
+      SELECT lifetime, COUNT(*) AS n_events FROM spans GROUP BY lifetime)
+    SELECT lifetime, n_events,
+      CAST(SUM(n_events) OVER (ORDER BY lifetime ASC
+        RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        AS n_at_risk
+    FROM dist
+    ORDER BY lifetime ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q131, q134, q135)
+      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138)
 }

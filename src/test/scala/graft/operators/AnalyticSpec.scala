@@ -554,6 +554,25 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("q138: life table matches naive lifetimes; at-risk counts telescope correctly") {
+    val acts = Tables(spark, sf0001).events
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val lifetimes = acts.groupBy(_._1).map { case (_, ds) =>
+      (ds.map(_._2).max - ds.map(_._2).min).toInt }
+    val dist = lifetimes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Analytic.q138.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == dist)
+    // n_at_risk telescopes: risk(t) = events(t) + risk(next t)
+    got.sliding(2).foreach {
+      case Array((_, d, n), (_, _, nNext)) => assert(n == d + nNext)
+      case _ =>
+    }
+    assert(got.last._2 == got.last._3, "last row must have risk == events")
+    assert(got.head._3 == lifetimes.size, "first at-risk must be the full cohort")
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
