@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, QueryDef, QueryPack, Tables}
+import graft.{Det, Materialize, QueryDef, QueryPack, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -598,6 +598,71 @@ object Curation extends QueryPack {
     FROM ranked
     ORDER BY source ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q139
+  /** Cross-source overlap matrix — "who copies whom": for every source
+    * pair, the size of the intersection of their 3-gram shingle SETS
+    * and the containment in both directions. The corpus-provenance
+    * artifact next to q66's doc-level decontamination: a source whose
+    * shingles are largely contained in another is a mirror/scrape, and
+    * the matrix says so at a glance.
+    *
+    * Shape: per-source shingle sets from the native
+    * [[Dedup.hashedShingleArray]] pass (explode + distinct — ONE
+    * shuffle on the 8-byte hash), cut once (sizes and both self-join
+    * sides consume it), then an EQUI self-join on the shingle hash with
+    * per-shingle fan-out bounded by sources-per-shingle ≤ |sources|
+    * (at a deployment with thousands of sources, add q103's df-cap on
+    * universal boilerplate shingles). Counts on hashes equal counts on
+    * strings absent collisions — q66's documented envelope, and the
+    * oracle recomputes from the strings. */
+  val q139 = QueryDef(
+    "q139_source_overlap",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val d = Tables(spark, dir).documents
+      val ssh = Materialize.cut(Dedup.hashedShingleArray(d)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("shs")).as("s"))
+        .distinct())
+      val sizes = ssh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = ssh.select(col("source").as("src_a"), col("s"))
+        .join(ssh.select(col("source").as("src_b"), col("s")), "s")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))),
+          "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
+          round(col("inter").cast("double") / col("sz_a"), 6).as("contain_a"),
+          round(col("inter").cast("double") / col("sz_b"), 6).as("contain_b"))
+        .orderBy(col("src_a").asc_nulls_first, col("src_b").asc_nulls_first)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    ssh AS (
+      SELECT DISTINCT d.source, sh.s
+      FROM sh JOIN documents d USING (doc_id)),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM ssh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+      ROUND(i.inter * 1.0 / za.sz, 6) AS contain_a,
+      ROUND(i.inter * 1.0 / zb.sz, 6) AS contain_b
+    FROM inter i
+    JOIN sizes za ON za.source = i.src_a
+    JOIN sizes zb ON zb.source = i.src_b
+    ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137)
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139)
 }

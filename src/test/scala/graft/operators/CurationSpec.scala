@@ -229,4 +229,30 @@ class CurationSpec extends SparkTestBase {
       "extra tokens not assigned by largest remainder")
     assert(leftover > 0, "fixture leftover is zero; remainder path unexercised")
   }
+
+  test("q139: pair intersections match a naive per-source shingle-set recompute") {
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val ts = text.split(" ").toSeq
+      if (ts.length < 3) Set(ts.mkString(" "))
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySource = docs.groupBy(_._2).view
+      .mapValues(_.flatMap(d => shingles(d._3)).toSet).toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      i = (bySource(a) & bySource(b)).size if i > 0
+    } yield (a, b) -> ((i.toLong, bySource(a).size.toLong, bySource(b).size.toLong)))
+      .toMap
+    val got = Curation.q139.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, {
+      val ks = (got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k))
+      ks.take(5).map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
+    })
+    assert(got.nonEmpty, "no overlapping source pair in fixture; matrix empty")
+  }
 }
