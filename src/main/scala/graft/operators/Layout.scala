@@ -230,5 +230,77 @@ object Layout extends QueryPack {
     GROUP BY 1
     ORDER BY event_type NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q100, q101)
+  // ------------------------------------------------------------- q140
+  /** Small-files compaction planner — the maintenance pass every landed
+    * layout eventually needs: given a directory of fragmented parquet
+    * files, group them into rewrite bins of ≈ target bytes
+    * (first-fit-decreasing), so one executor task per bin rewrites its
+    * group into a single right-sized file. The PLAN is the query's
+    * output (the artifact a maintenance job executes and an operator
+    * reviews); the rewrite itself is a trivial per-bin read+write.
+    *
+    * Driver state is the FILE MANIFEST — one (name, bytes) pair per
+    * file, the same bounded-by-layout class as the q101 skipping index
+    * (~10⁵ entries for 100 TB of 1 GB files). FFD is deterministic
+    * (sizes desc, name-tiebroken) and guarantees ≤ (11·OPT + 6)/9
+    * bins; oversized files get singleton bins with zero residual
+    * capacity. Rows-only by design: file byte sizes live in the
+    * filesystem, not in any relational table an oracle could query —
+    * the spec re-derives the plan from the same manifest and asserts
+    * capacity/lower-bound invariants. */
+  /** Deliberately fragmented landed copy of events (64 small files);
+    * sorted within partitions so file bytes are run-stable. */
+  private[graft] def ensureFragmented(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val path = s"$root/events_frag_${tag(dir)}"
+      if (!landed(path)) {
+        Tables(spark, dir).events
+          .repartition(64, col("event_id"))
+          .sortWithinPartitions(col("event_id"))
+          .write.mode("overwrite").parquet(path)
+        landed += path
+      }
+      path
+    }
+
+  /** The manifest of a layout directory: (file name, bytes), size-desc
+    * name-tiebroken — FFD's input order. */
+  private[graft] def manifest(spark: SparkSession, layout: String): Seq[(String, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(layout))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen)).toSeq
+      .sortBy { case (n, sz) => (-sz, n) }
+  }
+
+  /** First-fit-decreasing assignment of manifest entries to bins of
+    * `target` bytes: (file, bytes, bin). */
+  private[graft] def ffdPlan(files: Seq[(String, Long)],
+      target: Long): Seq[(String, Long, Int)] = {
+    val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    files.map { case (n, sz) =>
+      val i = caps.indexWhere(_ >= sz)
+      val bin =
+        if (i >= 0) { caps(i) -= sz; i }
+        else { caps += math.max(0L, target - sz); caps.length - 1 }
+      (n, sz, bin)
+    }
+  }
+
+  val q140 = QueryDef(
+    "q140_compaction_plan",
+    (spark, dir) => {
+      val layout = ensureFragmented(spark, dir)
+      val files = manifest(spark, layout)
+      val total = files.map(_._2).sum
+      val target = (total + 15) / 16 // plan ≈16 right-sized rewrite bins
+      import spark.implicits._
+      ffdPlan(files, target).toDF("file", "bytes", "bin")
+        .select(col("bin"), col("file"), col("bytes"))
+        .orderBy(col("bin").asc_nulls_first, col("file").asc_nulls_first)
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(q100, q101, q140)
 }

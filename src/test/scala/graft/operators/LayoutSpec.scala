@@ -107,4 +107,31 @@ class LayoutSpec extends SparkTestBase {
     assert(df.schema.fieldNames.contains("user_id"))
     assert(df.count() == 0)
   }
+
+  test("q140: the plan is exactly FFD over the manifest and respects bin capacity") {
+    val layout = Layout.ensureFragmented(spark, sf0001)
+    val files = Layout.manifest(spark, layout)
+    assert(files.size == 64, s"expected 64 fragments, got ${files.size}")
+    val total = files.map(_._2).sum
+    val target = (total + 15) / 16
+    val rows = Layout.q140.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // exact FFD reproduction
+    val expected = Layout.ffdPlan(files, target)
+      .map { case (f, b, bin) => (bin, f, b) }
+      .sortBy { case (bin, f, _) => (bin, f) }
+    assert(rows.toSeq == expected)
+    // every file planned exactly once
+    assert(rows.map(_._2).toSet == files.map(_._1).toSet)
+    // capacity: no multi-file bin exceeds the target
+    rows.groupBy(_._1).foreach { case (bin, fs) =>
+      if (fs.length > 1)
+        assert(fs.map(_._3).sum <= target, s"bin $bin over target")
+    }
+    // effectiveness: bins ≥ the volume lower bound, and strictly fewer
+    // bins than files (the plan actually compacts)
+    val nBins = rows.map(_._1).distinct.length
+    assert(nBins >= ((total + target - 1) / target).toInt)
+    assert(nBins < files.size, "plan does not compact anything")
+  }
 }
