@@ -1471,7 +1471,75 @@ object Analytic extends QueryPack {
     FROM dist
     ORDER BY lifetime ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q141
+  /** Two-sample Kolmogorov–Smirnov drift test between the month halves —
+    * the NONPARAMETRIC companion to q122's binned PSI: `D = max_v
+    * |F_a(v) − F_b(v)|` over the raw value distribution, no bins to
+    * tune, sensitive to any distributional difference. Output is the
+    * one-row verdict: the value where the CDFs diverge most, both
+    * cumulative counts there, the exact integer numerator
+    * `|ca·nb − cb·na|`, and D (with the 5%-level significance verdict
+    * `D > 1.358·√((na+nb)/(na·nb))`).
+    *
+    * Exactness is the design: cumulative counts come from
+    * [[GlobalCdf.withRunningTotals]] — the range-partitioned two-pass
+    * prefix sum, never a single-partition window over the value domain
+    * (the distinct-value frame scales with data; the oracle's global
+    * window form is exactly what 100 TB cannot plan) — and the argmax
+    * compares exact integer numerators (`ca·nb − cb·na` with
+    * na·nb < 2⁶³), tie-broken by value, so the chosen row is bit-stable
+    * cross-engine. Only the final division makes a double, once. */
+  val q141 = QueryDef(
+    "q141_ks_test",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("value"),
+          when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("ia"))
+      val perValue = e.groupBy(col("value"))
+        .agg(sum(col("ia")).as("wa"), sum(lit(1L) - col("ia")).as("wb"))
+      val (cdf, totals) = GlobalCdf.withRunningTotals(
+        perValue, Seq(col("value").asc), Seq("ca" -> col("wa"), "cb" -> col("wb")))
+      val na = totals("ca")
+      val nb = totals("cb")
+      val num = abs(col("ca") * nb - col("cb") * na)
+      val crit = 1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb))
+      cdf.select(col("value").as("value_at_max"), col("ca"), col("cb"),
+          num.as("num"), lit(na).as("na"), lit(nb).as("nb"))
+        .orderBy(col("num").desc_nulls_last, col("value_at_max").asc_nulls_first)
+        .limit(1)
+        .withColumn("d_stat",
+          round(col("num").cast(DoubleType) / (na.toDouble * nb), 6))
+        .withColumn("significant",
+          col("num").cast(DoubleType) / (na.toDouble * nb) > crit)
+    },
+    Some("""WITH e AS (
+      SELECT value,
+        CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS ia
+      FROM events),
+    pv AS (
+      SELECT value, CAST(SUM(ia) AS BIGINT) AS wa,
+        CAST(SUM(1 - ia) AS BIGINT) AS wb
+      FROM e GROUP BY value),
+    cdf AS (
+      SELECT value,
+        CAST(SUM(wa) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        CAST(SUM(wb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM pv),
+    tot AS (SELECT CAST(SUM(wa) AS BIGINT) AS na, CAST(SUM(wb) AS BIGINT) AS nb FROM pv),
+    best AS (
+      SELECT c.value AS value_at_max, c.ca, c.cb,
+        abs(c.ca * t.nb - c.cb * t.na) AS num, t.na, t.nb
+      FROM cdf c CROSS JOIN tot t
+      ORDER BY abs(c.ca * t.nb - c.cb * t.na) DESC NULLS LAST,
+        c.value ASC NULLS FIRST
+      LIMIT 1)
+    SELECT value_at_max, ca, cb, num, na, nb,
+      round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS d_stat,
+      CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb) >
+        1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)) AS significant
+    FROM best"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138)
+      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141)
 }

@@ -573,6 +573,50 @@ class AnalyticSpec extends SparkTestBase {
     assert(got.head._3 == lifetimes.size, "first at-risk must be the full cohort")
   }
 
+  test("GlobalCdf: running totals equal a sequential scan; no single-partition window planned") {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1 to 500).map(i => ((i * 37) % 1000, (i % 5).toLong, (i % 3).toLong))
+    val df = rows.toDF("k", "wa", "wb").repartition(7)
+    val (out, totals) = GlobalCdf.withRunningTotals(
+      df, Seq(c("k").asc), Seq("ca" -> c("wa"), "cb" -> c("wb")))
+    val got = out.select(c("k"), c("ca"), c("cb")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var (sa, sb) = (0L, 0L)
+    val expected = rows.sortBy(_._1).map { case (k, wa, wb) =>
+      sa += wa; sb += wb; (k, sa, sb) }
+    assert(got.toSeq == expected)
+    assert(totals == Map("ca" -> rows.map(_._2).sum, "cb" -> rows.map(_._3).sum))
+    // the running sums must never plan the banned global-window shape
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val globals = out.queryExecution.optimizedPlan.collect {
+      case w: LW if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, "GlobalCdf planned an empty-partitionBy window")
+  }
+
+  test("q141: the KS row matches a naive ECDF sweep exactly") {
+    val events = Tables(spark, sf0001).events
+      .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1) <= 15))
+    val na = events.count(_._2).toLong
+    val nb = events.size - na
+    val sweep = events.groupBy(_._1).view
+      .mapValues(vs => (vs.count(_._2).toLong, vs.count(!_._2).toLong))
+      .toSeq.sortBy(_._1)
+    var (ca, cb) = (0L, 0L)
+    val cum = sweep.map { case (v, (wa, wb)) => ca += wa; cb += wb; (v, ca, cb) }
+    val best = cum.maxBy { case (v, a, b) => (math.abs(a * nb - b * na), -v) }
+    val r = Analytic.q141.fn(spark, sf0001).collect()(0)
+    assert((r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((best._1, best._2, best._3, math.abs(best._2 * nb - best._3 * na), na, nb)),
+      s"got row $r, naive best $best (na=$na nb=$nb)")
+    val d = math.abs(best._2 * nb - best._3 * na).toDouble / (na.toDouble * nb)
+    // the query rounds d_stat to 6 dp
+    assert(math.abs(r.getDouble(6) - d) <= 5e-7)
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
