@@ -1539,7 +1539,67 @@ object Analytic extends QueryPack {
         1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)) AS significant
     FROM best"""))
 
+  // --------------------------------------------------------------- q142
+  /** Lorenz concentration curve — "the top 10% of customers hold X% of
+    * revenue": cumulative spend share at each customer-count decile,
+    * the curve whose area q120's Gini summarizes to one number (the
+    * curve says WHERE the concentration lives; an analyst reads both).
+    *
+    * Built on [[GlobalCdf]]: customers ordered by (spend desc, key),
+    * exact running totals of both customer COUNT and spend CENTS in one
+    * pass — never a single-partition window over the customer domain —
+    * then the ten decile boundary rows selected by exact integer rank
+    * (`⌈k·n/10⌉`, ANSI-ntile upper boundaries) and shares in exact ppm
+    * (`cum·10⁶ div total`). All integers until nothing; spend enters
+    * as cents so even the running sums are integer-exact. */
+  val q142 = QueryDef(
+    "q142_lorenz_curve",
+    (spark, dir) => {
+      val spend = Tables(spark, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"))
+      val (cdf, totals) = GlobalCdf.withRunningTotals(
+        spend, Seq(col("cents").desc, col("o_custkey").asc),
+        Seq("cum_n" -> lit(1L), "cum_cents" -> col("cents")))
+      val n = totals("cum_n")
+      val totCents = totals("cum_cents")
+      // ANSI-ntile upper boundaries, deduped to the smallest decile when
+      // n < 10 makes neighbours collide
+      val bounds = (1 to 10).map(k => (k, (k * n + 9) / 10))
+        .groupBy(_._2).map { case (b, ks) => (ks.map(_._1).min, b) }
+        .toSeq.sortBy(_._1)
+      import spark.implicits._
+      val bdf = bounds.toDF("decile", "cum_n")
+      cdf.join(broadcast(bdf), "cum_n")
+        .select(col("decile"), col("cum_n").as("cum_customers"),
+          col("cum_cents"),
+          expr(s"(cum_cents * 1000000L) div ${totCents}L").as("share_ppm"))
+        .orderBy(col("decile").asc_nulls_first)
+    },
+    Some("""WITH spend AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    cdf AS (
+      SELECT o_custkey, cents,
+        CAST(row_number() OVER w AS BIGINT) AS cum_n,
+        CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_cents
+      FROM spend
+      WINDOW w AS (ORDER BY cents DESC, o_custkey ASC)),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot_cents
+      FROM spend),
+    bounds AS (
+      SELECT CAST(u.k AS INT) AS decile, (u.k * t.n + 9) // 10 AS b
+      FROM tot t, UNNEST(range(1, 11)) AS u(k)),
+    bd AS (SELECT MIN(decile) AS decile, b FROM bounds GROUP BY b)
+    SELECT bd.decile, c.cum_n AS cum_customers, c.cum_cents,
+      (c.cum_cents * 1000000) // t.tot_cents AS share_ppm
+    FROM cdf c JOIN bd ON c.cum_n = bd.b CROSS JOIN tot t
+    ORDER BY decile ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141)
+      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142)
 }

@@ -617,6 +617,31 @@ class AnalyticSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(6) - d) <= 5e-7)
   }
 
+  test("q142: decile rows match a naive sorted cumulative-spend sweep") {
+    val spend = Tables(spark, sf0001).orders
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq
+    val ordered = spend.sortBy { case (k, c) => (-c, k) }
+    val n = ordered.size.toLong
+    val tot = ordered.map(_._2).sum
+    var cum = 0L
+    val cumRows = ordered.zipWithIndex.map { case ((_, c), i) =>
+      cum += c; (i + 1L, cum) }.toMap
+    val expected = (1 to 10).map { k =>
+      val b = (k * n + 9) / 10
+      (k, b, cumRows(b), cumRows(b) * 1000000L / tot)
+    }
+    val got = Analytic.q142.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected, s"got=${got.toSeq}\nexp=$expected")
+    // a concentration curve must be concave-from-above: share gained in
+    // the first decile exceeds the last decile's gain
+    val firstGain = got.head._4
+    val lastGain = got.last._4 - got(8)._4
+    assert(firstGain > lastGain, "no concentration visible in the curve")
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
