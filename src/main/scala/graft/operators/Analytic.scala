@@ -1599,7 +1599,91 @@ object Analytic extends QueryPack {
     FROM cdf c JOIN bd ON c.cum_n = bd.b CROSS JOIN tot t
     ORDER BY decile ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q143
+  /** Per-segment KS drift — q141's test evaluated independently per
+    * event type: the triage table ("WHICH signal drifted?") a drift
+    * alarm fans out to after the corpus-level verdict fires. One row
+    * per type with its own D statistic, divergence location and
+    * significance.
+    *
+    * Shape differs from q141 deliberately: with the value domain SPLIT
+    * by a grouping key, the running sums are a window PARTITIONED by
+    * that key over the per-(type, value) count frame — distributed by
+    * construction, no GlobalCdf needed (that primitive exists for the
+    * UNPARTITIONED domain). Per-type totals ride the same window with
+    * an unbounded frame; the per-type argmax is one `max_by` over the
+    * exact integer struct (|num| desc, value asc — encoded as
+    * (num, −value) so the struct MAX is the tie-broken argmax).
+    * Exactness rules are q141's: integer numerators, one division at
+    * output. */
+  val q143 = QueryDef(
+    "q143_ks_by_group",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("event_type"), col("value"),
+          when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("ia"))
+      val pv = e.groupBy(col("event_type"), col("value"))
+        .agg(sum(col("ia")).as("wa"), sum(lit(1L) - col("ia")).as("wb"))
+      val run = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cdf = pv
+        .withColumn("ca", sum(col("wa")).over(run))
+        .withColumn("cb", sum(col("wb")).over(run))
+        .withColumn("na", sum(col("wa")).over(all))
+        .withColumn("nb", sum(col("wb")).over(all))
+        .withColumn("num", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      cdf.groupBy(col("event_type"))
+        .agg(
+          max(struct(col("num"), (-col("value")).as("nv"), col("value"),
+            col("ca"), col("cb"), col("na"), col("nb"))).as("best"))
+        .select(col("event_type"),
+          col("best.value").as("value_at_max"),
+          col("best.ca").as("ca"), col("best.cb").as("cb"),
+          col("best.num").as("num"),
+          col("best.na").as("na"), col("best.nb").as("nb"))
+        .withColumn("d_stat",
+          round(col("num").cast(DoubleType) /
+            (col("na").cast(DoubleType) * col("nb")), 6))
+        .withColumn("significant",
+          col("num").cast(DoubleType) / (col("na").cast(DoubleType) * col("nb")) >
+            lit(1.358) * sqrt((col("na") + col("nb")).cast(DoubleType) /
+              (col("na").cast(DoubleType) * col("nb"))))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT event_type, value,
+        CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS ia
+      FROM events),
+    pv AS (
+      SELECT event_type, value, CAST(SUM(ia) AS BIGINT) AS wa,
+        CAST(SUM(1 - ia) AS BIGINT) AS wb
+      FROM e GROUP BY 1, 2),
+    cdf AS (
+      SELECT event_type, value,
+        CAST(SUM(wa) OVER (PARTITION BY event_type ORDER BY value
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        CAST(SUM(wb) OVER (PARTITION BY event_type ORDER BY value
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+        CAST(SUM(wa) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        CAST(SUM(wb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM pv),
+    best AS (
+      SELECT event_type, value AS value_at_max, ca, cb,
+        abs(ca * nb - cb * na) AS num, na, nb,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY abs(ca * nb - cb * na) DESC, value ASC) AS rn
+      FROM cdf)
+    SELECT event_type, value_at_max, ca, cb, num, na, nb,
+      round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS d_stat,
+      CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb) >
+        1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)) AS significant
+    FROM best WHERE rn = 1
+    ORDER BY event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
-      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142)
+      q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
+      q143)
 }

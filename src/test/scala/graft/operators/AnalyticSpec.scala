@@ -642,6 +642,31 @@ class AnalyticSpec extends SparkTestBase {
     assert(firstGain > lastGain, "no concentration visible in the curve")
   }
 
+  test("q143: per-type KS rows match independent naive sweeps") {
+    val events = Tables(spark, sf0001).events
+      .select(col("event_type"), col("value"), dayofmonth(col("ts")).as("dom"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2) <= 15))
+    val expected = events.groupBy(_._1).map { case (t, rows) =>
+      val na = rows.count(_._3).toLong
+      val nb = rows.size - na
+      val sweep = rows.groupBy(_._2).view
+        .mapValues(vs => (vs.count(_._3).toLong, vs.count(!_._3).toLong))
+        .toSeq.sortBy(_._1)
+      var (ca, cb) = (0L, 0L)
+      val cum = sweep.map { case (v, (wa, wb)) => ca += wa; cb += wb; (v, ca, cb) }
+      val best = cum.maxBy { case (v, a, b) => (math.abs(a * nb - b * na), -v) }
+      t -> ((best._1, best._2, best._3, math.abs(best._2 * nb - best._3 * na), na, nb))
+    }
+    val got = Analytic.q143.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, {
+      val ks = (got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k))
+      ks.map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
+    })
+    assert(got.size == events.map(_._1).distinct.size)
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
