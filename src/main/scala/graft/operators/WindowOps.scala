@@ -720,6 +720,65 @@ object WindowOps extends QueryPack {
     GROUP BY day
     ORDER BY day ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q144
+  /** Deadline-bounded funnel — q105's strict-order stages with a
+    * conversion WINDOW: a view only counts within 24 h of the signup,
+    * a purchase within 24 h of that view. The product-analytics form
+    * ("converted within a day"), where unbounded q105 answers
+    * "converted ever"; the gap between the two numbers is itself the
+    * signal. Output: per-stage reached counts and the conversion rate
+    * from the previous stage.
+    *
+    * Same scale shape as q105 — per-stage min-aggregates and equi-joins
+    * on `user_id`; the deadline is one extra integer-µs predicate
+    * riding each stage's filter. Rates are exact integer ratios
+    * divided once (rounded at output). */
+  val q144 = QueryDef(
+    "q144_funnel_deadline",
+    (spark, dir) => {
+      val dayUs = 86400L * 1000000L
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+      val v = e.filter(col("event_type") === "view")
+        .join(s, "user_id")
+        .filter(col("us") > col("s_us") && col("us") <= col("s_us") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("us") > col("v_us") && col("us") <= col("v_us") + dayUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      val counts = s.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_signup"))
+        .unionByName(v.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_view_24h")))
+        .unionByName(p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase_24h")))
+      val w = Window.orderBy(col("stage").asc)
+      counts
+        .withColumn("conv_rate",
+          round(col("n").cast(DoubleType) / lag(col("n"), 1).over(w), 6))
+        .select(col("stage"), col("n"), col("conv_rate"))
+        .orderBy(col("stage").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+    s AS (SELECT user_id, MIN(us) AS s_us FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(us) AS v_us FROM e JOIN s USING (user_id)
+          WHERE event_type = 'view' AND us > s_us AND us <= s_us + 86400000000
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'purchase' AND us > v_us AND us <= v_us + 86400000000
+          GROUP BY e.user_id),
+    counts AS (
+      SELECT '1_signup' AS stage, COUNT(*) AS n FROM s
+      UNION ALL SELECT '2_view_24h', COUNT(*) FROM v
+      UNION ALL SELECT '3_purchase_24h', COUNT(*) FROM p)
+    SELECT stage, n,
+      round(CAST(n AS DOUBLE) / lag(n, 1) OVER (ORDER BY stage ASC), 6)
+        AS conv_rate
+    FROM counts
+    ORDER BY stage ASC NULLS FIRST"""))
+
   // ---------------------------------------------------------------- q106
   /** Cohort retention: users grouped by first-seen day (their cohort),
     * counted per day-offset of later activity — the day-N retention
@@ -793,5 +852,5 @@ object WindowOps extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133)
+      q105, q106, q107, q129, q133, q144)
 }

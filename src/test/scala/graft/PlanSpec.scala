@@ -237,7 +237,9 @@ class PlanSpec extends SparkTestBase {
     val allowed = Set("q78_mix_weights", "q137_token_apportion",
       // q138's reverse-cumulative runs over the ≤|days| lifetime
       // distribution — dimension-sized, same argument.
-      "q138_life_table")
+      "q138_life_table",
+      // q144's lag runs over the 3-row stage-count frame.
+      "q144_funnel_deadline")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

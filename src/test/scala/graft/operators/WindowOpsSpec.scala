@@ -196,6 +196,39 @@ class WindowOpsSpec extends SparkTestBase {
       "no day shows lookback accumulation; window semantics untested")
   }
 
+  test("q144 deadline funnel: stages respect the 24h windows; reach never exceeds q105") {
+    val dir = eventsDir(Seq(
+      // u1: view 1h after signup (in window), purchase 2h after view (in)
+      (1L, "2024-01-01 00:00:00", 1L, "signup"),
+      (2L, "2024-01-01 01:00:00", 1L, "view"),
+      (3L, "2024-01-01 03:00:00", 1L, "purchase"),
+      // u2: view 30h after signup — MISSES the 24h deadline
+      (4L, "2024-01-02 00:00:00", 2L, "signup"),
+      (5L, "2024-01-03 06:00:00", 2L, "view"),
+      // u3: view in window, purchase 25h after view — misses stage 3
+      (6L, "2024-01-04 00:00:00", 3L, "signup"),
+      (7L, "2024-01-04 01:00:00", 3L, "view"),
+      (8L, "2024-01-05 02:00:00", 3L, "purchase")))
+    val out = WindowOps.q144.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out == Seq(
+      ("1_signup", 3L, None),
+      ("2_view_24h", 2L, Some(0.666667)),
+      ("3_purchase_24h", 1L, Some(0.5))), s"got $out")
+    // fixture-wide: bounded reach can never exceed unbounded q105 reach
+    val unbounded = WindowOps.q105.fn(spark, sf0001).collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bounded = WindowOps.q144.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bounded("1_signup") ==
+      unbounded.getOrElse("signup", 0L) + unbounded.getOrElse("view", 0L) +
+        unbounded.getOrElse("purchase", 0L))
+    assert(bounded("2_view_24h") <=
+      unbounded.getOrElse("view", 0L) + unbounded.getOrElse("purchase", 0L))
+    assert(bounded("3_purchase_24h") <= unbounded.getOrElse("purchase", 0L))
+  }
+
   test("q107 path transitions: per-user ordered bigram counts, first events excluded") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "signup"),   // u1: signup->view->view->purchase
