@@ -1682,8 +1682,58 @@ object Analytic extends QueryPack {
     FROM best WHERE rn = 1
     ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q145
+  /** Feed-freshness report — "which feeds are stale?": per event type,
+    * the last-seen instant, the lag behind the freshest feed, and the
+    * type's volume in its own trailing 24 h. The landing-zone health
+    * check a scheduler consults before kicking downstream jobs (the
+    * reference's sensor-then-run pattern,
+    * `/root/reference/dags/update_tr_from_ex_dag.py:127-128`, as a
+    * table).
+    *
+    * Two passes, q126's shape: one max-aggregate to the per-type
+    * anchors (map-side combinable), anchors broadcast back for the
+    * trailing-24 h count. The global anchor rides a window over the
+    * |types|-row frame (whitelisted dimension-window pattern).
+    * Determinism: instants emitted as epoch-µs BIGINT (contract — no
+    * raw timestamp outputs), lags as exact integer seconds. */
+  val q145 = QueryDef(
+    "q145_freshness",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val anchors = e.groupBy(col("event_type"))
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_total"))
+      val counts = e.join(broadcast(anchors.select(col("event_type"), col("last_us"))),
+          "event_type")
+        .filter(col("us") > col("last_us") - 86400000000L)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_last_24h"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      anchors.join(counts, "event_type")
+        .withColumn("gmax", max(col("last_us")).over(all))
+        .withColumn("lag_s", expr("(gmax - last_us) div 1000000L"))
+        .select(col("event_type"), col("last_us"), col("lag_s"),
+          col("n_total"), col("n_last_24h"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+    anchors AS (
+      SELECT event_type, MAX(us) AS last_us, COUNT(*) AS n_total
+      FROM e GROUP BY event_type),
+    counts AS (
+      SELECT e.event_type, COUNT(*) AS n_last_24h
+      FROM e JOIN anchors a USING (event_type)
+      WHERE e.us > a.last_us - 86400000000
+      GROUP BY e.event_type)
+    SELECT a.event_type, a.last_us,
+      (MAX(a.last_us) OVER () - a.last_us) // 1000000 AS lag_s,
+      a.n_total, c.n_last_24h
+    FROM anchors a JOIN counts c USING (event_type)
+    ORDER BY a.event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143)
+      q143, q145)
 }

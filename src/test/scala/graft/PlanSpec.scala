@@ -239,7 +239,9 @@ class PlanSpec extends SparkTestBase {
       // distribution — dimension-sized, same argument.
       "q138_life_table",
       // q144's lag runs over the 3-row stage-count frame.
-      "q144_funnel_deadline")
+      "q144_funnel_deadline",
+      // q145's global-max anchor runs over the |types|-row frame.
+      "q145_freshness")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -667,6 +667,26 @@ class AnalyticSpec extends SparkTestBase {
     assert(got.size == events.map(_._1).distinct.size)
   }
 
+  test("q145: per-type anchors, lags and trailing-24h volumes match a naive recompute") {
+    val events = Tables(spark, sf0001).events
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = events.groupBy(_._1)
+    val gmax = events.map(_._2).max
+    val expected = byType.map { case (t, rows) =>
+      val last = rows.map(_._2).max
+      t -> ((last, (gmax - last) / 1000000L, rows.size.toLong,
+        rows.count(_._2 > last - 86400000000L).toLong))
+    }
+    val got = Analytic.q145.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // the freshest feed has zero lag; at least one other feed lags
+    assert(got.values.exists(_._2 == 0L))
+    assert(got.values.exists(_._2 > 0L), "all feeds equally fresh; lag untested")
+  }
+
   test("q122: per-bin PSI contributions match a naive recompute and the -1 row is their sum") {
     val events = Tables(spark, sf0001).events
       .select(col("value"), dayofmonth(col("ts")).as("dom")).collect()
