@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "analytic", "pagerank", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|analytic|pagerank|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|analytic|pagerank|cdf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -95,6 +95,32 @@ object ScaleProbe {
       val nPairs = pairs.count()
       println(f"SCALE-WINNOW f=$f docs=$nDocs fps=$nFps pairs=$nPairs " +
         f"t_fp=$tFp%.2f t_pairs=$tPairs%.2f")
+    }
+
+    // ---- cdf (GlobalCdf / q141): the two-pass prefix sum must stay
+    // range-shuffle-shaped as the DISTINCT-VALUE domain grows — wall
+    // tracks the domain (one range exchange + per-partition window),
+    // and driver state stays at P offset rows regardless of f.
+    if (mode == "cdf") factors.foreach { f =>
+      val pv0 = graft.Tables(spark, sfDir).events
+        .select(col("value"),
+          when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("ia"))
+      // replicate the VALUE DOMAIN: shift each copy into its own band so
+      // distinct values (the frame GlobalCdf sorts) grow f×
+      val pv = (if (f == 1) pv0
+        else pv0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("value") + col("i") * lit(1000.0)).as("value"), col("ia")))
+        .groupBy(col("value"))
+        .agg(sum(col("ia")).as("wa"), sum(lit(1L) - col("ia")).as("wb"))
+        .localCheckpoint()
+      val nVals = pv.count()
+      val (out, tCdf) = timed {
+        val (cdf, _) = graft.operators.GlobalCdf.withRunningTotals(
+          pv, Seq(col("value").asc), Seq("ca" -> col("wa"), "cb" -> col("wb")))
+        cdf.write.format("noop").mode("overwrite").save()
+        cdf
+      }
+      println(f"SCALE-CDF f=$f distinct_values=$nVals t_prefix_sums=$tCdf%.2f")
     }
 
     // ---- pagerank (q127): the two stages must scale on DIFFERENT axes —
