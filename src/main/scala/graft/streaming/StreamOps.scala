@@ -637,6 +637,59 @@ class MGProcessor(capacity: Int)
   }
 }
 
+/** One live event's (type, epoch-µs) for the freshness monitor. */
+case class TypeSeen(eventType: String, us: Long)
+
+/** One freshness emission per touched feed per micro-batch. */
+case class Freshness(eventType: String, lastUs: Long, nTotal: Long)
+
+/** Streaming feed-freshness monitor — the live twin of batch q145 and
+  * the direct streaming form of the reference's HttpSensor
+  * (`/root/reference/dags/update_tr_from_ex_dag.py:127-128`): instead
+  * of polling every 60 s for "has the upstream produced?", the monitor
+  * rides the event stream itself and re-emits each feed's last-seen
+  * instant and total volume as data arrives; a scheduler reads the
+  * latest emission per feed and applies its own staleness threshold.
+  *
+  * State per feed is two longs — bounded forever; parity with the
+  * batch anchors is EXACT (max and count are order- and
+  * batch-boundary-insensitive), spec-asserted. */
+object StreamFreshness {
+
+  /** (type, epoch-µs) rows — narrow ops only; static or streaming. */
+  def typeSeen(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("eventType"),
+      unix_micros(col("ts")).as("us"))
+
+  /** The stateful per-feed anchor over [[typeSeen]] rows. */
+  def gauge(rows: DataFrame): Dataset[Freshness] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("eventType"), col("us")).as[TypeSeen]
+      .groupByKey(_.eventType)
+      .transformWithState(new FreshnessProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-feed (last-seen, count) machine behind [[StreamFreshness]]. */
+class FreshnessProcessor
+    extends StatefulProcessor[String, TypeSeen, Freshness] {
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("anchor",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[TypeSeen],
+      timerValues: TimerValues): Iterator[Freshness] = {
+    var (last, n) = if (st.exists()) st.get() else (Long.MinValue, 0L)
+    rows.foreach { r => if (r.us > last) last = r.us; n += 1 }
+    st.update((last, n))
+    Iterator.single(Freshness(key, last, n))
+  }
+}
+
 /** One binned live event routed to its (bin, shard) cell. */
 case class BinRow(cell: Int, bin: Int)
 

@@ -689,4 +689,35 @@ class StreamOpsSpec extends SparkTestBase {
     assert(perDay.values.exists(_.size > 1),
       "no day re-emitted a grown estimate; state carry untested")
   }
+
+  test("freshness monitor: final per-feed anchors equal batch q145's last-seen and totals") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val rows = StreamFreshness.typeSeen(graft.Tables(s2, sf0001).events)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)](
+      newProductEncoder[(String, Long)], s2.sqlContext)
+    val q = StreamFreshness.gauge(in.toDF().toDF("eventType", "us"))
+      .writeStream.outputMode("append").format("memory").queryName("fresh")
+      .start()
+    in.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per feed = the one carrying its max count
+    val streamed = s2.table("fresh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(es => es.maxBy(_._3)).toMap
+    val batch = graft.operators.Analytic.q145.fn(s2, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (t, (lastUs, nTotal)) =>
+      val (_, gotLast, gotN) = streamed(t)
+      assert(gotLast == lastUs && gotN == nTotal,
+        s"$t: stream ($gotLast,$gotN) vs batch ($lastUs,$nTotal)")
+    }
+  }
 }
