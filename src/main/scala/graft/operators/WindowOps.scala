@@ -850,7 +850,67 @@ object WindowOps extends QueryPack {
     GROUP BY 1, 2
     ORDER BY prev_type ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q146
+  /** Per-user behavioral diversity — the Gini–Simpson index over each
+    * user's event-type TRANSITION distribution (q107's bigrams at user
+    * grain): `1 − Σ(c_i/n)²`. Near 0 = a loop (bot-like repetition of
+    * one transition), near the max = uniformly mixed behavior — the
+    * per-account signal a bot/abuse screen thresholds, and the
+    * diversity form chosen deliberately over Shannon entropy: Simpson
+    * is a RATIONAL of integer counts (`1 − Σc²/n²`), so the score is
+    * bit-stable cross-engine with no `ln` and no double reduction
+    * anywhere ([[Det]]'s rule, the same reason q109 rejects `regr_*`).
+    *
+    * Shape: one per-user lag window (partitioned — q107's), one
+    * (user, transition) hash aggregate, one per-user re-aggregate; all
+    * keyed on `user_id`, everything map-side combinable after the
+    * window. Users with < 2 events have no transitions and drop out
+    * (documented; they have no behavior to score). */
+  val q146 = QueryDef(
+    "q146_behavior_diversity",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc_nulls_first, col("event_id").asc_nulls_first)
+      e.withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("user_id"), col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("c")).as("n_transitions"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("ssq"))
+        .select(col("user_id"), col("n_transitions"), col("n_distinct"),
+          round(lit(1.0) - col("ssq").cast(DoubleType) /
+            (col("n_transitions").cast(DoubleType) * col("n_transitions")), 6)
+            .as("simpson"))
+        .orderBy(col("user_id").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, event_id
+      FROM events),
+    t AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_type
+      FROM e),
+    pairs AS (
+      SELECT user_id, prev_type, event_type, COUNT(*) AS c
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2, 3)
+    SELECT user_id,
+      CAST(SUM(c) AS BIGINT) AS n_transitions,
+      COUNT(*) AS n_distinct,
+      round(1.0 - CAST(SUM(c * c) AS DOUBLE) /
+        (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS simpson
+    FROM pairs
+    GROUP BY user_id
+    ORDER BY user_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144)
+      q105, q106, q107, q129, q133, q144, q146)
 }

@@ -229,6 +229,34 @@ class WindowOpsSpec extends SparkTestBase {
     assert(bounded("3_purchase_24h") <= unbounded.getOrElse("purchase", 0L))
   }
 
+  test("q146 behavior diversity: Simpson scores match a naive per-user recompute") {
+    val events = graft.Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      if (ordered.length < 2) None
+      else {
+        val pairs = ordered.sliding(2).map(p => (p(0), p(1))).toSeq
+        val counts = pairs.groupBy(identity).map(_._2.size.toLong)
+        val n = counts.sum
+        val simpson = 1.0 - counts.map(c => c * c).sum.toDouble / (n.toDouble * n)
+        Some(u -> ((n, counts.size.toLong,
+          BigDecimal(simpson).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+    }
+    val got = WindowOps.q146.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected, {
+      val ks = (got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k))
+      ks.take(5).map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
+    })
+    // the score must discriminate: loops and mixed behavior both exist
+    assert(got.values.map(_._3).toSet.size > 10, "scores nearly constant; index uninformative")
+  }
+
   test("q107 path transitions: per-user ordered bigram counts, first events excluded") {
     val dir = eventsDir(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "signup"),   // u1: signup->view->view->purchase
