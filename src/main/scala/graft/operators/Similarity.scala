@@ -71,21 +71,53 @@ object Similarity extends QueryPack {
     SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 5
     ORDER BY qid, rk"""))
 
+  /** The exact top-5 SQL — q41's oracle verbatim. It is ALSO the oracle
+    * for the two ANN queries (q42, q84) under the q44 VERIFIED-SF
+    * ENVELOPE precedent: their geometries are sized so the candidate set
+    * provably (spec: SimilarityQualitySpec "ANN … equals the exact
+    * top-5 at every fixture SF") contains the full true top-5 at EVERY
+    * shipped fixture, and a superset of the top-5 re-ranked by the same
+    * (cos DESC, vec_id) comparator IS the top-5. A new fixture or SF
+    * must extend that assertion; on a genuine miss, demote the missing
+    * query back to rows-only (oracle = None) like the historical q32. */
+  private val exactTopKSql: String = q41.oracle.get
+
   // ---------------------------------------------------------------- q42
-  /** ANN via multi-table sign-LSH (16 tables × 4 planes): both sides
+  /** ANN via multi-table sign-LSH (32 tables × 3 planes): both sides
     * exploded to (table, bucket) keys; candidate pairs collide in ANY
     * table (equi-join shuffle, no cross product), deduped, then
-    * exact-cosine re-ranked. Approximate → no SQL oracle (rows-only
-    * check); recall vs the exact top-k is asserted in
-    * SimilarityQualitySpec. */
+    * exact-cosine re-ranked.
+    *
+    * VERIFIED-SF ENVELOPE (q44 precedent): 32×3 holds the per-neighbor
+    * miss probability ≈ (1 − c³)³² < 5·10⁻⁴ even for the weakest true
+    * top-5 cosines in the fixtures (c = 1 − θ/π ≈ 0.6 at cos ≈ 0.3), and
+    * SimilarityQualitySpec asserts output equality with exact q41 at ALL
+    * shipped fixtures — so the oracle is q41's exact SQL
+    * ([[exactTopKSql]]). The former 16×4 geometry measured recall
+    * 0.88–0.98 across fixtures and was rows-only; 3 planes × 32 tables
+    * buys exactness at the fixture envelope for the same 96-plane hash
+    * budget class. At 100 TB, planes deepen ~log₂(n) to hold bucket
+    * occupancy and tables grow to hold the miss bound (see
+    * [[neardupPairsOn]] geometry notes) — and the envelope rule demotes
+    * this oracle to rows-only if a new fixture ever misses. */
   val q42 = QueryDef(
     "q42_ann_lsh",
     (spark, dir) => {
       GraftFunctions.register(spark)
-      val em = Tables(spark, dir).embeddings
+      annTopKLsh(Tables(spark, dir).embeddings, tables = 32, planesPerTable = 3)
+    },
+    Some(exactTopKSql))
+
+  /** The q42 pipeline over an arbitrary `(vec_id, embedding)` frame with
+    * explicit multi-table sign-LSH geometry (also the geometry probe used
+    * to size the verified-SF envelope). */
+  private[graft] def annTopKLsh(embeddings: org.apache.spark.sql.DataFrame,
+      tables: Int, planesPerTable: Int, k: Int = 5): org.apache.spark.sql.DataFrame = {
+      GraftFunctions.register(embeddings.sparkSession)
+      val em = embeddings
       val bucketed = em.select(col("vec_id"),
-          posexplode(lshBucketTables(col("embedding"), tables = 16,
-            planesPerTable = 4)).as(Seq("tbl", "bkt")))
+          posexplode(lshBucketTables(col("embedding"), tables = tables,
+            planesPerTable = planesPerTable)).as(Seq("tbl", "bkt")))
       val queries = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
       val candIds = bucketed.join(queries, Seq("tbl", "bkt"))
@@ -101,11 +133,10 @@ object Similarity extends QueryPack {
         .join(em, "vec_id")
         .withColumn("cos", round(cosineNative(col("qvec"), col("embedding")), 6))
         .withColumn("rk", row_number().over(w).cast(IntegerType))
-        .filter(col("rk") <= 5)
+        .filter(col("rk") <= k)
         .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
         .orderBy(col("qid"), col("rk"))
-    },
-    None)
+  }
 
   /** The q42 ANN operator under multi-probe geometry — the regime where
     * multi-probe actually WINS wall-clock (unlike pair mining, see
@@ -154,16 +185,19 @@ object Similarity extends QueryPack {
     * [[probesFor]](4) = 11 probes, and 4 index tables — the ~4× table
     * reduction over q42's 16 exact tables that multi-probe exists to
     * buy (index hashing, shuffle volume and state all shrink with it).
-    * Approximate → rows-only check like q42; the recall floor vs exact
-    * q41 and exact-cosine agreement are asserted in
-    * SimilarityQualitySpec. */
+    *
+    * VERIFIED-SF ENVELOPE (q44 precedent): at this geometry the probe
+    * set covers every bucket within Hamming distance 1 plus the exact
+    * bucket per table, and SimilarityQualitySpec asserts output equality
+    * with exact q41 at ALL shipped fixtures — so the oracle is q41's
+    * exact SQL ([[exactTopKSql]]), demote-on-miss rule applies. */
   val q84 = QueryDef(
     "q84_ann_multiprobe",
     (spark, dir) =>
       annTopKMultiProbe(
         Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
         tables = 4, planesPerTable = 4, probes = 11),
-    None)
+    Some(exactTopKSql))
 
   // ---------------------------------------------------------------- q43
   /** Per-label centroid, exploded to (label, dim) — a typed vector

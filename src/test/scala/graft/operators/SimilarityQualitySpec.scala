@@ -329,23 +329,36 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
-  test("LSH recall vs exact top-5 is reported and sane (q42 vs q41)") {
-    val exact = Similarity.q41.fn(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = Similarity.q42.fn(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact & ann).size.toDouble / exact.size
-    info(f"ANN recall@5 = $recall%.2f (16-table × 4-plane sign-LSH)")
-    assert(recall >= 0.6, s"recall collapsed: $recall")
+  test("ANN q42/q84 equal the exact top-5 at every fixture SF (oracle envelope)") {
+    // This IS the oracle envelope for the two ANN queries: their DuckDB
+    // oracle is q41's exact all-pairs SQL, valid only where the LSH
+    // candidate set provably contains the full true top-5. Assert full
+    // output equality (ranks and cosines, not just id recall) at ALL
+    // shipped fixture scales so a new fixture/SF that breaks the
+    // envelope fails HERE with a precise message — on a genuine miss,
+    // demote the missing query to rows-only (oracle = None).
+    import org.apache.spark.sql.functions.col
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val exact = Similarity.q41.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      val q42rows = Similarity.q42.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(q42rows == exact,
+        s"q42 (32×3 sign-LSH) missed the exact top-5 at $dir — demote q42 to rows-only")
+      val q84rows = Similarity.q84.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(q84rows == exact,
+        s"q84 (4×4×11 multi-probe) missed the exact top-5 at $dir — demote q84 to rows-only")
+    }
   }
 
-  test("multi-probe ANN holds q42's recall with 4× fewer index tables") {
+  test("multi-probe ANN holds q42's recall with 8× fewer index tables") {
     import org.apache.spark.sql.functions.col
     val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val exact = Similarity.q41.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    // q42's geometry is 16 exact tables; the multi-probe form indexes
+    // q42's geometry is 32 exact tables; the multi-probe form indexes
     // only 4 and recovers the recall by probing 11 buckets per table on
     // the (tiny) query side — the index-size regime multi-probe is FOR
     val mp = Similarity.annTopKMultiProbe(em, tables = 4,
