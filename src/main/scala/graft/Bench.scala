@@ -114,7 +114,11 @@ object Bench {
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     } ++ views
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds: sub-0.1ms precision is noise, and the shorter
+    // line keeps the driver's stdout capture (which has truncated a
+    // full-precision tail before — BENCH_r11's `parsed: null`) intact
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map { case (_, v) => if (v < 0) FailurePenaltySec else v }.sum
@@ -130,7 +134,19 @@ object Bench {
         val b = Baseline.seconds(name)
         f"""{"query":"$name","sec":$sec%.2f,"baseline":$b,"ratio":${sec / b}%.2f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"sf":"$sfDir"}"""
+    // The stdout line is the driver contract, but driver artifacts have
+    // truncated it mid-tail (BENCH_r11.json ends before q44, parsed:
+    // null) — so ALSO land the identical JSON as files: one under /tmp
+    // for the driver's collection, one in the repo so every round's full
+    // machine-readable bench survives in git.
+    for (p <- Seq("/tmp/bench_full.json", "bench_full.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH WARN: could not write $p: ${t.getMessage}") }
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -244,10 +244,12 @@ object Layout extends QueryPack {
     * (~10⁵ entries for 100 TB of 1 GB files). FFD is deterministic
     * (sizes desc, name-tiebroken) and guarantees ≤ (11·OPT + 6)/9
     * bins; oversized files get singleton bins with zero residual
-    * capacity. Rows-only by design: file byte sizes live in the
-    * filesystem, not in any relational table an oracle could query —
-    * the spec re-derives the plan from the same manifest and asserts
-    * capacity/lower-bound invariants. */
+    * capacity. The REGISTERED q140 states the plan over a RELATIONAL
+    * manifest ([[relationalManifest]] — md5-bucket fragments with an
+    * exact integral size model) so the DuckDB oracle replays the same
+    * FFD via a recursive CTE (round 12; formerly rows-only). The real
+    * filesystem-bytes variant stays as [[compactionPlanFs]],
+    * spec-checked in LayoutSpec. */
   /** Deliberately fragmented landed copy of events (64 small files);
     * sorted within partitions so file bytes are run-stable. */
   private[graft] def ensureFragmented(spark: SparkSession, dir: String): String =
@@ -288,19 +290,85 @@ object Layout extends QueryPack {
     }
   }
 
+  /** FFD compaction plan over an explicit (file, bytes) manifest —
+    * shared by the registered q140 (relational manifest) and the
+    * filesystem variant ([[compactionPlanFs]], spec-checked). */
+  private def ffdPlanDf(spark: SparkSession,
+      files: Seq[(String, Long)]): DataFrame = {
+    val total = files.map(_._2).sum
+    val target = (total + 15) / 16 // plan ≈16 right-sized rewrite bins
+    import spark.implicits._
+    ffdPlan(files, target).toDF("file", "bytes", "bin")
+      .select(col("bin"), col("file"), col("bytes"))
+      .orderBy(col("bin").asc_nulls_first, col("file").asc_nulls_first)
+  }
+
+  /** The original q140 shape — FFD over REAL parquet byte sizes of the
+    * fragmented landing ([[ensureFragmented]]). File bytes live in the
+    * filesystem, not in any relational table an oracle could query, so
+    * this variant is spec-checked only (LayoutSpec re-derives the plan
+    * from the same manifest and asserts capacity/lower-bound
+    * invariants); the REGISTERED q140 states the identical FFD over a
+    * relational manifest both engines read. */
+  private[graft] def compactionPlanFs(spark: SparkSession, dir: String): DataFrame =
+    ffdPlanDf(spark, manifest(spark, ensureFragmented(spark, dir)))
+
+  /** The relational manifest: 64 md5-prefix fragments of `events`
+    * (determinism rule: cross-engine hashes go through md5-prefix
+    * buckets) with an exact integral per-row size model — 40 B of fixed
+    * column width (event_id, ts, user_id, value, row overhead) plus the
+    * variable text bytes. Byte-exact in both engines (integer sums, no
+    * floats), so the DuckDB oracle can restate FFD over the same rows.
+    * One hash aggregate → 64 rows: the manifest is bounded MODEL STATE
+    * (same class as the q101 skipping index — ~10⁵ entries for 100 TB
+    * of 1 GB files), which is why the sequential FFD fold may run on
+    * the driver: its input is metadata-scale by construction. */
+  private[graft] def relationalManifest(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val ev = Tables(spark, dir).events
+    ev.groupBy(format_string("frag_%02d", Det.md5Bucket(col("event_id")) % 64).as("file"))
+      .agg(sum(lit(40) + length(coalesce(col("event_type"), lit(""))) +
+        length(coalesce(col("props"), lit("")))).as("bytes"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (n, sz) => (-sz, n) }
+  }
+
   val q140 = QueryDef(
     "q140_compaction_plan",
-    (spark, dir) => {
-      val layout = ensureFragmented(spark, dir)
-      val files = manifest(spark, layout)
-      val total = files.map(_._2).sum
-      val target = (total + 15) / 16 // plan ≈16 right-sized rewrite bins
-      import spark.implicits._
-      ffdPlan(files, target).toDF("file", "bytes", "bin")
-        .select(col("bin"), col("file"), col("bytes"))
-        .orderBy(col("bin").asc_nulls_first, col("file").asc_nulls_first)
-    },
-    None)
+    (spark, dir) => ffdPlanDf(spark, relationalManifest(spark, dir)),
+    // FFD is a sequential fold, but its input is the 64-row manifest —
+    // so DuckDB can replay it exactly with a recursive CTE carrying the
+    // bin residual-capacity list (list_position of the first fitting
+    // bin = the "first fit"; sizes desc, name-tiebroken = "decreasing").
+    Some("""WITH RECURSIVE m0 AS (
+      SELECT printf('frag_%02d', CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS INTEGER) % 64) AS file,
+             CAST(SUM(40 + length(COALESCE(event_type, '')) + length(COALESCE(props, ''))) AS BIGINT) AS bytes
+      FROM events
+      GROUP BY 1
+    ), m AS (
+      SELECT file, bytes, row_number() OVER (ORDER BY bytes DESC, file) AS rn FROM m0
+    ), tot AS (
+      SELECT CAST((SUM(bytes) + 15) // 16 AS BIGINT) AS target FROM m0
+    ), rec AS (
+      SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS caps,
+             CAST(NULL AS VARCHAR) AS file, CAST(NULL AS BIGINT) AS bytes, CAST(NULL AS INT) AS bin
+      UNION ALL
+      SELECT m.rn,
+        CASE WHEN list_position(list_transform(rec.caps, c -> c >= m.bytes), true) = 0
+             THEN list_append(rec.caps, greatest(0, (SELECT target FROM tot) - m.bytes))
+             ELSE list_concat(list_concat(
+                    rec.caps[1:list_position(list_transform(rec.caps, c -> c >= m.bytes), true)-1],
+                    [rec.caps[list_position(list_transform(rec.caps, c -> c >= m.bytes), true)] - m.bytes]),
+                    rec.caps[list_position(list_transform(rec.caps, c -> c >= m.bytes), true)+1:])
+        END AS caps,
+        m.file, m.bytes,
+        CAST(CASE WHEN list_position(list_transform(rec.caps, c -> c >= m.bytes), true) = 0
+             THEN len(rec.caps)
+             ELSE list_position(list_transform(rec.caps, c -> c >= m.bytes), true) - 1 END AS INT) AS bin
+      FROM rec JOIN m ON m.rn = rec.rn + 1
+    )
+    SELECT bin, file, bytes FROM rec WHERE file IS NOT NULL
+    ORDER BY bin ASC, file ASC"""))
 
   override def queries: Seq[QueryDef] = Seq(q100, q101, q140)
 }

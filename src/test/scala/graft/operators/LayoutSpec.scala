@@ -108,13 +108,27 @@ class LayoutSpec extends SparkTestBase {
     assert(df.count() == 0)
   }
 
-  test("q140: the plan is exactly FFD over the manifest and respects bin capacity") {
+  test("q140: the registered plan is exactly FFD over the relational manifest") {
+    val files = Layout.relationalManifest(spark, sf0001)
+    assert(files.size == 64, s"expected 64 fragments, got ${files.size}")
+    // the manifest is FFD-ordered on arrival: sizes desc, name-tiebroken
+    assert(files == files.sortBy { case (n, sz) => (-sz, n) })
+    val target = (files.map(_._2).sum + 15) / 16
+    val rows = Layout.q140.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val expected = Layout.ffdPlan(files, target)
+      .map { case (f, b, bin) => (bin, f, b) }
+      .sortBy { case (bin, f, _) => (bin, f) }
+    assert(rows.toSeq == expected)
+  }
+
+  test("compactionPlanFs: FFD over real file bytes respects bin capacity") {
     val layout = Layout.ensureFragmented(spark, sf0001)
     val files = Layout.manifest(spark, layout)
     assert(files.size == 64, s"expected 64 fragments, got ${files.size}")
     val total = files.map(_._2).sum
     val target = (total + 15) / 16
-    val rows = Layout.q140.fn(spark, sf0001).collect()
+    val rows = Layout.compactionPlanFs(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     // exact FFD reproduction
     val expected = Layout.ffdPlan(files, target)
