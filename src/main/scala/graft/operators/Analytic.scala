@@ -1379,9 +1379,12 @@ object Analytic extends QueryPack {
     * Shape: one count-aggregate per side (map-side combinable), an
     * equi-join of the two PROFILE frames (key-cardinality-sized, not
     * row-sized), one tiny total. All counts exact integers; the output
-    * is the ('TOTAL', join size, distinct keys) row plus the top-5
-    * skew keys with per-key products and their share in ppm (exact
-    * integer div). */
+    * is the top-5 skew keys with per-key products and their share in
+    * ppm (exact integral divide through a DECIMAL(28,0) intermediate —
+    * rows_out·10⁶ never wraps int64), plus one 'TOTAL' row carrying the
+    * join size and the distinct-key count in its OWN nullable
+    * `n_distinct_keys` column (null on per-key rows; share_ppm null on
+    * the total row). */
   val q135 = QueryDef(
     "q135_join_cardinality",
     (spark, dir) => {
@@ -1396,10 +1399,17 @@ object Analytic extends QueryPack {
       val top = prof.crossJoin(broadcast(tot))
         .orderBy(col("rows_out").desc_nulls_last, col("k").asc_nulls_first)
         .limit(5)
+        // DECIMAL intermediate: rows_out·10⁶ stays exact far past int64
+        // (q142's overflow envelope treatment, ADVICE round 12); div of
+        // decimals is still an exact integral divide → BIGINT
         .select(col("k").cast("string").as("key"), col("rows_out"),
-          expr("(rows_out * 1000000L) div t").as("share_ppm"))
+          expr("CAST(rows_out AS DECIMAL(28,0)) * 1000000 div t").as("share_ppm"),
+          lit(null).cast(LongType).as("n_distinct_keys"))
+      // nk rides its OWN nullable column (null on per-key rows) — it
+      // used to overload share_ppm on the TOTAL row, two unrelated
+      // meanings in one column (ADVICE round 12)
       val total = tot.select(lit("TOTAL").as("key"), col("t").as("rows_out"),
-        col("nk").as("share_ppm"))
+        lit(null).cast(LongType).as("share_ppm"), col("nk").as("n_distinct_keys"))
       top.unionByName(total)
         .orderBy(col("rows_out").desc_nulls_last, col("key").asc_nulls_first)
     },
@@ -1417,9 +1427,10 @@ object Analytic extends QueryPack {
       FROM prof
       ORDER BY rows_out DESC NULLS LAST, k ASC NULLS FIRST
       LIMIT 5)
-    SELECT key, rows_out, CAST(share_ppm AS BIGINT) AS share_ppm FROM top
+    SELECT key, rows_out, CAST(share_ppm AS BIGINT) AS share_ppm,
+      CAST(NULL AS BIGINT) AS n_distinct_keys FROM top
     UNION ALL
-    SELECT 'TOTAL', CAST(t AS BIGINT), CAST(nk AS BIGINT) FROM tot
+    SELECT 'TOTAL', CAST(t AS BIGINT), CAST(NULL AS BIGINT), CAST(nk AS BIGINT) FROM tot
     ORDER BY rows_out DESC NULLS LAST, key ASC NULLS FIRST"""))
 
   // --------------------------------------------------------------- q138
@@ -1501,6 +1512,13 @@ object Analytic extends QueryPack {
         perValue, Seq(col("value").asc), Seq("ca" -> col("wa"), "cb" -> col("wb")))
       val na = totals("ca")
       val nb = totals("cb")
+      // loud envelope check: the exact integer numerator ca·nb − cb·na
+      // requires na·nb < 2⁶³; with ANSI off a violation would silently
+      // wrap and pick a wrong argmax row + verdict. The totals are
+      // already driver-side model state, so the guard is free.
+      require(na.toDouble * nb.toDouble < Long.MaxValue.toDouble,
+        s"q141 exact-KS envelope exceeded: na=$na nb=$nb (na*nb must stay < 2^63; " +
+          "pre-aggregate or subsample one side before the test)")
       val num = abs(col("ca") * nb - col("cb") * na)
       val crit = 1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb))
       cdf.select(col("value").as("value_at_max"), col("ca"), col("cb"),
@@ -1573,7 +1591,12 @@ object Analytic extends QueryPack {
       cdf.join(broadcast(bdf), "cum_n")
         .select(col("decile"), col("cum_n").as("cum_customers"),
           col("cum_cents"),
-          expr(s"(cum_cents * 1000000L) div ${totCents}L").as("share_ppm"))
+          // DECIMAL intermediate: cum_cents·10⁶ would wrap int64 once
+          // cumulative spend passes ~$92B — reachable at 100 TB.
+          // DECIMAL(28,0)·10⁶ stays exact to 10³⁴ (DuckDB's HUGEINT
+          // does the same on the oracle side); the integral divide
+          // lands back in BIGINT. (ADVICE round 12)
+          expr(s"CAST(cum_cents AS DECIMAL(28,0)) * 1000000 div ${totCents}L").as("share_ppm"))
         .orderBy(col("decile").asc_nulls_first)
     },
     Some("""WITH spend AS (
@@ -1615,7 +1638,11 @@ object Analytic extends QueryPack {
     * exact integer struct (|num| desc, value asc — encoded as
     * (num, −value) so the struct MAX is the tie-broken argmax).
     * Exactness rules are q141's: integer numerators, one division at
-    * output. */
+    * output — and q141's envelope: per-type na·nb < 2⁶³. The totals
+    * here are plan-side (per-group), so the loud driver `require` q141
+    * runs has no hook; the envelope is spec-guarded instead
+    * (AnalyticSpec "q141/q143 exact-KS envelope") — a fixture whose
+    * per-type counts breach it fails THERE with a precise message. */
   val q143 = QueryDef(
     "q143_ks_by_group",
     (spark, dir) => {

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *     model state of GlobalRank's offsets) → broadcast-joined back:
   *     global prefix = offset + local running sum.
   *
-  * Exactness requires integer (or decimal) weights — the point is
-  * cross-engine bit-stable cumulative distributions; float weights
-  * would reintroduce reduction-order drift. */
+  * Exactness requires INTEGER/LONG weights (each weight column must
+  * aggregate to LongType — the offsets pass reads per-partition totals
+  * with `getLong`, so a DecimalType weight would throw, and float
+  * weights would reintroduce reduction-order drift; scale decimals to
+  * integer micro-units first, the q142-cents pattern). */
 object GlobalCdf {
 
   private val pidCol = "__graft_cdf_pid"
@@ -47,8 +49,17 @@ object GlobalCdf {
       acc.withColumn(name, sum(weight).over(w))
     }
     val aggCols = weights.map { case (name, weight) => sum(weight).as(name) }
-    val totalsRows = local.groupBy(col(pidCol))
-      .agg(aggCols.head, aggCols.tail: _*)
+    val totalsDf = local.groupBy(col(pidCol)).agg(aggCols.head, aggCols.tail: _*)
+    // loud precondition (the scaladoc's integer-weights rule): the
+    // offsets pass reads per-partition totals with getLong, so a
+    // decimal/double-summing weight must fail with a message here, not
+    // a ClassCastException mid-collect
+    totalsDf.schema.fields.drop(1).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"GlobalCdf weight '${f.name}' must sum to LongType, got ${f.dataType} — " +
+          "scale to integer micro-units first (the q142-cents pattern)")
+    }
+    val totalsRows = totalsDf
       .collect()
       .map(r => r.getInt(0) -> weights.indices.map(i => r.getLong(i + 1)))
       .sortBy(_._1)

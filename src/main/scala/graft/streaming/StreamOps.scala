@@ -767,9 +767,12 @@ object StreamDrift {
     val totals = bins.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val pa = (col("na") + 1.0) / (col("ta") + 10.0)
     val pb = (col("nb") + 1.0) / (col("tb") + 10.0)
-    val perBin = bins.crossJoin(broadcast(totals))
+    // perBin feeds BOTH the output union and the total aggregate — cut
+    // it once so the entries→latest-per-cell→per-bin fold doesn't
+    // recompute per reader run (the q122/q125 cut-per-consumer pattern)
+    val perBin = graft.Materialize.cut(bins.crossJoin(broadcast(totals))
       .select(col("bin"), col("na"), col("nb"),
-        round((pa - pb) * log(pa / pb), 6).as("psi"))
+        round((pa - pb) * log(pa / pb), 6).as("psi")))
     val total = perBin.agg(
       lit(-1).as("bin"), sum(col("na")).as("na"), sum(col("nb")).as("nb"),
       round(sum(col("psi").cast(DecimalType(18, 6))).cast(DoubleType), 6)

@@ -536,10 +536,20 @@ class AnalyticSpec extends SparkTestBase {
     val actual = t.lineitem.join(t.orders,
       col("l_orderkey") === col("o_orderkey")).count()
     val rows = Analytic.q135.fn(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
     val total = rows.find(_._1 == "TOTAL").get
     assert(total._2 == actual,
       s"forecast ${total._2} vs executed join $actual")
+    // the TOTAL row carries nk in its OWN column; per-key rows leave it
+    // null (and the total row's share_ppm is null — no dual-meaning)
+    assert(total._3 == -1L, "TOTAL.share_ppm must be null")
+    val nkTrue = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey")).distinct().count()
+    assert(total._4 == nkTrue, "TOTAL.n_distinct_keys must be the matched-key count")
+    rows.filter(_._1 != "TOTAL").foreach(r =>
+      assert(r._4 == -1L, s"per-key n_distinct_keys must be null for ${r._1}"))
     val prof = t.lineitem.groupBy(col("l_orderkey")).count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     // orders keys are unique, so per-key product = lineitem count; the
@@ -665,6 +675,29 @@ class AnalyticSpec extends SparkTestBase {
       ks.map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
     })
     assert(got.size == events.map(_._1).distinct.size)
+  }
+
+  test("q141/q143 exact-KS envelope: na·nb < 2^63 at every fixture SF") {
+    // The exact integer numerator ca·nb − cb·na requires na·nb < 2⁶³.
+    // q141 guards this loudly at runtime (its totals are driver-side);
+    // q143's totals are plan-side per-group, so THIS is its guard: a
+    // fixture/SF whose split counts breach the envelope fails here with
+    // a precise message instead of silently wrapping an argmax.
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val counts = Tables(spark, dir).events
+        .select(col("event_type"), dayofmonth(col("ts")).as("dom"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("dom") <= 15, 1L).otherwise(0L)).as("na"),
+          sum(when(col("dom") <= 15, 0L).otherwise(1L)).as("nb"))
+        .collect()
+      assert(counts.nonEmpty)
+      counts.foreach { r =>
+        val (na, nb) = (r.getLong(1), r.getLong(2))
+        assert(na.toDouble * nb.toDouble < Long.MaxValue.toDouble,
+          s"$dir/${r.getString(0)}: na=$na nb=$nb breaches the exact-KS envelope " +
+            "(na*nb must stay < 2^63) — pre-aggregate or subsample before the test")
+      }
+    }
   }
 
   test("q145: per-type anchors, lags and trailing-24h volumes match a naive recompute") {
