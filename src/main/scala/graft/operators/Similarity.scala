@@ -591,6 +591,91 @@ object Similarity extends QueryPack {
     WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45
     ORDER BY vid1, vid2"""))
 
+  // --------------------------------------------------------------- q147
+  /** The accumulated corpus SIGNATURE STORE: one (tbl, bkt) LSH key per
+    * table per corpus vector. In the daily deployment this is a LANDED
+    * table the increment job appends to — built once per corpus state,
+    * never rebuilt per query (ScaleProbe's `edelta` mode measures
+    * exactly that reuse); at 100 TB it is bucketed by (tbl, bkt) so the
+    * delta probe prunes to its own buckets. */
+  private[graft] def embedSignatureStore(corpus: org.apache.spark.sql.DataFrame,
+      tables: Int, planesPerTable: Int): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"),
+      posexplode(lshBucketTables(col("embedding"), tables = tables,
+        planesPerTable = planesPerTable)).as(Seq("tbl", "bkt")))
+  }
+
+  /** Incremental delta-vs-corpus embedding near-dedup — q93's
+    * daily-increment discipline applied to q44's vector pairs: today's
+    * NEW vectors are LSH-equi-joined against the corpus signature
+    * store; the corpus is NEVER self-joined and never re-verified
+    * against itself (its internal pairs were settled when each past
+    * increment landed). Candidates = delta keys ⋈ store keys on
+    * (tbl, bkt) — an equi-join, no cross product (PlanSpec-guarded) —
+    * then id-dedup and exact-cosine verify on candidates only, exactly
+    * q44's shuffled-verify ordering. The delta side is a daily
+    * increment (≪ corpus) so its hashing cost is the run's fixed cost;
+    * the verify attach joins a candidate stream to the two vector
+    * tables by id — AQE broadcasts the (small) candidate/delta sides,
+    * so the corpus contributes one map-side lookup scan, not a
+    * shuffle. */
+  private[graft] def incrementalEmbedPairs(corpus: org.apache.spark.sql.DataFrame,
+      store: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      tables: Int, planesPerTable: Int): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(delta.sparkSession)
+    val deltaKeys = delta.select(col("vec_id").as("delta_id"),
+      posexplode(lshBucketTables(col("embedding"), tables = tables,
+        planesPerTable = planesPerTable)).as(Seq("tbl", "bkt")))
+    val cands = deltaKeys.join(store, Seq("tbl", "bkt"))
+      .select(col("delta_id"), col("vec_id").as("corpus_id"))
+      .distinct()
+    val d = delta.select(col("vec_id").as("delta_id"), col("embedding").as("de"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("dn"))
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ce"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("cn"))
+    cands.join(d, "delta_id").join(c, "corpus_id")
+      .withColumn("cos", round(
+        dotNative(col("de"), col("ce")) / (col("dn") * col("cn")), 6))
+      .filter(col("cos") >= 0.45)
+      .select(col("delta_id"), col("corpus_id"), col("cos"))
+  }
+
+  /** q147 registered form: the q93/q62 md5-bucket boundary splits the
+    * fixture into corpus (~80%) and delta (~20%); geometry is q44's
+    * proven-exact 32×4.
+    *
+    * VERIFIED-SF ENVELOPE (q44 precedent, inherited by construction):
+    * the q44 envelope spec asserts that at every shipped fixture EVERY
+    * pair with cos ≥ 0.45 collides under 32×4 — the delta-corpus pairs
+    * are a subset of those pairs, so the exact all-pairs SQL below is
+    * a valid oracle wherever q44's is; the demote-on-miss rule rides
+    * the same spec. SimilarityQualitySpec additionally asserts q147 ≡
+    * the brute-force delta×corpus pair set at every fixture. */
+  val q147 = QueryDef(
+    "q147_incremental_embed_dedup",
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val em = Tables(spark, dir).embeddings
+      val bucket = Det.md5Bucket(col("vec_id"))
+      val corpus = em.filter(bucket < Dedup.DeltaBucketThreshold)
+      val delta = em.filter(bucket >= Dedup.DeltaBucketThreshold)
+      // materialize the (tiny) result before the total sort — q93's
+      // range-sampling re-execution guard
+      incrementalEmbedPairs(corpus, embedSignatureStore(corpus, 32, 4),
+          delta, 32, 4)
+        .cut()
+        .orderBy(col("delta_id"), col("corpus_id"))
+    },
+    Some(s"""SELECT a.vec_id AS delta_id, b.vec_id AS corpus_id,
+      ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4) AS INTEGER) >= 52429
+      AND CAST('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429
+      AND ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45
+    ORDER BY delta_id, corpus_id"""))
+
   // ---------------------------------------------------------------- q60
   /** IVF-style ANN — the second scale path next to q42's sign-LSH, per
     * SURVEY §2.2 ("an IVF or LSH-bucketed variant"). A coarse k-means
@@ -995,5 +1080,5 @@ object Similarity extends QueryPack {
     ORDER BY keeper ASC NULLS FIRST, rnk ASC NULLS FIRST"""))
 
   override def queries: Seq[QueryDef] =
-    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130)
+    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147)
 }

@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|winnow|analytic|pagerank|cdf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "edelta", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|edelta|winnow|analytic|pagerank|cdf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -398,6 +398,61 @@ object ScaleProbe {
               x + (col("i").cast("double") * lit(0.001)).cast("float"))
               .otherwise(x)).as("embedding"))
     ).localCheckpoint()
+
+    // ---- incremental embedding dedup (q147): the claim to quantify is
+    // that a daily increment's wall tracks the DELTA (fixed here) and
+    // the true-match volume, not the corpus: the signature store is
+    // landed state (built once per corpus — t_store, paid at append
+    // time), so the measured incremental run (t_inc: delta hashing +
+    // store equi-join + candidate-only verify) must stay near-flat as
+    // the corpus replicates f×, while the full self-join recompute of
+    // the same grown corpus∪delta (t_full — what a non-incremental
+    // pipeline would do every day) grows with the corpus's own f² pair
+    // workload.
+    if (mode == "edelta") {
+      val bucket = graft.Det.md5Bucket(col("vec_id"))
+      val corpus0 = emBase.filter(bucket < Dedup.DeltaBucketThreshold)
+      val delta0 = emBase.filter(bucket >= Dedup.DeltaBucketThreshold)
+      factors.foreach { f =>
+        def rep(df: DataFrame): DataFrame = (
+          if (f == 1) df
+          else df.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+            .select((col("vec_id") * f + col("i")).as("vec_id"),
+              transform(col("embedding"), (x, idx) =>
+                when(idx === 0,
+                  x + (col("i").cast("double") * lit(0.001)).cast("float"))
+                  .otherwise(x)).as("embedding"))
+        ).localCheckpoint()
+        // replica-0 id transform only (q93-delta scheme): corpus0/delta0
+        // ids are disjoint, so k*f+i never collides with j*f
+        val corpus = rep(corpus0)
+        val delta = delta0.select((col("vec_id") * f).as("vec_id"),
+          col("embedding")).localCheckpoint()
+        val nCorpus = corpus.count()
+        // occupancy-held geometry, exactly neardupPairsAuto's policy: a
+        // store landed at fixed 4-plane depth lets bucket occupancy —
+        // and therefore the delta probe's candidate fan-in — grow
+        // linearly with the corpus (measured: t_inc 2.6→19 s over
+        // f=1→16 at 32×4). The deployment re-lands the store one plane
+        // deeper each time the corpus doubles past its occupancy
+        // target, which is what holds t_inc flat here.
+        val p = Similarity.planesFor(nCorpus)
+        val t = Similarity.tablesFor(p)
+        val (store, tStore) = timed(
+          Similarity.embedSignatureStore(corpus, t, p).localCheckpoint())
+        val (inc, tInc) = timed(
+          Similarity.incrementalEmbedPairs(corpus, store, delta, t, p)
+            .localCheckpoint())
+        val nInc = inc.count()
+        val (full, tFull) = timed(
+          Similarity.neardupPairsAuto(corpus.unionByName(delta))
+            .localCheckpoint())
+        val nFull = full.count()
+        println(f"SCALE-EDELTA f=$f corpus=$nCorpus geo=${t}tx${p}p pairs_inc=$nInc " +
+          f"t_store=$tStore%.2f t_inc=$tInc%.2f " +
+          f"pairs_full=$nFull t_full=$tFull%.2f")
+      }
+    }
 
     // ---- IVF only (cheap re-measure of the quantizer path without the
     // LSH sweep): training must stay flat once the 1000-row cap engages

@@ -352,6 +352,34 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q147 incremental pairs equal brute-force delta×corpus at every fixture SF") {
+    // q147's oracle is the exact delta-vs-corpus SQL, valid because the
+    // q44 envelope proves every cos ≥ 0.45 pair collides under 32×4 at
+    // all shipped fixtures — assert the registered output against an
+    // independent brute-force recompute anyway, so a geometry edit that
+    // breaks the subset argument fails HERE with a precise message.
+    def mdBucket(id: Long): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString, 16)
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val expected = Similarity.bruteForceNearDup(spark, dir, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .flatMap { case (v1, v2, cos) =>
+          (mdBucket(v1) >= 52429, mdBucket(v2) >= 52429) match {
+            case (true, false) => Some((v1, v2, cos))
+            case (false, true) => Some((v2, v1, cos))
+            case _             => None // both delta or both corpus
+          }
+        }.sortBy(t => (t._1, t._2)).toSeq
+      val got = Similarity.q147.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expected,
+        s"q147 drifted from brute-force delta×corpus at $dir — demote to rows-only")
+      assert(expected.nonEmpty, s"fixture at $dir exercises no delta-corpus pairs")
+    }
+  }
+
   test("multi-probe ANN holds q42's recall with 8× fewer index tables") {
     import org.apache.spark.sql.functions.col
     val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
