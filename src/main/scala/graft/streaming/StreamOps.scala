@@ -394,8 +394,18 @@ case class FunnelState(stage: Int, us: Long)
   * to a watermark-buffered variant, orthogonal to the gate's logic. */
 object StreamFunnel {
   /** `events` needs `user_id`, `event_type`, `ts`; works on static
-    * frames and streams alike. */
-  def transitions(events: DataFrame): Dataset[FunnelTransition] = {
+    * frames and streams alike.
+    *
+    * `deadlineUs` bounds each HOP (q144's semantics, the reference's
+    * sensor-timeout analogue): a view advances only within `deadlineUs`
+    * of the signup, a purchase only within `deadlineUs` of the view —
+    * `None` is the unbounded q105 gate. A too-late event neither
+    * advances nor resets the stage, exactly the batch min-aggregate's
+    * windowed filter, so on an in-order stream the terminal stages
+    * equal batch q144's stage sets (spec-asserted across a micro-batch
+    * boundary). */
+  def transitions(events: DataFrame,
+      deadlineUs: Option[Long] = None): Dataset[FunnelTransition] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id").as("userId"),
@@ -403,13 +413,14 @@ object StreamFunnel {
         unix_micros(col("ts")).as("us"))
       .as[FunnelEvent]
       .groupByKey(_.userId)
-      .transformWithState(new FunnelProcessor, TimeMode.None(),
+      .transformWithState(new FunnelProcessor(deadlineUs), TimeMode.None(),
         OutputMode.Append())
   }
 }
 
-/** The per-user stage machine behind [[StreamFunnel]]. */
-class FunnelProcessor
+/** The per-user stage machine behind [[StreamFunnel]]; `deadlineUs`
+  * bounds each hop (None = unbounded q105 form). */
+class FunnelProcessor(deadlineUs: Option[Long] = None)
     extends StatefulProcessor[Long, FunnelEvent, FunnelTransition] {
   @transient private var st: ValueState[FunnelState] = _
 
@@ -425,11 +436,15 @@ class FunnelProcessor
     val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
     // event-time order within the batch; µs ties cannot advance two
     // stages (strictly-after predicate), matching q105's strict order
+    // a hop qualifies strictly after the previous stage's instant AND
+    // (deadline form) within deadlineUs of it — q144's windowed filter
+    def inWindow(us: Long): Boolean =
+      us > cur.us && deadlineUs.forall(d => us <= cur.us + d)
     rows.toArray.sortBy(_.us).foreach { e =>
       val next = (cur.stage, e.eventType) match {
         case (0, "signup") => 1
-        case (1, "view") if e.us > cur.us => 2
-        case (2, "purchase") if e.us > cur.us => 3
+        case (1, "view") if inWindow(e.us) => 2
+        case (2, "purchase") if inWindow(e.us) => 3
         case _ => 0
       }
       if (next > cur.stage) {

@@ -518,6 +518,62 @@ class StreamOpsSpec extends SparkTestBase {
       s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
 
+  test("deadline funnel on an in-order stream reaches exactly q144's stage sets") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val dayUs = 86400L * 1000000L
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamFunnel.transitions(in.toDF(), deadlineUs = Some(dayUs))
+      .writeStream.outputMode("append").format("memory").queryName("funnelq144")
+      .start()
+    // two arrival chunks so per-user deadline state crosses a
+    // micro-batch boundary
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rank = Map("signup" -> 1, "view" -> 2, "purchase" -> 3)
+    val streamed = s2.table("funnelq144")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(t => rank(t._2)).max).toMap
+    // batch q144's per-user stage sets, recomputed naively: min signup,
+    // min view within 24h of it, min purchase within 24h of that.
+    // µs conversion must match unix_micros exactly (getTime alone drops
+    // sub-ms precision the fixtures carry)
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val byUser = evs.groupBy(_.user_id)
+    val expected = byUser.flatMap { case (u, rows) =>
+      val us = rows.sortBy(e => (toUs(e.ts), e.event_id))
+        .map(e => (e.event_type, toUs(e.ts)))
+      us.collectFirst { case ("signup", t) => t }.map { sUs =>
+        val vUs = us.collectFirst {
+          case ("view", t) if t > sUs && t <= sUs + dayUs => t }
+        val pUs = vUs.flatMap(v => us.collectFirst {
+          case ("purchase", t) if t > v && t <= v + dayUs => t })
+        u -> (if (pUs.isDefined) 3 else if (vUs.isDefined) 2 else 1)
+      }
+    }
+    assert(streamed == expected, s"stream/batch deadline-funnel divergence: " +
+      s"only-stream=${streamed.toSet -- expected.toSet}, only-batch=${expected.toSet -- streamed.toSet}")
+    // ...and the registered q144 counts are exactly the stage-set sizes
+    val batchCounts = graft.operators.WindowOps.q144.fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(batchCounts("1_signup") == expected.size)
+    assert(batchCounts("2_view_24h") == expected.count(_._2 >= 2))
+    assert(batchCounts("3_purchase_24h") == expected.count(_._2 == 3))
+  }
+
   test("concurrency gauge: level survives the batch boundary within a day") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
