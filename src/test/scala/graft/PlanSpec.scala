@@ -352,4 +352,46 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate") && p.contains("Window"),
       s"q115 lost the daily pre-aggregation:\n$p")
   }
+
+  test("plan canary: the most expensive queries keep their load-bearing shapes") {
+    // A perf regression on the bench's heaviest entries should be caught
+    // as a PLAN diff here, not as a noisy wall-clock flag in a shared-
+    // tenant driver run. The interior pipeline shapes (q33 prefix
+    // equi-join, q60 IVF cell equi-join, the q55/q70 Pregel round, q44
+    // equi-join + native dot) are asserted by the dedicated tests above;
+    // this canary pins the remaining load-bearing features.
+    //
+    // q114: ten exact-decimal sufficient statistics in ONE map-side-
+    // combinable full-scan aggregate — 1 pruned scan, 1 exchange,
+    // no join, no window. Removing the map-side combine or adding a
+    // second pass trips this before it trips the bench.
+    val p114 = plan(graft.operators.Analytic.q114)
+    assert("Exchange".r.findAllIn(p114).size == 1,
+      s"q114 exchange count drifted from 1:\n$p114")
+    assert("FileScan".r.findAllIn(p114).size == 1,
+      s"q114 scan count drifted from 1:\n$p114")
+    assert(p114.contains("partial_sum"), s"q114 lost the map-side combine:\n$p114")
+    assert(!p114.contains("Join") && !p114.contains("Window"),
+      s"q114 grew a join/window:\n$p114")
+    val rs114 = p114.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs114.contains("l_quantity") && !rs114.contains("l_orderkey"),
+      s"q114 scan not pruned to the three measure columns: $rs114")
+    // q93 / q70 / view consumers: the result checkpoint truncates the
+    // executed plan to the cut — ZERO file scans on the read side is the
+    // no-replay guarantee the bench totals rely on (the output range
+    // sort's exchange is the only one allowed).
+    Seq(Dedup.q93 -> "q93", Similarity.q70 -> "q70").foreach { case (q, n) =>
+      val p = plan(q)
+      assert(!p.contains("FileScan"),
+        s"$n: cut lost — the corpus would replay per read:\n$p")
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$n: extra exchange beyond the output sort:\n$p")
+    }
+    // view_cluster_labels' measured recompute path: the label view is
+    // itself a cut whose consumers must also read scan-free
+    val labels = Dedup.clusterLabels(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!labels.contains("FileScan"),
+      s"cluster-label view not checkpoint-truncated:\n$labels")
+  }
 }
