@@ -236,9 +236,18 @@ object Dedup extends QueryPack {
 
   // ---------------------------------------------------------------- q32
   /** MinHash (64 hashes) + LSH (16 bands × 4 rows) near-dup pairs,
-    * verified by exact Jaccard ≥ 0.5 on candidates only. Banding keys are
-    * xxhash64-specific → rows-only check (q33 is the oracle-checked exact
-    * twin). */
+    * verified by exact Jaccard ≥ 0.5 on candidates only.
+    *
+    * VERIFIED-SF ENVELOPE (q44/q42 precedent, round 12): the banding
+    * keys are xxhash64-specific, but the OUTPUT is the exact-Jaccard
+    * pair set whenever banding recovers every qualifying pair — and
+    * DedupSpec asserts full output equality with q33 at ALL shipped
+    * fixtures (the fixtures' qualifying pairs sit far above the J = 0.5
+    * boundary, where 16×4 banding miss probability (1−J⁴)¹⁶ is
+    * negligible). The oracle is therefore q33's exact SQL
+    * ([[exactJaccardSql]]), demote-on-miss rule applies: a new fixture
+    * whose boundary pairs slip the bands fails the spec, and this query
+    * drops back to rows-only. */
   /** q32 up to (but not including) the result materialization + total
     * sort — the plan PlanSpec inspects (the registered query checkpoints
     * the tiny result before sorting, which truncates lineage to a Scan
@@ -289,6 +298,29 @@ object Dedup extends QueryPack {
       if (bcast) out.distinct() else out
   }
 
+  /** q33's exact-Jaccard SQL — also q32's oracle under the verified-SF
+    * envelope (see q32's scaladoc). */
+  private val exactJaccardSql: String = """WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2,
+      ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE i * 3 >= s1.sz + s2.sz
+    ORDER BY d1, d2"""
+
   val q32 = QueryDef(
     "q32_minhash_lsh",
     (spark, dir) =>
@@ -296,7 +328,7 @@ object Dedup extends QueryPack {
       // partitioning samples its child, which would otherwise
       // re-execute the whole candidate+verify chain a second time
       q32Pipeline(spark, dir).cut().orderBy(col("d1"), col("d2")),
-    None)
+    Some(exactJaccardSql))
 
   // ---------------------------------------------------------------- q33
   /** Exact n-gram Jaccard near-dup pairs (the oracle-checked ground truth
@@ -337,26 +369,7 @@ object Dedup extends QueryPack {
       // would otherwise re-execute the verification chain
       exactPairsPipeline(spark, dir).cut()
         .orderBy(col("d1"), col("d2")),
-    Some("""WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
-      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
-                            ELSE range(1, len(ts) - 1) END) AS t(i)),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT d1, d2,
-      ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
-    FROM inter
-    JOIN sizes s1 ON s1.doc_id = d1
-    JOIN sizes s2 ON s2.doc_id = d2
-    WHERE i * 3 >= s1.sz + s2.sz
-    ORDER BY d1, d2"""))
+    Some(exactJaccardSql))
 
   // ---------------------------------------------------------------- q93
   /** Incremental (delta-vs-corpus) near-dedup — the daily-BATCH analogue

@@ -22,13 +22,21 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(out(0).getDouble(2) - 1.0 / 3.0) < 1e-6)
   }
 
-  test("MinHash-LSH candidates recover every exact-Jaccard pair on fixtures") {
-    val lsh = Dedup.q32.fn(spark, sf0001).select("d1", "d2")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Dedup.q33.fn(spark, sf0001).select("d1", "d2")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "fixture should contain near-duplicates")
-    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+  test("q32 MinHash-LSH output equals exact q33 at every fixture SF (oracle envelope)") {
+    // This IS q32's oracle envelope (q44/q42 precedent): its DuckDB
+    // oracle is q33's exact-Jaccard SQL, valid only while 16×4 banding
+    // recovers every qualifying pair. Assert FULL row equality (ids and
+    // jac, ordered) at ALL shipped fixtures — on a genuine banding miss,
+    // demote q32 back to rows-only (oracle = None).
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val lsh = Dedup.q32.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val exact = Dedup.q33.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(exact.nonEmpty, s"fixture at $dir should contain near-duplicates")
+      assert(lsh == exact,
+        s"q32 banding drifted from exact q33 at $dir — demote q32 to rows-only")
+    }
   }
 
   test("prefix+positional-filtered q33 path equals the naive all-pairs Jaccard") {
