@@ -663,6 +663,71 @@ object Curation extends QueryPack {
     JOIN sizes zb ON zb.source = i.src_b
     ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q148
+  /** Duplicate-span SCRUB — the REMOVAL stage downstream of q68's
+    * detection (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", at tumbling-chunk granularity): rewrite every
+    * document with its globally-duplicated 8-token chunks removed,
+    * keeping only each chunk's FIRST occurrence in (doc_id, pos) order.
+    * q68 reports what WOULD be removed; this emits the cleaned corpus a
+    * curation run actually publishes — per doc: chunk count, removed
+    * count, and the reassembled `clean_text`.
+    *
+    * Scale shape: two corpus-sized shuffles, both inherent — the global
+    * first-occurrence decision keys by chunk, the reassembly keys by
+    * doc. First-occurrence is a map-side-combinable `min(struct(doc_id,
+    * pos))` AGGREGATE joined back on the chunk key, deliberately NOT a
+    * `row_number` window: a ubiquitous boilerplate chunk is a hot key,
+    * and AQE skew-split applies to the join while a sort window would
+    * buffer the whole hot partition on one task. Reassembly collects
+    * each doc's kept chunks (bounded by the doc's own token count) and
+    * sorts them by position inside the row — no extra exchange beyond
+    * the doc-key aggregate. Chunk identity is the chunk TEXT, so both
+    * engines group identically with no hash function in the contract. */
+  val q148 = QueryDef(
+    "q148_span_scrub",
+    (spark, dir) => {
+      val C = 8
+      val chunks = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), col("ts"),
+          posexplode(sequence(lit(0), size(col("ts")) - 1, lit(C)))
+            .as(Seq("pos", "start")))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("ts"), col("start") + 1, lit(C)), " ").as("chunk"))
+      val firsts = chunks.groupBy(col("chunk"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      chunks.join(firsts, "chunk")
+        .withColumn("kept", col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+          array_join(transform(array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("clean_text"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(start // 8 AS INT) AS pos,
+        array_to_string(list_slice(ts, start + 1, least(start + 8, len(ts))), ' ') AS chunk
+      FROM (SELECT doc_id, ts, UNNEST(range(0, len(ts), 8)) AS start FROM tok)),
+    firsts AS (
+      SELECT chunk, MIN({'doc_id': doc_id, 'pos': pos}) AS first
+      FROM ch GROUP BY chunk),
+    flagged AS (
+      SELECT c.doc_id, c.pos, c.chunk,
+        (c.doc_id = f.first.doc_id AND c.pos = f.first.pos) AS kept
+      FROM ch c JOIN firsts f USING (chunk))
+    SELECT doc_id, COUNT(*) AS n_chunks,
+      CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+        AS clean_text
+    FROM flagged GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139)
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148)
 }

@@ -255,4 +255,32 @@ class CurationSpec extends SparkTestBase {
     })
     assert(got.nonEmpty, "no overlapping source pair in fixture; matrix empty")
   }
+
+  test("q148 scrub equals a naive global first-occurrence sweep; q68 agrees on counts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // naive sweep: tumbling 8-token chunks in (doc_id, pos) order; a
+    // chunk is kept iff its text was never seen before
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val chunks = ts.grouped(8).map(_.mkString(" ")).toSeq
+      val kept = chunks.map(c => if (seen.add(c)) Some(c) else None)
+      (id, chunks.size.toLong, kept.count(_.isEmpty).toLong,
+        kept.flatten.mkString(" "))
+    }.toSeq
+    val got = Curation.q148.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected, {
+      val bad = got.zip(expected).find { case (g, e) => g != e }
+      s"first divergence: got=${bad.map(_._1)} want=${bad.map(_._2)}"
+    })
+    assert(expected.exists(_._3 > 0), "fixture exercises no duplicate spans")
+    // q68 (the detection report) must agree on per-doc chunk/removal counts
+    val q68Counts = Curation.q68.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(q68Counts == expected.map(e => (e._1, e._2, e._3)),
+      "q68 detection counts drifted from q148 scrub counts")
+  }
 }
