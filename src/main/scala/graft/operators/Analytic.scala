@@ -239,6 +239,50 @@ object Analytic extends QueryPack {
     ORDER BY k DESC NULLS LAST, doc_id ASC NULLS FIRST
     LIMIT 100"""))
 
+  // --------------------------------------------------------------- q150
+  /** Per-GROUP weighted sampling — q110's Efraimidis–Spiliotopoulos
+    * draw stratified by `source`: the top-20 E–S keys within every
+    * source, i.e. one independent weighted-without-replacement sample
+    * per stratum in a single pass. The curation form ("sample k docs
+    * per source, long docs proportionally more likely") of q110's
+    * global draw; same determinism contract — the uniform is 32 md5
+    * bits of the doc id, so both engines (and any re-run) draw the
+    * identical sample.
+    *
+    * Scale shape: one map pass for the keys + ONE window partitioned by
+    * `source` (high-cardinality-safe: rank-k per group never sorts
+    * globally); output is |sources|·20 rows regardless of corpus
+    * size. */
+  val q150 = QueryDef(
+    "q150_group_weighted_sample",
+    (spark, dir) => {
+      val u32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast(LongType)
+      val k = log((u32.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)) / col("n_chars")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("k").desc_nulls_last, col("doc_id").asc_nulls_first)
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"), k.as("k"))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+          round(col("k"), 9).as("samp_key"))
+        .orderBy(col("source").asc_nulls_first, col("rk").asc_nulls_first)
+    },
+    Some("""WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+           / 4294967296.0) / n_chars AS k
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id, n_chars, k,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY k DESC NULLS LAST, doc_id ASC NULLS FIRST) AS INT) AS rk
+      FROM keyed)
+    SELECT source, rk, doc_id, n_chars, round(k, 9) AS samp_key
+    FROM ranked WHERE rk <= 20
+    ORDER BY source ASC NULLS FIRST, rk ASC"""))
+
   // --------------------------------------------------------------- q111
   /** Equi-width histogram of order value per market segment — the
     * distribution-profiling pass a curation pipeline runs before and
@@ -1762,5 +1806,5 @@ object Analytic extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145)
+      q143, q145, q150)
 }

@@ -1079,6 +1079,71 @@ object Similarity extends QueryPack {
     WHERE rnk <= 3
     ORDER BY keeper ASC NULLS FIRST, rnk ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q151
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage/serving compression step of a vector pipeline (4× smaller
+    * index memory than float32; ANN pre-ranking then runs on int8 dot
+    * products): per vector, scale = max |component| and
+    * `q_d = sign(v_d) · ⌊|v_d|·127 / scale⌋` ∈ [−127, 127], plus the
+    * per-vector max dequantization error. Output per vector: the scale,
+    * two exact integer digests of the quantized array (Σ dim·q and
+    * Σ|q| — a drift in ANY component moves a digest) and the max error.
+    *
+    * Determinism: components enter as micro-scaled integers (the
+    * q43/q79 pattern — float→decimal casts disagree between engines),
+    * and everything after is 64-bit integer arithmetic: the quantize
+    * and dequantize divides are `div` on MAGNITUDES (sign applied
+    * outside), because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — identical only on non-negatives. Zero
+    * vectors quantize cleanly via the `greatest(scale, 1)` guard.
+    *
+    * Scale shape: one explode + ONE vec_id-keyed window (64-row
+    * partitions) + one vec_id hash aggregate — no joins, fully
+    * map-side combinable after the explode's shuffle. */
+  val q151 = QueryDef(
+    "q151_embed_quantize",
+    (spark, dir) => {
+      val ex = Tables(spark, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), (col("dim") + 1).cast(IntegerType).as("dim"),
+          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi"))
+      val w = Window.partitionBy(col("vec_id"))
+      val sgn = when(col("vi") < 0, -1L).otherwise(when(col("vi") > 0, 1L).otherwise(0L))
+      val qsgn = when(col("qv") < 0, -1L).otherwise(when(col("qv") > 0, 1L).otherwise(0L))
+      ex.withColumn("maxabs", greatest(max(abs(col("vi"))).over(w), lit(1L)))
+        .withColumn("qv", sgn * expr("abs(vi) * 127 div maxabs"))
+        .withColumn("err", abs(col("vi") - qsgn * expr("abs(qv) * maxabs div 127")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("maxabs")).as("scale_micro"),
+          sum(col("dim") * col("qv")).as("q_digest"),
+          sum(abs(col("qv"))).as("q_l1"),
+          max(col("err")).as("max_err_micro"))
+        .orderBy(col("vec_id").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    mx AS (
+      SELECT vec_id, GREATEST(MAX(ABS(vi)), 1) AS maxabs
+      FROM ex GROUP BY vec_id),
+    q AS (
+      SELECT e.vec_id, e.dim, e.vi, m.maxabs,
+        (CASE WHEN e.vi < 0 THEN -1 WHEN e.vi > 0 THEN 1 ELSE 0 END)
+          * (ABS(e.vi) * 127 // m.maxabs) AS qv
+      FROM ex e JOIN mx m USING (vec_id)),
+    r AS (
+      SELECT vec_id, maxabs, dim, qv,
+        ABS(vi - (CASE WHEN qv < 0 THEN -1 WHEN qv > 0 THEN 1 ELSE 0 END)
+          * (ABS(qv) * maxabs // 127)) AS err
+      FROM q)
+    SELECT vec_id, CAST(MAX(maxabs) AS BIGINT) AS scale_micro,
+      CAST(SUM(dim * qv) AS BIGINT) AS q_digest,
+      CAST(SUM(ABS(qv)) AS BIGINT) AS q_l1,
+      CAST(MAX(err) AS BIGINT) AS max_err_micro
+    FROM r GROUP BY vec_id
+    ORDER BY vec_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147)
+    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151)
 }

@@ -910,7 +910,76 @@ object WindowOps extends QueryPack {
     GROUP BY user_id
     ORDER BY user_id ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q149
+  /** Laplace-smoothed Markov next-event matrix — the MODEL built from
+    * q107's transition counts: the full |types|² grid (zero-count
+    * transitions included — that is what smoothing is FOR) with
+    * `p_ppm = (n + 1)·10⁶ div (row_total + K)`, the add-one estimate of
+    * P(dst | src) in exact integer ppm. The next-event predictor a
+    * session-recommendation or anomaly screen reads ("this transition
+    * has probability < x"), stated cross-engine bit-stable: every
+    * quantity is an integer until the single integral divide (through a
+    * DECIMAL(28,0) intermediate so n·10⁶ can never wrap int64 at
+    * 100 TB).
+    *
+    * Scale shape: one per-user lag window + one (src, dst) hash
+    * aggregate (q107's two exchanges) — everything after is
+    * DIMENSION-sized: the types×types grid is a deliberate tiny cross
+    * join (|event types|² rows — q16's whitelisted class, registered in
+    * PlanSpec's allow-set), row totals broadcast back, the type count a
+    * 1-row broadcast (q104/q135's tiny-stats pattern). */
+  val q149 = QueryDef(
+    "q149_markov_matrix",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc_nulls_first, col("event_id").asc_nulls_first)
+      val counts = e.withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val types = Tables(spark, dir).events
+        .select(col("event_type")).distinct()
+      val grid = types.select(col("event_type").as("src"))
+        .crossJoin(broadcast(types.select(col("event_type").as("dst"))))
+      val full = grid.join(counts, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), coalesce(col("n"), lit(0L)).as("n"))
+      val rowTot = full.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      val kDf = types.agg(count(lit(1)).as("k"))
+      full.join(broadcast(rowTot), "src")
+        .crossJoin(broadcast(kDf))
+        .select(col("src"), col("dst"), col("n"),
+          expr("CAST(n + 1 AS DECIMAL(28,0)) * 1000000 div (tot + k)").as("p_ppm"))
+        .orderBy(col("src").asc_nulls_first, col("dst").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, event_id
+      FROM events),
+    t AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_type
+      FROM e),
+    c AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+      SELECT a.event_type AS src, b.event_type AS dst
+      FROM ty a CROSS JOIN ty b),
+    f AS (
+      SELECT g.src, g.dst, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN c ON c.src = g.src AND c.dst = g.dst),
+    rt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM f GROUP BY src),
+    k AS (SELECT COUNT(*) AS k FROM ty)
+    SELECT f.src, f.dst, CAST(f.n AS BIGINT) AS n,
+      CAST((f.n + 1) * 1000000 // (rt.tot + k.k) AS BIGINT) AS p_ppm
+    FROM f JOIN rt USING (src) CROSS JOIN k
+    ORDER BY src ASC NULLS FIRST, dst ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144, q146)
+      q105, q106, q107, q129, q133, q144, q146, q149)
 }

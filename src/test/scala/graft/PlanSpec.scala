@@ -208,7 +208,10 @@ class PlanSpec extends SparkTestBase {
       "q125_chi_square",
       // q135's join-size total is ONE row broadcast into the top-5 cut
       // of the key-profile frame — same tiny-stats pattern.
-      "q135_join_cardinality")
+      "q135_join_cardinality",
+      // q149's types×types grid is a deliberate |event types|² dimension
+      // cross join (q16's class) and its type count a 1-row broadcast.
+      "q149_markov_matrix")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

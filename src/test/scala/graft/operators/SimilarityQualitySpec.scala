@@ -352,6 +352,33 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q151 quantization matches a naive integer recompute; error bounded by scale/127") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val expected = vecs.toSeq.sortBy(_._1).map { case (id, v) =>
+      val vi = v.map(x => math.round(x.toDouble * 1000000))
+      val scale = math.max(vi.map(math.abs).max, 1L)
+      val qv = vi.map(x => math.signum(x) * (math.abs(x) * 127 / scale))
+      val err = vi.zip(qv).map { case (x, q) =>
+        math.abs(x - math.signum(q) * (math.abs(q) * scale / 127)) }.max
+      (id, scale, qv.zipWithIndex.map { case (q, i) => (i + 1) * q }.sum,
+        qv.map(math.abs).sum, err)
+    }
+    val got = Similarity.q151.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, {
+      val bad = got.zip(expected).find { case (g, e) => g != e }
+      s"first divergence: got=${bad.map(_._1)} want=${bad.map(_._2)}"
+    })
+    // the int8 invariants: every |q| ≤ 127 (digest L1 bounds it) and the
+    // dequantization error is within one quantization step
+    got.foreach { case (id, scale, _, l1, err) =>
+      assert(l1 <= 127L * 64, s"vec $id L1 $l1 exceeds the int8 envelope")
+      assert(err <= scale / 127 + 1, s"vec $id err $err exceeds scale/127")
+    }
+  }
+
   test("q147 incremental pairs equal brute-force delta×corpus at every fixture SF") {
     // q147's oracle is the exact delta-vs-corpus SQL, valid because the
     // q44 envelope proves every cos ≥ 0.45 pair collides under 32×4 at

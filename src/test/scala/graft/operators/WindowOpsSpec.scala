@@ -287,4 +287,33 @@ class WindowOpsSpec extends SparkTestBase {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
       ("2024-01-02", 0, 1L)))
   }
+
+  test("q149: full smoothed grid, counts agree with q107, rows sum to ~1e6 ppm") {
+    val rows = WindowOps.q149.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val types = rows.map(_._1).distinct
+    assert(rows.length == types.length * types.length,
+      s"expected the full ${types.length}² grid, got ${rows.length}")
+    // (the sf0.001 matrix is dense — every pair occurs — so zero-count
+    // smoothing is exercised by the formula assertion below, which pins
+    // p_ppm = (n+1)·10⁶ div (tot+k) for EVERY cell including minima)
+    // nonzero counts are exactly q107's transition counts
+    val q107Counts = WindowOps.q107.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (s, d, n, _) =>
+      assert(n == q107Counts.getOrElse((s, d), 0L), s"count drift at ($s,$d)")
+    }
+    // the add-one estimate, exactly, and near-unit row mass (floor loss
+    // is < 1 ppm per cell)
+    val k = types.length
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val tot = rs.map(_._3).sum
+      rs.foreach { case (_, d, n, p) =>
+        assert(p == (n + 1) * 1000000L / (tot + k), s"p_ppm wrong at ($src,$d)")
+      }
+      val mass = rs.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - k,
+        s"row $src mass $mass outside the floor-rounding band")
+    }
+  }
 }
