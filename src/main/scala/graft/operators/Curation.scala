@@ -688,13 +688,16 @@ object Curation extends QueryPack {
     "q148_span_scrub",
     (spark, dir) => {
       val C = 8
-      val chunks = Tables(spark, dir).documents
+      // the chunk frame sits on BOTH sides of the first-occurrence join
+      // and Spark does not dedupe identical subplans — cut it once so
+      // the scan + tokenize + chunk pass runs once, not twice
+      val chunks = Materialize.cut(Tables(spark, dir).documents
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .select(col("doc_id"), col("ts"),
           posexplode(sequence(lit(0), size(col("ts")) - 1, lit(C)))
             .as(Seq("pos", "start")))
         .select(col("doc_id"), col("pos"),
-          array_join(slice(col("ts"), col("start") + 1, lit(C)), " ").as("chunk"))
+          array_join(slice(col("ts"), col("start") + 1, lit(C)), " ").as("chunk")))
       val firsts = chunks.groupBy(col("chunk"))
         .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       chunks.join(firsts, "chunk")

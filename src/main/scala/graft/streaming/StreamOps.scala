@@ -362,6 +362,64 @@ object SensorProcessor {
   }
 }
 
+/** One event entering the streaming transition counter. */
+case class TransEvent(userId: Long, eventType: String, us: Long, eventId: Long)
+
+/** One observed per-user (src → dst) transition at event time `us`. */
+case class Transition(userId: Long, src: String, dst: String, us: Long)
+
+/** Per-user last-seen event for the transition counter. */
+case class TransState(eventType: String, us: Long, eventId: Long)
+
+/** Streaming form of the q107 clickstream transition matrix: a per-user
+  * `transformWithState` machine that remembers only the LAST event (one
+  * small record per user, forever) and emits one (src → dst) row per
+  * consecutive pair — the live feed a q149-style next-event model
+  * re-estimates from. Same in-order contract as [[StreamFunnel]]: events
+  * are (us, event_id)-sorted within each micro-batch and arrival order is
+  * trusted across batches; on an in-order stream the aggregated
+  * transition counts equal batch q107's exactly (spec-asserted across a
+  * micro-batch boundary). */
+object StreamTransitions {
+  /** `events` needs `user_id`, `event_type`, `ts`, `event_id`; works on
+    * static frames and streams alike. */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"))
+      .as[TransEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new TransProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-user last-event machine behind [[StreamTransitions]]. */
+class TransProcessor
+    extends StatefulProcessor[Long, TransEvent, Transition] {
+  @transient private var st: ValueState[TransState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TransState]("last",
+      Encoders.product[TransState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+      timerValues: TimerValues): Iterator[Transition] = {
+    var last = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    // q107's per-user total order: (us, event_id)
+    rows.toArray.sortBy(e => (e.us, e.eventId)).foreach { e =>
+      last.foreach(p => out += Transition(key, p.eventType, e.eventType, e.us))
+      last = Some(TransState(e.eventType, e.us, e.eventId))
+    }
+    last.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** One event entering the streaming funnel gate. */
 case class FunnelEvent(userId: Long, eventType: String, us: Long)
 

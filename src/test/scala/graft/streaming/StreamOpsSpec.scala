@@ -574,6 +574,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(batchCounts("3_purchase_24h") == expected.count(_._2 == 3))
   }
 
+  test("transition counter on an in-order stream reproduces exactly q107's counts") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamTransitions.transitions(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("transq107")
+      .start()
+    // two arrival chunks so the per-user last-event state crosses a
+    // micro-batch boundary
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s2.table("transq107")
+      .groupBy(col("src"), col("dst")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.WindowOps.q107.fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream/batch transition divergence: " +
+      s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
+
   test("concurrency gauge: level survives the batch boundary within a day") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
