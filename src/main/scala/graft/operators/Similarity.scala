@@ -1144,6 +1144,59 @@ object Similarity extends QueryPack {
     FROM r GROUP BY vec_id
     ORDER BY vec_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q152
+  /** Exact Gram-matrix sufficient statistics of the embedding corpus —
+    * `G[i][j] = Σ_vectors v_i·v_j` for i ≤ j (the upper triangle,
+    * d(d+1)/2 rows): the one distributed pass that whitening, PCA and
+    * covariance-based outlier screens all fit FROM. The eigen-solve is
+    * driver-side model fitting over a d×d matrix (model state, like
+    * q60's centroids) — the QUERY is the corpus-scale part, and it is
+    * exact: components enter as micro-scaled integers (q43/q151's
+    * pattern), products stay in int64 (|component| < 3000.0 keeps
+    * v_i·v_j < 9·10¹², documented envelope), the per-cell sums
+    * accumulate in DECIMAL(38,0) (10⁹ vectors × 10¹³ ≈ 10²² passes
+    * int64 — DuckDB's HUGEINT matches), and the output lands back in
+    * int64 micro units via a SIGN-SPLIT integral divide (Spark `div`
+    * truncates, DuckDB `//` floors; they agree only on magnitudes —
+    * cross terms can be negative).
+    *
+    * Scale shape: one exploded cut of the corpus, an equi self-join on
+    * `vec_id` (fan-out d²/2 per vector — the standard outer-product
+    * stream), then a (i, j) hash aggregate whose map-side combine
+    * collapses every partition to ≤ d(d+1)/2 rows before the exchange —
+    * shuffle volume is #partitions × 2080, independent of corpus
+    * size. */
+  val q152 = QueryDef(
+    "q152_embedding_gram",
+    (spark, dir) => {
+      val ex = graft.Materialize.cut(Tables(spark, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), (col("dim") + 1).cast(IntegerType).as("dim"),
+          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi")))
+      ex.as("a").join(ex.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.dim") <= col("b.dim"))
+        .select(col("a.dim").as("i"), col("b.dim").as("j"),
+          (col("a.vi") * col("b.vi")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("s"))
+        .select(col("i"), col("j"),
+          expr("CAST(CASE WHEN s < 0 THEN -((-s) div 1000000) ELSE s div 1000000 END AS BIGINT)")
+            .as("gram_micro"))
+        .orderBy(col("i").asc_nulls_first, col("j").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    p AS (
+      SELECT a.dim AS i, b.dim AS j, a.vi * b.vi AS pr
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim),
+    s AS (SELECT i, j, SUM(pr) AS s FROM p GROUP BY i, j)
+    SELECT i, j,
+      CAST(CASE WHEN s < 0 THEN -((-s) // 1000000) ELSE s // 1000000 END AS BIGINT)
+        AS gram_micro
+    FROM s ORDER BY i ASC NULLS FIRST, j ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151)
+    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152)
 }

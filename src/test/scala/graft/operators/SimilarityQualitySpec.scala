@@ -379,6 +379,32 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q152 Gram matrix matches a naive integer recompute (full upper triangle)") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .collect().map(r =>
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          .map(x => math.round(x.toDouble * 1000000)))
+    val d = vecs.head.length
+    val expected = (for {
+      i <- 1 to d; j <- i to d
+    } yield {
+      val s = vecs.map(v => BigInt(v(i - 1)) * BigInt(v(j - 1))).sum
+      val g = (s.abs / 1000000) * (if (s < 0) -1 else 1)
+      (i, j, g.toLong)
+    }).toSeq
+    val got = Similarity.q152.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected, {
+      val bad = got.zip(expected).find { case (g, e) => g != e }
+      s"first divergence: got=${bad.map(_._1)} want=${bad.map(_._2)}"
+    })
+    assert(got.length == d * (d + 1) / 2)
+    // the diagonal is a sum of squares — strictly positive on real data
+    got.filter(t => t._1 == t._2).foreach { case (i, _, g) =>
+      assert(g > 0, s"G[$i][$i] must be positive")
+    }
+  }
+
   test("q147 incremental pairs equal brute-force delta×corpus at every fixture SF") {
     // q147's oracle is the exact delta-vs-corpus SQL, valid because the
     // q44 envelope proves every cos ≥ 0.45 pair collides under 32×4 at
