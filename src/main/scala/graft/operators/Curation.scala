@@ -684,33 +684,39 @@ object Curation extends QueryPack {
     * sorts them by position inside the row — no extra exchange beyond
     * the doc-key aggregate. Chunk identity is the chunk TEXT, so both
     * engines group identically with no hash function in the contract. */
+  /** The q148 pipeline over an arbitrary `(doc_id, text)` frame — also
+    * driven by [[graft.tools.ScaleProbe]]'s `scrub` mode on replicated
+    * corpora (where every chunk key is ~f-hot, the skew case the
+    * min-struct + equi-join shape exists for). */
+  private[graft] def spanScrubOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val C = 8
+    // the chunk frame sits on BOTH sides of the first-occurrence join
+    // and Spark does not dedupe identical subplans — cut it once so
+    // the scan + tokenize + chunk pass runs once, not twice
+    val chunks = Materialize.cut(docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0), size(col("ts")) - 1, lit(C)))
+          .as(Seq("pos", "start")))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("ts"), col("start") + 1, lit(C)), " ").as("chunk")))
+    val firsts = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    chunks.join(firsts, "chunk")
+      .withColumn("kept", col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   val q148 = QueryDef(
     "q148_span_scrub",
-    (spark, dir) => {
-      val C = 8
-      // the chunk frame sits on BOTH sides of the first-occurrence join
-      // and Spark does not dedupe identical subplans — cut it once so
-      // the scan + tokenize + chunk pass runs once, not twice
-      val chunks = Materialize.cut(Tables(spark, dir).documents
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .select(col("doc_id"), col("ts"),
-          posexplode(sequence(lit(0), size(col("ts")) - 1, lit(C)))
-            .as(Seq("pos", "start")))
-        .select(col("doc_id"), col("pos"),
-          array_join(slice(col("ts"), col("start") + 1, lit(C)), " ").as("chunk")))
-      val firsts = chunks.groupBy(col("chunk"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-      chunks.join(firsts, "chunk")
-        .withColumn("kept", col("doc_id") === col("first.doc_id") &&
-          col("pos") === col("first.pos"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
-          array_join(transform(array_sort(collect_list(
-              when(col("kept"), struct(col("pos"), col("chunk"))))),
-            s => s.getField("chunk")), " ").as("clean_text"))
-        .orderBy(col("doc_id").asc_nulls_first)
-    },
+    (spark, dir) => spanScrubOn(Tables(spark, dir).documents),
     Some("""WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     ch AS (

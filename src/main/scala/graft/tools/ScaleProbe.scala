@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "edelta", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|edelta|winnow|analytic|pagerank|cdf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "edelta", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|edelta|scrub|winnow|analytic|pagerank|cdf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -95,6 +95,20 @@ object ScaleProbe {
       val nPairs = pairs.count()
       println(f"SCALE-WINNOW f=$f docs=$nDocs fps=$nFps pairs=$nPairs " +
         f"t_fp=$tFp%.2f t_pairs=$tPairs%.2f")
+    }
+
+    // ---- duplicate-span scrub (q148): replicas share every chunk except
+    // the tail-token one, so a grown corpus makes each chunk key ~f-hot —
+    // the skew case the min-struct aggregate + equi-join shape exists
+    // for (a row_number window would buffer each hot chunk's partition
+    // on one task). Wall must track the chunk stream (linear in f), not
+    // the duplicate multiplicity.
+    if (mode == "scrub") factors.foreach { f =>
+      val docs = replicateDocs(f)
+      val nDocs = docs.count()
+      val (out, t) = timed(Curation.spanScrubOn(docs).localCheckpoint())
+      val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
+      println(f"SCALE-SCRUB f=$f docs=$nDocs removed_chunks=$removed t=$t%.2f")
     }
 
     // ---- cdf (GlobalCdf / q141): the two-pass prefix sum must stay
