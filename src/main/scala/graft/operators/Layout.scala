@@ -290,6 +290,42 @@ object Layout extends QueryPack {
     }
   }
 
+  /** EXECUTES a compaction plan against a layout directory: each bin's
+    * files are read together and rewritten as ONE right-sized file —
+    * the maintenance job the q140 plan is the artifact FOR. Bins are
+    * independent, so they run as concurrent one-task jobs (`coalesce(1)`
+    * per bin — correct, not a perf hack: one output file per bin IS the
+    * semantics); on a cluster the scheduler spreads the ≤|bins| jobs
+    * across executors. Returns the output directory; LayoutSpec
+    * verifies file count = bin count, row-identical content, and that
+    * multi-file bins landed within the target envelope. */
+  private[graft] def compactionExecute(spark: SparkSession, layout: String,
+      plan: Seq[(String, Long, Int)]): String = {
+    val out = s"${layout}_compacted"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+    import scala.collection.parallel.CollectionConverters._
+    val byBin = plan.groupBy(_._3).toSeq
+    byBin.par.foreach { case (bin, files) =>
+      val paths = files.map { case (f, _, _) => s"$layout/$f" }
+      val tmp = s"$out/_tmp_bin_$bin"
+      spark.read.parquet(paths: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      // promote the single part file to a stable bin-named file; drop
+      // the job's temp dir scaffolding
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"bin $bin produced no parquet part"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(
+        f"$out/bin_$bin%04d.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    out
+  }
+
   /** FFD compaction plan over an explicit (file, bytes) manifest —
     * shared by the registered q140 (relational manifest) and the
     * filesystem variant ([[compactionPlanFs]], spec-checked). */

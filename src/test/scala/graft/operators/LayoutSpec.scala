@@ -122,6 +122,43 @@ class LayoutSpec extends SparkTestBase {
     assert(rows.toSeq == expected)
   }
 
+  test("compactionExecute: the rewrite lands one right-sized file per bin, content intact") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val layout = Layout.ensureFragmented(spark, sf0001)
+    val files = Layout.manifest(spark, layout)
+    val total = files.map(_._2).sum
+    val target = (total + 15) / 16
+    val plan = Layout.ffdPlan(files, target)
+    val out = Layout.compactionExecute(spark, layout, plan)
+    // one file per bin, named stably
+    val outFiles = Layout.manifest(spark, out)
+    val nBins = plan.map(_._3).distinct.length
+    assert(outFiles.length == nBins,
+      s"expected $nBins compacted files, got ${outFiles.length}")
+    // content identical: same row count and same order-insensitive hash
+    def digest(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+      // XOR fold (q131's pattern) — a SUM of hashes overflows int64
+      // under ANSI
+      val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
+        .collect()(0).getLong(0)
+      (df.count(), h)
+    }
+    assert(digest(out) == digest(layout), "compaction changed the data")
+    // compaction actually compacts: fewer files than before, and every
+    // multi-file bin landed within the byte envelope (parquet re-encoding
+    // can move bytes a little; allow 25%)
+    assert(outFiles.length < files.length)
+    val planBytes = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    outFiles.foreach { case (name, bytes) =>
+      val bin = name.stripPrefix("bin_").stripSuffix(".parquet").toInt
+      if (plan.count(_._3 == bin) > 1)
+        assert(bytes <= (planBytes(bin) * 1.25).toLong + 4096,
+          s"bin $bin output $bytes far exceeds its planned ${planBytes(bin)}")
+    }
+  }
+
   test("compactionPlanFs: FFD over real file bytes respects bin capacity") {
     val layout = Layout.ensureFragmented(spark, sf0001)
     val files = Layout.manifest(spark, layout)
