@@ -243,4 +243,44 @@ object AlgebraProps extends Properties("Algebra") {
       AsOf.backward(left, right, "key", "key", "t", "rt",
         payload = Seq("rv"), tieR = "rid").count() == a.length
     }
+
+  // ---- first-fit-decreasing compaction (q140's driver fold): the bin
+  // assignment must cover every file exactly once, respect the residual
+  // capacity of every multi-file bin, and meet the volume lower bound —
+  // on ANY manifest, not just the fixture's.
+  private val genManifest: Gen[List[(String, Long)]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1L, 500L)).map(_.zipWithIndex
+      .map { case (sz, i) => (f"f$i%03d", sz) })
+
+  property("FFD plan covers all files, respects capacity, meets the bin lower bound") =
+    forAll(genManifest, Gen.chooseNum(1L, 800L)) { (files0, target) =>
+      val files = files0.sortBy { case (n, sz) => (-sz, n) }
+      val plan = graft.operators.Layout.ffdPlan(files, target)
+      val coverage = plan.map(p => (p._1, p._2)).sorted == files.sorted
+      val capacity = plan.groupBy(_._3).forall { case (_, fs) =>
+        fs.length == 1 || fs.map(_._2).sum <= target
+      }
+      val total = files.map(_._2).sum
+      val nBins = plan.map(_._3).distinct.length
+      // lower bound holds unless singleton oversized files force extras
+      val oversized = files.count(_._2 > target)
+      val lower = nBins >= ((total + target - 1) / target).toInt ||
+        oversized > 0
+      coverage && capacity && lower
+    }
+
+  // ---- int8 quantization (q151's per-component law): |q| ≤ 127 always,
+  // q = 0 iff the component rounds to 0 at full scale, and the
+  // dequantization error is within one quantization step — for ANY
+  // micro-scaled component and scale.
+  property("int8 quantize: bounded, sign-preserving, error within one step") =
+    forAll(Gen.chooseNum(-3000000000L, 3000000000L),
+      Gen.chooseNum(1L, 3000000000L)) { (vi0, maxabs) =>
+      val vi = math.max(-maxabs, math.min(maxabs, vi0)) // |vi| ≤ scale by construction
+      val q = math.signum(vi) * (math.abs(vi) * 127 / maxabs)
+      val recon = math.signum(q) * (math.abs(q) * maxabs / 127)
+      math.abs(q) <= 127 &&
+        math.signum(q) * math.signum(vi) >= 0 &&
+        math.abs(vi - recon) <= maxabs / 127 + 1
+    }
 }
