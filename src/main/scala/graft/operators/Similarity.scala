@@ -1197,6 +1197,91 @@ object Similarity extends QueryPack {
         AS gram_micro
     FROM s ORDER BY i ASC NULLS FIRST, j ASC NULLS FIRST"""))
 
+  // ----------------------------------------------------- PCA / whitening
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric d×d
+    * matrix — the driver-side MODEL FIT over q152's Gram/covariance
+    * sufficient statistics (d×d doubles = model state, the q60-centroid
+    * class; the corpus never participates). Fixed row-major sweep order
+    * and fixed sweep count make the rotation sequence — and therefore
+    * the result — deterministic; eigenpairs are returned value-desc with
+    * each vector sign-normalized (first component of largest magnitude
+    * made positive), so downstream projections are reproducible.
+    * Returns (eigenvalues, eigenvectors as ROWS). */
+  private[graft] def symEig(a0: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until sweeps; p <- 0 until d - 1; q <- p + 1 until d) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+        val t =
+          if (theta == 0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+        val c = 1 / math.sqrt(t * t + 1)
+        val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    val pairs = (0 until d).map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      val pivot = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      val sgn = if (vec(pivot) < 0) -1.0 else 1.0
+      (a(j)(j), vec.map(_ * sgn))
+    }.sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** Fits the top-k PCA components from q152's Gram rows plus the
+    * component means (q43's global-centroid statistic): covariance =
+    * G/n − μμᵀ, eigendecomposed on the driver. `gramMicro` holds the
+    * upper triangle in q152's micro² units; `meanMicro` in micro
+    * units. */
+  private[graft] def fitPcaFromGram(gramMicro: Seq[(Int, Int, Long)],
+      meanMicro: Array[Double], n: Long, k: Int): (Array[Double], Array[Array[Double]]) = {
+    val d = meanMicro.length
+    val cov = Array.ofDim[Double](d, d)
+    gramMicro.foreach { case (i, j, g) =>
+      // q152 emitted Σ v_i·v_j in micro units (micro² div 10⁶); back to
+      // full-scale: /1e6 then /n, minus the mean outer product
+      val c = g.toDouble / 1e6 / n -
+        (meanMicro(i - 1) / 1e6) * (meanMicro(j - 1) / 1e6)
+      cov(i - 1)(j - 1) = c
+      cov(j - 1)(i - 1) = c
+    }
+    val (vals, vecs) = symEig(cov)
+    (vals.take(k), vecs.take(k))
+  }
+
+  /** Map-only projection of the embedding column onto fitted components
+    * (each component a literal, exactly how q60 bakes centroids in):
+    * output (vec_id, pc_1..pc_k). Shuffle-free — the model travels to
+    * the data. */
+  private[graft] def projectEmbeddings(em: org.apache.spark.sql.DataFrame,
+      components: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(em.sparkSession)
+    val cols = components.zipWithIndex.map { case (comp, i) =>
+      dotNative(col("embedding"), typedLit(comp.map(_.toFloat).toSeq))
+        .as(s"pc_${i + 1}")
+    }
+    em.select((col("vec_id") +: cols.toSeq): _*)
+  }
+
   override def queries: Seq[QueryDef] =
     Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152)
 }

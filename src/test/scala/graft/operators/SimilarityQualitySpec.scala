@@ -405,6 +405,54 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("symEig + PCA fit: eigenpairs verify A·v = λ·v and projected covariance is diagonal") {
+    // unit check on a known matrix: [[2,1],[1,2]] → λ = 3, 1 with
+    // eigenvectors (1,1)/√2 and (1,−1)/√2
+    val (vals2, vecs2) = Similarity.symEig(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals2(0) - 3.0) < 1e-12 && math.abs(vals2(1) - 1.0) < 1e-12)
+    assert(math.abs(math.abs(vecs2(0)(0)) - 1 / math.sqrt(2)) < 1e-12)
+    // end-to-end: q152's Gram rows + the mean → top-4 components →
+    // map-only projection; the projected coordinates must be
+    // decorrelated with variances = the eigenvalues
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val raw = em.collect().map(r =>
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val n = raw.length.toLong
+    val d = raw.head.length
+    val meanMicro = Array.tabulate(d)(i =>
+      raw.map(v => math.round(v(i).toDouble * 1000000).toDouble).sum / n)
+    val gram = Similarity.q152.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val (vals, comps) = Similarity.fitPcaFromGram(gram, meanMicro, n, k = 4)
+    assert(vals(0) >= vals(1) && vals(1) >= vals(2) && vals(2) >= vals(3))
+    assert(vals.forall(_ > 0), "fixture covariance must be positive on the top-4")
+    // residual check A·v = λ·v on the assembled covariance
+    val cov = Array.ofDim[Double](d, d)
+    gram.foreach { case (i, j, g) =>
+      val c = g.toDouble / 1e6 / n - (meanMicro(i - 1) / 1e6) * (meanMicro(j - 1) / 1e6)
+      cov(i - 1)(j - 1) = c; cov(j - 1)(i - 1) = c
+    }
+    comps.zip(vals).foreach { case (v, l) =>
+      val av = cov.map(row => row.zip(v).map { case (a, x) => a * x }.sum)
+      val resid = av.zip(v).map { case (a, x) => math.abs(a - l * x) }.max
+      assert(resid < 1e-9, s"eigen residual $resid")
+    }
+    // projected sample covariance ≈ diag(λ): compute from the map-only
+    // projection (centered with the projected mean)
+    val proj = Similarity.projectEmbeddings(
+        em.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")), comps)
+      .collect().map(r => Array.tabulate(4)(i => r.getDouble(i + 1)))
+    val pMean = Array.tabulate(4)(i => proj.map(_(i)).sum / n)
+    for (i <- 0 until 4; j <- i until 4) {
+      val c = proj.map(p => (p(i) - pMean(i)) * (p(j) - pMean(j))).sum / n
+      if (i == j)
+        assert(math.abs(c - vals(i)) < 3e-3 * math.max(1.0, vals(i)),
+          s"projected var($i)=$c vs λ=${vals(i)}")
+      else assert(math.abs(c) < 3e-3, s"projected cov($i,$j)=$c not ~0")
+    }
+  }
+
   test("q147 incremental pairs equal brute-force delta×corpus at every fixture SF") {
     // q147's oracle is the exact delta-vs-corpus SQL, valid because the
     // q44 envelope proves every cos ≥ 0.45 pair collides under 32×4 at
