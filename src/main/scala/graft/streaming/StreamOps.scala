@@ -420,6 +420,102 @@ class TransProcessor
   }
 }
 
+/** Watermark-buffered OUT-OF-ORDER funnel gate — the variant the plain
+  * [[StreamFunnel]] scaladoc defers to: arrival order is NOT trusted.
+  * Events buffer in per-user `ListState` until the event-time watermark
+  * passes them; an event-time timer then drains the finalized prefix
+  * (everything strictly older than the watermark — nothing older can
+  * arrive anymore, by the watermark contract) through the same stage
+  * machine in (us, event_id) order. Any event no later than the
+  * watermark delay lands in the right order regardless of arrival
+  * shuffling, so the terminal stages equal batch q105/q144's on ANY
+  * ≤-delay-disordered stream (spec-asserted with cross-batch
+  * shuffling). State = the in-flight buffer (bounded by the lateness
+  * window × per-user rate) + one FunnelState per user. */
+object StreamFunnelBuffered {
+  /** `events` needs `event_id`, `user_id`, `event_type`, `ts`;
+    * `maxLateness` is the watermark delay that bounds both reordering
+    * tolerance and buffer growth. */
+  def transitions(events: DataFrame, maxLateness: String = "10 minutes",
+      deadlineUs: Option[Long] = None): Dataset[FunnelTransition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", maxLateness)
+      .select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"))
+      .as[TransEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedFunnelProcessor(deadlineUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** The buffer-until-watermark machine behind [[StreamFunnelBuffered]]. */
+class BufferedFunnelProcessor(deadlineUs: Option[Long] = None)
+    extends StatefulProcessor[Long, TransEvent, FunnelTransition] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState}
+  @transient private var buf: ListState[TransEvent] = _
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[TransEvent]("buffer",
+      Encoders.product[TransEvent], TTLConfig.NONE)
+    st = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+  }
+
+  private val stageNames = Array("", "signup", "view", "purchase")
+
+  /** Runs the q105/q144 stage machine over FINALIZED events (already
+    * event-time-ordered). */
+  private def advance(key: Long,
+      events: Seq[TransEvent]): Iterator[FunnelTransition] = {
+    var cur = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
+    def inWindow(us: Long): Boolean =
+      us > cur.us && deadlineUs.forall(d => us <= cur.us + d)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
+    events.foreach { e =>
+      val next = (cur.stage, e.eventType) match {
+        case (0, "signup") => 1
+        case (1, "view") if inWindow(e.us) => 2
+        case (2, "purchase") if inWindow(e.us) => 3
+        case _ => 0
+      }
+      if (next > cur.stage) {
+        cur = FunnelState(next, e.us)
+        out += FunnelTransition(key, stageNames(next), e.us)
+      }
+    }
+    if (cur.stage > 0) st.update(cur)
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+      timerValues: TimerValues): Iterator[FunnelTransition] = {
+    rows.foreach(buf.appendValue)
+    // one event-time timer just past the current watermark: it fires
+    // once the watermark advances, finalizing everything older. Firing
+    // is idempotent (drain-by-frontier), so duplicate registrations
+    // across batches are harmless.
+    getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelTransition] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val all = buf.get().toSeq
+    val (done, pending) = all.partition(_.us < wmUs)
+    if (pending.isEmpty) buf.clear()
+    else { buf.clear(); pending.foreach(buf.appendValue) }
+    if (pending.nonEmpty)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+    advance(key, done.sortBy(e => (e.us, e.eventId)))
+  }
+}
+
 /** One event entering the streaming funnel gate. */
 case class FunnelEvent(userId: Long, eventType: String, us: Long)
 
@@ -448,8 +544,9 @@ case class FunnelState(stage: Int, us: Long)
   * arriving after a later-timed event has already advanced the stage is
   * ignored, where batch q105 (global min-aggregates) would have used it.
   * On an in-order stream the terminal stages are exactly q105's
-  * (spec-asserted on the fixture events); out-of-order tolerance belongs
-  * to a watermark-buffered variant, orthogonal to the gate's logic. */
+  * (spec-asserted on the fixture events); out-of-order tolerance is
+  * [[StreamFunnelBuffered]] — the same stage machine behind a
+  * watermark-drained per-user buffer. */
 object StreamFunnel {
   /** `events` needs `user_id`, `event_type`, `ts`; works on static
     * frames and streams alike.

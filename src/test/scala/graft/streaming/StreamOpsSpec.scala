@@ -606,6 +606,55 @@ class StreamOpsSpec extends SparkTestBase {
       s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
 
+  test("buffered funnel: out-of-order arrival within the watermark still equals q105") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    // adversarial arrival: the 5 minutes of events just before the split
+    // instant are HELD BACK into batch 2 (≤ the 10-minute watermark
+    // delay, so they are not late), and both batches are internally
+    // shuffled — the plain in-order gate's contract is violated across
+    // the batch boundary, the buffered gate's is not
+    val cutMs = evs(evs.length / 2).ts.getTime
+    val (early, tail) = evs.partition(_.ts.getTime <= cutMs)
+    val (held, b1) = early.partition(_.ts.getTime > cutMs - 5 * 60 * 1000)
+    assert(held.nonEmpty, "fixture has no events in the held-back window")
+    def shuffled(xs: Array[Ev]) = xs.sortBy(e => (e.event_id % 13, e.event_id))
+    val maxTs = evs.map(_.ts.getTime).max
+    val flush = Ev(10000000L, new java.sql.Timestamp(maxTs + 86400000L),
+      999999L, "noop", 0.0)
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamFunnelBuffered.transitions(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("funnelbuf")
+      .start()
+    in.addData(shuffled(b1): _*)
+    q.processAllAvailable()
+    in.addData(shuffled(held ++ tail): _*)
+    q.processAllAvailable()
+    // the flush event advances the watermark past every real event so
+    // all buffered prefixes finalize
+    in.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val rank = Map("signup" -> 1, "view" -> 2, "purchase" -> 3)
+    val streamed = s2.table("funnelbuf")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 != 999999L)
+      .groupBy(_._1).view.mapValues(_.map(t => rank(t._2)).max).toMap
+    val batch = graft.operators.WindowOps.q105.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), rank(r.getString(1)))).toMap
+    assert(streamed == batch, s"buffered funnel diverged under reordering: " +
+      s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
+
   test("concurrency gauge: level survives the batch boundary within a day") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
