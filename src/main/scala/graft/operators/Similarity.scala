@@ -1197,6 +1197,75 @@ object Similarity extends QueryPack {
         AS gram_micro
     FROM s ORDER BY i ASC NULLS FIRST, j ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q153
+  /** Embedding-distribution drift monitor — the vector-side sibling of
+    * q122's PSI: per label, the squared L2 distance between the
+    * centroids of two deterministic corpus halves (md5-parity of
+    * vec_id — the stand-in for "yesterday's shard vs today's"; a real
+    * deployment splits on the landing date). A centroid that moves is
+    * an upstream change (new encoder checkpoint, domain shift) caught
+    * before it poisons ANN indexes and dedup thresholds.
+    *
+    * Exactness: per-dim means are micro-scaled integers via a
+    * SIGN-SPLIT round-half-up divide (`sign·((2|s| + n) div 2n)` —
+    * Spark `div` truncates, DuckDB `//` floors, so magnitudes only),
+    * the diff-of-means and its square stay in int64 (diff ≤ 8·10⁶ →
+    * Σ over 64 dims ≤ 4·10¹⁵), and the output is the exact integer
+    * Σ diff² in micro² units. No float ever forms, so no reduction
+    * order exists to drift.
+    *
+    * Scale shape: ONE (label, dim) hash aggregate over the exploded
+    * corpus (map-side combinable), then label-sized frames end-to-end.
+    * At 100 TB the explode is the only corpus-scale stage. */
+  val q153 = QueryDef(
+    "q153_embed_drift",
+    (spark, dir) => {
+      val half = (Det.md5Bucket(col("vec_id")) % 2 === 0)
+      val ex = Tables(spark, dir).embeddings
+        .select(col("label"), half.as("h"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("h"), (col("dim") + 1).cast(IntegerType).as("dim"),
+          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi"))
+      val sums = ex.groupBy(col("label"), col("h"), col("dim"))
+        .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
+      val sgnMean = expr(
+        "CASE WHEN s < 0 THEN -((2 * (-s) + n) div (2 * n)) " +
+          "ELSE (2 * s + n) div (2 * n) END")
+      val means = sums.select(col("label"), col("h"), col("dim"),
+        sgnMean.as("m"), col("n"))
+      val a = means.filter(col("h")).select(col("label"), col("dim"),
+        col("m").as("m1"), col("n").as("n1"))
+      val b = means.filter(!col("h")).select(col("label"), col("dim"),
+        col("m").as("m2"), col("n").as("n2"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(max(col("n1")).as("n_a"), max(col("n2")).as("n_b"),
+          sum((col("m1") - col("m2")) * (col("m1") - col("m2"))).as("l2sq_micro2"))
+        .orderBy(col("label").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT label,
+        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS INTEGER) % 2 = 0 AS h,
+        CAST(i AS INT) AS dim,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    sums AS (
+      SELECT label, h, dim, CAST(SUM(vi) AS BIGINT) AS s, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2, 3),
+    means AS (
+      SELECT label, h, dim,
+        CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+             ELSE (2 * s + n) // (2 * n) END AS m, n
+      FROM sums),
+    j AS (
+      SELECT a.label, a.dim, a.m AS m1, a.n AS n1, b.m AS m2, b.n AS n2
+      FROM means a JOIN means b
+        ON a.label = b.label AND a.dim = b.dim AND a.h AND NOT b.h)
+    SELECT label, CAST(MAX(n1) AS BIGINT) AS n_a, CAST(MAX(n2) AS BIGINT) AS n_b,
+      CAST(SUM((m1 - m2) * (m1 - m2)) AS BIGINT) AS l2sq_micro2
+    FROM j GROUP BY label
+    ORDER BY label ASC NULLS FIRST"""))
+
   // ----------------------------------------------------- PCA / whitening
   /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric d×d
     * matrix — the driver-side MODEL FIT over q152's Gram/covariance
@@ -1283,5 +1352,5 @@ object Similarity extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152)
+    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152, q153)
 }

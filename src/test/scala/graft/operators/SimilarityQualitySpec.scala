@@ -453,6 +453,41 @@ class SimilarityQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q153 embedding drift matches a naive half-centroid recompute") {
+    def mdBucket2(id: Long): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString, 16) % 2
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getInt(2),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          .map(x => math.round(x.toDouble * 1000000))))
+    def roundDiv(s: Long, n: Long): Long =
+      if (s < 0) -((2 * -s + n) / (2 * n)) else (2 * s + n) / (2 * n)
+    val expected = rows.groupBy(_._2).map { case (label, vs) =>
+      val (a, b) = vs.partition(v => mdBucket2(v._1) == 0)
+      val d = vs.head._3.length
+      val l2 = (0 until d).map { i =>
+        val m1 = roundDiv(a.map(_._3(i)).sum, a.length)
+        val m2 = roundDiv(b.map(_._3(i)).sum, b.length)
+        (m1 - m2) * (m1 - m2)
+      }.sum
+      label -> ((a.length.toLong, b.length.toLong, l2))
+    }
+    val got = Similarity.q153.fn(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, {
+      val ks = (got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k))
+      ks.map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
+    })
+    // random split of an i.i.d. fixture: the drift must be SMALL next to
+    // the centroid scale, or the monitor would false-alarm constantly
+    got.values.foreach { case (na, nb, l2) =>
+      assert(na > 0 && nb > 0)
+      assert(l2 < 64L * 1000000L * 1000000L, s"implausible drift $l2")
+    }
+  }
+
   test("q147 incremental pairs equal brute-force delta×corpus at every fixture SF") {
     // q147's oracle is the exact delta-vs-corpus SQL, valid because the
     // q44 envelope proves every cos ≥ 0.45 pair collides under 32×4 at
