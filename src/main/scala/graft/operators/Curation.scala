@@ -737,6 +737,46 @@ object Curation extends QueryPack {
     FROM flagged GROUP BY doc_id
     ORDER BY doc_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q154
+  /** Context-window fit report — the planning table between q74's
+    * packing and q137's budget apportionment: per source, how the
+    * corpus maps onto a 2048-token training context. `n_shards` is the
+    * shard count naive per-doc splitting produces (Σ ⌈tokens/2048⌉),
+    * `fill_ppm` the resulting context utilization (total tokens over
+    * shard capacity, exact integral ppm through DECIMAL — the number
+    * that says how much compute padding wastes BEFORE packing, i.e.
+    * what q74's cross-doc packing buys), `n_over_ctx` the docs that
+    * must split at all. One map-side-combinable aggregate; all
+    * integers. */
+  val q154 = QueryDef(
+    "q154_context_fit",
+    (spark, dir) => {
+      val t = Tables(spark, dir).documents
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(org.apache.spark.sql.types.LongType).as("toks"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          max(col("toks")).as("max_tokens"),
+          sum(when(col("toks") > 2048, 1L).otherwise(0L)).as("n_over_ctx"),
+          sum(expr("(toks + 2047) div 2048")).as("n_shards"))
+        .withColumn("fill_ppm",
+          expr("CAST(total_tokens AS DECIMAL(28,0)) * 1000000 div (n_shards * 2048)"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH t AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      CAST(MAX(toks) AS BIGINT) AS max_tokens,
+      CAST(SUM(CASE WHEN toks > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_ctx,
+      CAST(SUM((toks + 2047) // 2048) AS BIGINT) AS n_shards,
+      CAST(SUM(toks) * 1000000 // (SUM((toks + 2047) // 2048) * 2048) AS BIGINT)
+        AS fill_ppm
+    FROM t GROUP BY source
+    ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148)
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154)
 }

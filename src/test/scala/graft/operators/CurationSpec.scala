@@ -283,4 +283,30 @@ class CurationSpec extends SparkTestBase {
     assert(q68Counts == expected.map(e => (e._1, e._2, e._3)),
       "q68 detection counts drifted from q148 scrub counts")
   }
+
+  test("q154 context-fit metrics match a naive recompute; fill never exceeds capacity") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.map(_._2)
+      val shards = toks.map(t => (t + 2047) / 2048).sum
+      src -> ((ds.length.toLong, toks.sum, toks.max,
+        toks.count(_ > 2048).toLong, shards,
+        toks.sum * 1000000L / (shards * 2048)))
+    }
+    val got = Curation.q154.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, {
+      val ks = (got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k))
+      ks.map(k => s"$k: got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
+    })
+    // invariants: utilization is a proper fraction of shard capacity and
+    // shards can never undercount the tokens they must hold
+    got.values.foreach { case (_, total, _, _, shards, fill) =>
+      assert(fill > 0 && fill <= 1000000L)
+      assert(shards * 2048 >= total)
+    }
+  }
 }
