@@ -116,8 +116,12 @@ object Bench {
     } ++ views
     // 4-decimal seconds: sub-0.1ms precision is noise, and the shorter
     // line keeps the driver's stdout capture (which has truncated a
-    // full-precision tail before — BENCH_r11's `parsed: null`) intact
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    // full-precision tail before — BENCH_r11's `parsed: null`) intact.
+    // Locale.ROOT, not the f-interpolator: a comma-decimal default
+    // locale would emit 0,1234 and corrupt the JSON line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)

@@ -216,12 +216,22 @@ object Analytic extends QueryPack {
     * Scale: keys are computed in a map pass; global top-100 plans as
     * TakeOrderedAndProject (per-partition heads, driver merge of
     * P×100 rows) — no global sort, no window. */
+  /** The Efraimidis–Spiliotopoulos sampling key ln(u)/w with u = the
+    * first 32 md5 bits of `id` — the cross-engine sampling CONTRACT
+    * shared by q110 (global draw) and q150 (per-group draw): one
+    * definition, so a future change cannot leave the two queries
+    * drawing different samples while both still pass their own
+    * oracles. */
+  private def esKey(id: Column, weight: Column): Column = {
+    val u32 = conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast(LongType)
+    log((u32.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)) / weight
+  }
+
   val q110 = QueryDef(
     "q110_weighted_sample",
     (spark, dir) => {
-      val u32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast(LongType)
-      val k = log((u32.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)) / col("n_chars")
+      val k = esKey(col("doc_id"), col("n_chars"))
       Tables(spark, dir).documents
         .select(col("doc_id"), col("source"), col("n_chars"), k.as("k"))
         .orderBy(col("k").desc_nulls_last, col("doc_id").asc_nulls_first)
@@ -256,9 +266,7 @@ object Analytic extends QueryPack {
   val q150 = QueryDef(
     "q150_group_weighted_sample",
     (spark, dir) => {
-      val u32 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast(LongType)
-      val k = log((u32.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)) / col("n_chars")
+      val k = esKey(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("k").desc_nulls_last, col("doc_id").asc_nulls_first)
       Tables(spark, dir).documents

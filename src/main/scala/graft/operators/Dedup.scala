@@ -242,12 +242,16 @@ object Dedup extends QueryPack {
     * keys are xxhash64-specific, but the OUTPUT is the exact-Jaccard
     * pair set whenever banding recovers every qualifying pair — and
     * DedupSpec asserts full output equality with q33 at ALL shipped
-    * fixtures (the fixtures' qualifying pairs sit far above the J = 0.5
-    * boundary, where 16×4 banding miss probability (1−J⁴)¹⁶ is
-    * negligible). The oracle is therefore q33's exact SQL
-    * ([[exactJaccardSql]]), demote-on-miss rule applies: a new fixture
-    * whose boundary pairs slip the bands fails the spec, and this query
-    * drops back to rows-only. */
+    * fixtures. Margin, MEASURED not assumed (round 12): the minimum
+    * Jaccard among qualifying pairs is 0.89 / 0.90 / 0.80 at
+    * sf0.001/0.01/0.1, so the worst-pair 16×4 miss probability
+    * (1−J⁴)¹⁶ is ≤ 2.2·10⁻⁴ — the fixture generator's near-identical
+    * replicas sit far above the J = 0.5 boundary where banding could
+    * not promise recall (a J = 0.5 pair would miss with p ≈ 0.36; that
+    * regime stays rows-only territory). The oracle is therefore q33's
+    * exact SQL ([[exactJaccardSql]]), demote-on-miss rule applies: a
+    * regenerated fixture with boundary pairs fails the spec with a
+    * precise message, and this query drops back to rows-only. */
   /** q32 up to (but not including) the result materialization + total
     * sort — the plan PlanSpec inspects (the registered query checkpoints
     * the tiny result before sorting, which truncates lineage to a Scan

@@ -1152,10 +1152,15 @@ object Similarity extends QueryPack {
     * driver-side model fitting over a d×d matrix (model state, like
     * q60's centroids) — the QUERY is the corpus-scale part, and it is
     * exact: components enter as micro-scaled integers (q43/q151's
-    * pattern), products stay in int64 (|component| < 3000.0 keeps
-    * v_i·v_j < 9·10¹², documented envelope), the per-cell sums
-    * accumulate in DECIMAL(38,0) (10⁹ vectors × 10¹³ ≈ 10²² passes
-    * int64 — DuckDB's HUGEINT matches), and the output lands back in
+    * pattern), every product is formed in DECIMAL — one side cast to
+    * DECIMAL(14,0) BEFORE the multiply, so the pairwise product is
+    * exact for any |component| up to 10⁸ with no int64 wrap anywhere
+    * (an int64 multiply would sit 2.4% under Long.MaxValue already at
+    * |component| = 3000 and wrap SILENTLY with ANSI off — the loud-
+    * envelope rule from the round-12 advice applies here too; DuckDB
+    * mirrors with a HUGEINT cast), the per-cell sums accumulate in
+    * DECIMAL(38,0) (10⁹ vectors × 10¹⁸ ≈ 10²⁷ still exact —
+    * DuckDB's HUGEINT matches), and the output lands back in
     * int64 micro units via a SIGN-SPLIT integral divide (Spark `div`
     * truncates, DuckDB `//` floors; they agree only on magnitudes —
     * cross terms can be negative).
@@ -1176,7 +1181,8 @@ object Similarity extends QueryPack {
       ex.as("a").join(ex.as("b"),
           col("a.vec_id") === col("b.vec_id") && col("a.dim") <= col("b.dim"))
         .select(col("a.dim").as("i"), col("b.dim").as("j"),
-          (col("a.vi") * col("b.vi")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("p"))
+          (col("a.vi").cast(org.apache.spark.sql.types.DecimalType(14, 0)) *
+            col("b.vi")).as("p"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("p")).as("s"))
         .select(col("i"), col("j"),
@@ -1189,7 +1195,7 @@ object Similarity extends QueryPack {
         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
     p AS (
-      SELECT a.dim AS i, b.dim AS j, a.vi * b.vi AS pr
+      SELECT a.dim AS i, b.dim AS j, CAST(a.vi AS HUGEINT) * b.vi AS pr
       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim),
     s AS (SELECT i, j, SUM(pr) AS s FROM p GROUP BY i, j)
     SELECT i, j,
