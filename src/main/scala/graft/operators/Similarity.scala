@@ -1222,7 +1222,13 @@ object Similarity extends QueryPack {
     *
     * Scale shape: ONE (label, dim) hash aggregate over the exploded
     * corpus (map-side combinable), then label-sized frames end-to-end.
-    * At 100 TB the explode is the only corpus-scale stage. */
+    * At 100 TB the explode is the only corpus-scale stage.
+    *
+    * A label present in only ONE half is deliberately absent from the
+    * output (inner join): centroid drift is defined only where both
+    * halves have mass — a label that vanished from a half is a VOLUME
+    * anomaly, the q145-freshness/q111-histogram class of signal, not a
+    * centroid statement this monitor could quantify. */
   val q153 = QueryDef(
     "q153_embed_drift",
     (spark, dir) => {
