@@ -452,25 +452,65 @@ object StreamFunnelBuffered {
   }
 }
 
-/** The buffer-until-watermark machine behind [[StreamFunnelBuffered]]. */
-class BufferedFunnelProcessor(deadlineUs: Option[Long] = None)
-    extends StatefulProcessor[Long, TransEvent, FunnelTransition] {
+/** The reusable buffer-until-watermark machine: subclasses supply only
+  * the per-key logic over FINALIZED, event-time-ordered events
+  * ([[advance]]); this base owns the `ListState` buffer, the
+  * register-at-watermark+1 timer discipline, and the drain-by-frontier
+  * (events strictly older than the watermark — nothing older can
+  * arrive anymore, by the watermark contract). Firing is idempotent,
+  * so duplicate timer registrations across batches are harmless; a
+  * non-empty residue re-arms the timer for the next watermark
+  * advance. */
+abstract class WatermarkBufferedProcessor[O]
+    extends StatefulProcessor[Long, TransEvent, O] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState}
   @transient private var buf: ListState[TransEvent] = _
-  @transient private var st: ValueState[FunnelState] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+  /** Called with the finalized prefix in (us, event_id) order; runs the
+    * operator's own state machine. */
+  protected def advance(key: Long, orderedEvents: Seq[TransEvent]): Iterator[O]
+
+  /** Subclass state registration (the base claims only "buffer"). */
+  protected def initState(): Unit
+
+  final override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[TransEvent]("buffer",
       Encoders.product[TransEvent], TTLConfig.NONE)
+    initState()
+  }
+
+  final override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+      timerValues: TimerValues): Iterator[O] = {
+    rows.foreach(buf.appendValue)
+    getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+    Iterator.empty
+  }
+
+  final override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val all = buf.get().toSeq
+    val (done, pending) = all.partition(_.us < wmUs)
+    if (pending.isEmpty) buf.clear()
+    else { buf.clear(); pending.foreach(buf.appendValue) }
+    if (pending.nonEmpty)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+    advance(key, done.sortBy(e => (e.us, e.eventId)))
+  }
+}
+
+/** The buffered q105/q144 stage machine behind [[StreamFunnelBuffered]]. */
+class BufferedFunnelProcessor(deadlineUs: Option[Long] = None)
+    extends WatermarkBufferedProcessor[FunnelTransition] {
+  @transient private var st: ValueState[FunnelState] = _
+
+  override protected def initState(): Unit =
     st = getHandle.getValueState[FunnelState]("funnel",
       Encoders.product[FunnelState], TTLConfig.NONE)
-  }
 
   private val stageNames = Array("", "signup", "view", "purchase")
 
-  /** Runs the q105/q144 stage machine over FINALIZED events (already
-    * event-time-ordered). */
-  private def advance(key: Long,
+  override protected def advance(key: Long,
       events: Seq[TransEvent]): Iterator[FunnelTransition] = {
     var cur = if (st.exists()) st.get() else FunnelState(0, Long.MinValue)
     def inWindow(us: Long): Boolean =
@@ -491,28 +531,46 @@ class BufferedFunnelProcessor(deadlineUs: Option[Long] = None)
     if (cur.stage > 0) st.update(cur)
     out.iterator
   }
+}
 
-  override def handleInputRows(key: Long, rows: Iterator[TransEvent],
-      timerValues: TimerValues): Iterator[FunnelTransition] = {
-    rows.foreach(buf.appendValue)
-    // one event-time timer just past the current watermark: it fires
-    // once the watermark advances, finalizing everything older. Firing
-    // is idempotent (drain-by-frontier), so duplicate registrations
-    // across batches are harmless.
-    getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
-    Iterator.empty
+/** Out-of-order twin of [[StreamTransitions]] on the same buffer
+  * primitive: transition rows ≡ batch q107 on any ≤-delay-disordered
+  * stream (spec-asserted alongside the buffered funnel). */
+object StreamTransitionsBuffered {
+  def transitions(events: DataFrame,
+      maxLateness: String = "10 minutes"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", maxLateness)
+      .select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"))
+      .as[TransEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedTransProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
   }
+}
 
-  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-      expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelTransition] = {
-    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-    val all = buf.get().toSeq
-    val (done, pending) = all.partition(_.us < wmUs)
-    if (pending.isEmpty) buf.clear()
-    else { buf.clear(); pending.foreach(buf.appendValue) }
-    if (pending.nonEmpty)
-      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
-    advance(key, done.sortBy(e => (e.us, e.eventId)))
+/** The buffered last-event machine behind [[StreamTransitionsBuffered]]. */
+class BufferedTransProcessor extends WatermarkBufferedProcessor[Transition] {
+  @transient private var st: ValueState[TransState] = _
+
+  override protected def initState(): Unit =
+    st = getHandle.getValueState[TransState]("last",
+      Encoders.product[TransState], TTLConfig.NONE)
+
+  override protected def advance(key: Long,
+      events: Seq[TransEvent]): Iterator[Transition] = {
+    var last = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    events.foreach { e =>
+      last.foreach(p => out += Transition(key, p.eventType, e.eventType, e.us))
+      last = Some(TransState(e.eventType, e.us, e.eventId))
+    }
+    last.foreach(st.update)
+    out.iterator
   }
 }
 
