@@ -1168,9 +1168,17 @@ object Similarity extends QueryPack {
     * Scale shape: one exploded cut of the corpus, an equi self-join on
     * `vec_id` (fan-out d²/2 per vector — the standard outer-product
     * stream), then a (i, j) hash aggregate whose map-side combine
-    * collapses every partition to ≤ d(d+1)/2 rows before the exchange —
-    * shuffle volume is #partitions × 2080, independent of corpus
-    * size. */
+    * collapses every partition to ≤ d(d+1)/2 rows before ITS exchange.
+    * The join's vec_id co-partition shuffle moves the exploded (8-byte)
+    * component stream — d longs per vector — and that is the right
+    * trade: a round-12 experiment replaced the join with a map-only
+    * static-pair-grid explode ("zero shuffle"), and it benched 80×
+    * WORSE (1.5 s → 122 s at sf0.1) because the explode duplicates the
+    * row's full component array into each of the 2080 grid rows
+    * (~1 MB of row state per vector through the aggregate), while the
+    * wide-per-pair array() alternative is a 2080-term expression tree —
+    * the codegen-blowup class the round-1 LSH history documents. The
+    * lesson is recorded here so it is not retried. */
   val q152 = QueryDef(
     "q152_embedding_gram",
     (spark, dir) => {
