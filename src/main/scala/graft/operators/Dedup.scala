@@ -984,6 +984,76 @@ object Dedup extends QueryPack {
     FROM labels l JOIN survivors s USING (keeper)
     ORDER BY l.doc_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q155
+  /** Dedup ROI report — "what did dedup buy": per near-dup cluster SIZE,
+    * how many clusters exist, how many documents a keep-one policy
+    * removes, and how many TOKENS that saves (the number a training-
+    * compute budget actually feels; singleton rows quantify the
+    * untouched mass). Reads the memoized q55 label view — the cluster
+    * computation is shared, not recomputed — joins each member's token
+    * count, folds to per-cluster totals, then to the size distribution:
+    * two keeper-keyed aggregates over cluster-sized frames after one
+    * corpus-sized tokenize+join. All exact integers. */
+  val q155 = QueryDef(
+    "q155_dedup_roi",
+    (spark, dir) => {
+      val labels = clusterLabels(spark, dir)
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(org.apache.spark.sql.types.LongType).as("toks"))
+      labels.join(toks, "doc_id")
+        .groupBy(col("keeper"))
+        .agg(count(lit(1)).as("csize"),
+          sum(col("toks")).as("t_total"),
+          sum(when(col("doc_id") === col("keeper"), col("toks"))
+            .otherwise(0L)).as("t_kept"))
+        .groupBy(col("csize").cast(IntegerType).as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize") - 1).as("docs_removed"),
+          sum(col("t_total") - col("t_kept")).as("tokens_removed"))
+        .orderBy(col("cluster_size").asc_nulls_first)
+    },
+    Some("""WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 3 >= s1.sz + s2.sz),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    labels AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id),
+    tk AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents),
+    pc AS (
+      SELECT l.keeper, COUNT(*) AS csize, SUM(t.toks) AS t_total,
+        SUM(CASE WHEN l.doc_id = l.keeper THEN t.toks ELSE 0 END) AS t_kept
+      FROM labels l JOIN tk t USING (doc_id) GROUP BY l.keeper)
+    SELECT CAST(csize AS INT) AS cluster_size, COUNT(*) AS n_clusters,
+      CAST(SUM(csize - 1) AS BIGINT) AS docs_removed,
+      CAST(SUM(t_total - t_kept) AS BIGINT) AS tokens_removed
+    FROM pc GROUP BY csize
+    ORDER BY cluster_size ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136)
+    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136, q155)
 }

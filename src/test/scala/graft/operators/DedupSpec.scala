@@ -22,6 +22,24 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(out(0).getDouble(2) - 1.0 / 3.0) < 1e-6)
   }
 
+  test("q155 dedup ROI: distribution telescopes to the corpus and agrees with q55") {
+    val rows = Dedup.q155.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // every document sits in exactly one cluster of exactly one size
+    assert(rows.map { case (sz, n, _, _) => sz * n }.sum == nDocs)
+    // singleton rows remove nothing; multi rows remove size-1 per cluster
+    rows.foreach { case (sz, n, removed, tokRemoved) =>
+      assert(removed == (sz - 1).toLong * n, s"size $sz removal count")
+      if (sz == 1) assert(tokRemoved == 0L)
+      else assert(tokRemoved > 0L, s"size-$sz clusters must save tokens")
+    }
+    // total removals agree with q55's kept=false count
+    val q55Removed = Dedup.q55.fn(spark, sf0001).collect()
+      .count(r => !r.getBoolean(2)).toLong
+    assert(rows.map(_._3).sum == q55Removed)
+  }
+
   test("q32 MinHash-LSH output equals exact q33 at every fixture SF (oracle envelope)") {
     // This IS q32's oracle envelope (q44/q42 precedent): its DuckDB
     // oracle is q33's exact-Jaccard SQL, valid only while 16×4 banding
