@@ -658,13 +658,14 @@ object Dedup extends QueryPack {
         least(col("o.lbl"), coalesce(col("nl"), col("o.lbl"))).as("lbl"))
   }
 
-  val q55 = QueryDef(
-    "q55_dedup_clusters",
-    (spark, dir) =>
-      clusterLabels(spark, dir)
-        .withColumn("kept", col("doc_id") === col("keeper"))
-        .orderBy(col("doc_id")),
-    Some("""WITH RECURSIVE tok AS (
+  /** The recursive-CTE rebuild of near-dup cluster reachability — the
+    * DuckDB-side ground truth for the [[clusterLabels]] view, shared by
+    * EVERY oracle that validates it (q55, q64, q136, q155). One copy by
+    * design: a shingling or threshold change that touched only some of
+    * four embedded copies would silently diverge an oracle from the
+    * view it validates (the exactJaccardSql rule, applied here). Ends
+    * with the `reach` CTE; each oracle appends its own CTEs/SELECT. */
+  private val clusterReachCte: String = """WITH RECURSIVE tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -690,7 +691,15 @@ object Dedup extends QueryPack {
       SELECT doc_id AS id, doc_id AS r FROM documents
       UNION
       SELECT e.dst AS id, reach.r AS r
-      FROM reach JOIN edges e ON e.src = reach.id)
+      FROM reach JOIN edges e ON e.src = reach.id)"""
+
+  val q55 = QueryDef(
+    "q55_dedup_clusters",
+    (spark, dir) =>
+      clusterLabels(spark, dir)
+        .withColumn("kept", col("doc_id") === col("keeper"))
+        .orderBy(col("doc_id")),
+    Some(clusterReachCte + """
     SELECT id AS doc_id, MIN(r) AS keeper, MIN(r) = id AS kept
     FROM reach
     GROUP BY id
@@ -714,33 +723,7 @@ object Dedup extends QueryPack {
         .select(col("doc_id"), col("keeper"), split.as("split"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH RECURSIVE tok AS (
-      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
-      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
-                            ELSE range(1, len(ts) - 1) END) AS t(i)),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-      SELECT d1, d2
-      FROM inter
-      JOIN sizes s1 ON s1.doc_id = d1
-      JOIN sizes s2 ON s2.doc_id = d2
-      WHERE i * 3 >= s1.sz + s2.sz),
-    edges AS (
-      SELECT d1 AS src, d2 AS dst FROM pairs
-      UNION ALL SELECT d2, d1 FROM pairs),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS r FROM documents
-      UNION
-      SELECT e.dst AS id, reach.r AS r
-      FROM reach JOIN edges e ON e.src = reach.id),
+    Some(clusterReachCte + """,
     k AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id)
     SELECT doc_id, keeper,
       CASE WHEN CAST('0x' || substr(md5(CAST(keeper AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
@@ -942,33 +925,7 @@ object Dedup extends QueryPack {
           (col("doc_id") === col("survivor")).as("keep"))
         .orderBy(col("doc_id").asc_nulls_first)
     },
-    Some("""WITH RECURSIVE tok AS (
-      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
-      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
-                            ELSE range(1, len(ts) - 1) END) AS t(i)),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-      SELECT d1, d2
-      FROM inter
-      JOIN sizes s1 ON s1.doc_id = d1
-      JOIN sizes s2 ON s2.doc_id = d2
-      WHERE i * 3 >= s1.sz + s2.sz),
-    edges AS (
-      SELECT d1 AS src, d2 AS dst FROM pairs
-      UNION ALL SELECT d2, d1 FROM pairs),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS r FROM documents
-      UNION
-      SELECT e.dst AS id, reach.r AS r
-      FROM reach JOIN edges e ON e.src = reach.id),
+    Some(clusterReachCte + """,
     labels AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id),
     sized AS (
       SELECT l.doc_id, l.keeper, d.n_chars
@@ -1013,33 +970,7 @@ object Dedup extends QueryPack {
           sum(col("t_total") - col("t_kept")).as("tokens_removed"))
         .orderBy(col("cluster_size").asc_nulls_first)
     },
-    Some("""WITH RECURSIVE tok AS (
-      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
-      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
-                            ELSE range(1, len(ts) - 1) END) AS t(i)),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-      SELECT d1, d2
-      FROM inter
-      JOIN sizes s1 ON s1.doc_id = d1
-      JOIN sizes s2 ON s2.doc_id = d2
-      WHERE i * 3 >= s1.sz + s2.sz),
-    edges AS (
-      SELECT d1 AS src, d2 AS dst FROM pairs
-      UNION ALL SELECT d2, d1 FROM pairs),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS r FROM documents
-      UNION
-      SELECT e.dst AS id, reach.r AS r
-      FROM reach JOIN edges e ON e.src = reach.id),
+    Some(clusterReachCte + """,
     labels AS (SELECT id AS doc_id, MIN(r) AS keeper FROM reach GROUP BY id),
     tk AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks

@@ -461,47 +461,67 @@ object StreamFunnelBuffered {
   * so duplicate timer registrations across batches are harmless; a
   * non-empty residue re-arms the timer for the next watermark
   * advance. */
-abstract class WatermarkBufferedProcessor[O]
-    extends StatefulProcessor[Long, TransEvent, O] {
+abstract class WatermarkBufferedProcessor[K, I, O]
+    extends StatefulProcessor[K, I, O] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState}
-  @transient private var buf: ListState[TransEvent] = _
+  @transient private var buf: ListState[I] = _
 
-  /** Called with the finalized prefix in (us, event_id) order; runs the
-    * operator's own state machine. */
-  protected def advance(key: Long, orderedEvents: Seq[TransEvent]): Iterator[O]
+  /** The buffered row shape's encoder (the base cannot summon one for an
+    * abstract I). */
+  protected def inputEncoder: org.apache.spark.sql.Encoder[I]
+
+  /** Event time of a row, epoch µs — the drain frontier compares this
+    * against the watermark. */
+  protected def eventUs(e: I): Long
+
+  /** Total-order tie-break within an event-time instant (an id). */
+  protected def tieBreak(e: I): Long
+
+  /** Called with the finalized prefix in (eventUs, tieBreak) order; runs
+    * the operator's own state machine. */
+  protected def advance(key: K, orderedEvents: Seq[I]): Iterator[O]
 
   /** Subclass state registration (the base claims only "buffer"). */
   protected def initState(): Unit
 
   final override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    buf = getHandle.getListState[TransEvent]("buffer",
-      Encoders.product[TransEvent], TTLConfig.NONE)
+    buf = getHandle.getListState[I]("buffer", inputEncoder, TTLConfig.NONE)
     initState()
   }
 
-  final override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+  final override def handleInputRows(key: K, rows: Iterator[I],
       timerValues: TimerValues): Iterator[O] = {
     rows.foreach(buf.appendValue)
     getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
     Iterator.empty
   }
 
-  final override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+  final override def handleExpiredTimer(key: K, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
     val all = buf.get().toSeq
-    val (done, pending) = all.partition(_.us < wmUs)
+    val (done, pending) = all.partition(eventUs(_) < wmUs)
     if (pending.isEmpty) buf.clear()
     else { buf.clear(); pending.foreach(buf.appendValue) }
     if (pending.nonEmpty)
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
-    advance(key, done.sortBy(e => (e.us, e.eventId)))
+    advance(key, done.sortBy(e => (eventUs(e), tieBreak(e))))
   }
+}
+
+/** [[WatermarkBufferedProcessor]] specialized to the user-keyed
+  * [[TransEvent]] row both event-stream machines consume. */
+abstract class BufferedEventProcessor[O]
+    extends WatermarkBufferedProcessor[Long, TransEvent, O] {
+  override protected def inputEncoder: org.apache.spark.sql.Encoder[TransEvent] =
+    Encoders.product[TransEvent]
+  override protected def eventUs(e: TransEvent): Long = e.us
+  override protected def tieBreak(e: TransEvent): Long = e.eventId
 }
 
 /** The buffered q105/q144 stage machine behind [[StreamFunnelBuffered]]. */
 class BufferedFunnelProcessor(deadlineUs: Option[Long] = None)
-    extends WatermarkBufferedProcessor[FunnelTransition] {
+    extends BufferedEventProcessor[FunnelTransition] {
   @transient private var st: ValueState[FunnelState] = _
 
   override protected def initState(): Unit =
@@ -554,7 +574,7 @@ object StreamTransitionsBuffered {
 }
 
 /** The buffered last-event machine behind [[StreamTransitionsBuffered]]. */
-class BufferedTransProcessor extends WatermarkBufferedProcessor[Transition] {
+class BufferedTransProcessor extends BufferedEventProcessor[Transition] {
   @transient private var st: ValueState[TransState] = _
 
   override protected def initState(): Unit =
