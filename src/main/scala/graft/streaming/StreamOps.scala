@@ -267,6 +267,136 @@ class NearDupProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** A vector keyed into one sign-LSH table bucket. */
+case class BucketedVec(tbl: Int, bkt: Long, vecId: Long, emb: Array[Float])
+
+/** A verified embedding near-duplicate pair (smaller vec id first,
+  * matching the batch q44 pair orientation). */
+case class StreamEmbedDup(v1: Long, v2: Long, cos: Double)
+
+/** A vector held in a bucket's store: id, embedding, precomputed norm
+  * (the norm is computed once at admission — the batch plan's
+  * `sqrt(graft_dot(e, e))` — so each comparison costs one dot). */
+case class StoredVec(vecId: Long, emb: Array[Float], norm: Double)
+
+/** Streaming embedding near-dedup — the arrival-order form of batch q44
+  * ([[graft.operators.Similarity]]'s `neardupPairs`), completing the
+  * dedup matrix: text has batch (q32), incremental (q93) and streaming
+  * ([[StreamNearDedup]]) forms; embeddings had batch (q44) and
+  * incremental (q147) — this is the streaming cell. Each arriving
+  * vector is checked against the ACCUMULATED bucket stores instead of a
+  * nightly all-corpus batch, so embedding near-dup verdicts land at
+  * micro-batch latency — the gate a live multimodal ingest runs in
+  * front of the corpus.
+  *
+  * Identical math to the batch path, by construction: the same
+  * `graft_lsh_buckets` 32×4 sign-LSH geometry (the very Column
+  * expression q44/q147 use — proven pair-exact at every shipped fixture
+  * by the q44 verified-SF envelope spec), and the verify is the same
+  * strictly-sequential double dot fold as the codegen'd `graft_dot`
+  * (`DotProduct.nullSafeEval`) with the same HALF_UP 6-dp rounding and
+  * the same `round(cos, 6) >= 0.45` admission — so streamed pairs are
+  * bit-identical to batch pairs, not approximately equal. StreamOpsSpec
+  * asserts set equality of streamed vs batch-q44 pairs on the fixture.
+  *
+  * State design: `transformWithState` keyed on the (table, bucket)
+  * pair — state is partitioned by bucket key, so the store distributes
+  * across executors and each arrival compares only against its bucket's
+  * occupants (the LSH candidate set), never the corpus. A vector is held
+  * once per table (32×) — the LSH index-size trade, same as the text
+  * gate's 16 bands. The store accumulates for the life of the query
+  * (the incremental-corpus semantics); `ttl` bounds it in production
+  * exactly as [[StreamNearDedup.pairs]] documents (processing-time TTL,
+  * per-entry expiry, same `Trigger` caveats). A pair sharing several
+  * table buckets is emitted once per shared table; downstream consumers
+  * dedup with `dropDuplicatesWithinWatermark` — the batch-parity spec
+  * dedups with `distinct`. */
+object StreamEmbedDedup {
+  /** q44's proven-exact geometry (Similarity.scala's 32 tables × 4
+    * hyperplanes) — the envelope spec that proves every fixture pair
+    * with cos ≥ 0.45 collides under it is the same one that backs the
+    * batch oracle, so the gate inherits the guarantee. */
+  private[streaming] val Tables = 32
+  private[streaming] val PlanesPerTable = 4
+
+  /** `vectors` needs `vec_id` and `embedding` (array<float>); works on
+    * static frames and streams alike (the spec runs it on a
+    * `MemoryStream` with RocksDB state). */
+  def pairs(vectors: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[StreamEmbedDup] = {
+    val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        posexplode(graft.functions.VectorOps.lshBucketTables(col("embedding"),
+          tables = Tables, planesPerTable = PlanesPerTable)).as(Seq("tbl", "bkt")))
+      .select(col("tbl"), col("bkt"), col("vec_id").as("vecId"),
+        col("embedding").as("emb"))
+      .as[BucketedVec]
+      .groupByKey(r => (r.tbl, r.bkt))
+      .transformWithState(new EmbedDupProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+}
+
+/** Per-bucket embedding near-dedup state machine: holds the bucket's
+  * vector store, compares each arrival against it with the batch-exact
+  * cosine (sequential double fold ≡ `graft_dot`, HALF_UP 6-dp, ≥ 0.45),
+  * then admits the arrival to the store — [[NearDupProcessor]]'s shape
+  * with the Jaccard verify swapped for q44's cosine verify. */
+class EmbedDupProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[(Int, Long), BucketedVec, StreamEmbedDup] {
+  import org.apache.spark.sql.streaming.ListState
+  @transient private var seen: ListState[StoredVec] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getListState[StoredVec]("seen",
+      Encoders.product[StoredVec], ttl)
+
+  /** The codegen'd `graft_dot` fold, replayed exactly: ascending-index
+    * double accumulation (per-term products commute bitwise, so
+    * dot(a,b) ≡ dot(b,a) and pair orientation cannot perturb the
+    * value). */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Spark's `round(x, 6)` (HALF_UP), replayed driver-free per pair. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[BucketedVec],
+      timerValues: TimerValues): Iterator[StreamEmbedDup] = {
+    // arrival order within a micro-batch: ascending vec id (ids unique)
+    val arrived = rows.toArray.sortBy(_.vecId)
+    val out = scala.collection.mutable.ArrayBuffer.empty[StreamEmbedDup]
+    val prior = scala.collection.mutable.ArrayBuffer.empty[StoredVec]
+    val it = seen.get()
+    while (it.hasNext) prior += it.next()
+    arrived.foreach { d =>
+      val dn = math.sqrt(dot(d.emb, d.emb))
+      prior.foreach { p =>
+        // batch verify order: round(dot / (norm1 * norm2), 6) >= 0.45
+        val cos = round6(dot(p.emb, d.emb) / (p.norm * dn))
+        if (cos >= 0.45)
+          out += StreamEmbedDup(math.min(p.vecId, d.vecId),
+            math.max(p.vecId, d.vecId), cos)
+      }
+      val stored = StoredVec(d.vecId, d.emb, dn)
+      prior += stored
+      seen.appendValue(stored)
+    }
+    out.iterator
+  }
+}
+
 /** One observation of an external job (the sensor's poll payload). */
 case class Poll(jobId: Long, ts: java.sql.Timestamp, status: String)
 

@@ -10,6 +10,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class DocRow(doc_id: Long, text: String)
 
+case class EmbRow(vec_id: Long, embedding: Array[Float])
+
 class StreamOpsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -242,6 +244,41 @@ class StreamOpsSpec extends SparkTestBase {
     val batch = graft.operators.Dedup.q32Pipeline(s2, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(batch.nonEmpty, "fixture must contain near-dup documents")
+    assert(streamed == batch,
+      s"stream missed ${(batch -- streamed).size}, invented ${(streamed -- batch).size} " +
+        s"of ${batch.size} batch pairs")
+  }
+
+  test("streaming embedding near-dedup gate reproduces the batch q44 pair set (RocksDB state)") {
+    // the embedding cell of the dedup matrix: the fixture's vectors
+    // arrive in three micro-batch "days" in vec-id order; the
+    // accumulated bucket stores must carry across batches, and the
+    // streamed verdicts must equal the one-shot batch q44 pairs on the
+    // same corpus — gate and batch share the 32×4 LSH geometry and the
+    // sequential-double-fold cosine, so this is set equality of exact
+    // values (cos included), not approximation
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val vecs = s2.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => EmbRow(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val in = MemoryStream[EmbRow](newProductEncoder[EmbRow], s2.sqlContext)
+    val q = StreamEmbedDedup.pairs(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("edg").start()
+    vecs.grouped((vecs.length + 2) / 3).foreach { day =>
+      in.addData(day.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // a pair colliding in several tables is emitted once per table → distinct
+    val streamed = s2.table("edg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Similarity.neardupPairsPipeline(s2, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain embedding near-dups")
     assert(streamed == batch,
       s"stream missed ${(batch -- streamed).size}, invented ${(streamed -- batch).size} " +
         s"of ${batch.size} batch pairs")
