@@ -1811,8 +1811,98 @@ object Analytic extends QueryPack {
     FROM anchors a JOIN counts c USING (event_type)
     ORDER BY a.event_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q156
+  /** Exact group-wise AUC (Mann–Whitney U with midrank tie handling) —
+    * the RANKING-metric half the statistical-QA pack was missing next
+    * to its threshold tests (q121 z-test, q125 χ², q141/q143 KS): "how
+    * well does this score rank positives over negatives?" is the
+    * question every quality-classifier calibration asks before a gate
+    * like q61/q71 ships. Here: daily AUC of the spend amount as a
+    * purchase-vs-click classifier.
+    *
+    * Exactness: AUC = U/(n₁n₀) with U = Σ_pos midrank − n₁(n₁+1)/2 —
+    * a RATIONAL number. Doubling the midranks keeps everything
+    * integral: per distinct score, midrank2 = 2·(count strictly below)
+    * + ties + 1, so u2 = 2U and auc_ppm = u2·10⁶ div (2·n₁·n₀) — one
+    * integral divide, u2 ≥ 0 always (sign-split unnecessary). Scores
+    * are micro-scaled longs (`round(value·10⁶)`, the q43 float rule);
+    * AnalyticSpec asserts the scaling is order-isomorphic on the
+    * fixtures (distinct values = distinct scores) and replays a
+    * brute-force all-pairs AUC per day at sf0.001.
+    *
+    * Overflow envelope (q137 pattern): per-term np·midrank2 ≤ n(2n+1)
+    * and n₁(n₁+1) wrap int64 at group sizes n ≳ 2·10⁹, reachable at
+    * 100 TB — so both sums route through DECIMAL(28,0) BEFORE the
+    * multiply, and the ppm divide runs DECIMAL÷DECIMAL (DuckDB's
+    * HUGEINT is already exact on the oracle side).
+    *
+    * Scale shape: ranks come from the per-(day, score) DISTINCT frame
+    * — the corpus-sized pass is one map-side-combinable aggregate, the
+    * midrank window runs over distinct scores only (bounded by value
+    * cardinality, not row count), and its day-hash partitioning is
+    * reused by the final per-day fold. Never a global sort, never a
+    * per-row window. */
+  val q156 = QueryDef(
+    "q156_group_auc",
+    (spark, dir) => {
+      val ev = Tables(spark, dir).events
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 1000000, 0).cast(LongType).as("score"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      groupAuc(ev)
+    },
+    Some("""WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(round(value * 1000000) AS BIGINT) AS score,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    per AS (
+      SELECT day, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(pos) AS BIGINT) AS np
+      FROM ev GROUP BY day, score),
+    ranked AS (
+      SELECT day, np, cnt,
+        COALESCE(SUM(cnt) OVER (PARTITION BY day ORDER BY score ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM per),
+    agg AS (
+      SELECT day, SUM(np) AS n1, SUM(cnt) - SUM(np) AS n0,
+        SUM(np * (2 * cum_before + cnt + 1)) - SUM(np) * (SUM(np) + 1) AS u2
+      FROM ranked GROUP BY day)
+    SELECT day, CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+      CAST(u2 * 1000000 // NULLIF(2 * n1 * n0, 0) AS BIGINT) AS auc_ppm
+    FROM agg ORDER BY day ASC NULLS FIRST"""))
+
+  /** q156's core over any `(day, score: long, pos: 0|1 long)` frame —
+    * factored so the spec can replay hand-built frames through the
+    * exact plan the registered query runs. */
+  private[graft] def groupAuc(ev: DataFrame): DataFrame = {
+    val per = ev.groupBy(col("day"), col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np"))
+    val w = Window.partitionBy(col("day")).orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = per.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    ranked.groupBy(col("day"))
+      .agg(sum(col("np")).as("n1"),
+        (sum(col("cnt")) - sum(col("np"))).as("n0"),
+        // DECIMAL before the multiply — the envelope note above
+        (sum(col("np").cast(DecimalType(28, 0))
+            * (col("cum_before") * 2 + col("cnt") + 1))
+          - sum(col("np")).cast(DecimalType(28, 0))
+            * (sum(col("np")) + lit(1L))).as("u2"))
+      .select(col("day"),
+        col("n1").cast(LongType).as("n_pos"),
+        col("n0").cast(LongType).as("n_neg"),
+        expr("""CAST(CAST(u2 * 1000000 AS DECIMAL(38,0))
+          div NULLIF(CAST(n1 AS DECIMAL(28,0)) * n0 * 2, CAST(0 AS DECIMAL(28,0)))
+          AS BIGINT)""").as("auc_ppm"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150)
+      q143, q145, q150, q156)
 }
