@@ -210,7 +210,15 @@ object TextOps extends QueryPack {
   // ---------------------------------------------------------------- q45
   /** Rolling-hash document fingerprint (polynomial over token codes, mod
     * 2^31-1): groups byte-identical and near-boilerplate docs cheaply.
-    * Hash constants are engine-local → rows-only check. */
+    *
+    * Oracle-checked: the fold is pure integer arithmetic over per-token
+    * codes (length·31 + ascii), so DuckDB replays it exactly with
+    * `list_reduce` over the seed-prepended code list — acc stays below
+    * 2³¹·131 + c < 2³⁸, inside int64 on both engines, and `pmod` ≡ `%`
+    * because every operand is non-negative. No engine-local constant is
+    * involved (that was a mischaracterization until round 12; the seed
+    * and multiplier are part of the operator's public definition, like
+    * MOSS's winnowing parameters in q103). */
   val q45 = QueryDef(
     "q45_fingerprint",
     (spark, dir) => {
@@ -225,7 +233,19 @@ object TextOps extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("fingerprint"))
     },
-    None)
+    Some("""WITH codes AS (
+      SELECT doc_id,
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))) AS cs
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+        list_reduce(cs, (acc, c) -> (acc * 131 + c) % 2147483647) AS fingerprint
+      FROM codes)
+    SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      MIN(doc_id) AS first_doc
+    FROM fp GROUP BY fingerprint ORDER BY fingerprint"""))
 
   // ---------------------------------------------------------------- q61
   /** Quality-filter verdict per document — the canonical pretraining
