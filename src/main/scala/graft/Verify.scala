@@ -4,18 +4,25 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args: only dump queries whose name starts with
+    // one of these prefixes (dev iteration on a new query; the driver
+    // passes exactly two args, so its full dump is unchanged)
+    val only = args.drop(2).toSet
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
     // µs (not INT96) parquet timestamps → byte-identical types with the
     // DuckDB oracle's arrow output:
     val spark = LocalSession(defaultCpus = "4", extraConf =
       Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1901,8 +1901,212 @@ object Analytic extends QueryPack {
       .orderBy(col("day").asc_nulls_first)
   }
 
+  // --------------------------------------------------------------- q157
+  /** Triangle census of the co-purchase graph — the third graph analytic
+    * next to q127 (PageRank: global centrality) and q55 (connected
+    * components: reachability): local clustering. Nodes are parts, an
+    * undirected edge joins two parts that co-occur in at least one
+    * order, and the outputs are the triangle count and the global
+    * transitivity 3·Δ/wedges — "how clique-like is co-purchasing?", the
+    * structure signal behind basket recommendation and, on a
+    * doc-overlap graph, behind dedup-cluster density QA.
+    *
+    * Algorithm — degree-ordered wedge closure (Schank–Wagner's forward
+    * algorithm; Suri & Vassilvitskii WWW'11 give the MapReduce analysis):
+    * orient every edge from its lower-(degree, id) endpoint to the
+    * higher one; every triangle then has exactly ONE vertex with two
+    * out-edges (its (deg, id)-minimum), so per oriented edge u→v the
+    * common out-neighbors |N⁺(u) ∩ N⁺(v)| enumerate each triangle
+    * exactly once. The orientation is the scale story: out-degree is
+    * bounded by O(√m) on any graph (a vertex keeps only neighbors of
+    * higher degree), so the closure work is Σ outdeg² ≤ m^1.5 instead
+    * of the hub-quadratic Σ deg² — the "curse of the last reducer" is
+    * exactly what the unoriented join would hit on a boilerplate-grade
+    * hub part at 100 TB. Everything is equi-join shaped: per-order pair
+    * expansion (bounded by basket size, AQE skew-split applies to hot
+    * orders), hash aggregation for degrees, long-keyed adjacency
+    * attaches. The only cross joins combine three 1-ROW stat frames
+    * (PlanSpec tiny-broadcast whitelist).
+    *
+    * Determinism/width: counts are exact longs; Σ d(d−1) routes through
+    * DECIMAL(38,0) BEFORE the multiply (hub degree ~10⁶ at 100 TB puts
+    * d² sums past int64 — the q156 envelope pattern) and the ppm
+    * transitivity is one integral DECIMAL divide: 3Δ/(Σd(d−1)/2) =
+    * 6·10⁶·Δ div Σd(d−1), NULL on a triangle-free wedgeless graph. */
+  /** Broadcast gate for q157's out-adjacency table: up to this many
+    * edges the packed arrays total ≲ 64 MiB (8 B per edge + row
+    * overhead) and both closure attaches broadcast, making the
+    * triangle pass map-only over the edge stream; beyond it the
+    * attaches join shuffled (the q33 BroadcastShingleMaxDocs pattern). */
+  private[graft] val TriAdjBroadcastMaxEdges = 4000000L
+
+  private[graft] def triangleCensus(lineitem: DataFrame): DataFrame = {
+    // basket → canonical (u < v) edge set, deduped across orders; cut:
+    // it feeds degrees, the degree attach, the closure join and the
+    // edge-count aggregate
+    val li = Materialize.cut(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    val edges = Materialize.cut(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct())
+    val deg = Materialize.cut(
+      edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
+    // orient low-(deg, id) → high-(deg, id); u < v by id, so ties keep u
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = Materialize.cut(withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst")))
+    // Forward-algorithm closure WITHOUT materializing the wedge stream:
+    // for oriented edge u→v, common out-neighbors |N⁺(u) ∩ N⁺(v)| are
+    // exactly the triangles whose (deg, id)-minimum is u — one sorted
+    // array intersect per edge (the q33 jaccardForCandidates shape)
+    // instead of a Σ outdeg² row explosion through an exchange
+    // (measured at sf0.1: 41 M wedge rows → zero; 13 s → ~2 s). Each
+    // adjacency array is outdeg-bounded ≤ O(√m) — the orientation
+    // invariant — so a row is ~√m longs, and under [[TriAdjBroadcastMaxEdges]]
+    // the whole out-adjacency table broadcasts and the closure pass is
+    // MAP-ONLY over the edge stream; larger graphs fall back to two
+    // shuffled equi-joins (same asymptotic Σ outdeg² intersect work,
+    // moved as packed arrays instead of wedge rows).
+    val adj = Materialize.cut(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val nEdges = edges.count()
+    def side(df: DataFrame) =
+      if (nEdges <= TriAdjBroadcastMaxEdges) broadcast(df) else df
+    val triPerEdge = oriented
+      .join(side(adj.select(col("src").as("lu"), col("nbrs").as("nu"))),
+        col("src") === col("lu"))
+      .join(side(adj.select(col("src").as("rv"), col("nbrs").as("nv"))),
+        col("dst") === col("rv"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("tc"))
+    val dStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d").cast(DecimalType(38, 0)) * (col("d") - 1)).as("w2"))
+    val eStats = edges.agg(count(lit(1)).as("n_edges"))
+    val tStats = triPerEdge.agg(
+      coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
+    dStats.crossJoin(broadcast(eStats)).crossJoin(broadcast(tStats))
+      .select(
+        col("n_nodes"), col("n_edges"),
+        expr("CAST(w2 div 2 AS BIGINT)").as("n_wedges"),
+        col("n_triangles"),
+        expr("""CAST(CAST(n_triangles AS DECIMAL(38,0)) * 6000000
+          div NULLIF(w2, CAST(0 AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("transitivity_ppm"))
+  }
+
+  val q157 = QueryDef(
+    "q157_triangle_count",
+    (spark, dir) => triangleCensus(Tables(spark, dir).lineitem),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY node),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(SUM(d * (d - 1)) AS HUGEINT) AS w2 FROM deg),
+    es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT ds.n_nodes, es.n_edges,
+      CAST(ds.w2 // 2 AS BIGINT) AS n_wedges,
+      tri.t AS n_triangles,
+      CAST(6000000 * CAST(tri.t AS HUGEINT) // NULLIF(ds.w2, 0) AS BIGINT)
+        AS transitivity_ppm
+    FROM ds, es, tri"""))
+
+  // --------------------------------------------------------------- q159
+  /** Mutual information between event type and day-of-week — the
+    * information-theoretic association measure next to q125's χ² (which
+    * answers "is there any dependence?"; MI answers "how MUCH, in
+    * nats") and q122's PSI (one variable across time; MI is two
+    * variables at once). The per-cell pointwise-MI table is the
+    * feature-selection / leakage-screen primitive: a cell with high
+    * |PMI| names exactly which (type, weekday) pairing carries the
+    * signal.
+    *
+    * Day-of-week is computed engine-agnostically as (epoch_day + 3)
+    * mod 7 (0 = Monday): Spark's `dayofweek` is 1-indexed from Sunday
+    * while DuckDB's `dayofweek` is 0-indexed — integer day arithmetic
+    * sidesteps the off-by-one class entirely.
+    *
+    * Determinism (q122's float protocol): probabilities are double
+    * ratios of EXACT long counts with identical expression shape in
+    * both engines, every output float is rounded to 6 dp, and the
+    * total-row MI sums the ROUNDED per-cell contributions through a
+    * DECIMAL(18,6) cast — the reader-visible sum, not a private
+    * unrounded one. Zero cells never enter (observed group-by; the
+    * 0·ln0 = 0 convention drops them from the sum anyway).
+    *
+    * Scale: the corpus-sized work is ONE (type, dow) map-side-
+    * combinable count; margins and the grand total are cell-frame
+    * aggregates broadcast back into the ≤ |types|·7 cell frame
+    * (q104/q122's whitelisted tiny-stats pattern). */
+  val q159 = QueryDef(
+    "q159_mutual_info",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events.select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3, lit(7))
+          .cast(IntegerType).as("dow"))
+      // cut: margins, the total and the cell rows all fold this frame
+      val cells = Materialize.cut(
+        e.groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n")))
+      val tm = cells.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+      val dm = cells.groupBy(col("dow")).agg(sum(col("n")).as("nd"))
+      val tot = cells.agg(sum(col("n")).as("tot"))
+      val ratio = ((col("n") * 1.0) * col("tot")) / ((col("nt") * 1.0) * col("nd"))
+      val perCell = cells.join(broadcast(tm), "event_type")
+        .join(broadcast(dm), "dow")
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("n"),
+          round(log(ratio), 6).as("pmi"),
+          round((col("n") / (col("tot") * 1.0)) * log(ratio), 6).as("mi_part"))
+      val total = perCell.agg(
+        lit("__all").as("event_type"), lit(-1).as("dow"), sum(col("n")).as("n"),
+        lit(null).cast(DoubleType).as("pmi"),
+        round(sum(col("mi_part").cast(DecimalType(18, 6))).cast(DoubleType), 6)
+          .as("mi_part"))
+      perCell.unionByName(total)
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT event_type,
+        CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 3) % 7 AS INT) AS dow
+      FROM events),
+    cells AS (
+      SELECT event_type, dow, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    tm AS (SELECT event_type, SUM(n) AS nt FROM cells GROUP BY 1),
+    dm AS (SELECT dow, SUM(n) AS nd FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tot FROM cells),
+    per_cell AS (
+      SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+        round(ln(((c.n * 1.0) * t.tot) / ((m.nt * 1.0) * d.nd)), 6) AS pmi,
+        round((c.n / (t.tot * 1.0)) *
+          ln(((c.n * 1.0) * t.tot) / ((m.nt * 1.0) * d.nd)), 6) AS mi_part
+      FROM cells c JOIN tm m USING (event_type) JOIN dm d USING (dow)
+      CROSS JOIN tot t)
+    SELECT event_type, dow, n, pmi, mi_part FROM per_cell
+    UNION ALL
+    SELECT '__all' AS event_type, -1 AS dow, CAST(SUM(n) AS BIGINT) AS n,
+      CAST(NULL AS DOUBLE) AS pmi,
+      round(CAST(SUM(CAST(mi_part AS DECIMAL(18,6))) AS DOUBLE), 6) AS mi_part
+    FROM per_cell
+    ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156)
+      q143, q145, q150, q156, q157, q159)
 }

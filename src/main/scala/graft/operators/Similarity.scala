@@ -1286,6 +1286,78 @@ object Similarity extends QueryPack {
     FROM j GROUP BY label
     ORDER BY label ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q160
+  /** Per-source embedding diversity — mean squared distance to the
+    * source centroid, computed WITHOUT forming any pair or any
+    * centroid: n·Σ‖x‖² − ‖Σx‖² = n·Σ‖x−μ‖²·n/n = n²·E‖x−μ‖², so one
+    * pass collecting per-dim sums and the global square-norm sum
+    * yields the exact mean squared spread. This is the corpus-mix
+    * diagnostic next to q78's token-mass reweighting: a source whose
+    * embeddings collapse to a point is boilerplate (near-dup mining
+    * will eat it); a source with huge spread is a mixed bag that
+    * deserves its own split. The pairwise identity
+    * E‖x−y‖² = 2·E‖x−μ‖² means this is also the average pairwise
+    * distance, at map-aggregate cost instead of O(n²) — the PlanSpec
+    * no-pairs discipline applied to a statistic that textbooks write
+    * as a double sum.
+    *
+    * Exactness (q152's integer protocol): components are micro-scaled
+    * longs; squares form with one side cast to DECIMAL(14,0); per-dim
+    * sums and Σ‖x‖² accumulate in DECIMAL(38,0); the final
+    * (n·s2 − Σ sd²) div n² is non-negative by Cauchy–Schwarz, so the
+    * truncating integral divide agrees across engines with no
+    * sign-split needed. Output in micro² units.
+    *
+    * Scale: explode → ONE (source, dim) map-side-combinable aggregate
+    * (d rows per source), then source-sized frames; the docs ⋈
+    * embeddings id join is the q46 multimodal attach. No window, no
+    * pair join, no driver state. */
+  val q160 = QueryDef(
+    "q160_source_diversity",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val joined = t.embeddings.join(
+        t.documents.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      val ex = joined
+        .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("source"), col("dim"),
+          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi"))
+      val perDim = ex.groupBy(col("source"), col("dim"))
+        .agg(sum(col("vi").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sd"),
+          sum(col("vi").cast(org.apache.spark.sql.types.DecimalType(14, 0))
+            * col("vi")).as("q2"),
+          count(lit(1)).as("n"))
+      perDim.groupBy(col("source"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum(col("q2")).as("s2"),
+          sum(col("sd") * col("sd")).as("ssq"))
+        .select(col("source"), col("n_vecs"),
+          expr("""CAST((CAST(n_vecs AS DECIMAL(38,0)) * s2 - ssq)
+            div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)""")
+            .as("msd_micro2"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT d.source, CAST(i AS INT) AS dim,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id,
+      UNNEST(range(1, len(e.embedding) + 1)) AS t(i)),
+    per_dim AS (
+      SELECT source, dim, CAST(SUM(vi) AS HUGEINT) AS sd,
+        SUM(CAST(vi AS HUGEINT) * vi) AS q2, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2),
+    per_src AS (
+      SELECT source, MAX(n) AS n_vecs, SUM(q2) AS s2, SUM(sd * sd) AS ssq
+      FROM per_dim GROUP BY source)
+    SELECT source, CAST(n_vecs AS BIGINT) AS n_vecs,
+      CAST((CAST(n_vecs AS HUGEINT) * s2 - ssq)
+        // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT) AS msd_micro2
+    FROM per_src
+    ORDER BY source ASC NULLS FIRST"""))
+
   // ----------------------------------------------------- PCA / whitening
   /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric d×d
     * matrix — the driver-side MODEL FIT over q152's Gram/covariance
@@ -1372,5 +1444,6 @@ object Similarity extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152, q153)
+    Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152,
+      q153, q160)
 }

@@ -979,7 +979,79 @@ object WindowOps extends QueryPack {
     FROM f JOIN rt USING (src) CROSS JOIN k
     ORDER BY src ASC NULLS FIRST, dst ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q158
+  /** Per-(user, day) time-weighted average — the gauge-semantics mean
+    * the plain AVG gets wrong: a sensor/price/level `value` HOLDS from
+    * its event until the next one (q91's LOCF carry semantic), so the
+    * honest daily mean weighs each reading by how long it stood, not by
+    * how often it was sampled. Burst-heavy feeds (the fixture's
+    * minute-scale clusters) otherwise let dense intervals dominate.
+    *
+    * Definition: reading i holds over [tᵢ, tᵢ₊₁) within the UTC day,
+    * the last reading holding to midnight; TWAP = Σ vᵢ·dᵢ / Σ dᵢ with
+    * dᵢ in µs. Nothing carries INTO the day before its first event —
+    * the denominator is (day_end − first_ts), so days are independent
+    * keys (the q108 day-partitioning argument without even a carry
+    * join).
+    *
+    * Exactness: values are micro-scaled longs (`round(value·10⁶)`, the
+    * q156/q43 float rule), durations exact µs, and each v·d product is
+    * cast to DECIMAL(28,0) BEFORE the multiply (v ~ 10⁹ µunits × d ~
+    * 8.6·10¹⁰ µs ≈ 10²⁰ wraps int64 — the q156 envelope pattern); the
+    * output is ONE integral divide, twap_micro = Σvd div Σd — always
+    * non-negative here (the feed's gauge is ≥ 0, fixture-verified at
+    * every sf), so Spark `div` and DuckDB `//` agree; a signed gauge
+    * would need the q151 sign-split divide.
+    *
+    * Scale: one lead window partitioned by the high-cardinality
+    * (user_id, day) key — the exchange that window plans is ALSO the
+    * partitioning the final per-(user, day) aggregate needs, so the
+    * whole query is one shuffle + one map-side-combinable fold. */
+  val q158 = QueryDef(
+    "q158_twap",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"),
+          to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 1000000, 0).cast(LongType).as("v"))
+        .withColumn("day_end_us",
+          unix_micros(col("day").cast("timestamp")) + lit(86400000000L))
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("us").asc_nulls_first, col("event_id").asc_nulls_first)
+      e.withColumn("next_us",
+          coalesce(lead(col("us"), 1).over(w), col("day_end_us")))
+        .withColumn("d_us", col("next_us") - col("us"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("d_us")).as("dur_us"),
+          sum(col("v").cast(DecimalType(28, 0)) * col("d_us")).as("vd"))
+        .select(col("user_id"), col("day"), col("n_events"), col("dur_us"),
+          expr("CAST(vd div CAST(dur_us AS DECIMAL(28,0)) AS BIGINT)")
+            .as("twap_micro"))
+        .orderBy(col("user_id").asc_nulls_first, col("day").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS DATE) AS day,
+        epoch_ns(ts) // 1000 AS us,
+        CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM events),
+    held AS (
+      SELECT user_id, day, v,
+        COALESCE(
+          lead(us) OVER (PARTITION BY user_id, day
+            ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST),
+          epoch_us(CAST(day AS TIMESTAMP)) + 86400000000) - us AS d_us
+      FROM e)
+    SELECT user_id, day, COUNT(*) AS n_events,
+      CAST(SUM(d_us) AS BIGINT) AS dur_us,
+      CAST(SUM(CAST(v AS HUGEINT) * d_us) // SUM(CAST(d_us AS HUGEINT))
+        AS BIGINT) AS twap_micro
+    FROM held
+    GROUP BY user_id, day
+    ORDER BY user_id ASC NULLS FIRST, day ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144, q146, q149)
+      q105, q106, q107, q129, q133, q144, q146, q149, q158)
 }

@@ -211,7 +211,13 @@ class PlanSpec extends SparkTestBase {
       "q135_join_cardinality",
       // q149's types×types grid is a deliberate |event types|² dimension
       // cross join (q16's class) and its type count a 1-row broadcast.
-      "q149_markov_matrix")
+      "q149_markov_matrix",
+      // q157 combines three 1-ROW stat frames (degree stats, edge count,
+      // triangle count) — same tiny-stats pattern as q104/q122.
+      "q157_triangle_count",
+      // q159's grand total is ONE row broadcast into the ≤|types|·7
+      // cell frame — same tiny-stats pattern as q122/q125.
+      "q159_mutual_info")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

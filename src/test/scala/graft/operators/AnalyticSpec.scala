@@ -787,4 +787,86 @@ class AnalyticSpec extends SparkTestBase {
     // tests nothing: not every day exactly 0.5
     assert(expected.values.exists(_._3 != 500000L))
   }
+
+  test("q157: census matches a naive adjacency-set triangle count on the fixture") {
+    import scala.collection.mutable
+    val li = Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, mutable.Set.empty) += u
+    }
+    val triangles = edges.iterator.map { case (u, v) =>
+      (adj(u) & adj(v)).size.toLong
+    }.sum / 3 // each triangle is seen from each of its 3 edges
+    val w2 = adj.valuesIterator.map(s => BigInt(s.size) * (s.size - 1)).sum
+    val r = Analytic.q157.fn(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == adj.size.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.size.toLong, "n_edges")
+    assert(r.getLong(2) == (w2 / 2).toLong, "n_wedges")
+    assert(r.getLong(3) == triangles, s"n_triangles: got ${r.getLong(3)}, naive $triangles")
+    assert(r.getLong(4) == (BigInt(triangles) * 6000000 / w2).toLong, "transitivity_ppm")
+    // the fixture graph must actually close triangles or the join path
+    // is untested
+    assert(triangles > 0, "fixture co-purchase graph is triangle-free")
+  }
+
+  test("q159: per-cell PMI and total MI match a naive replay; total is the sum of rounded parts") {
+    val rows = Tables(spark, sf0001).events
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3, lit(7)))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nt = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val nd = cells.groupBy(_._1._2).map { case (d, m) => d -> m.values.sum }
+    val tot = cells.values.sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = cells.map { case ((t, d), n) =>
+      val ratio = ((n * 1.0) * tot) / ((nt(t) * 1.0) * nd(d))
+      (t, d) -> ((n, r6(math.log(ratio)), r6((n / (tot * 1.0)) * math.log(ratio))))
+    }
+    val got = Analytic.q159.fn(spark, sf0001).collect()
+    val gotCells = got.filter(_.getString(0) != "__all")
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(gotCells.keySet == expected.keySet)
+    expected.foreach { case (k, (n, pmi, part)) =>
+      val (gn, gp, gc) = gotCells(k)
+      assert(gn == n && math.abs(gp - pmi) < 1e-9 && math.abs(gc - part) < 1e-9,
+        s"$k: got ${gotCells(k)}, naive ($n, $pmi, $part)")
+    }
+    // total row: n = N, MI = sum of the rounded per-cell parts, and
+    // positive (the fixture has real type×weekday structure or this
+    // tests nothing)
+    val totalRow = got.filter(_.getString(0) == "__all")
+    assert(totalRow.length == 1 && totalRow(0).getInt(1) == -1)
+    assert(totalRow(0).getLong(2) == tot)
+    val miSum = r6(expected.values.map(v => BigDecimal(v._3)).sum.toDouble)
+    assert(math.abs(totalRow(0).getDouble(4) - miSum) < 1e-9)
+    assert(totalRow(0).getDouble(4) > 0.0, "MI must be > 0 on dependent columns")
+    assert(totalRow(0).isNullAt(3), "total row carries no PMI")
+  }
+
+  test("q157: hand-built cliques — K4 plus a 2-path census is exact") {
+    import spark.implicits._
+    // order 1 buys parts {1,2,3,4} (a K4: 6 edges, 12 wedges, 4
+    // triangles); orders 2 and 3 form the path 10—11—12 (1 wedge, 0
+    // triangles). Duplicate lineitems for the same (order, part) must
+    // not multiply edges.
+    val fake = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 4L),
+      (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Analytic.triangleCensus(fake).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 8L, 13L, 4L)))
+    // 3·4 / 13 wedges = 6e6·4 div 26 = 923076 ppm (truncating divide)
+    assert(r.getLong(4) == 923076L)
+  }
 }

@@ -659,4 +659,43 @@ class SimilarityQualitySpec extends SparkTestBase {
       s"only-got=${d1.take(5).mkString(";")} only-expected=${d2.take(5).mkString(";")}"
     })
   }
+
+  test("q160: diversity equals the naive mean squared distance to the centroid, and the pairwise identity holds") {
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables(spark, sf0001)
+    val rows = t.embeddings
+      .join(t.documents.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), col("embedding")).collect()
+      .map(r => (r.getString(0),
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1000000)).toArray))
+    val expected = rows.groupBy(_._1).map { case (src, vs) =>
+      val n = vs.length
+      val dims = vs.head._2.length
+      val sd = Array.tabulate(dims)(d => vs.map(v => BigInt(v._2(d))).sum)
+      val s2 = vs.map(v => v._2.map(x => BigInt(x) * x).sum).sum
+      src -> ((n.toLong, ((BigInt(n) * s2 - sd.map(x => x * x).sum) / (BigInt(n) * n)).toLong))
+    }
+    val got = Similarity.q160.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(got(src) == e, s"$src: got ${got(src)}, naive $e")
+    }
+    // textbook identity, exactly in integers: Σ_{i≠j}‖xᵢ−xⱼ‖² =
+    // 2·(n·Σ‖x‖² − ‖Σx‖²) — the double sum the operator never forms,
+    // replayed brute-force on the smallest source
+    val (src, vs) = rows.groupBy(_._1).minBy(_._2.length)
+    val n = vs.length
+    if (n >= 2) {
+      val dims = vs.head._2.length
+      val sd = Array.tabulate(dims)(d => vs.map(v => BigInt(v._2(d))).sum)
+      val s2 = vs.map(v => v._2.map(x => BigInt(x) * x).sum).sum
+      val pairSum = (for (i <- vs.indices; j <- vs.indices if i != j) yield
+        vs(i)._2.zip(vs(j)._2).map { case (a, b) =>
+          BigInt(a - b) * (a - b) }.sum).sum
+      assert(pairSum == 2 * (BigInt(n) * s2 - sd.map(x => x * x).sum),
+        s"pairwise identity broken on $src")
+    }
+  }
 }

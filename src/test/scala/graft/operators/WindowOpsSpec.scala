@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkTestBase
+import graft.{SparkTestBase, Tables}
 import org.apache.spark.sql.functions._
 
 class WindowOpsSpec extends SparkTestBase {
@@ -315,5 +315,39 @@ class WindowOpsSpec extends SparkTestBase {
       assert(mass <= 1000000L && mass > 1000000L - k,
         s"row $src mass $mass outside the floor-rounding band")
     }
+  }
+
+  test("q158: TWAP matches a naive per-(user, day) hold-until-next replay") {
+    val usPerDay = 86400L * 1000000L
+    val raw = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 1000000, 0).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = raw.groupBy { case (u, _, us, _) => (u, Math.floorDiv(us, usPerDay)) }
+      .map { case ((u, day), rs) =>
+        val sorted = rs.sortBy { case (_, id, us, _) => (us, id) }
+        val dayEnd = (day + 1) * usPerDay
+        var vd = BigInt(0); var dur = 0L
+        for (i <- sorted.indices) {
+          val next = if (i + 1 < sorted.length) sorted(i + 1)._3 else dayEnd
+          val d = next - sorted(i)._3
+          vd += BigInt(sorted(i)._4) * d
+          dur += d
+        }
+        (u, day) -> ((sorted.length.toLong, dur, (vd / dur).toLong))
+      }
+    val got = WindowOps.q158.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"key sets differ by ${got.keySet.diff(expected.keySet).take(3)} / ${expected.keySet.diff(got.keySet).take(3)}")
+    expected.foreach { case (k, e) =>
+      assert(got(k) == e, s"$k: got ${got(k)}, naive $e")
+    }
+    // TWAP must actually diverge from the plain mean somewhere, or the
+    // duration weighting is vacuous on this fixture
+    val plainMeans = raw.groupBy { case (u, _, us, _) => (u, Math.floorDiv(us, usPerDay)) }
+      .map { case (k, rs) => k -> rs.map(_._4).sum / rs.length }
+    assert(expected.exists { case (k, (_, _, tw)) => plainMeans(k) != tw })
   }
 }
