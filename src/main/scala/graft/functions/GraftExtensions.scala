@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersectCount, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BigramHashes].getName, "graft_bigram_hashes"),
       (exprs: Seq[Expression]) =>
         BigramHashes(arity(exprs, 1, "graft_bigram_hashes(tokens)").head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_sorted_intersect_count(a, b)")
+        SortedIntersectCount(e.head, e(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_array_stats"),
       new ExpressionInfo(classOf[ArrayStats].getName, "graft_array_stats"),

@@ -1941,11 +1941,14 @@ object Analytic extends QueryPack {
   private[graft] val TriAdjBroadcastMaxEdges = 4000000L
 
   private[graft] def triangleCensus(lineitem: DataFrame): DataFrame = {
-    // basket → canonical (u < v) edge set, deduped across orders; cut:
-    // it feeds degrees, the degree attach, the closure join and the
-    // edge-count aggregate
-    val li = Materialize.cut(
-      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    // basket → canonical (u < v) edge set, deduped across orders; the
+    // fact frame self-joins DIRECTLY on l_orderkey (two column-pruned
+    // parquet scans — no pre-distinct pass: duplicate (order, part)
+    // rows only multiply pairs into the same final DISTINCT, and
+    // dropping the extra shuffle+checkpoint removed a whole eager
+    // action from the measured critical path). Cut: edges feed degrees,
+    // the degree attach and the edge-count gate.
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
     val edges = Materialize.cut(
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -1962,9 +1965,9 @@ object Analytic extends QueryPack {
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = Materialize.cut(withDeg.select(
+    val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst")))
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
     // Forward-algorithm closure WITHOUT materializing the wedge stream:
     // for oriented edge u→v, common out-neighbors |N⁺(u) ∩ N⁺(v)| are
     // exactly the triangles whose (deg, id)-minimum is u — one sorted
@@ -1974,29 +1977,43 @@ object Analytic extends QueryPack {
     // adjacency array is outdeg-bounded ≤ O(√m) — the orientation
     // invariant — so a row is ~√m longs, and under [[TriAdjBroadcastMaxEdges]]
     // the whole out-adjacency table broadcasts and the closure pass is
-    // MAP-ONLY over the edge stream; larger graphs fall back to two
-    // shuffled equi-joins (same asymptotic Σ outdeg² intersect work,
+    // MAP-ONLY over the edge stream; larger graphs fall back to a
+    // shuffled equi-join (same asymptotic Σ outdeg² intersect work,
     // moved as packed arrays instead of wedge rows).
+    //
+    // The oriented edge stream itself is never checkpointed: the
+    // closure's left side re-derives (src, dst, N⁺(src)) by EXPLODING
+    // the adjacency table — each adjacency row already carries every
+    // out-edge of src together with the array the intersect needs, so
+    // the only join left is the dst-side attach (the round-12 reshape:
+    // 8 eager actions → 5; per-action overhead was the measured cost,
+    // every stage ≤ 2 s with no hotspot).
     val adj = Materialize.cut(oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     val nEdges = edges.count()
     def side(df: DataFrame) =
       if (nEdges <= TriAdjBroadcastMaxEdges) broadcast(df) else df
-    val triPerEdge = oriented
-      .join(side(adj.select(col("src").as("lu"), col("nbrs").as("nu"))),
-        col("src") === col("lu"))
+    // |N⁺(u) ∩ N⁺(v)| via the native two-pointer merge over the sorted
+    // adjacency arrays (graft_sorted_intersect_count) — same count as
+    // size(array_intersect(nu, nv)) on these duplicate-free sorted
+    // arrays, but no per-row hash set and no materialized intersection;
+    // the Σ outdeg² element visits are the whole closure cost, so the
+    // per-element constant is the query's wall clock.
+    val triPerEdge = adj
+      .select(col("src"), col("nbrs").as("nu"),
+        explode(col("nbrs")).as("dst"))
       .join(side(adj.select(col("src").as("rv"), col("nbrs").as("nv"))),
         col("dst") === col("rv"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("tc"))
+      .select(call_function("graft_sorted_intersect_count",
+        col("nu"), col("nv")).as("tc"))
     val dStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(col("d").cast(DecimalType(38, 0)) * (col("d") - 1)).as("w2"))
-    val eStats = edges.agg(count(lit(1)).as("n_edges"))
     val tStats = triPerEdge.agg(
       coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
-    dStats.crossJoin(broadcast(eStats)).crossJoin(broadcast(tStats))
+    dStats.crossJoin(broadcast(tStats))
       .select(
-        col("n_nodes"), col("n_edges"),
+        col("n_nodes"), lit(nEdges).as("n_edges"),
         expr("CAST(w2 div 2 AS BIGINT)").as("n_wedges"),
         col("n_triangles"),
         expr("""CAST(CAST(n_triangles AS DECIMAL(38,0)) * 6000000
@@ -2006,7 +2023,10 @@ object Analytic extends QueryPack {
 
   val q157 = QueryDef(
     "q157_triangle_count",
-    (spark, dir) => triangleCensus(Tables(spark, dir).lineitem),
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      triangleCensus(Tables(spark, dir).lineitem)
+    },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
