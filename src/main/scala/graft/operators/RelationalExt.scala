@@ -542,7 +542,83 @@ object RelationalExt extends QueryPack {
     ORDER BY n_orders DESC NULLS LAST, p1 ASC NULLS FIRST, p2 ASC NULLS FIRST
     LIMIT 20"""))
 
+  // --------------------------------------------------------------- q162
+  /** Association rules over co-purchase pairs — the a-priori SECOND
+    * stage on top of q119's support counting: for every part pair with
+    * support ≥ 3, both directional rules ante→cons with exact-integer
+    * confidence (P(cons|ante)) and lift (observed/expected co-rate),
+    * the "related items" ranking signal.
+    *
+    * Shape: the distinct (order, part) item frame is computed once and
+    * reused by all three consumers (pair counts, per-part margins, the
+    * 1-row order total). The pair explosion stays the q119 equi-join —
+    * C(k,2) per basket, never a corpus cross product — and the margin
+    * attach is a plain equi-join on the part key (broadcast at fixture
+    * scale, shuffled at 100 TB; either way never quadratic). The
+    * support ≥ 3 filter lands BEFORE the margin joins, so only
+    * surviving pairs move.
+    *
+    * Determinism/width: confidence and lift are integral ppm divides
+    * routed through DECIMAL(38,0) BEFORE any multiply — at 100 TB the
+    * margin product c(a)·c(c) and n·c(a,c)·10⁶ both pass int64 (the
+    * q137/q156 envelope pattern); headroom inside DECIMAL(38,0) is
+    * ~10²⁶ ≪ 10³⁸. Total order: lift desc, then the rule key. */
+  val q162 = QueryDef(
+    "q162_assoc_rules",
+    (spark, dir) => {
+      val items = graft.Materialize.cut(
+        Tables(spark, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+      val nOrders = items.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val margin = items.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("c_p"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      val rules = pairs.select(col("u").as("ante"), col("v").as("cons"), col("support"))
+        .unionByName(pairs.select(col("v").as("ante"), col("u").as("cons"), col("support")))
+      rules
+        .join(margin.select(col("p").as("ante"), col("c_p").as("c_a")), "ante")
+        .join(margin.select(col("p").as("cons"), col("c_p").as("c_c")), "cons")
+        .crossJoin(broadcast(nOrders))
+        .select(col("ante"), col("cons"), col("support"),
+          expr("""CAST(CAST(support AS DECIMAL(38,0)) * 1000000
+            div CAST(c_a AS DECIMAL(38,0)) AS BIGINT)""").as("confidence_ppm"),
+          expr("""CAST(CAST(n_orders AS DECIMAL(38,0)) * support * 1000000
+            div (CAST(c_a AS DECIMAL(38,0)) * c_c) AS BIGINT)""").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc_nulls_last,
+          col("ante").asc_nulls_first, col("cons").asc_nulls_first)
+        .limit(50)
+    },
+    Some("""WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    margin AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c_p
+      FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    rules AS (
+      SELECT u AS ante, v AS cons, support FROM pairs
+      UNION ALL SELECT v, u, support FROM pairs)
+    SELECT r.ante, r.cons, r.support,
+      CAST(CAST(r.support AS HUGEINT) * 1000000 // ma.c_p AS BIGINT) AS confidence_ppm,
+      CAST(CAST(n.n_orders AS HUGEINT) * r.support * 1000000
+        // (CAST(ma.c_p AS HUGEINT) * mc.c_p) AS BIGINT) AS lift_ppm
+    FROM rules r
+    JOIN margin ma ON ma.p = r.ante
+    JOIN margin mc ON mc.p = r.cons
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC NULLS LAST, ante ASC NULLS FIRST, cons ASC NULLS FIRST
+    LIMIT 50"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81, q82,
-      q87, q119)
+      q87, q119, q162)
 }

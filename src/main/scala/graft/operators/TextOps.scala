@@ -909,7 +909,65 @@ object TextOps extends QueryPack {
     FROM best WHERE rn = 1
     ORDER BY dirty ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q161
+  /** Inverted-index construction — the retrieval ARTIFACT that q104's
+    * BM25 scoring presupposes: one row per searchable term carrying its
+    * document frequency, collection frequency and the full posting list
+    * (doc ids ascending, with per-doc term frequencies in lockstep).
+    * Postings ship as two parallel `array<bigint>` columns rather than
+    * an array of structs so the cross-engine compare stays on primitive
+    * lists.
+    *
+    * Shape: ONE explode feeding two map-side-combinable hash aggregates
+    * — per-(term, doc) tf first (bounding the second shuffle to df
+    * entries per term, not cf), then per-term assembly where
+    * `array_sort(collect_list(struct(doc_id, tf)))` fixes the posting
+    * order by leading field regardless of aggregation order. The
+    * per-term groupBy IS the index shard: at 100 TB each term's
+    * postings build on one reducer exactly as a term-sharded indexer
+    * would lay them out.
+    *
+    * The df band keeps rows bounded: terms in fewer than 5 docs are
+    * below the retrieval floor (typo-grade), terms in more than 80% of
+    * docs are stopword-grade — both integer predicates (`df*5 ≤
+    * n_docs*4`, never a float ratio), with the corpus size a 1-row
+    * broadcast (q39's scalar-subquery pattern). A stopword-grade term's
+    * postings would otherwise grow Θ(corpus) — the band is what makes
+    * every emitted array df-bounded. */
+  val q161 = QueryDef(
+    "q161_inverted_index",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val td = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      td.groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).as("cf"),
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("post"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= 5 && col("df") * lit(5L) <= col("n_docs") * lit(4L))
+        .select(col("term"), col("df"), col("cf"),
+          transform(col("post"), s => s.getField("doc_id")).as("postings_docs"),
+          transform(col("post"), s => s.getField("tf")).as("postings_tfs"))
+        .orderBy(col("term").asc_nulls_first)
+    },
+    Some("""WITH td AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term, doc_id),
+    idx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        list(doc_id ORDER BY doc_id ASC) AS postings_docs,
+        list(tf ORDER BY doc_id ASC) AS postings_tfs
+      FROM td GROUP BY term)
+    SELECT term, df, cf, postings_docs, postings_tfs
+    FROM idx
+    WHERE df >= 5 AND df * 5 <= (SELECT COUNT(*) FROM documents) * 4
+    ORDER BY term ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118)
+      q104, q118, q161)
 }

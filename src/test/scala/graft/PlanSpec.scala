@@ -217,7 +217,13 @@ class PlanSpec extends SparkTestBase {
       "q157_triangle_count",
       // q159's grand total is ONE row broadcast into the ≤|types|·7
       // cell frame — same tiny-stats pattern as q122/q125.
-      "q159_mutual_info")
+      "q159_mutual_info",
+      // q161's corpus size is ONE row broadcast into the per-term df
+      // band filter — q39's scalar-subquery pattern.
+      "q161_inverted_index",
+      // q162's order total is ONE row broadcast into the surviving
+      // rule pairs — same tiny-stats pattern as q104/q122.
+      "q162_assoc_rules")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -106,4 +106,32 @@ class RelationalExtSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == expected, s"got=${out.take(5)} expected=${expected.take(5)}")
   }
+
+  test("q162 rules equal a naive a-priori second stage in exact ppm arithmetic") {
+    val rows = graft.Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = rows.map(_._1).distinct.length.toLong
+    val margin = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val support = rows.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case ((u, v), l) if l.size >= 3 => (u, v, l.size.toLong) }
+    val expected = support.toSeq
+      .flatMap { case (u, v, s) => Seq((u, v, s), (v, u, s)) }
+      .map { case (a, c, s) =>
+        val conf = BigInt(s) * 1000000 / BigInt(margin(a))
+        val lift = BigInt(nOrders) * s * 1000000 / (BigInt(margin(a)) * margin(c))
+        (a, c, s, conf.toLong, lift.toLong)
+      }
+      .sortBy { case (a, c, _, _, l) => (-l, a, c) }.take(50)
+    val out = RelationalExt.q162.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == expected, s"got=${out.take(3)} expected=${expected.take(3)}")
+    // mirrored rules share support and lift (the lift formula is symmetric)
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    out.foreach { case (a, c, s, _, l) =>
+      byKey.get((c, a)).foreach { m => assert(m._3 == s && m._5 == l) }
+    }
+  }
 }

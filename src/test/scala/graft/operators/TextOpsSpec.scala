@@ -210,4 +210,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.collect { case (d, (_, dist)) if dist > 0 => d }.nonEmpty,
       "all resolutions were exact; edit-distance path untested")
   }
+
+  test("q161 inverted index equals a naive rebuild; postings ascending, df/cf consistent") {
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nDocs = docs.length
+    val naive = docs
+      .flatMap { case (id, t) => t.split(" ", -1).map(term => (term, id)) }
+      .groupBy(_._1).view.mapValues { occ =>
+        val byDoc = occ.groupBy(_._2).view.mapValues(_.length.toLong)
+          .toSeq.sortBy(_._1)
+        (byDoc.length.toLong, occ.length.toLong,
+          byDoc.map(_._1), byDoc.map(_._2))
+      }.toMap
+      .filter { case (_, (df, _, _, _)) => df >= 5 && df * 5 <= nDocs.toLong * 4 }
+    val got = TextOps.q161.fn(spark, sf0001).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq))
+    }
+    // output is term-ordered and matches the naive index exactly
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    assert(got.toMap == naive, s"got=${got.take(2).toSeq} naive=${naive.take(2)}")
+    // structural invariants every consumer relies on
+    got.foreach { case (term, (df, cf, ds, tfs)) =>
+      assert(ds == ds.sorted && ds.distinct == ds, s"$term postings not ascending-unique")
+      assert(ds.length.toLong == df && tfs.sum == cf, s"$term df/cf inconsistent")
+    }
+  }
 }
