@@ -550,6 +550,91 @@ class TransProcessor
   }
 }
 
+/** One forward-filled hourly tick from [[StreamLocf]]. */
+case class LocfTick(eventType: String, hourEpoch: Long, vLocf: Double)
+
+/** An observed hourly reading entering [[StreamLocf]] (`v = None` models
+  * a tick that carries no observation and must inherit the fill). */
+case class LocfIn(eventType: String, hourEpoch: Long, v: Option[Double])
+
+/** Last carried observation per key. */
+case class LocfState(hourEpoch: Long, v: Double)
+
+/** Streaming forward-fill (LOCF) — the live twin of batch q91: per key,
+  * every hour between the first observation and the newest one gets a
+  * value, gap hours inheriting the most recent observed reading. Batch
+  * q91 rebuilds the full hourly frame with `sequence()` + a running
+  * `last(ignoreNulls)` window; the stream can't re-window history, so a
+  * per-key `transformWithState` machine keeps ONE small record (last
+  * hour, last value) and, when a new observation lands h hours later,
+  * emits the h−1 carried gap ticks plus the new reading. Per-input
+  * emission is bounded by the gap length — on a live feed the tick
+  * cadence, not the corpus, bounds it (a cold key re-appearing after a
+  * year is a data bug the pipeline should quarantine upstream, exactly
+  * like q90's gap-fill bound).
+  *
+  * Same in-order contract as [[StreamTransitions]]: rows sort by hour
+  * within a micro-batch, arrival order is trusted across batches. Fed
+  * the observed hourly means in hour order, the emitted tick set equals
+  * batch q91's rows EXACTLY (spec-asserted across a micro-batch
+  * boundary, including a key whose first batch ends mid-gap).
+  *
+  * State is one ~24-byte record per key, forever — the same "last event
+  * only" footprint as [[StreamTransitions]]; keys distribute across
+  * executors and each micro-batch touches only arriving keys. */
+object StreamLocf {
+  /** `hourly` needs `event_type`, `hour_epoch` (seconds, hour-aligned),
+    * and a nullable `v`; works on static frames and streams alike. */
+  def filled(hourly: DataFrame): Dataset[LocfTick] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    hourly.select(col("event_type").as("eventType"),
+        col("hour_epoch").as("hourEpoch"),
+        col("v").cast("double").as("v"))
+      .as[LocfIn]
+      .groupByKey(_.eventType)
+      .transformWithState(new LocfProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-key carry machine behind [[StreamLocf]]. */
+class LocfProcessor
+    extends StatefulProcessor[String, LocfIn, LocfTick] {
+  private val HourS = 3600L
+  @transient private var st: ValueState[LocfState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[LocfState]("carry",
+      Encoders.product[LocfState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[LocfIn],
+      timerValues: TimerValues): Iterator[LocfTick] = {
+    var last = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[LocfTick]
+    rows.toArray.sortBy(_.hourEpoch).foreach { r =>
+      last match {
+        case Some(s) if r.hourEpoch > s.hourEpoch =>
+          var h = s.hourEpoch + HourS
+          while (h < r.hourEpoch) { out += LocfTick(key, h, s.v); h += HourS }
+          val v = r.v.getOrElse(s.v)
+          out += LocfTick(key, r.hourEpoch, v)
+          last = Some(LocfState(r.hourEpoch, v))
+        case Some(_) => // stale or duplicate hour on an in-order feed: drop
+        case None =>
+          // q91 semantics: a key's span starts at its first OBSERVED
+          // hour — value-less ticks before any observation carry nothing
+          r.v.foreach { v =>
+            out += LocfTick(key, r.hourEpoch, v)
+            last = Some(LocfState(r.hourEpoch, v))
+          }
+      }
+    }
+    last.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** Watermark-buffered OUT-OF-ORDER funnel gate — the variant the plain
   * [[StreamFunnel]] scaladoc defers to: arrival order is NOT trusted.
   * Events buffer in per-user `ListState` until the event-time watermark

@@ -12,6 +12,8 @@ case class DocRow(doc_id: Long, text: String)
 
 case class EmbRow(vec_id: Long, embedding: Array[Float])
 
+case class HourlyRow(event_type: String, hour_epoch: Long, v: Option[Double])
+
 class StreamOpsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -936,5 +938,43 @@ class StreamOpsSpec extends SparkTestBase {
       assert(gotLast == lastUs && gotN == nTotal,
         s"$t: stream ($gotLast,$gotN) vs batch ($lastUs,$nTotal)")
     }
+  }
+
+  test("streaming LOCF reproduces batch q91 exactly across a micro-batch boundary") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val batch = graft.operators.WindowOps.q91.fn(s2, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // the observed hourly means only — gap hours must come from the
+    // stream's carry state, not the feed
+    val hourly = graft.Tables(s2, sf0001).events
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("value"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(graft.Det.davg(col("value")).as("v"))
+      .select(col("event_type"), unix_timestamp(col("h")).as("hour_epoch"),
+        col("v"))
+      .collect()
+      .map(r => HourlyRow(r.getString(0), r.getLong(1), Some(r.getDouble(2))))
+      .sortBy(r => (r.hour_epoch, r.event_type))
+    assert(hourly.length < batch.size,
+      "fixture must contain gap hours for the carry path to fill")
+    val in = MemoryStream[HourlyRow](newProductEncoder[HourlyRow], s2.sqlContext)
+    val q = StreamLocf.filled(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("locf").start()
+    // two "days": the global-hour split lands mid-span for every type
+    // that straddles the median hour, so carry state must cross batches
+    hourly.grouped((hourly.length + 1) / 2).foreach { b =>
+      in.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s2.table("locf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream missed ${(batch -- streamed).size}, invented ${(streamed -- batch).size} " +
+        s"of ${batch.size} batch rows")
   }
 }
