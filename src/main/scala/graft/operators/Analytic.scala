@@ -2125,8 +2125,107 @@ object Analytic extends QueryPack {
     FROM per_cell
     ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q163
+  /** k-core peel threshold: chosen against the co-purchase graph's
+    * degree profile (min deg ≈ 40, median ≈ 115–120 at every shipped
+    * SF) so the peel is non-trivial — a real layer is removed, the
+    * core keeps most of the graph — and converges in single-digit
+    * rounds. */
+  private[graft] val KCoreK = 64
+
+  /** k-core of the co-purchase graph — the fourth graph analytic next
+    * to q127 (PageRank: centrality), q55 (components: reachability) and
+    * q157 (triangles: local density): cohesion. The k-core is the
+    * maximal subgraph where every node keeps ≥ k neighbors INSIDE the
+    * subgraph — the standard "dense nucleus" extractor behind graph
+    * sampling, community seeding and, on a near-dup pair graph,
+    * dedup-cluster robustness QA (a doc only counts as entrenched if
+    * its neighbors are themselves entrenched).
+    *
+    * Algorithm — batch-synchronous DELTA peel (the parallel form of
+    * Batagelj–Zaveršnik's sequential min-degree peel, with the q98
+    * incremental-maintenance twist): full degrees are aggregated ONCE,
+    * then each round decrements only the neighbors of the nodes that
+    * just dropped below k — an edge-stream equi-join against the
+    * (shrinking) removed set plus a |survivors|-sized left join, never
+    * a re-aggregation of the whole survivor graph. Round-r join
+    * matches are the edges INCIDENT TO round-r removals, so the
+    * peel's total decrement volume across all rounds is ≤ |E| — at
+    * 100 TB the tail rounds touch a vanishing fraction of the graph
+    * (the naive re-count form re-shuffles every surviving edge every
+    * round). Removals apply in per-round batches, so the fixpoint is
+    * the same synchronous peel the oracle's recursive CTE states —
+    * and the k-core itself is peel-order-invariant anyway.
+    *
+    * O(peel depth) rounds — the q55/q127 Pregel shape, with
+    * [[graft.Materialize.cut]] truncating lineage on the |V|-sized
+    * degree frame per round; the directed edge frame is cut ONCE and
+    * re-read every round (the q127 convention — rounds never replay
+    * the basket expansion). The driver holds one removed COUNT per
+    * round — model-state scale, never row data.
+    *
+    * Output: every core member with its in-core degree (full degree
+    * minus all peeled neighbors = degree within the core),
+    * node-ordered. Oracle: the identical peel as an iteration-capped
+    * recursive CTE (cap 12 ≫ the observed ≤ 4-round convergence at
+    * every fixture; a cap breach shows up as a loud hash mismatch,
+    * never silence). */
+  private[graft] def kCore(lineitem: DataFrame, k: Int = KCoreK): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val dir = Materialize.cut {
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+    }
+    var deg = Materialize.cut(
+      dir.groupBy(col("x")).agg(count(lit(1)).as("core_deg")))
+    var removed = deg.filter(col("core_deg") < k)
+    var alive = deg.filter(col("core_deg") >= k)
+    while (removed.count() > 0) {
+      val lost = dir
+        .join(removed.select(col("x").as("y")), "y")
+        .groupBy(col("x")).agg(count(lit(1)).as("lost"))
+      deg = Materialize.cut(
+        alive.join(lost, Seq("x"), "left")
+          .select(col("x"),
+            (col("core_deg") - coalesce(col("lost"), lit(0L))).as("core_deg")))
+      removed = deg.filter(col("core_deg") < k)
+      alive = deg.filter(col("core_deg") >= k)
+    }
+    alive.select(col("x").as("node"), col("core_deg"))
+      .orderBy(col("node").asc_nulls_first)
+  }
+
+  val q163 = QueryDef(
+    "q163_kcore",
+    (spark, dir) => kCore(Tables(spark, dir).lineitem),
+    Some("""WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+    dir AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+    alive(iter, node) AS (
+      SELECT 0, x FROM (SELECT DISTINCT x FROM dir)
+      UNION ALL
+      SELECT a.iter + 1, a.node FROM alive a
+      WHERE a.iter < 12 AND (
+        SELECT COUNT(*) FROM dir d JOIN alive b
+          ON b.node = d.y AND b.iter = a.iter
+        WHERE d.x = a.node) >= 64
+    )
+    SELECT a.node, CAST((SELECT COUNT(*) FROM dir d JOIN alive b
+        ON b.node = d.y AND b.iter = 12 WHERE d.x = a.node) AS BIGINT)
+      AS core_deg
+    FROM alive a WHERE a.iter = 12
+    ORDER BY node ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159)
+      q143, q145, q150, q156, q157, q159, q163)
 }

@@ -869,4 +869,52 @@ class AnalyticSpec extends SparkTestBase {
     // 3·4 / 13 wedges = 6e6·4 div 26 = 923076 ppm (truncating divide)
     assert(r.getLong(4) == 923076L)
   }
+
+  test("q163: core membership and in-core degrees match a naive peel on the fixture") {
+    import scala.collection.mutable
+    val li = Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    // the k-core is order-independent, so a simple synchronous peel is
+    // a valid ground truth for the distributed one
+    var alive = adj.keySet.toSet
+    var done = false
+    while (!done) {
+      val next = alive.filter(n => (adj(n) & alive).size >= Analytic.KCoreK)
+      done = next.size == alive.size
+      alive = next
+    }
+    val expected = alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    val got = Analytic.q163.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the threshold must really bite at this fixture — a layer peels
+    // AND a core survives — or the iteration path is untested
+    assert(alive.nonEmpty, "fixture core is empty: KCoreK too high")
+    assert(alive.size < adj.size, "nothing peeled: KCoreK too low")
+  }
+
+  test("q163: hand-built cycle-plus-tail — the peel cascades down the tail") {
+    import spark.implicits._
+    // Baskets are cliques, so single-pair baskets state edges exactly:
+    // a 4-cycle 1-2-3-4-1 with a tail 4-5-6. At k=2 the tail peels in
+    // TWO rounds (6 first, then 5 — its degree only drops below k after
+    // 6 leaves), the cycle survives with in-core degree 2 everywhere.
+    val fake = Seq(
+      (10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (12L, 3L), (12L, 4L),
+      (13L, 4L), (13L, 1L), (14L, 4L), (14L, 5L), (15L, 5L), (15L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Analytic.kCore(fake, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+    // k above the cycle degree empties the core entirely (the fixpoint
+    // must also be reachable at zero rows)
+    assert(Analytic.kCore(fake, k = 3).count() == 0L)
+  }
 }
