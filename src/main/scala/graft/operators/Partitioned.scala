@@ -233,5 +233,118 @@ object Partitioned extends QueryPack {
     GROUP BY 1
     ORDER BY event_type NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q92, q96, q98)
+  // --------------------------------------------------------------- q164
+  /** Incremental JOIN-view maintenance — the join analogue of q98's
+    * aggregate merge. The stored view V = γ(O ⋈ L) (revenue per
+    * (order-priority, return-flag)) is kept current under TWO
+    * independent deltas — a new-orders day ΔO (the latest order date)
+    * and a new-lineitems day ΔL (the latest ship date) — without ever
+    * re-joining the old halves, via the textbook delta-join rewrite:
+    *
+    *   Δ(O ⋈ L) = ΔO ⋈ L_old  ∪  O_old ⋈ ΔL  ∪  ΔO ⋈ ΔL
+    *
+    * The four (old/Δ × old/Δ) pair classes partition O ⋈ L exactly, so
+    * merging the stored partials with the three delta terms equals the
+    * full recompute — which is precisely what the oracle states.
+    *
+    * Scale shape: each delta term joins the full old half against a
+    * DAY-sized side, broadcast-hinted here (a day of a 100 TB/year feed
+    * is ~0.3% of the corpus; if a deploy's day outgrows the driver the
+    * same equi-keys degrade gracefully to shuffled-hash) — so
+    * per-refresh join fan-in is delta-proportional and the big×big
+    * O_old ⋈ L_old join never runs at refresh time (PlanSpec-asserted:
+    * the delta pipeline contains exactly 3 joins, all broadcast). The
+    * stored view is simulated by cutting V_old (q98 persists its state
+    * to parquet; here the cut stands in — the merge logic is the
+    * operator under test). Merge protocol is q98's: counts stay
+    * LongType sums, the revenue partial stays DECIMAL until the final
+    * cast, so the merge is exact in any order. The two delta-day
+    * scalars are driver model state (1-row max aggregates — the
+    * `lastDay` class of probe). */
+  private[graft] def deltaJoinDays(spark: SparkSession, dir: String): (String, String) = {
+    val t = Tables(spark, dir)
+    val dO = t.orders.agg(max(col("o_orderdate").cast("date")).cast("string"))
+      .collect()(0).getString(0)
+    val dL = t.lineitem.agg(max(col("l_shipdate").cast("date")).cast("string"))
+      .collect()(0).getString(0)
+    (dO, dL)
+  }
+
+  /** The three delta terms, pre-merge — the frame PlanSpec inspects
+    * (3 joins, every one broadcast, no old ⋈ old). */
+  private[graft] def deltaJoinContrib(spark: SparkSession, dir: String,
+      dO: String, dL: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.select(col("o_orderkey"),
+      col("o_orderdate").cast("date").as("o_day"), col("o_orderpriority"))
+    val l = t.lineitem.select(col("l_orderkey"),
+      col("l_shipdate").cast("date").as("l_day"), col("l_returnflag"),
+      col("l_extendedprice"), col("l_discount"))
+    val oldO = o.filter(col("o_day") < lit(dO).cast("date"))
+    val newO = o.filter(col("o_day") === lit(dO).cast("date"))
+    val oldL = l.filter(col("l_day") < lit(dL).cast("date"))
+    val newL = l.filter(col("l_day") === lit(dL).cast("date"))
+    viewPartial(broadcast(newO), oldL)
+      .unionByName(viewPartial(oldO, broadcast(newL)))
+      .unionByName(viewPartial(broadcast(newO), broadcast(newL)))
+  }
+
+  /** One pair class's partial aggregate: LongType count + DECIMAL
+    * revenue (q98's mergeable-partial protocol). */
+  private def viewPartial(of: DataFrame, lf: DataFrame): DataFrame =
+    of.join(lf, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("rev_dec"))
+
+  /** The stored view's partials (the OLD x OLD pair class), landed once
+    * per (JVM, dir) like q98's agg state: the one-time history join is
+    * the view's construction cost; every refresh after that runs only
+    * the three delta terms. */
+  private[graft] def ensureJoinViewState(spark: SparkSession, dir: String,
+      dO: String, dL: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/join_view_state_$tag"
+      if (!landed(path)) {
+        val t = Tables(spark, dir)
+        val o = t.orders.select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_day"), col("o_orderpriority"))
+        val l = t.lineitem.select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("l_day"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount"))
+        viewPartial(o.filter(col("o_day") < lit(dO).cast("date")),
+          l.filter(col("l_day") < lit(dL).cast("date")))
+          .write.mode("overwrite").parquet(path)
+        landed += path
+      }
+      path
+    }
+
+  private[graft] def deltaJoinViewPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (dO, dL) = deltaJoinDays(spark, dir)
+    // the stored view: partials over the OLD halves, landed once (a
+    // production deploy reads this from parquet, as q98 does)
+    val vOld = spark.read.parquet(ensureJoinViewState(spark, dir, dO, dL))
+    vOld.unionByName(deltaJoinContrib(spark, dir, dO, dL))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(col("n_lines")).as("n_lines"),
+        sum(col("rev_dec")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first)
+  }
+
+  val q164 = QueryDef(
+    "q164_delta_join_view",
+    (spark, dir) => deltaJoinViewPipeline(spark, dir),
+    Some(s"""SELECT o_orderpriority, l_returnflag,
+      COUNT(*) AS n_lines,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    ORDER BY o_orderpriority ASC NULLS FIRST, l_returnflag ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164)
 }

@@ -42,6 +42,20 @@ class PlanSpec extends SparkTestBase {
       s"expected nation+region broadcasts:\n$p")
   }
 
+  test("q164: delta-join refresh is 3 broadcast joins — old x old never runs") {
+    // the incremental refresh's entire join work: each delta term joins
+    // a day-sized side (broadcast) against one old half; if the big-side
+    // x big-side join ever re-enters this frame, the refresh costs a
+    // full recompute at 100 TB
+    val (dO, dL) = graft.operators.Partitioned.deltaJoinDays(spark, sf0001)
+    val p = graft.operators.Partitioned.deltaJoinContrib(spark, sf0001, dO, dL)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected exactly 3 broadcast delta joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"an old-x-old shuffle join entered the delta refresh:\n$p")
+  }
+
   test("q04: order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
     val p = plan(Relational.q04)
     assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")

@@ -131,6 +131,28 @@ class PartitionedSpec extends SparkTestBase {
       s"delta path read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q164: delta-join-maintained view equals the full O JOIN L recompute") {
+    val full = Tables(spark, sf0001).orders
+      .join(Tables(spark, sf0001).lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first)
+      .collect().toSeq
+    val inc = Partitioned.deltaJoinViewPipeline(spark, sf0001).collect().toSeq
+    assert(inc == full, "delta-join partition of O x L drifted from the full join")
+    assert(inc.nonEmpty)
+    // both deltas must be non-degenerate at the fixture or the rewrite's
+    // cross terms are untested
+    val (dO, dL) = Partitioned.deltaJoinDays(spark, sf0001)
+    val contrib = Partitioned.deltaJoinContrib(spark, sf0001, dO, dL)
+    assert(contrib.agg(sum(col("n_lines"))).collect()(0).getLong(0) > 0,
+      "delta days contributed no rows - the delta terms are untested")
+  }
+
   test("layout materialization is idempotent per (JVM, dir)") {
     val p1 = Partitioned.ensureEventsByDay(spark, sf0001)
     val n1 = spark.read.parquet(p1).count()
