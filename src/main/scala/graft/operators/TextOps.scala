@@ -967,7 +967,85 @@ object TextOps extends QueryPack {
     WHERE df >= 5 AND df * 5 <= (SELECT COUNT(*) FROM documents) * 4
     ORDER BY term ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q165
+  /** Vocabulary size for the q165 coverage report: the corpus has ~900
+    * distinct bigrams at every shipped SF, so 512 leaves a real OOV
+    * tail (~35%) — the report discriminates instead of saturating. */
+  private[graft] val OovVocabSize = 512
+
+  /** Vocabulary-coverage / OOV report — the tokenizer-planning table: a
+    * candidate vocabulary is the top-V corpus units by collection
+    * frequency (here BIGRAMS — the unit of BPE's first merge round;
+    * the corpus' word unigrams number only 31, so bigrams are where
+    * coverage becomes a real decision), and each source is scored by
+    * how much of its token mass that vocabulary covers. High per-source
+    * OOV ppm = the source's phrasing is unlike the corpus mainstream —
+    * exactly the signal used to re-balance a tokenizer's training mix
+    * or flag a source for vocab extension.
+    *
+    * Shape: bigram explode is map-only (array HOF over the ~50-token
+    * split, the q36 class); ONE (source, term) hash aggregate bounds
+    * everything after it to |sources| × |bigram universe| rows — at
+    * 100 TB the only corpus-sized pass is that first map+combine. The
+    * vocabulary is a TakeOrderedAndProject (never a full sort) with the
+    * total (cf DESC, term ASC) tie order, broadcast back as a V-row
+    * dimension; the per-source rollup re-aggregates the cut term frame
+    * (cut-per-consumer: st feeds both the vocab top-V and the
+    * coverage join). OOV ppm is an exact integral divide (q154's
+    * DECIMAL-routed `div`). */
+  private[graft] def oovReport(d: org.apache.spark.sql.DataFrame,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val bi = d.select(col("source"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1)))).as("term"))
+    val st = graft.Materialize.cut(
+      bi.groupBy(col("source"), col("term")).agg(count(lit(1)).as("n")))
+    val vocab = st.groupBy(col("term")).agg(sum(col("n")).as("cf"))
+      .orderBy(col("cf").desc, col("term").asc_nulls_first)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(lit(0L)))
+          .as("oov_bigrams"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("oov_terms"))
+      .withColumn("oov_ppm",
+        expr("CAST(oov_bigrams AS DECIMAL(28,0)) * 1000000 div n_bigrams"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  val q165 = QueryDef(
+    "q165_oov_rate",
+    (spark, dir) => oovReport(Tables(spark, dir).documents, OovVocabSize),
+    Some(s"""WITH toks AS (
+      SELECT source, string_split(text, ' ') AS ts FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bi AS (
+      SELECT source, ts[u.i] || ' ' || ts[u.i + 1] AS term
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) u(i)),
+    st AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bi GROUP BY source, term),
+    vocab AS (
+      SELECT term FROM (SELECT term, SUM(n) AS cf FROM st GROUP BY term)
+      ORDER BY cf DESC, term ASC LIMIT $OovVocabSize)
+    SELECT source,
+      CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      CAST(SUM(CASE WHEN v.term IS NULL THEN n ELSE 0 END) AS BIGINT) AS oov_bigrams,
+      CAST(COUNT(*) AS BIGINT) AS n_terms,
+      CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_terms,
+      CAST(SUM(CASE WHEN v.term IS NULL THEN n ELSE 0 END) * 1000000 // SUM(n) AS BIGINT) AS oov_ppm
+    FROM st LEFT JOIN vocab v USING (term)
+    GROUP BY source
+    ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161)
+      q104, q118, q161, q165)
 }

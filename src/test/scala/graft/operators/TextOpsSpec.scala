@@ -238,4 +238,40 @@ class TextOpsSpec extends SparkTestBase {
       assert(ds.length.toLong == df && tfs.sum == cf, s"$term df/cf inconsistent")
     }
   }
+
+  test("q165: OOV report matches a naive bigram-vocabulary replay") {
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bigrams = docs.flatMap { case (src, text) =>
+      val ts = text.split(" ", -1)
+      if (ts.length < 2) Nil
+      else ts.sliding(2).map(p => src -> s"${p(0)} ${p(1)}").toSeq
+    }
+    val st = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val v = 64 // small vocab so the fixture exercises a real OOV tail
+    val vocab = st.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+      .toSeq.sortBy { case (t, cf) => (-cf, t) }.take(v).map(_._1).toSet
+    val expected = st.groupBy(_._1._1).map { case (src, m) =>
+      val n = m.values.sum
+      val oov = m.collect { case ((_, t), c) if !vocab(t) => c }.sum
+      val terms = m.size.toLong
+      val oovTerms = m.keysIterator.count { case (_, t) => !vocab(t) }.toLong
+      src -> ((n, oov, terms, oovTerms, oov * 1000000L / n))
+    }
+    val got = TextOps.oovReport(graft.Tables(spark, sf0001).documents, v)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(got(src) == e, s"$src: got ${got(src)}, naive $e")
+    }
+    // the report must discriminate at both vocab sizes or it tests
+    // nothing: some mass in vocab, some out
+    assert(expected.values.exists(_._2 > 0), "no OOV at v=64")
+    assert(expected.values.forall(v5 => v5._2 < v5._1), "everything OOV at v=64")
+    val atShipped = TextOps.q165.fn(spark, sf0001).collect()
+    assert(atShipped.forall(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)),
+      "shipped OovVocabSize saturates the report at the fixture")
+  }
 }
