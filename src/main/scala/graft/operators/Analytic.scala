@@ -2224,8 +2224,54 @@ object Analytic extends QueryPack {
     FROM alive a WHERE a.iter = 12
     ORDER BY node ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q166
+  /** Per-user recency-weighted engagement score — the weighting column
+    * a recency-biased training-data sampler draws against (recent
+    * activity matters more; the decay must be exact so the sample is
+    * reproducible across engines and retries). Half-life = 1 day in
+    * EXACT integer arithmetic: weight(age) = 1000000 >> age (floor
+    * halving per day of a positive int — identical to
+    * 1000000 div 2^age), zero from age 20 up (2^20 > 10^6), so no
+    * float pow and no rounding-mode drift anywhere. The reference day
+    * is the corpus' latest event day, a 1-row broadcast (q161's
+    * scalar-aggregate pattern, no driver collect).
+    *
+    * Shape: ONE map pass (date cast + shift) into ONE user-keyed hash
+    * aggregate — map-side combinable, distributes on the
+    * high-cardinality key; the total (score DESC, user ASC) order is
+    * the output contract. At 100 TB this is a pure scan-aggregate,
+    * the q01 class. */
+  val q166 = QueryDef(
+    "q166_recency_score",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val ref = e.agg(max(col("day")).as("ref"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age", datediff(col("ref"), col("day")))
+        .withColumn("w", when(col("age") >= 20, lit(0L))
+          .otherwise(expr("shiftright(1000000L, CAST(age AS INT))")))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w")).as("score"),
+          count(lit(1)).as("n_events"),
+          max(col("day")).as("last_seen"))
+        .orderBy(col("score").desc_nulls_last, col("user_id").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (SELECT MAX(day) AS ref FROM e)
+    SELECT user_id,
+      CAST(SUM(CASE WHEN date_diff('day', day, ref) >= 20 THEN 0
+        ELSE 1000000 // CAST(POWER(2, date_diff('day', day, ref)) AS BIGINT)
+        END) AS BIGINT) AS score,
+      COUNT(*) AS n_events,
+      MAX(day) AS last_seen
+    FROM e, r
+    GROUP BY user_id
+    ORDER BY score DESC NULLS LAST, user_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159, q163)
+      q143, q145, q150, q156, q157, q159, q163, q166)
 }

@@ -237,7 +237,10 @@ class PlanSpec extends SparkTestBase {
       "q161_inverted_index",
       // q162's order total is ONE row broadcast into the surviving
       // rule pairs — same tiny-stats pattern as q104/q122.
-      "q162_assoc_rules")
+      "q162_assoc_rules",
+      // q166's reference day is a ONE-row max aggregate broadcast into
+      // the event scan — q39's scalar-subquery pattern.
+      "q166_recency_score")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

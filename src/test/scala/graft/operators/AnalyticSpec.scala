@@ -900,6 +900,32 @@ class AnalyticSpec extends SparkTestBase {
     assert(alive.size < adj.size, "nothing peeled: KCoreK too low")
   }
 
+  test("q166: recency scores match a naive integer-halving replay") {
+    val rows = Tables(spark, sf0001).events
+      .select(col("user_id"), to_date(col("ts")).cast("string")).collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val ref = rows.map(_._2).maxBy(_.toEpochDay)
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val ws = es.map { case (_, d) =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(d, ref)
+        if (age >= 20) 0L else 1000000L >> age
+      }
+      u -> ((ws.sum, es.length.toLong, es.map(_._2).maxBy(_.toEpochDay).toString))
+    }
+    val got = Analytic.q166.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDate(3).toString))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, e) =>
+      assert(got(u) == e, s"user $u: got ${got(u)}, naive $e")
+    }
+    // the decay must bite at the fixture (events span weeks): users
+    // with equal event counts but different recency must score apart
+    val byCount = expected.values.groupBy(_._2).filter(_._2.size > 1)
+    assert(byCount.exists(_._2.map(_._1).toSet.size > 1),
+      "decay never discriminated equal-count users - fixture untested")
+  }
+
   test("q163: hand-built cycle-plus-tail — the peel cascades down the tail") {
     import spark.implicits._
     // Baskets are cliques, so single-pair baskets state edges exactly:
