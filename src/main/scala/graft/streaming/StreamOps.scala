@@ -635,6 +635,81 @@ class LocfProcessor
   }
 }
 
+/** One first-activity-per-day record from [[StreamRetention]]: a user's
+  * cohort day (epoch days) and the offset of the activity day — the
+  * unit the q106 retention triangle counts. */
+case class RetentionHit(userId: Long, cohortEpochDay: Long, dayOffset: Int)
+
+/** An event entering [[StreamRetention]], reduced to its calendar day
+  * (epoch days — integer day arithmetic, no timestamp in state). */
+case class RetEvent(userId: Long, epochDay: Long)
+
+/** Per-user retention state: cohort day + newest day already emitted. */
+case class RetState(cohortEpochDay: Long, lastEpochDay: Long)
+
+/** Streaming cohort retention — the live twin of batch q106: each
+  * user's first-seen day is their cohort; every LATER calendar day with
+  * activity emits one (cohort, day-offset) hit, exactly once per
+  * (user, day). Downstream, `groupBy(cohort, offset).count()` IS the
+  * retention triangle — the same two-shuffle shape as the batch query,
+  * with the cohort join replaced by per-key state.
+  *
+  * Same in-order contract as [[StreamTransitions]]: rows sort by day
+  * within a micro-batch, arrival order is trusted across batches. On an
+  * in-order feed the days per user arrive non-decreasing, so "newest
+  * emitted day" is a complete dedup — the state is TWO LONGS per user,
+  * forever (the [[StreamTransitions]] footprint class; an out-of-order
+  * deploy buffers through a [[WatermarkBufferedProcessor]] first, like
+  * the funnel/transition *Buffered variants). Fed the fixture events in
+  * order, the emitted hit multiset folds to exactly q106's triangle
+  * (spec-asserted across a micro-batch boundary). */
+object StreamRetention {
+  /** `events` needs `user_id` and `ts`; works on static frames and
+    * streams alike. */
+  def hits(events: DataFrame): Dataset[RetentionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as("userId"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epochDay"))
+      .as[RetEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new RetentionProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-user first-seen/last-emitted machine behind
+  * [[StreamRetention]]. */
+class RetentionProcessor
+    extends StatefulProcessor[Long, RetEvent, RetentionHit] {
+  @transient private var st: ValueState[RetState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RetState]("ret",
+      Encoders.product[RetState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RetEvent],
+      timerValues: TimerValues): Iterator[RetentionHit] = {
+    var s = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+    rows.toArray.sortBy(_.epochDay).foreach { e =>
+      s match {
+        case None =>
+          s = Some(RetState(e.epochDay, e.epochDay))
+          out += RetentionHit(key, e.epochDay, 0)
+        case Some(cur) if e.epochDay > cur.lastEpochDay =>
+          out += RetentionHit(key, cur.cohortEpochDay,
+            (e.epochDay - cur.cohortEpochDay).toInt)
+          s = Some(cur.copy(lastEpochDay = e.epochDay))
+        case Some(_) => // same day already emitted on an in-order feed
+      }
+    }
+    s.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** Watermark-buffered OUT-OF-ORDER funnel gate — the variant the plain
   * [[StreamFunnel]] scaladoc defers to: arrival order is NOT trusted.
   * Events buffer in per-user `ListState` until the event-time watermark

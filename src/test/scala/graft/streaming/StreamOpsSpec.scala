@@ -940,6 +940,43 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("retention hits on an in-order stream fold to exactly q106's triangle") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamRetention.hits(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("retq106")
+      .start()
+    // two arrival chunks so cohort + dedup state crosses a micro-batch
+    // boundary mid-history for most users
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val hits = s2.table("retq106").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exactly-once per (user, day): the hit multiset must be a set
+    assert(hits.length == hits.distinct.length, "duplicate retention hits")
+    val streamed = hits.groupBy(h => (h._2, h._3))
+      .map { case (k, v) => k -> v.length.toLong }
+    val batch = graft.operators.WindowOps.q106.fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch, s"stream/batch retention divergence: " +
+      s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
+
   test("streaming LOCF reproduces batch q91 exactly across a micro-batch boundary") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
