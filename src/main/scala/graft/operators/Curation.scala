@@ -777,6 +777,103 @@ object Curation extends QueryPack {
     FROM t GROUP BY source
     ORDER BY source ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q167
+  /** Max-min fair (water-filling) token allocation across LANGUAGES —
+    * q137's sibling for the CAPPED regime: apportionment splits a
+    * budget ∝ group size, but a multilingual curriculum that wants
+    * BALANCE wants the opposite — every language raised to a common
+    * water level L, capped at what it actually has:
+    * alloc_g = min(avail_g, L), with L the largest level the budget
+    * funds. Low-resource languages get everything they have; the
+    * high-resource head is clipped equally — the lexicographically
+    * max-min allocation (and the standard fair-queueing rule). The key
+    * is `lang` rather than `source` because the corpus' languages are
+    * the skewed dimension (en ≈ 2.5× the others at every fixture) —
+    * exactly the regime water-filling exists for.
+    *
+    * Exact integer algorithm, identical in both engines: sort groups
+    * by (avail ASC, lang ASC); feasibility of fully funding the first
+    * i groups is f(i) = P_i + avail_i·(n−i) ≤ B, which is monotone in
+    * i (f(i+1)−f(i) = (n−i)(avail_{i+1}−avail_i) ≥ 0), so the funded
+    * set is the prefix up to k = max feasible i. The rest each get
+    * L = (B − P_k) div (n−k), with the division remainder handed +1 to
+    * the first r unfunded groups by name (q137's largest-remainder
+    * determinism class) — so Σalloc == B EXACTLY whenever B ≤ Σavail.
+    * k's maximality guarantees L < avail_{k+1} ≤ every unfunded cap, so
+    * no allocation exceeds its group. B is pinned to ⌊4·Σavail/5⌋ —
+    * scale-free, and non-degenerate at every fixture (a real funded
+    * prefix AND a real clipped tail, spec-asserted).
+    *
+    * Shape: ONE corpus-sized token-count aggregate; every window after
+    * it moves the |langs|-row dimension frame (q78/q137's whitelisted
+    * global-window argument). Overflow envelope: avail·(n−idx) needs
+    * avail·n < 2^63 — at 10^13 tokens per language and 10^3 languages
+    * that is 10^16, three decimal orders inside the bound. */
+  val q167 = QueryDef(
+    "q167_water_fill",
+    (spark, dir) => {
+      val src = Tables(spark, dir).documents
+        .groupBy(col("lang"))
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byAvail = Window.orderBy(col("avail").asc, col("lang").asc)
+      val byAvailRows = byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byPart = Window.partitionBy(col("feas")).orderBy(col("lang").asc)
+      src
+        .withColumn("idx", row_number().over(byAvail))
+        .withColumn("p", sum(col("avail")).over(byAvailRows))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("tot", sum(col("avail")).over(all))
+        .withColumn("b", expr("(tot * 4) div 5"))
+        .withColumn("feas",
+          (col("p") + col("avail") * (col("n") - col("idx")) <= col("b")).cast("int"))
+        .withColumn("k", max(when(col("feas") === 1, col("idx")).otherwise(lit(0))).over(all))
+        .withColumn("pk", max(when(col("feas") === 1, col("p")).otherwise(lit(0L))).over(all))
+        .withColumn("m", col("n") - col("k"))
+        .withColumn("level", when(col("m") > 0, expr("(b - pk) div m")))
+        .withColumn("r", when(col("m") > 0, expr("(b - pk) % m")))
+        .withColumn("ur", row_number().over(byPart))
+        .select(col("lang"), col("avail").as("n_tokens"),
+          when(col("feas") === 1, col("avail"))
+            .otherwise(col("level") + (col("ur") <= col("r")).cast("long"))
+            .as("alloc"),
+          col("feas").as("fully_funded"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+    Some("""WITH src AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang),
+    st AS (
+      SELECT lang, avail,
+        row_number() OVER (ORDER BY avail ASC, lang ASC) AS idx,
+        SUM(avail) OVER (ORDER BY avail ASC, lang ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        COUNT(*) OVER () AS n,
+        SUM(avail) OVER () AS tot
+      FROM src),
+    f AS (
+      SELECT *, (tot * 4) // 5 AS b,
+        CASE WHEN p + avail * (n - idx) <= (tot * 4) // 5 THEN 1 ELSE 0 END AS feas
+      FROM st),
+    agg AS (
+      SELECT MAX(CASE WHEN feas = 1 THEN idx ELSE 0 END) AS k,
+        MAX(CASE WHEN feas = 1 THEN p ELSE 0 END) AS pk
+      FROM f),
+    lv AS (
+      SELECT f.*, f.n - a.k AS m,
+        CASE WHEN f.n - a.k > 0 THEN (f.b - a.pk) // (f.n - a.k) END AS level,
+        CASE WHEN f.n - a.k > 0 THEN (f.b - a.pk) % (f.n - a.k) END AS r
+      FROM f CROSS JOIN agg a),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY feas ORDER BY lang ASC) AS ur
+      FROM lv)
+    SELECT lang, avail AS n_tokens,
+      CAST(CASE WHEN feas = 1 THEN avail
+        ELSE level + CASE WHEN ur <= r THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+      CAST(feas AS INT) AS fully_funded
+    FROM rk
+    ORDER BY lang ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154)
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167)
 }

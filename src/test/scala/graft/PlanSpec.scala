@@ -266,7 +266,9 @@ class PlanSpec extends SparkTestBase {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     // q137's windows likewise run over the post-aggregate |sources|-row
     // dimension frame, not row data — same argument as q78.
-    val allowed = Set("q78_mix_weights", "q137_token_apportion",
+    // q167's windows likewise move only the post-aggregate |sources|-row
+    // frame — same argument.
+    val allowed = Set("q78_mix_weights", "q137_token_apportion", "q167_water_fill",
       // q138's reverse-cumulative runs over the ≤|days| lifetime
       // distribution — dimension-sized, same argument.
       "q138_life_table",

@@ -309,4 +309,38 @@ class CurationSpec extends SparkTestBase {
       assert(shards * 2048 >= total)
     }
   }
+
+  test("q167: water-filling allocation matches a naive level search and the max-min laws") {
+    val rows = Curation.q167.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val avail = rows.map(r => r._1 -> r._2).toMap
+    val b = avail.values.sum * 4 / 5
+    // naive replay: highest integer level whose clipped sum fits, then
+    // the remainder one-by-one to the unfunded sources by name
+    val lMax = Iterator.from(0).map(_.toLong)
+      .takeWhile(l => avail.values.map(math.min(_, l)).sum <= b).max
+    val base = avail.map { case (s, a) => s -> math.min(a, lMax) }
+    var left = b - base.values.sum
+    val expected = scala.collection.mutable.Map(base.toSeq: _*)
+    avail.keys.toSeq.sorted.foreach { s =>
+      if (left > 0 && avail(s) > expected(s)) { expected(s) += 1; left -= 1 }
+    }
+    rows.foreach { case (s, _, alloc, _) =>
+      assert(alloc == expected(s), s"$s: got $alloc, naive ${expected(s)}")
+    }
+    // the max-min laws, independent of the replay:
+    assert(rows.map(_._3).sum == b, "allocation must spend the budget exactly")
+    rows.foreach { case (s, a, alloc, f) =>
+      assert(alloc <= a, s"$s allocated past its cap")
+      assert((f == 1) == (alloc == a), s"$s funded flag inconsistent")
+    }
+    val clipped = rows.filter(_._4 == 0).map(_._3)
+    assert(clipped.nonEmpty && clipped.length < rows.length,
+      "fixture must have both a funded prefix and a clipped tail")
+    assert(clipped.max - clipped.min <= 1, "clipped sources must share the level ±1")
+    val funded = rows.filter(_._4 == 1).map(_._3)
+    if (funded.nonEmpty)
+      assert(funded.max <= clipped.min,
+        "a fully funded source must not exceed any clipped allocation")
+  }
 }
