@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersectCount, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 2, "graft_sorted_intersect_count(a, b)")
         SortedIntersectCount(e.head, e(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName,
+        "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 2, "graft_sorted_intersect(a, b)")
+        SortedIntersect(e.head, e(1))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_array_stats"),

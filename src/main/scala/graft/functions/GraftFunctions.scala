@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersectCount, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -62,6 +62,14 @@ object GraftFunctions {
         require(exprs.length == 2,
           "graft_sorted_intersect_count(a, b) takes two arguments")
         SortedIntersectCount(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_sorted_intersect(a, b) takes two arguments")
+        SortedIntersect(exprs.head, exprs(1))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -2224,6 +2224,104 @@ object Analytic extends QueryPack {
     FROM alive a WHERE a.iter = 12
     ORDER BY node ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q168
+  /** Per-node local clustering coefficient — q157's census localized:
+    * for every part, its triangle count t(w) and local CC =
+    * 2·t(w)/(d(w)·(d(w)−1)) in ppm (NULL at degree ≤ 1). The census
+    * says how clique-like co-purchasing is overall; THIS table names
+    * the nodes — high-CC parts sit in tight accessory bundles (and on
+    * a near-dup pair graph, high-CC docs sit in coherent duplicate
+    * communities, low-CC docs are hub-bridge false-positive suspects —
+    * the per-node dedup-QA view).
+    *
+    * Same build as [[triangleCensus]] (canonical edges → degrees →
+    * (deg, id)-orientation → sorted out-adjacency, cut at the same
+    * boundaries; the Σ outdeg² ≤ m^1.5 bound and the broadcast gate
+    * carry over). The one addition: the closure uses the native
+    * array-RETURNING [[graft.functions.expressions.SortedIntersect]] —
+    * each oriented edge (u→v) credits u and v with |N⁺(u) ∩ N⁺(v)| and
+    * every common out-neighbor w with 1, so each triangle credits all
+    * THREE corners exactly once. The credit stream is 3·Δ rows total
+    * (cut once, feeds one node-keyed aggregate) — triangle-volume, not
+    * wedge-volume. Oracle: the 3-way equi-join triangle enumeration
+    * with a UNION ALL corner credit. */
+  private[graft] def localClustering(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val edges = Materialize.cut(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct())
+    val deg = Materialize.cut(
+      edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val adj = Materialize.cut(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val nEdges = edges.count()
+    def side(df: DataFrame) =
+      if (nEdges <= TriAdjBroadcastMaxEdges) broadcast(df) else df
+    val inter = Materialize.cut(adj
+      .select(col("src"), col("nbrs").as("nu"), explode(col("nbrs")).as("dst"))
+      .join(side(adj.select(col("src").as("rv"), col("nbrs").as("nv"))),
+        col("dst") === col("rv"))
+      .select(col("src"), col("dst"),
+        call_function("graft_sorted_intersect", col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0))
+    val credits = inter
+      .select(col("src").as("node"), size(col("ws")).cast("long").as("c"))
+      .unionByName(inter
+        .select(col("dst").as("node"), size(col("ws")).cast("long").as("c")))
+      .unionByName(inter
+        .select(explode(col("ws")).as("node"), lit(1L).as("c")))
+    val tri = credits.groupBy(col("node")).agg(sum(col("c")).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("cc_ppm", expr("""CAST(
+        CAST(tri AS DECIMAL(38,0)) * 2000000
+        div NULLIF(CAST(d AS DECIMAL(38,0)) * (d - 1), CAST(0 AS DECIMAL(38,0)))
+        AS BIGINT)"""))
+      .select(col("node"), col("d").as("degree"),
+        col("tri").as("n_triangles"), col("cc_ppm"))
+      .orderBy(col("node").asc_nulls_first)
+  }
+
+  val q168 = QueryDef(
+    "q168_local_clustering",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      localClustering(Tables(spark, dir).lineitem)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY node),
+    tri3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM e e1 JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    cr AS (SELECT a AS node FROM tri3
+           UNION ALL SELECT b FROM tri3
+           UNION ALL SELECT c FROM tri3),
+    t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM cr GROUP BY node)
+    SELECT deg.node, deg.d AS degree,
+      COALESCE(t.tri, 0) AS n_triangles,
+      CAST(CAST(COALESCE(t.tri, 0) AS HUGEINT) * 2000000
+        // NULLIF(CAST(deg.d AS HUGEINT) * (deg.d - 1), 0) AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN t USING (node)
+    ORDER BY node ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q166
   /** Per-user recency-weighted engagement score — the weighting column
     * a recency-biased training-data sampler draws against (recent
@@ -2273,5 +2371,5 @@ object Analytic extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159, q163, q166)
+      q143, q145, q150, q156, q157, q159, q163, q166, q168)
 }

@@ -63,6 +63,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       val chExpected = s2.sql(
         "SELECT xxhash64('a','b'), xxhash64('c','d'), xxhash64('e')").collect()(0)
       assert(ch == Seq(chExpected.getLong(0), chExpected.getLong(1), chExpected.getLong(2)))
+      // graft_sorted_intersect(_count): merge intersect over sorted arrays
+      val si = s2.sql(
+        "SELECT graft_sorted_intersect(array(1L,3L,5L,7L), array(3L,4L,7L)) AS a, " +
+          "graft_sorted_intersect_count(array(1L,3L,5L,7L), array(3L,4L,7L)) AS n")
+        .collect()(0)
+      assert(si.getSeq[Long](0) == Seq(3L, 7L) && si.getLong(1) == 2L)
       // graft_array_stats: one-pass multiplicity profile of a long array
       val as = s2.sql(
         "SELECT graft_array_stats(array(1L, 2L, 1L, 1L, 3L)) AS s").collect()(0)

@@ -45,6 +45,31 @@ class SortedIntersectCountSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("graft_sorted_intersect: elements equal array_intersect, ascending, count-consistent") {
+    val rnd = new scala.util.Random(7)
+    def sortedArr(): Array[Long] =
+      Array.fill(rnd.nextInt(40))(rnd.between(-1000L, 1000L))
+        .distinct.sorted
+    val pairs = Seq.fill(500)((sortedArr(), sortedArr()))
+    val rows = pairs.toDF("a", "b").select(
+      call_function("graft_sorted_intersect", col("a"), col("b")).as("got"),
+      array_sort(array_intersect(col("a"), col("b"))).as("ref"),
+      call_function("graft_sorted_intersect_count", col("a"), col("b")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val got = r.getSeq[Long](0)
+      assert(got == r.getSeq[Long](1), r.toString)
+      assert(got.length.toLong == r.getLong(2), "count/elements drift")
+      assert(got == got.sorted, "output must stay ascending")
+    }
+    // null input → null out (BinaryExpression null semantics)
+    val n = Seq((Option.empty[Array[Long]], Some(Array(1L))))
+      .toDF("a", "b")
+      .select(call_function("graft_sorted_intersect", col("a"), col("b")))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("q157 census equals the exact 3-way-join triangle count at sf0.001") {
     // end-to-end consumer check: the oriented-closure count through the
     // native intersect equals the textbook e1⋈e2⋈e3 enumeration on the

@@ -900,6 +900,38 @@ class AnalyticSpec extends SparkTestBase {
     assert(alive.size < adj.size, "nothing peeled: KCoreK too low")
   }
 
+  test("q168: per-node triangles and CC match a naive adjacency replay; corners sum to 3 census triangles") {
+    import scala.collection.mutable
+    val li = Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val triAt = adj.map { case (w, ns) =>
+      w -> ns.toSeq.map(x => (ns & adj(x)).size.toLong).sum / 2
+    }
+    val got = Analytic.q168.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got.keySet == adj.keySet)
+    adj.keys.foreach { w =>
+      val d = adj(w).size.toLong
+      val cc = if (d <= 1) None
+               else Some(triAt(w) * 2000000L / (d * (d - 1)))
+      assert(got(w) == ((d, triAt(w), cc)),
+        s"node $w: got ${got(w)}, naive ($d, ${triAt(w)}, $cc)")
+    }
+    // corner credits are complete: sum of per-node counts = 3 * census
+    val census = Analytic.q157.fn(spark, sf0001).collect()(0).getLong(3)
+    assert(got.values.map(_._2).sum == 3 * census, "corner credits lost or doubled")
+    // the fixture must have CC diversity or the division is untested
+    assert(got.values.flatMap(_._3).toSet.size > 1, "constant CC across fixture")
+  }
+
   test("q166: recency scores match a naive integer-halving replay") {
     val rows = Tables(spark, sf0001).events
       .select(col("user_id"), to_date(col("ts")).cast("string")).collect()
