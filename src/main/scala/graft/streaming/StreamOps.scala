@@ -884,6 +884,65 @@ class BufferedTransProcessor extends BufferedEventProcessor[Transition] {
   }
 }
 
+/** Out-of-order twin of [[StreamRetention]] on the same buffer
+  * primitive: the watermark-finalized prefix drains through the same
+  * (cohort, last-emitted-day) machine in (us, event_id) order, so a
+  * user's true first-seen day sets the cohort even when it arrives
+  * late — the failure mode the in-order machine cannot repair once it
+  * has emitted a wrong cohort. Hits ≡ batch q106 on any
+  * ≤-delay-disordered stream (spec-asserted alongside the buffered
+  * funnel/transitions). */
+object StreamRetentionBuffered {
+  def hits(events: DataFrame,
+      maxLateness: String = "10 minutes"): Dataset[RetentionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", maxLateness)
+      .select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"))
+      .as[TransEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedRetentionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}
+
+/** The buffered first-seen/last-emitted machine behind
+  * [[StreamRetentionBuffered]] — [[RetentionProcessor]]'s logic over the
+  * finalized ordered prefix; day = floor(us / 86.4e9), the UTC epoch-day
+  * [[StreamRetention]]'s `to_date` computes under the pinned-UTC
+  * session. */
+class BufferedRetentionProcessor extends BufferedEventProcessor[RetentionHit] {
+  @transient private var st: ValueState[RetState] = _
+
+  override protected def initState(): Unit =
+    st = getHandle.getValueState[RetState]("ret",
+      Encoders.product[RetState], TTLConfig.NONE)
+
+  override protected def advance(key: Long,
+      events: Seq[TransEvent]): Iterator[RetentionHit] = {
+    var s = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+    events.foreach { e =>
+      val day = Math.floorDiv(e.us, 86400000000L)
+      s match {
+        case None =>
+          s = Some(RetState(day, day))
+          out += RetentionHit(key, day, 0)
+        case Some(cur) if day > cur.lastEpochDay =>
+          out += RetentionHit(key, cur.cohortEpochDay,
+            (day - cur.cohortEpochDay).toInt)
+          s = Some(cur.copy(lastEpochDay = day))
+        case Some(_) => // day already covered in the finalized order
+      }
+    }
+    s.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** One event entering the streaming funnel gate. */
 case class FunnelEvent(userId: Long, eventType: String, us: Long)
 

@@ -737,6 +737,52 @@ class StreamOpsSpec extends SparkTestBase {
       s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
 
+  test("buffered retention: out-of-order arrival still folds to q106's triangle") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    // same adversarial shape as the buffered-funnel spec: a 5-minute
+    // band held back across the batch boundary, both batches shuffled
+    val cutMs = evs(evs.length / 2).ts.getTime
+    val (early, tail) = evs.partition(_.ts.getTime <= cutMs)
+    val (held, b1) = early.partition(_.ts.getTime > cutMs - 5 * 60 * 1000)
+    assert(held.nonEmpty)
+    def shuffled(xs: Array[Ev]) = xs.sortBy(e => (e.event_id % 13, e.event_id))
+    val maxTs = evs.map(_.ts.getTime).max
+    val flush = Ev(10000000L, new java.sql.Timestamp(maxTs + 86400000L),
+      999999L, "noop", 0.0)
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamRetentionBuffered.hits(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("retbuf")
+      .start()
+    in.addData(shuffled(b1): _*)
+    q.processAllAvailable()
+    in.addData(shuffled(held ++ tail): _*)
+    q.processAllAvailable()
+    in.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val hits = s2.table("retbuf").filter(col("userId") =!= 999999L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits.length == hits.distinct.length, "duplicate retention hits")
+    val streamed = hits.groupBy(h => (h._2, h._3))
+      .map { case (k, v) => k -> v.length.toLong }
+    val batch = graft.operators.WindowOps.q106.fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch, s"buffered retention diverged under reordering: " +
+      s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+  }
+
   test("concurrency gauge: level survives the batch boundary within a day") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
