@@ -270,16 +270,22 @@ object Partitioned extends QueryPack {
     (dO, dL)
   }
 
-  /** The three delta terms, pre-merge — the frame PlanSpec inspects
-    * (3 joins, every one broadcast, no old ⋈ old). */
-  private[graft] def deltaJoinContrib(spark: SparkSession, dir: String,
-      dO: String, dL: String): DataFrame = {
+  /** The standard projections the delta-join view works over. */
+  private[graft] def joinViewInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val t = Tables(spark, dir)
-    val o = t.orders.select(col("o_orderkey"),
-      col("o_orderdate").cast("date").as("o_day"), col("o_orderpriority"))
-    val l = t.lineitem.select(col("l_orderkey"),
-      col("l_shipdate").cast("date").as("l_day"), col("l_returnflag"),
-      col("l_extendedprice"), col("l_discount"))
+    (t.orders.select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_day"), col("o_orderpriority")),
+      t.lineitem.select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("l_day"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount")))
+  }
+
+  /** The three delta terms, pre-merge — the frame PlanSpec inspects
+    * (3 joins, every one broadcast, no old ⋈ old). Frame-parameterized
+    * so ScaleProbe's joinview section can grow the old halves without
+    * touching the deltas. */
+  private[graft] def deltaJoinContribFrames(o: DataFrame, l: DataFrame,
+      dO: String, dL: String): DataFrame = {
     val oldO = o.filter(col("o_day") < lit(dO).cast("date"))
     val newO = o.filter(col("o_day") === lit(dO).cast("date"))
     val oldL = l.filter(col("l_day") < lit(dL).cast("date"))
@@ -289,9 +295,15 @@ object Partitioned extends QueryPack {
       .unionByName(viewPartial(broadcast(newO), broadcast(newL)))
   }
 
+  private[graft] def deltaJoinContrib(spark: SparkSession, dir: String,
+      dO: String, dL: String): DataFrame = {
+    val (o, l) = joinViewInputs(spark, dir)
+    deltaJoinContribFrames(o, l, dO, dL)
+  }
+
   /** One pair class's partial aggregate: LongType count + DECIMAL
     * revenue (q98's mergeable-partial protocol). */
-  private def viewPartial(of: DataFrame, lf: DataFrame): DataFrame =
+  private[graft] def viewPartial(of: DataFrame, lf: DataFrame): DataFrame =
     of.join(lf, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"), col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"),
@@ -309,12 +321,7 @@ object Partitioned extends QueryPack {
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val path = s"$root/join_view_state_$tag"
       if (!landed(path)) {
-        val t = Tables(spark, dir)
-        val o = t.orders.select(col("o_orderkey"),
-          col("o_orderdate").cast("date").as("o_day"), col("o_orderpriority"))
-        val l = t.lineitem.select(col("l_orderkey"),
-          col("l_shipdate").cast("date").as("l_day"), col("l_returnflag"),
-          col("l_extendedprice"), col("l_discount"))
+        val (o, l) = joinViewInputs(spark, dir)
         viewPartial(o.filter(col("o_day") < lit(dO).cast("date")),
           l.filter(col("l_day") < lit(dL).cast("date")))
           .write.mode("overwrite").parquet(path)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * density. Results → BASELINE.md "Scale headroom".
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
-  * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket |
+  * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
   * delta | winnow | analytic | all. `all` runs only the three BASELINE-table
   * sections (docs, curation, ann); the targeted modes (annwall, ivf,
   * sketch, bucket, delta, winnow) are one-off measurement protocols run
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "edelta", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|edelta|scrub|winnow|analytic|pagerank|cdf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -320,6 +320,48 @@ object ScaleProbe {
     // which grows ~f (each corpus replica matches). The inverse runs
     // (delta grown, corpus fixed) show the cost that legitimately grows
     // with the day's landing itself.
+    // ---- incremental join-view refresh (q164): grow the HISTORY (the
+    // old halves of orders/lineitem) f× while the day deltas stay fixed,
+    // and measure the refresh (deltaJoinContribFrames) against the full
+    // O⋈L recompute on the same grown frames. The claim: refresh wall
+    // tracks the old halves' SCAN (linear, no shuffle of them — the
+    // delta sides broadcast and match only replica 0), while the full
+    // recompute pays the ever-growing old×old shuffle join — the gap is
+    // what incremental maintenance buys as a year of history accumulates
+    // behind a constant daily delta.
+    if (mode == "joinview") {
+      import graft.operators.Partitioned
+      val (dO, dL) = Partitioned.deltaJoinDays(spark, sfDir)
+      val (o0, l0) = Partitioned.joinViewInputs(spark, sfDir)
+      factors.foreach { f =>
+        // replicate only the old half; keys k*f+i keep replicas joined
+        // to replicas (i matches i), deltas keep replica-0 keys k*f so
+        // their matches stay constant as f grows
+        def grow(df: DataFrame, key: String, dayCol: String, day: String): DataFrame = (
+          if (f == 1) df
+          else {
+            val old = df.filter(col(dayCol) < lit(day).cast("date"))
+              .withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+            val dlt = df.filter(col(dayCol) === lit(day).cast("date"))
+              .withColumn("i", lit(0))
+            old.unionByName(dlt)
+              .withColumn(key, col(key) * f + col("i"))
+              .drop("i")
+          }
+        ).localCheckpoint()
+        val ro = grow(o0, "o_orderkey", "o_day", dO)
+        val rl = grow(l0, "l_orderkey", "l_day", dL)
+        val (_, tRefresh) = timed(
+          Partitioned.deltaJoinContribFrames(ro, rl, dO, dL)
+            .write.format("noop").mode("overwrite").save())
+        val (_, tFull) = timed(
+          Partitioned.viewPartial(ro, rl)
+            .write.format("noop").mode("overwrite").save())
+        println(f"SCALE-JOINVIEW f=$f orders=${ro.count()} lineitem=${rl.count()} " +
+          f"refresh=$tRefresh%.2f full=$tFull%.2f")
+      }
+    }
+
     if (mode == "delta") {
       val bucket = graft.Det.md5Bucket(col("doc_id"))
       val corpus0 = base.filter(bucket < Dedup.DeltaBucketThreshold)
