@@ -1051,7 +1051,66 @@ object WindowOps extends QueryPack {
     GROUP BY user_id, day
     ORDER BY user_id ASC NULLS FIRST, day ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q169
+  /** Last-touch attribution — the credit-assignment report between
+    * q105's funnel (did the user convert?) and q107's transitions
+    * (what follows what): each purchase is credited to the LATEST
+    * strictly-earlier non-purchase event by the same user within a
+    * 7-day lookback; purchases with no qualifying touch (first-ever
+    * event, or the last touch is stale) land in the `__none` bucket, so
+    * the counts total exactly the purchase count — an attribution table
+    * that silently drops unattributed conversions overstates every
+    * channel.
+    *
+    * Shape: ONE user-keyed window pass — `last(non-purchase struct,
+    * ignoreNulls)` over rows [unbounded, -1] picks the latest preceding
+    * touch in the (µs, event_id) total order (q91's LOCF primitive,
+    * here keyed by user) — then a |types|-bounded count. Integer-µs
+    * window predicate (q144's 24h-deadline class: no interval
+    * arithmetic, no DST seams). At 100 TB: the user shuffle is the
+    * only data movement, AQE skew-split applies to hot users. */
+  val q169 = QueryDef(
+    "q169_attribution",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = last(
+        when(col("event_type") =!= "purchase",
+          struct(col("us"), col("event_type"))),
+        ignoreNulls = true).over(w)
+      e.withColumn("t", touch)
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("t").isNotNull &&
+              col("us") - col("t.us") <= lit(7L * 86400000000L),
+            col("t.event_type")).otherwise(lit("__none"))
+            .as("attributed_type"))
+        .groupBy(col("attributed_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("attributed_type").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+    t AS (
+      SELECT user_id, event_type, us,
+        last_value(CASE WHEN event_type <> 'purchase'
+            THEN struct_pack(us := us, t := event_type) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+    SELECT CASE WHEN touch IS NOT NULL AND us - touch.us <= 604800000000
+        THEN touch.t ELSE '__none' END AS attributed_type,
+      COUNT(*) AS n_conversions
+    FROM t
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY attributed_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144, q146, q149, q158)
+      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169)
 }

@@ -350,4 +350,30 @@ class WindowOpsSpec extends SparkTestBase {
       .map { case (k, rs) => k -> rs.map(_._4).sum / rs.length }
     assert(expected.exists { case (k, (_, _, tw)) => plainMeans(k) != tw })
   }
+
+  test("q169: last-touch attribution matches a naive per-user replay and totals the purchases") {
+    val rows = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val weekUs = 7L * 86400000000L
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      ordered.zipWithIndex.collect { case ((_, "purchase", us, _), i) =>
+        ordered.take(i).reverse.find(_._2 != "purchase") match {
+          case Some((_, t, tus, _)) if us - tus <= weekUs => t
+          case _ => "__none"
+        }
+      }
+    }.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val got = WindowOps.q169.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // conservation: attribution buckets must total the purchase count
+    val purchases = rows.count(_._2 == "purchase").toLong
+    assert(got.values.sum == purchases, "attribution dropped or invented conversions")
+    // the lookback and the none-bucket must both bite on the fixture
+    assert(got.contains("__none") && got.size > 2,
+      "fixture exercises neither the window bound nor type diversity")
+  }
 }
