@@ -353,5 +353,113 @@ object Partitioned extends QueryPack {
     GROUP BY 1, 2
     ORDER BY o_orderpriority ASC NULLS FIRST, l_returnflag ASC NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164)
+  // --------------------------------------------------------------- q170
+  /** RETRACTION-aware incremental aggregate maintenance — the deletion
+    * half of the IVM family (q98 merges additive deltas; q87 compacts
+    * upsert changelogs; q164 maintains a join view; THIS maintains an
+    * aggregate view under deletes). The day's landing carries both
+    * inserts and a purge list — every user who emitted an `error` row
+    * on the latest day retracts their ENTIRE history (the
+    * right-to-be-forgotten shape: a compliance delta is a set of keys,
+    * not rows). The per-(day, type) stats view must come out as if the
+    * purged rows never existed — without rebuilding it from scratch.
+    *
+    * The textbook IVM split by invertibility:
+    *  - count/sum are GROUPS under addition — updated algebraically
+    *    from one aggregate of the retracted rows (n −= rn,
+    *    sum −= rsum, exact in DECIMAL).
+    *  - min/max are NOT invertible — but a group's min/max can only
+    *    change if a retracted value TIED it. Groups where
+    *    rmin > state.min AND rmax < state.max keep their bounds
+    *    untouched (the algebraic fast path); only the DIRTY remainder
+    *    re-scans its survivors for fresh bounds (at the fixture:
+    *    ~55–80% of retraction-touched groups are dirty, both branches
+    *    spec-asserted live).
+    *
+    * Scale shape: ONE history pass builds the retraction aggregate (a
+    * broadcast semi-join on the day-sized purge list — at 100 TB a
+    * bloom filter on user_id, q85's pattern, prefilters the scan); the
+    * dirty-group rescan is a second pass narrowed by a broadcast
+    * semi-join on the ≤|days|·|types| dirty-key frame (day-partition
+    * pruning applies on the landed layout — dirty DAYS name the
+    * directories). Everything between the two passes moves the
+    * dimension-sized state frame. Empty groups (every row retracted)
+    * drop from the view, exactly as a recompute would drop them. */
+  private[graft] def retractableMerged(spark: SparkSession, dir: String): DataFrame = {
+    val last = lastDay(spark, dir)
+    val ev = eventsByDay(spark, dir)
+    val state = spark.read.parquet(ensureAggState(spark, dir))
+    val purged = ev.filter(col("day") === lit(last) && col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    val retrAgg = ev.filter(col("day") < lit(last))
+      .join(broadcast(purged), Seq("user_id"), "left_semi")
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("rn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("rsum"),
+        min(col("value")).as("rmin"), max(col("value")).as("rmax"))
+    graft.Materialize.cut(
+      state.join(retrAgg, Seq("day", "event_type"), "left")
+        .withColumn("n2", col("n_events") - coalesce(col("rn"), lit(0L)))
+        .filter(col("n2") > 0)
+        .withColumn("sum2", col("sum_value_dec") -
+          coalesce(col("rsum"),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))))
+        .withColumn("min_dirty", col("rn").isNotNull && col("rmin") <= col("min_value"))
+        .withColumn("max_dirty", col("rn").isNotNull && col("rmax") >= col("max_value")))
+  }
+
+  private[graft] def retractableAggPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val last = lastDay(spark, dir)
+    val ev = eventsByDay(spark, dir)
+    val purged = ev.filter(col("day") === lit(last) && col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    val merged = retractableMerged(spark, dir)
+    val dirtyKeys = merged.filter(col("min_dirty") || col("max_dirty"))
+      .select(col("day"), col("event_type"))
+    val rescanned = ev.filter(col("day") < lit(last))
+      .join(broadcast(purged), Seq("user_id"), "left_anti")
+      .join(broadcast(dirtyKeys), Seq("day", "event_type"), "left_semi")
+      .groupBy(col("day"), col("event_type"))
+      .agg(min(col("value")).as("fmin"), max(col("value")).as("fmax"))
+    val fixedOld = merged.join(rescanned, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        col("n2").as("n_events"),
+        col("sum2").cast("double").as("sum_value"),
+        when(col("min_dirty"), col("fmin")).otherwise(col("min_value")).as("min_value"),
+        when(col("max_dirty"), col("fmax")).otherwise(col("max_value")).as("max_value"))
+    val inserts = ev.filter(col("day") === lit(last) && col("event_type") =!= "error")
+      .join(broadcast(purged), Seq("user_id"), "left_anti")
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    fixedOld.unionByName(inserts)
+      .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  val q170 = QueryDef(
+    "q170_retractable_agg",
+    (spark, dir) => retractableAggPipeline(spark, dir),
+    Some(s"""WITH last AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+    purged AS (
+      SELECT DISTINCT user_id FROM events, last
+      WHERE CAST(ts AS DATE) = d AND event_type = 'error'),
+    corrected AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, value
+      FROM events, last
+      WHERE user_id NOT IN (SELECT user_id FROM purged)
+        AND (CAST(ts AS DATE) < d
+          OR (CAST(ts AS DATE) = d AND event_type <> 'error')))
+    SELECT day, event_type,
+      COUNT(*) AS n_events,
+      ${sqlDsum("value")} AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM corrected
+    GROUP BY 1, 2
+    ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164, q170)
 }

@@ -153,6 +153,37 @@ class PartitionedSpec extends SparkTestBase {
       "delta days contributed no rows - the delta terms are untested")
   }
 
+  test("q170: retraction-maintained view equals the purged-corpus recompute; both repair branches bite") {
+    val last = Partitioned.lastDay(spark, sf0001)
+    val ev = Partitioned.eventsByDay(spark, sf0001)
+    val purged = ev.filter(col("day") === lit(last) && col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    val corrected = ev
+      .join(purged, Seq("user_id"), "left_anti")
+      .filter(col("day") < lit(last) ||
+        (col("day") === lit(last) && col("event_type") =!= "error"))
+    val full = corrected.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy(col("day").asc_nulls_first, col("event_type").asc_nulls_first)
+      .collect().toSeq
+    val inc = Partitioned.retractableAggPipeline(spark, sf0001).collect().toSeq
+    assert(inc == full, "maintained view drifted from the purged-corpus recompute")
+    assert(inc.nonEmpty)
+    // both repair branches must be live at the fixture: some
+    // retraction-touched groups keep their bounds algebraically, some
+    // must rescan
+    val m = Partitioned.retractableMerged(spark, sf0001)
+      .select(col("rn").isNotNull.as("touched"),
+        (col("min_dirty") || col("max_dirty")).as("dirty"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(m.exists(x => x._1 && x._2), "no dirty group: rescan branch untested")
+    assert(m.exists(x => x._1 && !x._2), "every touched group dirty: algebraic branch untested")
+    assert(m.exists(!_._1), "every group touched: untouched passthrough untested")
+  }
+
   test("layout materialization is idempotent per (JVM, dir)") {
     val p1 = Partitioned.ensureEventsByDay(spark, sf0001)
     val n1 = spark.read.parquet(p1).count()
