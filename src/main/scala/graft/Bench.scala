@@ -101,7 +101,10 @@ object Bench {
         () => operators.Dedup.clusterLabels(spark, sfDir).count()),
       executeView("view_neardup_pairs")(
         () => operators.Similarity.pairsCache.invalidate(spark, sfDir),
-        () => operators.Similarity.neardupPairs(spark, sfDir).count()))
+        () => operators.Similarity.neardupPairs(spark, sfDir).count()),
+      executeView("view_copurchase_edges")(
+        () => operators.Analytic.edgeCache.invalidate(spark, sfDir),
+        () => operators.Analytic.coPurchaseEdges(spark, sfDir).count()))
 
     // interleaved min-of-2 (see scaladoc): pass 1 over the full list,
     // then pass 2, per-query min across the two passes. One-time landing
