@@ -884,6 +884,72 @@ class BufferedTransProcessor extends BufferedEventProcessor[Transition] {
   }
 }
 
+/** One attributed conversion from [[StreamAttribution]]: the purchase's
+  * event time and the credited touch type (`__none` when the last touch
+  * is missing or stale — the conservation bucket batch q169 keeps). */
+case class AttributionHit(userId: Long, attributedType: String, us: Long)
+
+/** Per-user last non-purchase touch. */
+case class TouchState(eventType: String, us: Long)
+
+/** Streaming last-touch attribution — the live twin of batch q169: a
+  * per-user `transformWithState` machine holds ONE record (the latest
+  * non-purchase touch) and every purchase emits its credit immediately
+  * — attribution as a live feed instead of a nightly window pass. Same
+  * in-order contract as [[StreamTransitions]] (rows sort by (us,
+  * event_id) within a micro-batch, arrival order trusted across
+  * batches; an out-of-order deploy buffers through a
+  * [[WatermarkBufferedProcessor]] first). The 7-day lookback is the
+  * same integer-µs predicate as the batch query; hits grouped by
+  * attributed type equal q169's table exactly (spec-asserted across a
+  * micro-batch boundary, `__none` included — the streamed counts also
+  * total the purchase count). */
+object StreamAttribution {
+  private[streaming] val LookbackUs = 7L * 86400000000L
+
+  /** `events` needs `user_id`, `event_type`, `ts`, `event_id`; works on
+    * static frames and streams alike. */
+  def hits(events: DataFrame): Dataset[AttributionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"))
+      .as[TransEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new AttributionProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-user last-touch machine behind [[StreamAttribution]]. */
+class AttributionProcessor
+    extends StatefulProcessor[Long, TransEvent, AttributionHit] {
+  @transient private var st: ValueState[TouchState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TouchState]("touch",
+      Encoders.product[TouchState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+      timerValues: TimerValues): Iterator[AttributionHit] = {
+    var touch = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
+    rows.toArray.sortBy(e => (e.us, e.eventId)).foreach { e =>
+      if (e.eventType == "purchase") {
+        val credited = touch match {
+          case Some(t) if e.us - t.us <= StreamAttribution.LookbackUs => t.eventType
+          case _ => "__none"
+        }
+        out += AttributionHit(key, credited, e.us)
+      } else touch = Some(TouchState(e.eventType, e.us))
+    }
+    touch.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** Out-of-order twin of [[StreamRetention]] on the same buffer
   * primitive: the watermark-finalized prefix drains through the same
   * (cohort, last-emitted-day) machine in (us, event_id) order, so a

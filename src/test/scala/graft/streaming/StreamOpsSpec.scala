@@ -986,6 +986,41 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("attribution hits on an in-order stream fold to exactly q169's table") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamAttribution.hits(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attrq169")
+      .start()
+    // two arrival chunks so the touch state crosses a micro-batch
+    // boundary mid-history
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val hits = s2.table("attrq169").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val streamed = hits.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val batch = graft.operators.WindowOps.q169.fn(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream/batch attribution divergence: " +
+      s"stream=$streamed batch=$batch")
+    // exactly one hit per purchase (conservation, live form)
+    val purchases = evs.count(_.event_type == "purchase").toLong
+    assert(hits.length.toLong == purchases)
+  }
+
   test("retention hits on an in-order stream fold to exactly q106's triangle") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
