@@ -1110,7 +1110,70 @@ object WindowOps extends QueryPack {
     GROUP BY 1
     ORDER BY attributed_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q171
+  /** Session journey documents — behavioral-corpus construction: each
+    * 30-minute-gap session (q26's assignment, verbatim) serializes to
+    * ONE training document whose text is the `>`-joined event-type
+    * sequence in the (µs, event_id) total order. This is the bridge
+    * from the event stream to the text pipeline: the emitted rows are
+    * shaped like the `documents` table, so journey corpora flow through
+    * the SAME dedup (q30), packing (q74), splitting (q62) and quality
+    * machinery as web text — which is exactly how behavioral sequence
+    * models source their pretraining data.
+    *
+    * Shape: q26's one user-keyed window pass for session ids, then one
+    * (user, session) aggregate whose `array_sort(collect_list(struct))`
+    * fixes the document's token order regardless of aggregation order
+    * (q161's posting-list idiom). Per-session document length is
+    * bounded by the session itself — a journey document is a few dozen
+    * tokens, never corpus-scale. */
+  val q171 = QueryDef(
+    "q171_journey_docs",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun).cast(LongType))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(
+                unix_micros(col("ts")).as("us"), col("event_id"),
+                col("event_type")))),
+              s => s.getField("event_type")),
+            ">").as("journey"),
+          count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .cast(LongType).as("duration_sec"))
+        .orderBy(col("user_id").asc_nulls_first, col("session_id").asc_nulls_first)
+    },
+    Some("""WITH x AS (
+      SELECT user_id, event_id, event_type, ts,
+        CASE WHEN lag(ts, 1) OVER w IS NULL
+               OR date_diff('second', lag(ts, 1) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, event_type, ts,
+        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM x)
+    SELECT user_id, session_id,
+      string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+      COUNT(*) AS n_events,
+      date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id ASC NULLS FIRST, session_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169)
+      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171)
 }

@@ -351,6 +351,39 @@ class WindowOpsSpec extends SparkTestBase {
     assert(expected.exists { case (k, (_, _, tw)) => plainMeans(k) != tw })
   }
 
+  test("q171: journey documents replay the per-user session serialization exactly") {
+    val rows = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      // 30-min gap sessionization over the ordered run
+      val sess = ordered.zip(None +: ordered.init.map(Some(_))).map {
+        case (e, prev) =>
+          (e, if (prev.forall(p => (e._3 / 1000000L) - (p._3 / 1000000L) > 1800)) 1 else 0)
+      }.scanLeft((null.asInstanceOf[(Long, String, Long, Long)], 0L)) {
+        case ((_, sid), (e, ns)) => (e, sid + ns)
+      }.drop(1)
+      sess.groupBy(_._2).map { case (sid, ses) =>
+        val evs = ses.map(_._1)
+        (u, sid) -> ((evs.map(_._2).mkString(">"), evs.size.toLong,
+          (evs.map(_._3 / 1000000L).max - evs.map(_._3 / 1000000L).min)))
+      }
+    }.toMap
+    val got = WindowOps.q171.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, e) =>
+      assert(got(k) == e, s"$k: got ${got(k)}, naive $e")
+    }
+    // a journey's token count is its event count, and multi-event
+    // sessions must exist or the ordering is untested
+    assert(got.values.forall(v => v._1.split(">", -1).length.toLong == v._2))
+    assert(got.values.exists(_._2 > 1))
+  }
+
   test("q169: last-touch attribution matches a naive per-user replay and totals the purchases") {
     val rows = Tables(spark, sf0001).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
