@@ -809,37 +809,42 @@ object Curation extends QueryPack {
     * global-window argument). Overflow envelope: avail·(n−idx) needs
     * avail·n < 2^63 — at 10^13 tokens per language and 10^3 languages
     * that is 10^16, three decimal orders inside the bound. */
+  /** The water-filling core over an arbitrary (lang, avail) frame —
+    * budget fixed at ⌊4·Σavail/5⌋. Factored so AlgebraProps can state
+    * the max-min laws over generated frames against THIS code path. */
+  private[graft] def waterFill(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byAvail = Window.orderBy(col("avail").asc, col("lang").asc)
+    val byAvailRows = byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPart = Window.partitionBy(col("feas")).orderBy(col("lang").asc)
+    src
+      .withColumn("idx", row_number().over(byAvail))
+      .withColumn("p", sum(col("avail")).over(byAvailRows))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("tot", sum(col("avail")).over(all))
+      .withColumn("b", expr("(tot * 4) div 5"))
+      .withColumn("feas",
+        (col("p") + col("avail") * (col("n") - col("idx")) <= col("b")).cast("int"))
+      .withColumn("k", max(when(col("feas") === 1, col("idx")).otherwise(lit(0))).over(all))
+      .withColumn("pk", max(when(col("feas") === 1, col("p")).otherwise(lit(0L))).over(all))
+      .withColumn("m", col("n") - col("k"))
+      .withColumn("level", when(col("m") > 0, expr("(b - pk) div m")))
+      .withColumn("r", when(col("m") > 0, expr("(b - pk) % m")))
+      .withColumn("ur", row_number().over(byPart))
+      .select(col("lang"), col("avail").as("n_tokens"),
+        when(col("feas") === 1, col("avail"))
+          .otherwise(col("level") + (col("ur") <= col("r")).cast("long"))
+          .as("alloc"),
+        col("feas").as("fully_funded"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
   val q167 = QueryDef(
     "q167_water_fill",
-    (spark, dir) => {
-      val src = Tables(spark, dir).documents
+    (spark, dir) => waterFill(
+      Tables(spark, dir).documents
         .groupBy(col("lang"))
-        .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))
-      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val byAvail = Window.orderBy(col("avail").asc, col("lang").asc)
-      val byAvailRows = byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val byPart = Window.partitionBy(col("feas")).orderBy(col("lang").asc)
-      src
-        .withColumn("idx", row_number().over(byAvail))
-        .withColumn("p", sum(col("avail")).over(byAvailRows))
-        .withColumn("n", count(lit(1)).over(all))
-        .withColumn("tot", sum(col("avail")).over(all))
-        .withColumn("b", expr("(tot * 4) div 5"))
-        .withColumn("feas",
-          (col("p") + col("avail") * (col("n") - col("idx")) <= col("b")).cast("int"))
-        .withColumn("k", max(when(col("feas") === 1, col("idx")).otherwise(lit(0))).over(all))
-        .withColumn("pk", max(when(col("feas") === 1, col("p")).otherwise(lit(0L))).over(all))
-        .withColumn("m", col("n") - col("k"))
-        .withColumn("level", when(col("m") > 0, expr("(b - pk) div m")))
-        .withColumn("r", when(col("m") > 0, expr("(b - pk) % m")))
-        .withColumn("ur", row_number().over(byPart))
-        .select(col("lang"), col("avail").as("n_tokens"),
-          when(col("feas") === 1, col("avail"))
-            .otherwise(col("level") + (col("ur") <= col("r")).cast("long"))
-            .as("alloc"),
-          col("feas").as("fully_funded"))
-        .orderBy(col("lang").asc_nulls_first)
-    },
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))),
     Some("""WITH src AS (
       SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
       FROM documents GROUP BY lang),

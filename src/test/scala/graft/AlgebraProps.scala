@@ -273,6 +273,61 @@ object AlgebraProps extends Properties("Algebra") {
   // q = 0 iff the component rounds to 0 at full scale, and the
   // dequantization error is within one quantization step — for ANY
   // micro-scaled component and scale.
+  // ---- water-filling (q167's allocation laws) on generated avail
+  // profiles, driven through the PRODUCTION waterFill frame pipeline:
+  // the budget is spent exactly, no group exceeds its cap, clipped
+  // groups share the level ±1, and max-min holds (no fully funded
+  // group exceeds any clipped allocation).
+  private val genAvail: Gen[List[Long]] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 10000L)))
+  property("water-fill: exact spend, caps, level sharing, max-min order") =
+    forAll(genAvail) { avails =>
+      val s = spark
+      import s.implicits._
+      val src = avails.zipWithIndex
+        .map { case (a, i) => (f"l$i%02d", a) }.toDF("lang", "avail")
+      val out = graft.operators.Curation.waterFill(src).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val b = avails.sum * 4 / 5
+      val spend = out.map(_._3).sum == b
+      val caps = out.forall(o => o._3 <= o._2 && o._3 >= 0)
+      val flags = out.forall(o => (o._4 == 1) == (o._3 == o._2))
+      val clipped = out.filter(_._4 == 0).map(_._3)
+      val level = clipped.isEmpty || clipped.max - clipped.min <= 1
+      val funded = out.filter(_._4 == 1).map(_._3)
+      val maxmin = clipped.isEmpty || funded.isEmpty || funded.max <= clipped.min
+      spend && caps && flags && level && maxmin
+    }
+
+  // ---- k-core (q163's peel) on generated graphs, driven through the
+  // PRODUCTION kCoreOnEdges delta peel: membership and in-core degrees
+  // equal the order-independent naive peel on any edge set.
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+      .suchThat(_.nonEmpty)
+  property("k-core delta peel equals the naive synchronous peel on any graph") =
+    forAll(genEdges, Gen.chooseNum(2, 4)) { (edges, k) =>
+      val s = spark
+      import s.implicits._
+      val df = graft.Materialize.cut(edges.toDF("u", "v"))
+      val got = graft.operators.Analytic.kCoreOnEdges(df, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+      var alive = adj.keySet.toSet
+      var done = false
+      while (!done) {
+        val next = alive.filter(n => (adj(n) & alive).size >= k)
+        done = next.size == alive.size
+        alive = next
+      }
+      got == alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    }
+
   property("int8 quantize: bounded, sign-preserving, error within one step") =
     forAll(Gen.chooseNum(-3000000000L, 3000000000L),
       Gen.chooseNum(1L, 3000000000L)) { (vi0, maxabs) =>
