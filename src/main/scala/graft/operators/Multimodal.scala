@@ -147,5 +147,78 @@ object Multimodal extends QueryPack {
     FROM documents
     ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q46, q47, q48)
+  // --------------------------------------------------------------- q172
+  /** Media quality gate + modality-mix report — the image-side analogue
+    * of q61's text quality gate and q69's curation report, over q47's
+    * decoded metadata: per container format, how many assets fail each
+    * gate and how many survive all of them. The three gates are the
+    * standard media-curation screens, each an EXACT integer predicate
+    * (determinism rule 8 — never a rounded-ratio compare):
+    *
+    *  - resolution floor: width ≥ 480 AND height ≥ 360 (thumbnails and
+    *    icons out);
+    *  - aspect sanity: max(w,h) ≤ 3·min(w,h) (banner/sliver crops out);
+    *  - payload sanity: n_bytes ≥ 32 AND w·h ≤ n_bytes·1024 (a pixel
+    *    count wildly above the payload is a corrupt or truncated blob —
+    *    the bits-per-pixel floor).
+    *
+    * At the fixture the gates drop ~60% / ~3% / ~24% respectively with
+    * ~25% surviving — every branch live at every SF (spec-asserted).
+    * A row can fail several gates; the per-gate columns count failures
+    * independently (the triage view a curation run reads), keep counts
+    * rows passing ALL gates, keep_ppm is one integral divide.
+    *
+    * Shape: map-only decode (native expressions, q47's stub swap-in
+    * point) into ONE |formats|-bounded hash aggregate — the q01
+    * scan-agg class at 100 TB. */
+  val q172 = QueryDef(
+    "q172_media_gate",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+        .withColumn("blob", col("text").cast("binary"))
+      val m = fakeDecodeMeta(d).select(
+        col("media_meta.width").as("w"),
+        col("media_meta.height").as("h"),
+        length(col("blob")).cast("long").as("nb"),
+        col("media_meta.format").as("format"))
+      val resOk = col("w") >= 480 && col("h") >= 360
+      val aspectOk = greatest(col("w"), col("h")) <= least(col("w"), col("h")) * 3
+      val payloadOk = col("nb") >= 32 &&
+        col("w").cast("long") * col("h") <= col("nb") * lit(1024L)
+      m.groupBy(col("format"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(when(resOk, 0L).otherwise(1L)).as("fail_resolution"),
+          sum(when(aspectOk, 0L).otherwise(1L)).as("fail_aspect"),
+          sum(when(payloadOk, 0L).otherwise(1L)).as("fail_payload"),
+          sum(when(resOk && aspectOk && payloadOk, 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_ppm",
+          expr("CAST(n_keep AS DECIMAL(28,0)) * 1000000 div n_assets"))
+        .orderBy(col("format").asc_nulls_first)
+    },
+    Some("""WITH m AS (
+      SELECT ascii(substring(text, 1, 1)) * 4 + 64 AS w,
+        ascii(substring(text, 2, 1)) * 3 + 48 AS h,
+        CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+      FROM documents)
+    SELECT format,
+      COUNT(*) AS n_assets,
+      CAST(SUM(CASE WHEN w >= 480 AND h >= 360 THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_resolution,
+      CAST(SUM(CASE WHEN greatest(w, h) <= least(w, h) * 3 THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_aspect,
+      CAST(SUM(CASE WHEN nb >= 32 AND w * h <= nb * 1024 THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_payload,
+      CAST(SUM(CASE WHEN w >= 480 AND h >= 360
+        AND greatest(w, h) <= least(w, h) * 3
+        AND nb >= 32 AND w * h <= nb * 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(SUM(CASE WHEN w >= 480 AND h >= 360
+        AND greatest(w, h) <= least(w, h) * 3
+        AND nb >= 32 AND w * h <= nb * 1024 THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM m
+    GROUP BY format
+    ORDER BY format ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q46, q47, q48, q172)
 }

@@ -70,4 +70,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.rdd.getNumPartitions == 3)
     assert(out.count() == docs.count())
   }
+
+  test("q172: media gate matches a naive per-asset replay and every gate is live") {
+    val texts = Tables(spark, sf0001).documents
+      .select(col("text")).collect().map(_.getString(0))
+    val naive = texts.map { t =>
+      val w = t.charAt(0).toInt * 4 + 64
+      val h = (if (t.length > 1) t.charAt(1).toInt else 0) * 3 + 48
+      val nb = t.getBytes("UTF-8").length.toLong
+      val fmt = if (t.length % 2 == 0) "png" else "jpg"
+      val res = w >= 480 && h >= 360
+      val asp = math.max(w, h) <= math.min(w, h) * 3
+      val pay = nb >= 32 && w.toLong * h <= nb * 1024
+      (fmt, res, asp, pay)
+    }
+    val expected = naive.groupBy(_._1).map { case (f, xs) =>
+      f -> ((xs.length.toLong,
+        xs.count(!_._2).toLong, xs.count(!_._3).toLong, xs.count(!_._4).toLong,
+        xs.count(x => x._2 && x._3 && x._4).toLong))
+    }
+    val got = Multimodal.q172.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (f, e) =>
+      assert(got(f) == e, s"$f: got ${got(f)}, naive $e")
+    }
+    // every gate and the keep bucket must be live at the fixture, or a
+    // threshold regression would pass silently
+    val tot = expected.values
+    assert(tot.exists(_._2 > 0) && tot.exists(_._3 > 0) && tot.exists(_._4 > 0))
+    assert(tot.forall(v => v._5 > 0 && v._5 < v._1))
+  }
 }
