@@ -385,12 +385,25 @@ object Partitioned extends QueryPack {
     * directories). Everything between the two passes moves the
     * dimension-sized state frame. Empty groups (every row retracted)
     * drop from the view, exactly as a recompute would drop them. */
+  /** The day's purge list, cut once — it feeds the retraction aggregate,
+    * the rescan's survivor filter AND the insert filter (cut-per-
+    * consumer; the frame is day-sized). */
+  private[graft] def purgedUsers(spark: SparkSession, dir: String,
+      last: java.sql.Date): DataFrame =
+    graft.Materialize.cut(
+      eventsByDay(spark, dir)
+        .filter(col("day") === lit(last) && col("event_type") === "error")
+        .select(col("user_id")).distinct())
+
   private[graft] def retractableMerged(spark: SparkSession, dir: String): DataFrame = {
     val last = lastDay(spark, dir)
+    retractableMergedFor(spark, dir, last, purgedUsers(spark, dir, last))
+  }
+
+  private def retractableMergedFor(spark: SparkSession, dir: String,
+      last: java.sql.Date, purged: DataFrame): DataFrame = {
     val ev = eventsByDay(spark, dir)
     val state = spark.read.parquet(ensureAggState(spark, dir))
-    val purged = ev.filter(col("day") === lit(last) && col("event_type") === "error")
-      .select(col("user_id")).distinct()
     val retrAgg = ev.filter(col("day") < lit(last))
       .join(broadcast(purged), Seq("user_id"), "left_semi")
       .groupBy(col("day"), col("event_type"))
@@ -412,9 +425,8 @@ object Partitioned extends QueryPack {
   private[graft] def retractableAggPipeline(spark: SparkSession, dir: String): DataFrame = {
     val last = lastDay(spark, dir)
     val ev = eventsByDay(spark, dir)
-    val purged = ev.filter(col("day") === lit(last) && col("event_type") === "error")
-      .select(col("user_id")).distinct()
-    val merged = retractableMerged(spark, dir)
+    val purged = purgedUsers(spark, dir, last)
+    val merged = retractableMergedFor(spark, dir, last, purged)
     val dirtyKeys = merged.filter(col("min_dirty") || col("max_dirty"))
       .select(col("day"), col("event_type"))
     val rescanned = ev.filter(col("day") < lit(last))
