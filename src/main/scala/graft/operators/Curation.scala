@@ -879,6 +879,105 @@ object Curation extends QueryPack {
     FROM rk
     ORDER BY lang ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q173
+  /** Per-user contribution bounding — the privacy-pipeline preprocessing
+    * behind every user-level differential-privacy guarantee (and the
+    * robustness cap behind per-user influence limits in training-data
+    * aggregation): each user may contribute at most C = 12 events per
+    * event type to a published aggregate; the report states, per type,
+    * the raw mass, the capped mass that survives, how many (user, type)
+    * cells were clipped, and the retained ppm. DP adds noise AFTER this
+    * step — the bounding itself is exact and engine-identical, which is
+    * what makes the sensitivity (≤ C per user per type) a provable
+    * constant.
+    *
+    * Shape: one (user, type) hash aggregate (high-cardinality key,
+    * map-side combinable) then one |types|-bounded re-aggregate of
+    * `least(n, C)` — two shuffles, the second dimension-sized. Cap 12
+    * clips ~6% of cells at every shipped SF (live at all fixtures,
+    * spec-asserted). */
+  private[graft] val ContribCap = 12L
+
+  val q173 = QueryDef(
+    "q173_contribution_bound",
+    (spark, dir) => {
+      val cells = Tables(spark, dir).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("raw_events"),
+          sum(least(col("n"), lit(ContribCap))).as("capped_events"),
+          count(lit(1)).as("n_cells"),
+          sum(when(col("n") > ContribCap, 1L).otherwise(0L)).as("clipped_cells"))
+        .withColumn("retained_ppm",
+          expr("CAST(capped_events AS DECIMAL(28,0)) * 1000000 div raw_events"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some(s"""WITH cells AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT event_type,
+      CAST(SUM(n) AS BIGINT) AS raw_events,
+      CAST(SUM(LEAST(n, $ContribCap)) AS BIGINT) AS capped_events,
+      COUNT(*) AS n_cells,
+      CAST(SUM(CASE WHEN n > $ContribCap THEN 1 ELSE 0 END) AS BIGINT)
+        AS clipped_cells,
+      CAST(SUM(LEAST(n, $ContribCap)) * 1000000 // SUM(n) AS BIGINT)
+        AS retained_ppm
+    FROM cells
+    GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q174
+  /** k-anonymity generalization ladder — the re-identification risk
+    * table a privacy review reads before publishing a quasi-identified
+    * extract: for each nesting of the candidate quasi-identifier
+    * (segment, nation, $1000-balance band) → (segment, nation) →
+    * (segment) → (), how many equivalence groups exist, the smallest
+    * group, and how many rows sit in groups below k = 8 (re-identifiable
+    * at that generalization). Publishing picks the FINEST ladder rung
+    * with zero rows at risk; suppression/coarsening applies to the rest.
+    *
+    * ONE pass via ROLLUP — the nested ladder IS rollup's grouping-set
+    * structure, and `grouping_id()` (Spark) / `GROUPING(...)` (DuckDB)
+    * name the rung with the same MSB-first bitmask (0 = finest, 7 = no
+    * quasi-id) — then a |rungs|-bounded re-aggregate. Risk is monotone
+    * down the ladder (coarser rungs merge groups, sizes only grow —
+    * spec-asserted), and the fixture spans the whole range: the finest
+    * rung is fully risky, (segment, nation) partially, (segment) and
+    * the total safely anonymous at every SF's oracle gate. */
+  val q174 = QueryDef(
+    "q174_kanon_ladder",
+    (spark, dir) => {
+      val bands = Tables(spark, dir).customer
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      val groups = bands
+        .rollup(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("ladder"))
+      groups.groupBy(col("ladder"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("n")).as("min_size"),
+          sum(when(col("n") < 8, 1L).otherwise(0L)).as("risky_groups"),
+          sum(when(col("n") < 8, col("n")).otherwise(lit(0L))).as("rows_at_risk"))
+        .orderBy(col("ladder").asc_nulls_first)
+    },
+    Some("""WITH g AS (
+      SELECT GROUPING(c_mktsegment, c_nationkey,
+          CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS ladder,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY ROLLUP(c_mktsegment, c_nationkey,
+        CAST(FLOOR(c_acctbal / 1000) AS BIGINT)))
+    SELECT ladder, COUNT(*) AS n_groups,
+      CAST(MIN(n) AS BIGINT) AS min_size,
+      CAST(SUM(CASE WHEN n < 8 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+      CAST(SUM(CASE WHEN n < 8 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+    FROM g
+    GROUP BY ladder
+    ORDER BY ladder ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167)
+    Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
+      q173, q174)
 }

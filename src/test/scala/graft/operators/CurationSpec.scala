@@ -310,6 +310,51 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q173: contribution bounding matches a naive per-cell replay and the cap bites") {
+    val rows = graft.Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cells = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cap = Curation.ContribCap
+    val expected = cells.groupBy(_._1._2).map { case (t, m) =>
+      val ns = m.values
+      t -> ((ns.sum, ns.map(math.min(_, cap)).sum, ns.size.toLong,
+        ns.count(_ > cap).toLong,
+        ns.map(math.min(_, cap)).sum * 1000000L / ns.sum))
+    }
+    val got = Curation.q173.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, e) => assert(got(t) == e, s"$t: got ${got(t)}, naive $e") }
+    // the cap must clip somewhere AND keep most mass, or the bound is
+    // untested / useless
+    assert(expected.values.exists(_._4 > 0), "cap never clips at the fixture")
+    assert(expected.values.forall(v => v._2 > v._1 / 2), "cap destroys the aggregate")
+  }
+
+  test("q174: ladder risk is monotone and spans fully-risky to safely-anonymous") {
+    val got = Curation.q174.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0).toInt ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.map(_._1).toSeq == Seq(0, 1, 3, 7), "rollup rungs missing")
+    val byL = got.toMap
+    // coarsening merges groups: a row at risk on a coarse rung is at
+    // risk on every finer one, so rows_at_risk is non-increasing down
+    // the ladder
+    val risks = Seq(0, 1, 3, 7).map(l => byL(l)._4)
+    assert(risks.zip(risks.tail).forall { case (a, b) => a >= b },
+      s"risk not monotone down the ladder: $risks")
+    // the fixture spans the decision range: finest rung fully risky,
+    // the no-quasi-id rung safe
+    assert(byL(0)._3 == byL(0)._1, "finest rung not fully risky at the fixture")
+    assert(byL(7)._4 == 0 && byL(7)._1 == 1, "total rung must be one safe group")
+    // group counts shrink as rungs coarsen
+    val sizes = Seq(0, 1, 3, 7).map(l => byL(l)._1)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q167: water-filling allocation matches a naive level search and the max-min laws") {
     val rows = Curation.q167.fn(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
