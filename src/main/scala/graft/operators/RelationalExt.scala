@@ -618,7 +618,87 @@ object RelationalExt extends QueryPack {
     ORDER BY lift_ppm DESC NULLS LAST, ante ASC NULLS FIRST, cons ASC NULLS FIRST
     LIMIT 50"""))
 
+  // --------------------------------------------------------------- q175
+  /** Next-basket sequence rules — the SEQUENTIAL sibling of q162's
+    * within-basket rules and q149's event-type Markov matrix: for every
+    * part pair (x, y), how often a customer's NEXT order contains y
+    * given the current order contains x — the next-basket
+    * recommendation signal, stated as exact-integer confidence
+    * P(y ∈ next | x ∈ current) and lift against y's base next-basket
+    * rate.
+    *
+    * Shape: consecutive order pairs come from ONE customer-partitioned
+    * lag window (never a self-join on the order table); the pair frame
+    * is cut once and feeds the x-side attach, the y-side attach and the
+    * 1-row pair total. Baskets attach by order-key equi-joins, so the
+    * per-pair fan-out is |basket₁|·|basket₂| (the q119 C(k,·) class,
+    * bounded by basket size — never corpus-quadratic). Margins are the
+    * x/y attach frames re-aggregated (each cut — two consumers each).
+    * Support ≥ 2 lands BEFORE the margin joins; output is the top-50 by
+    * lift under the q162 total tie order. Determinism/width: ppm
+    * divides routed through DECIMAL(38,0) pre-multiply (q162's
+    * envelope). */
+  val q175 = QueryDef(
+    "q175_sequence_rules",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val pairs = graft.Materialize.cut(
+        Tables(spark, dir).orders
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .withColumn("k1", lag(col("o_orderkey"), 1).over(w))
+          .filter(col("k1").isNotNull)
+          .select(col("k1"), col("o_orderkey").as("k2")))
+      val items = graft.Materialize.cut(
+        Tables(spark, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+      val xs = graft.Materialize.cut(
+        pairs.join(items.select(col("l_orderkey").as("k1"),
+          col("l_partkey").as("px")), "k1").select(col("k2"), col("px")))
+      val ys = graft.Materialize.cut(
+        pairs.join(items.select(col("l_orderkey").as("k2"),
+          col("l_partkey").as("py")), "k2").select(col("k2"), col("py")))
+      val trans = xs.join(ys, "k2")
+        .groupBy(col("px"), col("py")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      val xm = xs.groupBy(col("px")).agg(count(lit(1)).as("c_x"))
+      val ym = ys.groupBy(col("py")).agg(count(lit(1)).as("c_y"))
+      trans.join(xm, "px").join(ym, "py")
+        .crossJoin(broadcast(nPairs))
+        .select(col("px").as("ante"), col("py").as("cons"), col("support"),
+          expr("""CAST(CAST(support AS DECIMAL(38,0)) * 1000000
+            div CAST(c_x AS DECIMAL(38,0)) AS BIGINT)""").as("confidence_ppm"),
+          expr("""CAST(CAST(n_pairs AS DECIMAL(38,0)) * support * 1000000
+            div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)""").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc_nulls_last,
+          col("ante").asc_nulls_first, col("cons").asc_nulls_first)
+        .limit(50)
+    },
+    Some("""WITH o AS (
+      SELECT o_custkey, o_orderkey,
+        lag(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC) AS k1
+      FROM orders),
+    p AS (SELECT k1, o_orderkey AS k2 FROM o WHERE k1 IS NOT NULL),
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    xs AS (SELECT p.k2, i.l_partkey AS px FROM p JOIN items i ON i.l_orderkey = p.k1),
+    ys AS (SELECT p.k2, i.l_partkey AS py FROM p JOIN items i ON i.l_orderkey = p.k2),
+    t AS (SELECT px, py, CAST(COUNT(*) AS BIGINT) AS support
+      FROM xs JOIN ys USING (k2) GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    xm AS (SELECT px, CAST(COUNT(*) AS BIGINT) AS c_x FROM xs GROUP BY 1),
+    ym AS (SELECT py, CAST(COUNT(*) AS BIGINT) AS c_y FROM ys GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p)
+    SELECT t.px AS ante, t.py AS cons, t.support,
+      CAST(CAST(t.support AS HUGEINT) * 1000000 // xm.c_x AS BIGINT)
+        AS confidence_ppm,
+      CAST(CAST(n.n_pairs AS HUGEINT) * t.support * 1000000
+        // (CAST(xm.c_x AS HUGEINT) * ym.c_y) AS BIGINT) AS lift_ppm
+    FROM t JOIN xm USING (px) JOIN ym USING (py) CROSS JOIN n
+    ORDER BY lift_ppm DESC NULLS LAST, ante ASC NULLS FIRST, cons ASC NULLS FIRST
+    LIMIT 50"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q28, q29, q35, q49, q50, q51, q52, q53, q54, q56, q57, q73, q81, q82,
-      q87, q119, q162)
+      q87, q119, q162, q175)
 }

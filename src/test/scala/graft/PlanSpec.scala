@@ -240,7 +240,10 @@ class PlanSpec extends SparkTestBase {
       "q162_assoc_rules",
       // q166's reference day is a ONE-row max aggregate broadcast into
       // the event scan — q39's scalar-subquery pattern.
-      "q166_recency_score")
+      "q166_recency_score",
+      // q175's pair total is ONE row broadcast into the surviving
+      // rules — q162's tiny-stats pattern.
+      "q175_sequence_rules")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

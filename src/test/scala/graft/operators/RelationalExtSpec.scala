@@ -134,4 +134,40 @@ class RelationalExtSpec extends SparkTestBase {
       byKey.get((c, a)).foreach { m => assert(m._3 == s && m._5 == l) }
     }
   }
+
+  test("q175 sequence rules equal a naive next-basket replay in exact ppm arithmetic") {
+    val orders = graft.Tables(spark, sf0001).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val items: Map[Long, Seq[Long]] = graft.Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val pairs = orders.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ordered = os.sortBy(o => (o._3, o._2)).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }
+    val nPairs = pairs.length.toLong
+    val xRows = pairs.flatMap { case (k1, k2) =>
+      items.getOrElse(k1, Seq.empty[Long]).map(px => (k2, px)) }
+    val yRows = pairs.flatMap { case (_, k2) =>
+      items.getOrElse(k2, Seq.empty[Long]).map(py => (k2, py)) }
+    val xm = xRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ym = yRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val yByPair: Map[Long, Seq[Long]] =
+      yRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val support = xRows.flatMap { case (k2, px) =>
+      yByPair.getOrElse(k2, Seq.empty[Long]).map(py => (px, py)) }
+      .groupBy(x => x).collect { case (k, v) if v.size >= 2 => k -> v.size.toLong }
+    val expected = support.toSeq.map { case ((a, c), s) =>
+      val conf = BigInt(s) * 1000000 / BigInt(xm(a))
+      val lift = BigInt(nPairs) * s * 1000000 / (BigInt(xm(a)) * ym(c))
+      (a, c, s, conf.toLong, lift.toLong)
+    }.sortBy { case (a, c, _, _, l) => (-l, a, c) }.take(50)
+    val out = RelationalExt.q175.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == expected, s"got=${out.take(3)} expected=${expected.take(3)}")
+    assert(out.nonEmpty, "no sequence rules at the fixture - support floor too high")
+  }
 }
