@@ -2346,6 +2346,65 @@ object Analytic extends QueryPack {
     FROM deg LEFT JOIN t USING (node)
     ORDER BY node ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q176
+  /** Winsorization report — the robust-preprocessing sibling of q112's
+    * MAD outliers: per event type, the exact p01/p99 clip bounds and
+    * how much of the feed they would clip on each side. Training
+    * pipelines winsorize heavy-tailed features before normalization
+    * (one corrupted sensor must not set the scale); the report is the
+    * decision table for where to pin the clamps.
+    *
+    * Boundary determinism: the interpolated percentiles are computed
+    * by the same exact-percentile machinery both engines define
+    * (`percentile` ↔ `quantile_cont`, the q35 pairing) and then ROUNDED
+    * to 6 dp before they enter the clip predicates, so both engines
+    * compare against the identical double and the clip counts cannot
+    * disagree by an interpolation ulp. Counts and the ppm are exact
+    * integers.
+    *
+    * Shape: one per-type percentile aggregate (|types| rows, broadcast
+    * back) + one counting re-scan — two passes, no shuffle beyond the
+    * type key. */
+  val q176 = QueryDef(
+    "q176_winsorize",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("event_type"), col("value"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.01)"), 6).as("lo"),
+          round(expr("percentile(value, 0.99)"), 6).as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          first(col("lo")).as("lo"),
+          first(col("hi")).as("hi"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"))
+        .withColumn("clipped_ppm",
+          expr("""CAST((n_clipped_low + n_clipped_high) AS DECIMAL(28,0))
+            * 1000000 div n_events"""))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH b AS (
+      SELECT event_type,
+        ROUND(quantile_cont(value, 0.01), 6) AS lo,
+        ROUND(quantile_cont(value, 0.99), 6) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+      COUNT(*) AS n_events,
+      MIN(b.lo) AS lo,
+      MIN(b.hi) AS hi,
+      CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clipped_low,
+      CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clipped_high,
+      CAST((SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)) * 1000000
+        // COUNT(*) AS BIGINT) AS clipped_ppm
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY event_type ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q166
   /** Per-user recency-weighted engagement score — the weighting column
     * a recency-biased training-data sampler draws against (recent
@@ -2395,5 +2454,5 @@ object Analytic extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159, q163, q166, q168)
+      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176)
 }

@@ -900,6 +900,36 @@ class AnalyticSpec extends SparkTestBase {
     assert(alive.size < adj.size, "nothing peeled: KCoreK too low")
   }
 
+  test("q176: winsorize bounds and clip counts match a naive percentile replay") {
+    val rows = Tables(spark, sf0001).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val i = pos.toInt
+      val frac = pos - i
+      val raw = if (i + 1 < s.length) s(i) + frac * (s(i + 1) - s(i)) else s(i)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.groupBy(_._1).map { case (t, es) =>
+      val vs = es.map(_._2)
+      val (lo, hi) = (pct(vs, 0.01), pct(vs, 0.99))
+      val nl = vs.count(_ < lo).toLong
+      val nh = vs.count(_ > hi).toLong
+      t -> ((vs.length.toLong, lo, hi, nl, nh,
+        (nl + nh) * 1000000L / vs.length))
+    }
+    val got = Analytic.q176.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, e) => assert(got(t) == e, s"$t: got ${got(t)}, naive $e") }
+    // the clamps must clip a real tail on both sides somewhere
+    assert(expected.values.exists(v => v._4 > 0 && v._5 > 0))
+    assert(expected.values.forall(v => v._6 < 100000L), "clamps clip > 10% - not a tail")
+  }
+
   test("q168: per-node triangles and CC match a naive adjacency replay; corners sum to 3 census triangles") {
     import scala.collection.mutable
     val li = Tables(spark, sf0001).lineitem
