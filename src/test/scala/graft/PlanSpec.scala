@@ -430,5 +430,23 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!labels.contains("FileScan"),
       s"cluster-label view not checkpoint-truncated:\n$labels")
+    // the graph trio reads the memoized edge view, never the fact
+    // tables: a FileScan in any of their plans means the basket
+    // expansion replays per query — the exact cost the shared view
+    // exists to amortize
+    Seq(graft.operators.Analytic.q157 -> "q157",
+        graft.operators.Analytic.q163 -> "q163",
+        graft.operators.Analytic.q168 -> "q168").foreach { case (q, n) =>
+      val p = plan(q)
+      assert(!p.contains("FileScan"),
+        s"$n: the co-purchase edge view lost its cut — basket expansion replays:\n$p")
+    }
+    // q175's four interior cuts (pairs/items/x-attach/y-attach) must
+    // keep the executed plan scan-free: a FileScan here means a fact
+    // table replays into the rule join per read
+    val p175 = graft.operators.RelationalExt.q175
+      .fn(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!p175.contains("FileScan"),
+      s"q175: an interior cut was lost — fact scans replay:\n$p175")
   }
 }
