@@ -300,6 +300,48 @@ object AlgebraProps extends Properties("Algebra") {
       spend && caps && flags && level && maxmin
     }
 
+  // ---- delta-join maintenance (q164's rewrite) on generated dated
+  // frames, driven through the PRODUCTION deltaJoinContribFrames: the
+  // old-partials ∪ delta-terms merge must equal the full O⋈L recompute
+  // on ANY orders/lineitem shape — orphan lineitems, childless orders,
+  // empty old halves, multi-line orders, ties on the delta days.
+  private val genDay: Gen[Int] = Gen.chooseNum(1, 5)
+  private val genOrders: Gen[List[(Long, Int, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 8L), genDay,
+      Gen.oneOf("1-URGENT", "3-MEDIUM", "5-LOW")))
+      .map(_.distinctBy(_._1)) // one row per order key
+  private val genLines: Gen[List[(Long, Int, String, Double, Double)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 10L), genDay, Gen.oneOf("A", "N", "R"),
+      Gen.chooseNum(1.0, 999.0).map(v => math.rint(v * 100) / 100),
+      Gen.oneOf(0.0, 0.05, 0.1)))
+  property("delta-join rewrite: old partials + delta terms = full O JOIN L recompute") =
+    forAll(genOrders, genLines) { (os, ls) =>
+      val s = spark
+      import s.implicits._
+      val o = os.toDF("o_orderkey", "d", "o_orderpriority")
+        .select(col("o_orderkey"),
+          expr("date_add(DATE '2024-01-01', d)").as("o_day"),
+          col("o_orderpriority"))
+      val l = ls.toDF("l_orderkey", "d", "l_returnflag", "l_extendedprice", "l_discount")
+        .select(col("l_orderkey"),
+          expr("date_add(DATE '2024-01-01', d)").as("l_day"),
+          col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      val dO = "2024-01-0" + (os.map(_._2).max + 1)
+      val dL = "2024-01-0" + (if (ls.isEmpty) 2 else ls.map(_._2).max + 1)
+      def fin(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"), col("l_returnflag"))
+          .agg(sum(col("n_lines")).as("n"), sum(col("rev_dec")).cast("double").as("rev"))
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getDouble(3)))).toMap
+      val vOld = graft.operators.Partitioned.viewPartial(
+        o.filter(col("o_day") < lit(dO).cast("date")),
+        l.filter(col("l_day") < lit(dL).cast("date")))
+      val merged = fin(vOld.unionByName(
+        graft.operators.Partitioned.deltaJoinContribFrames(o, l, dO, dL)))
+      val full = fin(graft.operators.Partitioned.viewPartial(o, l))
+      merged == full
+    }
+
   // ---- k-core (q163's peel) on generated graphs, driven through the
   // PRODUCTION kCoreOnEdges delta peel: membership and in-core degrees
   // equal the order-independent naive peel on any edge set.
