@@ -401,10 +401,17 @@ object Partitioned extends QueryPack {
   }
 
   private def retractableMergedFor(spark: SparkSession, dir: String,
-      last: java.sql.Date, purged: DataFrame): DataFrame = {
-    val ev = eventsByDay(spark, dir)
-    val state = spark.read.parquet(ensureAggState(spark, dir))
-    val retrAgg = ev.filter(col("day") < lit(last))
+      last: java.sql.Date, purged: DataFrame): DataFrame =
+    retractableMergedFrames(eventsByDay(spark, dir).filter(col("day") < lit(last)),
+      spark.read.parquet(ensureAggState(spark, dir)), purged)
+
+  /** The merge stage over arbitrary frames — `base` is the pre-delta
+    * history (day, event_type, value, user_id, ...), `state` its landed
+    * per-(day, type) partials. Factored so AlgebraProps can drive the
+    * retraction algebra on generated corpora. */
+  private[graft] def retractableMergedFrames(base: DataFrame, state: DataFrame,
+      purged: DataFrame): DataFrame = {
+    val retrAgg = base
       .join(broadcast(purged), Seq("user_id"), "left_semi")
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("rn"),
@@ -422,24 +429,33 @@ object Partitioned extends QueryPack {
         .withColumn("max_dirty", col("rn").isNotNull && col("rmax") >= col("max_value")))
   }
 
-  private[graft] def retractableAggPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val last = lastDay(spark, dir)
-    val ev = eventsByDay(spark, dir)
-    val purged = purgedUsers(spark, dir, last)
-    val merged = retractableMergedFor(spark, dir, last, purged)
+  /** The maintained OLD-half view over arbitrary frames (merge +
+    * dirty-group rescan) — the algebraic core AlgebraProps drives on
+    * generated corpora; [[retractableAggPipeline]] adds the insert leg. */
+  private[graft] def retractableOldFrames(base: DataFrame, state: DataFrame,
+      purged: DataFrame): DataFrame = {
+    val merged = retractableMergedFrames(base, state, purged)
     val dirtyKeys = merged.filter(col("min_dirty") || col("max_dirty"))
       .select(col("day"), col("event_type"))
-    val rescanned = ev.filter(col("day") < lit(last))
+    val rescanned = base
       .join(broadcast(purged), Seq("user_id"), "left_anti")
       .join(broadcast(dirtyKeys), Seq("day", "event_type"), "left_semi")
       .groupBy(col("day"), col("event_type"))
       .agg(min(col("value")).as("fmin"), max(col("value")).as("fmax"))
-    val fixedOld = merged.join(rescanned, Seq("day", "event_type"), "left")
+    merged.join(rescanned, Seq("day", "event_type"), "left")
       .select(col("day"), col("event_type"),
         col("n2").as("n_events"),
         col("sum2").cast("double").as("sum_value"),
         when(col("min_dirty"), col("fmin")).otherwise(col("min_value")).as("min_value"),
         when(col("max_dirty"), col("fmax")).otherwise(col("max_value")).as("max_value"))
+  }
+
+  private[graft] def retractableAggPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val last = lastDay(spark, dir)
+    val ev = eventsByDay(spark, dir)
+    val purged = purgedUsers(spark, dir, last)
+    val fixedOld = retractableOldFrames(ev.filter(col("day") < lit(last)),
+      spark.read.parquet(ensureAggState(spark, dir)), purged)
     val inserts = ev.filter(col("day") === lit(last) && col("event_type") =!= "error")
       .join(broadcast(purged), Seq("user_id"), "left_anti")
       .groupBy(col("day"), col("event_type"))

@@ -342,6 +342,48 @@ object AlgebraProps extends Properties("Algebra") {
       merged == full
     }
 
+  // ---- retraction algebra (q170's merge + dirty-group rescan) on
+  // generated corpora, driven through the PRODUCTION
+  // retractableOldFrames: for ANY base history, landed partials and
+  // purge list — including users owning whole groups (group vanishes),
+  // retracted values tying a bound a survivor shares (dirty rescan must
+  // return the same bound), and untouched groups — the maintained view
+  // equals the survivors' recompute.
+  private val genEvents: Gen[List[(Long, Int, String, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(1, 4),
+      Gen.oneOf("click", "view"),
+      // coarse values make bound TIES likely — the interesting case
+      Gen.oneOf(1.0, 2.0, 3.0, 4.0)))
+  property("retraction merge + dirty rescan = survivors' recompute on any corpus") =
+    forAll(genEvents, Gen.someOf(0L to 6L)) { (evs, purgedIds) =>
+      val s = spark
+      import s.implicits._
+      val base = evs.toDF("user_id", "d", "event_type", "value")
+        .select(col("user_id"),
+          expr("date_add(DATE '2024-01-01', d)").as("day"),
+          col("event_type"), col("value"))
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val state = base.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("sum_value_dec"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      val purged = purgedIds.toSeq.toDF("user_id")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      val maintained = key(
+        graft.operators.Partitioned.retractableOldFrames(base, state, purged)
+          .select(col("day"), col("event_type"), col("n_events"),
+            col("sum_value"), col("min_value"), col("max_value")))
+      val full = key(
+        base.join(purged, Seq("user_id"), "left_anti")
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec)).cast("double").as("sum_value"),
+            min(col("value")).as("min_value"), max(col("value")).as("max_value")))
+      maintained == full
+    }
+
   // ---- k-core (q163's peel) on generated graphs, driven through the
   // PRODUCTION kCoreOnEdges delta peel: membership and in-core degrees
   // equal the order-independent naive peel on any edge set.
