@@ -29,10 +29,15 @@ case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+    // containsNull inputs are REJECTED, not tolerated: getLong() on a null
+    // slot reads garbage, and the function is SQL-registered so arbitrary
+    // arrays can reach it — the no-nulls contract is enforced like the
+    // sortedness contract is documented.
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect expects two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+      "graft_sorted_intersect expects two array<bigint> arguments with " +
+        s"non-nullable elements, got ${l.sql} (containsNull left/right), and ${r.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

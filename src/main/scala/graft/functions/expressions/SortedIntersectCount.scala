@@ -29,10 +29,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+    // containsNull inputs are REJECTED (see SortedIntersect): getLong()
+    // on a null slot reads garbage and the function is SQL-registered.
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect_count expects two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+      "graft_sorted_intersect_count expects two array<bigint> arguments " +
+        s"with non-nullable elements, got ${l.sql} and ${r.sql}")
   }
 
   override def dataType: DataType = LongType

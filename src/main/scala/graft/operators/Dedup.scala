@@ -507,7 +507,14 @@ object Dedup extends QueryPack {
   /** SimHash (64-bit, token-level) + hamming ≤ 6 near-dup pairs.
     * Candidates via 4 × 16-bit chunk keys (a pair within hamming ≤ 6 in
     * 64 bits... chunking to 4 guarantees recall for hamming ≤ 3; wider
-    * radii would use more/narrower chunks — same equi-join shape). */
+    * radii would use more/narrower chunks — same equi-join shape).
+    *
+    * Oracle-checked: the per-token hash is the md5-prefix-64 (see
+    * `SimHash64` scaladoc), so DuckDB reconstructs the identical
+    * signature bit-by-bit (±1 vote per (doc, bit) over a 64-row range
+    * cross join), re-derives the same 4 chunk keys, the same candidate
+    * equi-join, and the same exact-integer hamming — including the
+    * candidate-recall cut for hamming 4..6 pairs with no clean chunk. */
   val q34 = QueryDef(
     "q34_simhash",
     (spark, dir) => {
@@ -532,7 +539,34 @@ object Dedup extends QueryPack {
         .select(col("d1"), col("d2"), col("hamming"))
         .orderBy(col("d1"), col("d2"))
     },
-    None)
+    Some("""WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+      FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+        CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             THEN 1 ELSE 0 END AS b
+      FROM th CROSS JOIN range(0, 64) AS r(j)
+      GROUP BY doc_id, j),
+    chunks AS (
+      SELECT doc_id, j // 16 AS chunk_idx, SUM(b << (j % 16)) AS chunk
+      FROM bits GROUP BY doc_id, j // 16),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM chunks x JOIN chunks y
+        ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+       AND x.doc_id < y.doc_id),
+    ham AS (
+      SELECT c.d1, c.d2, COUNT(*) FILTER (WHERE b1.b <> b2.b) AS hamming
+      FROM cand c
+      JOIN bits b1 ON b1.doc_id = c.d1
+      JOIN bits b2 ON b2.doc_id = c.d2 AND b2.j = b1.j
+      GROUP BY c.d1, c.d2)
+    SELECT d1, d2, CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= 6
+    ORDER BY d1, d2"""))
 
   // ---------------------------------------------------------------- q55
   /** Dedup keeper stage: near-dup pairs → connected components → one

@@ -62,8 +62,8 @@ object Multimodal extends QueryPack {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           // fake "header parse": byte 0 → width, byte 1 → height, length
-          // parity → container format (matches fakeDecodeMeta's ascii()
-          // reads — fixture text is ASCII, so byte == codepoint)
+          // parity → container format (matches fakeDecodeMeta's
+          // ISO-8859-1 byte reads on ANY input, ASCII or not)
           val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
           val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
           DecodedMedia(id, b0 * 4 + 64, b1 * 3 + 48,
@@ -111,13 +111,19 @@ object Multimodal extends QueryPack {
           col("media_meta.format").as("format"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id,
+    Some("""WITH b AS (
+      SELECT doc_id, text, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS nb
+      FROM documents)
+    SELECT doc_id,
       md5(text) AS content_hash,
-      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-      CAST(ascii(substring(text, 1, 1)) * 4 + 64 AS INT) AS width,
-      CAST(ascii(substring(text, 2, 1)) * 3 + 48 AS INT) AS height,
-      CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
-    FROM documents
+      CAST(nb AS INT) AS n_bytes,
+      CAST((CASE WHEN nb >= 1 THEN CAST(('0x' || substr(hx, 1, 2)) AS INTEGER)
+            ELSE 0 END) * 4 + 64 AS INT) AS width,
+      CAST((CASE WHEN nb >= 2 THEN CAST(('0x' || substr(hx, 3, 2)) AS INTEGER)
+            ELSE 0 END) * 3 + 48 AS INT) AS height,
+      CASE WHEN nb % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+    FROM b
     ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q48
@@ -195,12 +201,17 @@ object Multimodal extends QueryPack {
           expr("CAST(n_keep AS DECIMAL(28,0)) * 1000000 div n_assets"))
         .orderBy(col("format").asc_nulls_first)
     },
-    Some("""WITH m AS (
-      SELECT ascii(substring(text, 1, 1)) * 4 + 64 AS w,
-        ascii(substring(text, 2, 1)) * 3 + 48 AS h,
-        CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-        CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
-      FROM documents)
+    Some("""WITH b AS (
+      SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS nbo
+      FROM documents),
+    m AS (
+      SELECT (CASE WHEN nbo >= 1 THEN CAST(('0x' || substr(hx, 1, 2)) AS INTEGER)
+          ELSE 0 END) * 4 + 64 AS w,
+        (CASE WHEN nbo >= 2 THEN CAST(('0x' || substr(hx, 3, 2)) AS INTEGER)
+          ELSE 0 END) * 3 + 48 AS h,
+        CAST(nbo AS BIGINT) AS nb,
+        CASE WHEN nbo % 2 = 0 THEN 'png' ELSE 'jpg' END AS format
+      FROM b)
     SELECT format,
       COUNT(*) AS n_assets,
       CAST(SUM(CASE WHEN w >= 480 AND h >= 360 THEN 0 ELSE 1 END) AS BIGINT)

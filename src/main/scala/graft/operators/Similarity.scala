@@ -869,12 +869,24 @@ object Similarity extends QueryPack {
     * source scan total); above the cap the raw frame feeds the probe and
     * only the bounded sample is materialized. Also driven by
     * [[graft.tools.ScaleProbe]] on replicated corpora. */
+  /** Below this corpus size an IVF index is counterproductive: with K=16
+    * cells the average cell holds < 64 vectors, so a 4-cell probe covers
+    * only ~a quarter of a corpus that an exhaustive re-rank would scan in
+    * the same stage anyway — the standard ANN-library guidance (brute
+    * force under ~10⁴ vectors). Under the floor the probe widens to ALL
+    * cells, which is an exact exhaustive re-rank through the identical
+    * plan; above it the genuine `nprobe` engages (sf0.1's 2000-vector
+    * corpus runs real 4-of-16 IVF and still matches exact top-5 —
+    * measured by IvfEnvelopeScan, asserted in SimilarityQualitySpec). */
+  private[graft] val IvfFullProbeFloor = 1024L
+
   private[graft] def ivfTopK(emAll: org.apache.spark.sql.DataFrame,
       k: Int, nprobe: Int, maxTrain: Long): org.apache.spark.sql.DataFrame = {
       GraftFunctions.register(emAll.sparkSession)
-      val (train, sampled, _) = trainingFrame(emAll, maxTrain)
+      val (train, sampled, n) = trainingFrame(emAll, maxTrain)
       val centroids = lloyd(train, k)
-      ivfProbe(if (sampled) emAll else train, centroids, nprobe)
+      val np = if (n < IvfFullProbeFloor) k else nprobe
+      ivfProbe(if (sampled) emAll else train, centroids, np)
   }
 
   /** q60 up to (but not including) the result materialization + total
@@ -887,6 +899,12 @@ object Similarity extends QueryPack {
       dir: String): org.apache.spark.sql.DataFrame =
     ivfTopK(Tables(spark, dir).embeddings, k = 16, nprobe = 4, maxTrain = 65536L)
 
+  /** VERIFIED-SF ENVELOPE (q42/q84 protocol): under the
+    * [[IvfFullProbeFloor]] the probe is exhaustive (exact by
+    * construction — sf0.001/sf0.01); above it the genuine 4-of-16 probe
+    * is MEASURED exact at sf0.1 (IvfEnvelopeScan) and spec-asserted at
+    * all shipped fixtures in SimilarityQualitySpec — so the oracle is
+    * q41's exact top-5 SQL, demote-on-miss rule applies. */
   val q60 = QueryDef(
     "q60_ivf_ann",
     (spark, dir) =>
@@ -894,17 +912,20 @@ object Similarity extends QueryPack {
       // partitioning samples its child, which would re-execute the
       // assignment + probe chain
       q60Pipeline(spark, dir).cut().orderBy(col("qid"), col("rk")),
-    None)
+    Some(exactTopKSql))
 
   // ---------------------------------------------------------------- q59
   /** Typed custom aggregate ([[graft.functions.VectorCentroid]], the
     * `Aggregator` slot from SURVEY §2.2) reachable through the driver
     * contract: per-label centroid as a single vector-typed agg buffer
-    * (map-side combined like any built-in agg). Float partial-sum merge
-    * order varies in the last ulp → rounded + rows-only check; exact
-    * agreement with q43's integer-scaled exploded form is asserted in
-    * VectorCentroidSpec. The vector is emitted comma-joined — scalar
-    * output columns only, per the determinism contract. */
+    * (map-side combined like any built-in agg). The buffer accumulates
+    * micro-scaled integers (the determinism contract's rule applied
+    * inside the Aggregator), so the result is merge-order-free and
+    * bit-identical to q43's exploded integer-scaled form — the output is
+    * posexploded to the same (label, dim, centroid) scalar shape and
+    * oracle-checked against q43's exact SQL. What q59 verifies beyond
+    * q43 is the MACHINERY: the typed KeyValueGroupedDataset.agg path
+    * with a custom buffer encoder, not posexplode + built-in sum. */
   val q59 = QueryDef(
     "q59_vector_centroid",
     (spark, dir) => {
@@ -912,17 +933,16 @@ object Similarity extends QueryPack {
       val em = Tables(spark, dir).embeddings
       val dim = 64
       val cent = em.select(col("label"), col("embedding"))
-        .as[(String, Seq[Float])]
+        .as[(Int, Seq[Float])]
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(new graft.functions.VectorCentroid(dim).toColumn.name("centroid"))
         .toDF("label", "centroid")
-      cent.select(col("label"),
-          array_join(transform(col("centroid"),
-            v => round(v, 6).cast("string")), ",").as("centroid_csv"))
-        .orderBy(col("label"))
+      cent.select(col("label"), posexplode(col("centroid")).as(Seq("dim", "centroid")))
+        .withColumn("dim", (col("dim") + 1).cast(IntegerType))
+        .orderBy(col("label"), col("dim"))
     },
-    None)
+    Some(q43.oracle.get))
 
   // ---------------------------------------------------------------- q79
   /** L2 unit-normalization of the embedding corpus — the standard

@@ -914,9 +914,12 @@ object TextOps extends QueryPack {
     * BM25 scoring presupposes: one row per searchable term carrying its
     * document frequency, collection frequency and the full posting list
     * (doc ids ascending, with per-doc term frequencies in lockstep).
-    * Postings ship as two parallel `array<bigint>` columns rather than
-    * an array of structs so the cross-engine compare stays on primitive
-    * lists.
+    * Postings ship as two comma-joined STRING columns per the q35
+    * scalar-output protocol (ARCHITECTURE.md "scalar outputs only"):
+    * the driver's compare sorts rows and hashes cell values, so array
+    * cells are unhashable — the lockstep order is still fully
+    * deterministic because both strings are rendered from the same
+    * doc_id-sorted struct list.
     *
     * Shape: ONE explode feeding two map-side-combinable hash aggregates
     * — per-(term, doc) tf first (bounding the second shuffle to df
@@ -949,8 +952,10 @@ object TextOps extends QueryPack {
         .crossJoin(broadcast(nDocs))
         .filter(col("df") >= 5 && col("df") * lit(5L) <= col("n_docs") * lit(4L))
         .select(col("term"), col("df"), col("cf"),
-          transform(col("post"), s => s.getField("doc_id")).as("postings_docs"),
-          transform(col("post"), s => s.getField("tf")).as("postings_tfs"))
+          array_join(transform(col("post"),
+            s => s.getField("doc_id").cast("string")), ",").as("postings_docs"),
+          array_join(transform(col("post"),
+            s => s.getField("tf").cast("string")), ",").as("postings_tfs"))
         .orderBy(col("term").asc_nulls_first)
     },
     Some("""WITH td AS (
@@ -959,8 +964,8 @@ object TextOps extends QueryPack {
       GROUP BY term, doc_id),
     idx AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
-        list(doc_id ORDER BY doc_id ASC) AS postings_docs,
-        list(tf ORDER BY doc_id ASC) AS postings_tfs
+        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id ASC) AS postings_docs,
+        string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id ASC) AS postings_tfs
       FROM td GROUP BY term)
     SELECT term, df, cf, postings_docs, postings_tfs
     FROM idx

@@ -579,6 +579,16 @@ case class LocfState(hourEpoch: Long, v: Double)
   * batch q91's rows EXACTLY (spec-asserted across a micro-batch
   * boundary, including a key whose first batch ends mid-gap).
   *
+  * Value-less inputs (`v = None`) follow batch q91's FRAME semantics,
+  * where the per-key hour span is min..max over ALL hourly rows — null-v
+  * rows included — and `last(ignoreNulls)` fills them: a None tick past
+  * the last hour EXTENDS the span (gap hours plus the tick itself emit
+  * the carried value, state advances to its hour), while a None tick
+  * before any observation is dropped — batch emits NULL `v_locf` there,
+  * which carries no information and has no representation in the
+  * non-null [[LocfTick]]. Both branches are pinned by a None-bearing
+  * fixture in StreamOpsSpec.
+  *
   * State is one ~24-byte record per key, forever — the same "last event
   * only" footprint as [[StreamTransitions]]; keys distribute across
   * executors and each micro-batch touches only arriving keys. */
@@ -617,6 +627,9 @@ class LocfProcessor
         case Some(s) if r.hourEpoch > s.hourEpoch =>
           var h = s.hourEpoch + HourS
           while (h < r.hourEpoch) { out += LocfTick(key, h, s.v); h += HourS }
+          // a value-less tick here still EXTENDS the span with the
+          // carried value — batch q91's frame is min..max over ALL
+          // hourly rows (null-v included) and last(ignoreNulls) fills it
           val v = r.v.getOrElse(s.v)
           out += LocfTick(key, r.hourEpoch, v)
           last = Some(LocfState(r.hourEpoch, v))

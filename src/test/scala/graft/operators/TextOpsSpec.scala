@@ -226,8 +226,10 @@ class TextOpsSpec extends SparkTestBase {
       }.toMap
       .filter { case (_, (df, _, _, _)) => df >= 5 && df * 5 <= nDocs.toLong * 4 }
     val got = TextOps.q161.fn(spark, sf0001).collect().map { r =>
+      // postings ship as comma-joined strings (q35 scalar-output protocol)
       r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq))
+        r.getString(3).split(",", -1).toSeq.map(_.toLong),
+        r.getString(4).split(",", -1).toSeq.map(_.toLong)))
     }
     // output is term-ordered and matches the naive index exactly
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)

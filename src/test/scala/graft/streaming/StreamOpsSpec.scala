@@ -1095,4 +1095,58 @@ class StreamOpsSpec extends SparkTestBase {
       s"stream missed ${(batch -- streamed).size}, invented ${(streamed -- batch).size} " +
         s"of ${batch.size} batch rows")
   }
+
+  test("streaming LOCF None ticks: span-extension and pre-observation drop match batch frame semantics") {
+    // Pins the documented v=None contract with a None-BEARING fixture:
+    // batch q91's frame is min..max over ALL hourly rows (null-v rows
+    // included) with last(ignoreNulls) filling them, so a None tick past
+    // the last observation extends the span with the carried value; a
+    // None tick before any observation yields batch NULL v_locf rows,
+    // which the non-null LocfTick stream deliberately drops.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val H = 3600L
+    val feed = Seq(
+      HourlyRow("b", 0L, None),            // pre-observation None: dropped
+      HourlyRow("a", 0L, Some(1.0)),
+      HourlyRow("a", 3 * H, None),         // mid-span None: extends, carries 1.0
+      HourlyRow("a", 5 * H, Some(2.0)),
+      HourlyRow("b", 1 * H, Some(5.0)),
+      HourlyRow("a", 7 * H, None))         // trailing None: extends, carries 2.0
+    // batch twin computed with q91's exact formula on the same frame
+    val hourlyDf = feed.toDF("event_type", "hour_epoch", "v")
+    val frame = hourlyDf.groupBy(col("event_type"))
+      .agg(min(col("hour_epoch")).as("h0"), max(col("hour_epoch")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(H))).as("hour_epoch"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val batchRows = frame.join(hourlyDf, Seq("event_type", "hour_epoch"), "left")
+      .select(col("event_type"), col("hour_epoch"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+      .collect()
+    val batchNonNull = batchRows.filter(!_.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // the fixture must actually exercise the dropped-head branch
+    assert(batchRows.exists(_.isNullAt(2)), "fixture lost its pre-observation None row")
+    val in = MemoryStream[HourlyRow](newProductEncoder[HourlyRow], s2.sqlContext)
+    val q = StreamLocf.filled(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("locf_none").start()
+    // micro-batch boundary lands right after the mid-span None
+    val (b1, b2) = feed.sortBy(_.hour_epoch).splitAt(4)
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = s2.table("locf_none").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchNonNull,
+      s"only-stream=${streamed -- batchNonNull}, only-batch=${batchNonNull -- streamed}")
+    // the trailing None really extended the span to hour 7
+    assert(streamed.contains(("a", 7 * H, 2.0)))
+    // and the pre-observation None emitted nothing for key b at hour 0
+    assert(!streamed.exists { case (k, h, _) => k == "b" && h == 0L })
+  }
 }

@@ -28,8 +28,14 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
+    # The driver hashes cell values via pandas sort_values + hash: any
+    # list/array cell crashes it (TypeError: unhashable numpy.ndarray).
+    # REJECT instead of canonicalizing, so an array-typed output column
+    # can never pass locally and then fail the driver (q161, round 12).
+    if isinstance(v, (list, tuple, dict)):
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__}: driver harness cannot hash "
+            "array/map outputs — emit array_join'd strings (q35 protocol)")
     return v
 
 n_pass = n_fail = 0
@@ -45,8 +51,11 @@ for name in sorted(oracle):
     s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
     if s_cols != d_cols:
         print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}"); n_fail += 1; continue
-    s_rows = [tuple(canon(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()]
-    d_rows = [tuple(canon(r[c]) for c in d_cols) for r in duck_tbl.to_pylist()]
+    try:
+        s_rows = [tuple(canon(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()]
+        d_rows = [tuple(canon(r[c]) for c in d_cols) for r in duck_tbl.to_pylist()]
+    except TypeError as ex:
+        print(f"FAIL {name}: {ex}"); n_fail += 1; continue
     if len(s_rows) != len(d_rows):
         print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}"); n_fail += 1; continue
     bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
