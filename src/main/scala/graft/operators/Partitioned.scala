@@ -489,5 +489,89 @@ object Partitioned extends QueryPack {
     GROUP BY 1, 2
     ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164, q170)
+  // --------------------------------------------------------------- q177
+  /** One day's partial aggregates from the landed day tree — the unit a
+    * backfill replays. Static pruning makes it a one-directory scan:
+    * replaying a day never touches the other 29. */
+  private[graft] def dayPartials(spark: SparkSession, dir: String,
+      day: java.sql.Date): DataFrame =
+    eventsByDay(spark, dir).filter(col("day") === lit(day))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("sum_value_dec"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  /** Replay ONE day into a day-partitioned state table, idempotently:
+    * dynamic partition overwrite replaces exactly that day's directory
+    * and nothing else, so re-running a landed day is a no-op by
+    * construction — the property that lets `Pipeline.catchup` be
+    * crash-restarted from the directory listing, and the property the
+    * backfill spec asserts (write a day twice, state unchanged). This is
+    * the production `INSERT OVERWRITE ... PARTITION (day)` pattern; at
+    * 100 TB each replayed day is a one-partition scan + a
+    * groups-per-day-sized write, never a history rescan. */
+  private[graft] def replayDay(spark: SparkSession, dir: String,
+      statePath: String, day: java.sql.Date): Unit =
+    dayPartials(spark, dir, day)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(statePath)
+
+  /** Days already landed in a backfill state table — from the partition
+    * directory listing only (no data files read), which is what makes
+    * restart-from-listing cheap at any scale. */
+  private[graft] def landedDays(spark: SparkSession, statePath: String): Set[java.sql.Date] =
+    if (!new java.io.File(statePath).exists()) Set.empty
+    else spark.read.parquet(statePath).select(col("day")).distinct()
+      .collect().map(_.getDate(0)).toSet
+
+  /** The catchup-built state for q177, landed once per (JVM, dir):
+    * `Pipeline.catchup` replays every scheduled day that has not landed
+    * yet through [[replayDay]]. Memoized like the other layouts — and
+    * BECAUSE replay is idempotent, a second call (or a crash-restart)
+    * replays nothing: the listing already covers the schedule. */
+  private[graft] def ensureBackfillState(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/backfill_state_$tag"
+      if (!landed(path)) {
+        val scheduled = dayDim(spark, dir).select(col("day"))
+          .collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
+        graft.pipeline.Pipeline.catchup(scheduled, landedDays(spark, path))(
+          (d: java.sql.Date) => replayDay(spark, dir, path, d))(
+          Ordering.by(_.getTime))
+        landed += path
+      }
+      path
+    }
+
+  /** Backfill/catchup replay — the `catchup=True` semantics both
+    * reference DAGs configure (`update_tr_from_ex_dag.py:84`) realized
+    * on the engine: every scheduled day replayed one at a time through
+    * the idempotent day-partition writer, then the per-day partials
+    * merged exactly like q98. The oracle states the SEMANTIC contract —
+    * a day-by-day replay of the whole history equals the full recompute
+    * (same SQL as q98) — while per-day idempotence and skip-landed
+    * behavior are spec-asserted (PartitionedSpec). q98 is "apply ONE new
+    * day to standing state"; q177 is "rebuild state from nothing, one
+    * day at a time" — the recovery path a production deployment runs
+    * after losing state or changing partial definitions. */
+  val q177 = QueryDef(
+    "q177_backfill_replay",
+    (spark, dir) => {
+      val state = spark.read.parquet(ensureBackfillState(spark, dir))
+      state.groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_value_dec")).cast("double").as("sum_value"),
+          min(col("min_value")).as("min_value"),
+          max(col("max_value")).as("max_value"))
+        .withColumn("avg_value", col("sum_value") / col("n_events"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    q98.oracle)
+
+  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164, q170, q177)
 }

@@ -9,10 +9,13 @@ import scala.util.Try
   * composed from the engine's primitives: wait for the external feed to
   * land (HttpSensor → [[Pipeline.pollUntil]]), run the daily summary with
   * retries (HttpOperator retry kwargs → [[Pipeline.retryWithBackoff]]),
-  * then notify success XOR failure (trigger rules → [[Pipeline.route]]).
-  * The sensed check and the notification channel are injected so tests —
-  * and real deployments — supply their own transports; the "XCom" between
-  * steps is the ordinary return value. */
+  * then notify success XOR failure (trigger rules → [[Pipeline.route]]) —
+  * the whole run bounded by one [[Pipeline.DagRun]] deadline
+  * (`dagrun_timeout`, `hello_function_dag.py:13`). The sensor's budget is
+  * `min(run.remaining, sensor timeout)` so a slow feed cannot spend the
+  * summary stage's time. The sensed check and the notification channel
+  * are injected so tests — and real deployments — supply their own
+  * transports; the "XCom" between steps is the ordinary return value. */
 object DailyPipeline {
   def run(
       spark: SparkSession,
@@ -22,12 +25,18 @@ object DailyPipeline {
       pokeInterval: FiniteDuration = 50.millis,
       timeout: FiniteDuration = 5.seconds,
       retries: Int = 3,
-      retryDelay: FiniteDuration = 10.millis): Try[Long] = {
+      retryDelay: FiniteDuration = 10.millis,
+      dagrunTimeout: FiniteDuration = 2.hours,
+      clock: () => Long = () => System.nanoTime()): Try[Long] = {
+    val dagRun = new Pipeline.DagRun(dagrunTimeout, clock)
     val result: Try[Long] = for {
-      _ <- Pipeline.pollUntil(pokeInterval, timeout)(readiness)
-      rows <- Pipeline.retryWithBackoff(
-        retries, retryDelay, maxDelay = retryDelay * 8)(
-        () => Relational.q01.fn(spark, sfDir).count())
+      _ <- dagRun.stage("wait_feed")(() =>
+        Pipeline.pollUntil(pokeInterval, dagRun.remaining min timeout,
+          clock)(readiness).get)
+      rows <- dagRun.stage("daily_summary")(() =>
+        Pipeline.retryWithBackoff(
+          retries, retryDelay, maxDelay = retryDelay * 8)(
+          () => Relational.q01.fn(spark, sfDir).count()).get)
     } yield rows
     Pipeline.route(result)(
       rows => { notify(s"success: pricing summary ready, $rows groups"); result },

@@ -18,6 +18,11 @@ import scala.util.{Failure, Success, Try}
   *  - [[Connections]] — named connection/option registry resolved at run
   *    time (`Connection.get_connection_from_secrets`,
   *    `update_tr_from_ex_dag.py:47`)
+  *  - [[DagRun]] — whole-run wall-clock deadline, the `dagrun_timeout`
+  *    kwarg (`hello_function_dag.py:13`)
+  *  - [[catchup]] — missed-interval replay planner, the `catchup` kwarg
+  *    (`update_tr_from_ex_dag.py:84`); the Spark side of a backfill is
+  *    `Partitioned.replayDay`'s idempotent day-partition overwrite (q177)
   *
   * Scalar results passed between steps are ordinary return values — the
   * XCom equivalent (`update_tr_from_ex_dag.py:65,121`).
@@ -86,6 +91,54 @@ object Pipeline {
       case Success(v) => onSuccess(v)
       case Failure(e) => onFailure(e)
     }
+
+  /** Whole-run deadline — `dagrun_timeout`
+    * (`hello_function_dag.py:13`: `dagrun_timeout=timedelta(hours=2)`):
+    * one wall-clock budget bounding an entire composed pipeline, on top
+    * of the per-task budgets ([[retryWithBackoff]] delays, [[pollUntil]]
+    * timeouts). Airflow's semantic is fail-at-next-scheduling-decision,
+    * not preemption: a run past its deadline fails when the next task
+    * would start, in-flight work is left to its own task-level timeout.
+    * [[DagRun.stage]] mirrors that exactly — it checks the budget BEFORE
+    * running the task and never interrupts one.
+    *
+    * `remaining` feeds task-level budgets so a sensor deep in the run
+    * cannot outlive the DAG (`pollUntil(interval, run.remaining min
+    * sensorTimeout)` — the min of the two contracts). */
+  final class DagRun(
+      timeout: FiniteDuration,
+      clock: () => Long = () => System.nanoTime()) {
+    private val deadline = clock() + timeout.toNanos
+
+    /** Budget left; floor 0 (a finished budget never goes negative). */
+    def remaining: FiniteDuration =
+      math.max(0L, deadline - clock()).nanos
+
+    /** Run `task` if budget remains, else fail the RUN (not the task):
+      * the error names the stage that would have started past deadline. */
+    def stage[T](name: String)(task: () => T): Try[T] =
+      if (clock() >= deadline)
+        Failure(PipelineFailure(
+          s"dagrun_timeout $timeout exceeded before stage '$name'"))
+      else Try(task())
+  }
+
+  /** Catch-up planner — the `catchup` DAG kwarg
+    * (`update_tr_from_ex_dag.py:84`, both reference DAGs set it
+    * explicitly): given the scheduled intervals and the runs that
+    * already landed, execute the MISSING intervals in schedule order and
+    * report what ran. `catchup=False` is `landed = scheduled.toSet`
+    * (nothing to do); a backfill is a `scheduled` range in the past.
+    * Idempotence is the runner's contract — a day-partition overwrite
+    * writer (see `Partitioned.replayDay`) makes re-running a landed
+    * interval a no-op by construction, which is why catchup can be
+    * crash-restarted from the directory listing alone. */
+  def catchup[D](scheduled: Seq[D], landed: Set[D])(runInterval: D => Unit)(
+      implicit ord: Ordering[D]): Seq[D] = {
+    val missing = scheduled.filterNot(landed).sorted
+    missing.foreach(runInterval)
+    missing
+  }
 
   /** Named connection registry (endpoint/credential options resolved at
     * plan-build time — the `conn_id` pattern). */

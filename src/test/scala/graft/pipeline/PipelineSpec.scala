@@ -68,4 +68,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(conns("github_api")("endpoint") == "https://api.example.com")
     intercept[PipelineFailure](conns("missing"))
   }
+
+  test("DagRun: stages run inside the budget; the run fails at the next stage past deadline") {
+    var t = 0L
+    val run = new DagRun(2.hours, clock = () => t)
+    // stage 1 starts at t=0, takes 90 minutes (not preempted even though
+    // it ends close to the wire — Airflow's fail-at-next-decision rule)
+    val s1 = run.stage("land_feed") { () => t += 90.minutes.toNanos; "landed" }
+    assert(s1 == Success("landed"))
+    assert(run.remaining == 30.minutes)
+    // stage 2 starts with 30 min left: allowed to START, task-level
+    // budgets (pollUntil timeouts) bound what happens inside
+    val s2 = run.stage("summarize") { () => t += 45.minutes.toNanos; 7 }
+    assert(s2 == Success(7))
+    assert(run.remaining == Duration.Zero) // floored, never negative
+    // stage 3 would start past the deadline: the RUN fails, naming it
+    val s3 = run.stage("notify")(() => fail("must not start past deadline"))
+    assert(s3.isFailure)
+    assert(s3.failed.get.getMessage.contains("dagrun_timeout"))
+    assert(s3.failed.get.getMessage.contains("notify"))
+  }
+
+  test("DagRun: a failing task fails its stage without consuming the run") {
+    var t = 0L
+    val run = new DagRun(1.hour, clock = () => t)
+    val s1 = run.stage("flaky")(() => throw new RuntimeException("boom"))
+    assert(s1.isFailure && s1.failed.get.getMessage == "boom")
+    // the run itself is still live — a later stage inside budget runs
+    assert(run.stage("recover")(() => 1) == Success(1))
+  }
+
+  test("DagRun.remaining feeds a sensor budget: pollUntil cannot outlive the run") {
+    var t = 0L
+    val run = new DagRun(10.minutes, clock = () => t)
+    t += 7.minutes.toNanos
+    // sensor would allow 60 min, but the run only has 3 left
+    val budget = run.remaining min 60.minutes
+    assert(budget == 3.minutes)
+    val out = pollUntil(1.minute, budget, clock = () => t,
+      sleep = d => t += d.toNanos)(() => StillRunning)
+    assert(out.isFailure && out.failed.get.getMessage.contains("timed out"))
+    assert(t <= 10.minutes.toNanos + 1.minute.toNanos)
+  }
+
+  test("catchup: runs exactly the missing intervals, in schedule order") {
+    val scheduled = Seq(3, 1, 5, 2, 4) // listing order is not schedule order
+    val ran = mutable.Buffer[Int]()
+    val missing = catchup(scheduled, landed = Set(2, 4))(ran.+=(_))
+    assert(missing == Seq(1, 3, 5) && ran.toSeq == Seq(1, 3, 5))
+    // catchup=False is landed == scheduled: nothing runs
+    assert(catchup(scheduled, scheduled.toSet)(
+      (_: Int) => fail("catchup=False must run nothing")).isEmpty)
+  }
 }
