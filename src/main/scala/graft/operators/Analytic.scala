@@ -836,6 +836,122 @@ object Analytic extends QueryPack {
     },
     None)
 
+  // --------------------------------------------------------------- q178
+  /** Deterministic cross-engine HLL — the oracle-CHECKABLE sibling of
+    * q123's library sketches. q123 exercises Spark's built-in
+    * DataSketches HLL (engine-specific register encoding → rows-only by
+    * the declared contract); q178 builds the SAME mergeable-state
+    * pattern from first principles so every value hashes across engines:
+    *
+    *  - per-value hash = md5 of the key (determinism rule 9 — the one
+    *    hash both engines share); bucket = first 8 bits, rank = leading
+    *    zeros of the next 56 bits + 1, both derived with pure string/
+    *    integer ops (regexp strip of leading hex zeros + a 15-way nibble
+    *    CASE — no float log2 anywhere);
+    *  - daily register pages: max(rank) per (type, day, bucket) — the
+    *    tiny mergeable rows a 100 TB warehouse lands instead of user
+    *    ids; union = elementwise MAX (commutative/idempotent, so replay
+    *    and backfill cannot corrupt it — spec-asserted against a direct
+    *    single-pass build);
+    *  - the estimate αm·m²/Σ2^(−M[j]) from EXACT integer state: the
+    *    harmonic denominator is Σ2^(57−M[j]) summed as DECIMAL(38,0)
+    *    (rule 11 — 256·2^57 wraps int64), empty buckets contributing
+    *    2^57 each, and the float arithmetic happens on the same exact
+    *    integers in both engines with E0 double literals. The standard
+    *    small-range branch (raw ≤ 2.5m with empty buckets → linear
+    *    counting m·ln(m/zeros)) IS applied: its ln() argument set has
+    *    only 255 possible values (m/zeros, zeros ∈ 1..255), and every
+    *    one sits ≥ 1.8e-9 away from a 6-dp rounding boundary (spec:
+    *    "linear-counting values clear the rounding boundary") — five
+    *    orders of magnitude more than any two libm implementations
+    *    disagree, so ROUND(·, 6) is provably engine-stable despite the
+    *    contract's general ban on cross-engine transcendentals.
+    *
+    * Scale: one map-side-combinable hash aggregate to (type, day, 256)
+    * cells — the shuffle carries registers, never members — then a
+    * group-count-sized max-merge and a 256-row-per-type sum. */
+  private val hllRankSql: String =
+    """CASE WHEN t = '' THEN 57 ELSE (14 - length(t)) * 4 +
+      CASE substring(t, 1, 1)
+        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        ELSE 0 END + 1 END"""
+
+  private val hllRawSql: String =
+    """0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 *
+      CAST(144115188075855872 AS DOUBLE) / CAST(reg_sum AS DOUBLE)"""
+
+  private val hllEstSql: String =
+    s"""ROUND(CASE WHEN ($hllRawSql) <= 640.0E0 AND zero_buckets > 0
+      THEN 256.0E0 * ln(256.0E0 / CAST(zero_buckets AS DOUBLE))
+      ELSE ($hllRawSql) END, 6)"""
+
+  /** (event_type, day, bucket, m) daily register pages from the events
+    * feed — the mergeable unit. */
+  private[graft] def hllDailyRegisters(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)"))
+      .withColumn("t", regexp_replace(expr("substring(h, 3, 14)"), "^0*", ""))
+      .withColumn("rank", expr(hllRankSql))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rank")).as("m"))
+
+  val q178 = QueryDef(
+    "q178_deterministic_hll",
+    (spark, dir) => {
+      val daily = hllDailyRegisters(spark, dir)
+      val merged = daily.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val days = daily.select(col("event_type"), col("day")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("days_merged"))
+      merged.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast(IntegerType).as("present_buckets"),
+          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - m) AS DECIMAL(38,0))"))
+            .as("s_present"))
+        .withColumn("zero_buckets", (lit(256) - col("present_buckets")).cast(IntegerType))
+        .withColumn("reg_sum",
+          col("s_present") + col("zero_buckets").cast(DecimalType(38, 0)) *
+            expr("CAST(144115188075855872 AS DECIMAL(38,0))"))
+        .join(days, "event_type")
+        .select(col("event_type"), col("days_merged"),
+          col("present_buckets"), col("zero_buckets"),
+          expr(hllEstSql).as("est_users"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some(s"""WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events),
+    r AS (
+      SELECT event_type, day,
+        CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+        regexp_replace(substr(h, 3, 14), '^0*', '') AS t
+      FROM h),
+    daily AS (
+      SELECT event_type, day, bucket,
+        MAX($hllRankSql) AS m
+      FROM r GROUP BY event_type, day, bucket),
+    merged AS (
+      SELECT event_type, bucket, MAX(m) AS m
+      FROM daily GROUP BY event_type, bucket),
+    stats AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS INT) AS present_buckets,
+        CAST(256 - COUNT(*) AS INT) AS zero_buckets,
+        SUM((CAST(1 AS BIGINT) << (57 - m))::HUGEINT)
+          + (256 - COUNT(*))::HUGEINT * 144115188075855872::HUGEINT AS reg_sum
+      FROM merged GROUP BY event_type),
+    days AS (
+      SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS days_merged
+      FROM daily GROUP BY event_type)
+    SELECT s.event_type, d.days_merged, s.present_buckets, s.zero_buckets,
+      $hllEstSql AS est_users
+    FROM stats s JOIN days d ON s.event_type = d.event_type
+    ORDER BY s.event_type ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q124
   /** Equi-DEPTH histogram of order value — decile cells each holding
     * n/10 rows, the quantile-profiling dual of q111's equi-width bins
@@ -2454,5 +2570,5 @@ object Analytic extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176)
+      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178)
 }

@@ -1005,4 +1005,86 @@ class AnalyticSpec extends SparkTestBase {
     // must also be reachable at zero rows)
     assert(Analytic.kCore(fake, k = 3).count() == 0L)
   }
+
+  test("q178: deterministic-HLL ranks match a JVM md5 recompute exactly") {
+    val daily = Analytic.hllDailyRegisters(spark, sf0001)
+    // rebuild every (type, day, bucket) register naively on the driver
+    val events = Tables(spark, sf0001).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("uid"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def rank(h: String): Int = {
+      val t = h.substring(2, 16).dropWhile(_ == '0')
+      if (t.isEmpty) 57
+      else (14 - t.length) * 4 + Integer.numberOfLeadingZeros(
+        Integer.parseInt(t.substring(0, 1), 16)) - 28 + 1
+    }
+    val expected = events.map { case (et, day, uid) =>
+      val h = md5hex(uid)
+      ((et, day, Integer.parseInt(h.substring(0, 2), 16)), rank(h))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val got = daily.collect()
+      .map(r => ((r.getString(0), r.getDate(1), r.getInt(2)), r.getInt(3))).toMap
+    assert(got == expected,
+      s"first diff: ${got.collectFirst { case (k, v) if expected.get(k) != Some(v) => (k, v, expected.get(k)) }}")
+  }
+
+  test("q178: daily max-merge equals a direct single-pass register build (union law)") {
+    val daily = Analytic.hllDailyRegisters(spark, sf0001)
+    val merged = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("m")).as("m")).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getInt(2))).toMap
+    // direct build: same registers computed with no daily page in between
+    val direct = Tables(spark, sf0001).events
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)"))
+      .withColumn("t", regexp_replace(expr("substring(h, 3, 14)"), "^0*", ""))
+      .withColumn("rank", expr(
+        """CASE WHEN t = '' THEN 57 ELSE (14 - length(t)) * 4 +
+          CASE substring(t, 1, 1)
+            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+            ELSE 0 END + 1 END"""))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rank")).as("m"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(merged == direct, "daily-paged union diverged from the single-pass registers")
+  }
+
+  test("q178: estimate lands within HLL error of the exact distinct count") {
+    val exact = Tables(spark, sf0001).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Analytic.q178.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.map(_._1).toSet == exact.keySet)
+    got.foreach { case (et, days, present, zeros, est) =>
+      assert(present + zeros == 256)
+      assert(days >= 1)
+      val n = exact(et).toDouble
+      // raw regime: σ ≈ 1.04/√256 = 6.5% (3σ ≈ 20%); linear-counting
+      // regime (n ≪ m) is tighter still — 30% covers both with margin
+      assert(est > n * 0.7 && est < n * 1.3,
+        s"$et: est $est vs exact $n (present=$present)")
+    }
+  }
+
+  test("q178: linear-counting values clear the 6-dp rounding boundary (cross-engine ln safety)") {
+    // the determinism argument for using ln() across engines: its
+    // argument set is exactly {256/z : z ∈ 1..255}, and every resulting
+    // estimate sits far enough from a ROUND(·, 6) boundary that a
+    // few-ulp libm disagreement (≤ ~1e-12 at these magnitudes) cannot
+    // flip the rounded value. Threshold 1e-3 micro-units = 1e-9 abs,
+    // ≥ 3 orders of magnitude above any libm spread.
+    for (z <- 1 to 255) {
+      val scaled = 256.0 * math.log(256.0 / z) * 1e6
+      val frac = scaled - math.floor(scaled)
+      val distToBoundary = math.abs(frac - 0.5)
+      assert(distToBoundary > 1e-3,
+        s"zeros=$z: 256·ln(256/$z) lands ${distToBoundary} micro-units from a rounding boundary")
+    }
+  }
 }
