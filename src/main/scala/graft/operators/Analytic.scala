@@ -886,17 +886,27 @@ object Analytic extends QueryPack {
       THEN 256.0E0 * ln(256.0E0 / CAST(zero_buckets AS DOUBLE))
       ELSE ($hllRawSql) END, 6)"""
 
-  /** (event_type, day, bucket, m) daily register pages from the events
-    * feed — the mergeable unit. */
-  private[graft] def hllDailyRegisters(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        md5(col("user_id").cast("string")).as("h"))
+  /** Register pages over an arbitrary `(page key..., key)` frame: one
+    * (pageKeys..., bucket, max rank) row per touched register — the
+    * mergeable unit. `key` must already be the hashed STRING identity
+    * (md5 input), so the same builder serves fixtures, specs and laws. */
+  private[graft] def hllRegistersOf(df: DataFrame, pageKeys: Seq[String],
+      key: String): DataFrame = {
+    val h = df.withColumn("h", md5(col(key).cast("string")))
       .withColumn("bucket", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)"))
       .withColumn("t", regexp_replace(expr("substring(h, 3, 14)"), "^0*", ""))
       .withColumn("rank", expr(hllRankSql))
-      .groupBy(col("event_type"), col("day"), col("bucket"))
+    h.groupBy((pageKeys :+ "bucket").map(col): _*)
       .agg(max(col("rank")).as("m"))
+  }
+
+  /** (event_type, day, bucket, m) daily register pages from the events
+    * feed — the mergeable unit. */
+  private[graft] def hllDailyRegisters(spark: SparkSession, dir: String): DataFrame =
+    hllRegistersOf(
+      Tables(spark, dir).events
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")),
+      Seq("event_type", "day"), "user_id")
 
   val q178 = QueryDef(
     "q178_deterministic_hll",

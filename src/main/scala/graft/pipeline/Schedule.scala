@@ -113,7 +113,7 @@ object Schedule {
   def apply(cron: String, tz: String): Schedule = Schedule(cron, ZoneId.of(tz))
 
   /** One cron field → membership set over [lo, hi]. */
-  private[pipeline] def parseField(f: String, lo: Int, hi: Int): Set[Int] = {
+  private[graft] def parseField(f: String, lo: Int, hi: Int): Set[Int] = {
     def rangeOf(atom: String): Seq[Int] = {
       val (base, step) = atom.split("/") match {
         case Array(b)    => (b, 1)

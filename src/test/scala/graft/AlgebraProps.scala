@@ -422,4 +422,74 @@ object AlgebraProps extends Properties("Algebra") {
         math.signum(q) * math.signum(vi) >= 0 &&
         math.abs(vi - recon) <= maxabs / 127 + 1
     }
+
+  // ---- q178 deterministic HLL: the merge-homomorphism law -------------
+  // registers are a pure function of the input SET, and the union of any
+  // page partition is the single-pass register table — on ANY corpus,
+  // ANY page assignment, WITH duplicates. This is what makes the daily
+  // pages safe to backfill/replay in any order.
+  private val genKeyed: Gen[List[(Int, Long)]] = // (page, key) with dup keys likely
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L)))
+
+  property("HLL register pages max-merge to the single-pass registers on any partition") =
+    forAll(genKeyed) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("page", "key")
+      val paged = graft.operators.Analytic
+        .hllRegistersOf(df, Seq("page"), "key")
+        .groupBy(col("bucket")).agg(max(col("m")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val direct = graft.operators.Analytic
+        .hllRegistersOf(df.select(lit(0).as("g"), col("key")), Seq("g"), "key")
+        .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+      paged == direct
+    }
+
+  property("HLL registers are a set function: duplicates and order never move them") =
+    forAll(genKeyed) { rows =>
+      val s = spark
+      import s.implicits._
+      def regs(l: List[(Int, Long)]) = graft.operators.Analytic
+        .hllRegistersOf(l.toDF("page", "key").select(lit(0).as("g"), col("key")),
+          Seq("g"), "key")
+        .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+      regs(rows) == regs(scala.util.Random.shuffle(rows ++ rows))
+    }
+
+  // ---- Schedule: cron interval arithmetic laws -------------------------
+  private val genCron: Gen[String] = for {
+    m <- Gen.oneOf("0", "30", "*/20", "5,35")
+    h <- Gen.oneOf("*", "3", "0-5", "*/6")
+    dow <- Gen.oneOf("*", "1-5", "0", "3,6")
+  } yield s"$m $h * * $dow"
+
+  private val genZone: Gen[String] =
+    Gen.oneOf("UTC", "Asia/Seoul", "America/New_York")
+
+  property("Schedule.firesBetween: strictly increasing, in (start, until], field-matching") =
+    forAll(genCron, genZone, Gen.chooseNum(0L, 200L)) { (cron, tz, dayOff) =>
+      import java.time.Instant
+      val sch = graft.pipeline.Schedule(cron, tz)
+      val start = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(dayOff * 86400)
+      val until = start.plusSeconds(10 * 86400)
+      val fires = sch.firesBetween(start, until)
+      val sorted = fires == fires.sorted && fires.distinct == fires
+      val bounded = fires.forall(f => f.isAfter(start) && !f.isAfter(until))
+      val fieldsMatch = fires.forall { f =>
+        val z = f.atZone(java.time.ZoneId.of(tz))
+        // re-deriving membership from the cron string's own grammar
+        val mins = graft.pipeline.Schedule.parseField(cron.split("\\s+")(0), 0, 59)
+        val hrs = graft.pipeline.Schedule.parseField(cron.split("\\s+")(1), 0, 23)
+        val dows = graft.pipeline.Schedule.parseField(cron.split("\\s+")(4), 0, 7)
+          .map(d => if (d == 7) 0 else d)
+        mins(z.getMinute) && hrs(z.getHour) &&
+          (cron.split("\\s+")(4) == "*" || dows(z.getDayOfWeek.getValue % 7))
+      }
+      // chaining nextFire reproduces the same list (consistency law)
+      val chained = Iterator.iterate(Option(start))(o =>
+          o.flatMap(t => sch.nextFire(t).filter(f => !f.isAfter(until))))
+        .drop(1).takeWhile(_.isDefined).map(_.get).toSeq
+      sorted && bounded && fieldsMatch && fires == chained
+    }
 }

@@ -69,6 +69,15 @@ class GraftExtensionsSpec extends SparkTestBase {
           "graft_sorted_intersect_count(array(1L,3L,5L,7L), array(3L,4L,7L)) AS n")
         .collect()(0)
       assert(si.getSeq[Long](0) == Seq(3L, 7L) && si.getLong(1) == 2L)
+      // nullable-element arrays are REJECTED at analysis (getLong over a
+      // null slot would read garbage — the enforced no-nulls contract)
+      Seq(
+        "SELECT graft_sorted_intersect(array(1L, CAST(NULL AS BIGINT)), array(1L))",
+        "SELECT graft_sorted_intersect_count(array(1L), array(CAST(NULL AS BIGINT)))")
+        .foreach { q =>
+          val e = intercept[org.apache.spark.sql.AnalysisException](s2.sql(q).collect())
+          assert(e.getMessage.contains("non-nullable"), s"$q: ${e.getMessage}")
+        }
       // graft_array_stats: one-pass multiplicity profile of a long array
       val as = s2.sql(
         "SELECT graft_array_stats(array(1L, 2L, 1L, 1L, 3L)) AS s").collect()(0)
