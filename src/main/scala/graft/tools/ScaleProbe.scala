@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * delta | winnow | analytic | all. `all` runs only the three BASELINE-table
-  * sections (docs, curation, ann); the targeted modes (annwall, ivf,
-  * sketch, bucket, delta, winnow) are one-off measurement protocols run
-  * by name.
+  * backfill | delta | edelta | scrub | winnow | analytic | pagerank | cdf | all.
+  * `all` runs only the three BASELINE-table sections (docs, curation,
+  * ann); the targeted modes are one-off measurement protocols run by
+  * name.
   *
   * Each factor f replicates every document f×: replica 0 is the
   * original, replicas 1..f−1 append a distinct tail token, so every
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -359,6 +359,53 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save())
         println(f"SCALE-JOINVIEW f=$f orders=${ro.count()} lineitem=${rl.count()} " +
           f"refresh=$tRefresh%.2f full=$tFull%.2f")
+      }
+    }
+
+    // ---- backfill/catchup (q177): the claim to quantify is that ONE
+    // day's replay cost is FLAT as the landed history grows (each replay
+    // statically prunes to one partition), while the full-history state
+    // rebuild grows with it — the reason catchup replays days instead of
+    // rescanning. History grows by time-shifting the events feed f× (30f
+    // distinct days), landed as a real day-partitioned tree first so the
+    // measurement is scan+aggregate+overwrite, not synthesis.
+    if (mode == "backfill") {
+      val ev0 = graft.Tables(spark, sfDir).events
+        .select(col("ts"), col("event_type"), col("value"))
+      factors.foreach { f =>
+        val grown = (
+          if (f == 1) ev0
+          else ev0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+            .select(expr("timestampadd(DAY, CAST(i * 30 AS INT), ts)").as("ts"),
+              col("event_type"), col("value"))
+        ).localCheckpoint()
+        val root = java.nio.file.Files.createTempDirectory("graft_backfill_probe").toString
+        grown.withColumn("day", to_date(col("ts")))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(s"$root/tree")
+        val tree = spark.read.parquet(s"$root/tree")
+        val nDays = tree.select(col("day")).distinct().count()
+        val last = tree.agg(max(col("day"))).collect()(0).getDate(0)
+        def partials(d: DataFrame) = d
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("sum_value_dec"))
+        // warm measurement: run each write twice, report the second —
+        // the first pays codegen/JIT, which would otherwise swamp the
+        // one-partition replay at small factors
+        def replayOnce() = timed(
+          partials(tree.filter(col("day") === lit(last)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day").parquet(s"$root/state"))._2
+        def fullOnce() = timed(
+          partials(tree).write.mode("overwrite").parquet(s"$root/full"))._2
+        replayOnce(); fullOnce()
+        val tDay = replayOnce()
+        val tFull = fullOnce()
+        println(f"SCALE-BACKFILL f=$f days=$nDays replay_one_day=$tDay%.2f " +
+          f"full_rebuild=$tFull%.2f")
       }
     }
 

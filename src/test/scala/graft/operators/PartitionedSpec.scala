@@ -233,6 +233,18 @@ class PartitionedSpec extends SparkTestBase {
     assert(ran2.isEmpty)
   }
 
+  test("q177: one day's replay scan reads exactly 1 of 30 partitions") {
+    val s2 = planSession()
+    val days = Partitioned.dayDim(s2, sf0001).select(col("day"))
+      .collect().map(_.getDate(0))
+    val df = Partitioned.dayPartials(s2, sf0001, days(days.length / 2))
+    val scan = eventsScan(df)
+    df.collect()
+    val read = scan.metrics("numPartitions").value
+    assert(read == 1,
+      s"replay scan read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q177: day-by-day replayed state merges to the full recompute (q98 parity)") {
     val got = Partitioned.q177.fn(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
