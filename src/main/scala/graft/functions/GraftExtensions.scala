@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) =>
         SimHash64(arity(exprs, 1, "graft_simhash64(tokens)").head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getName, "graft_byte_histogram"),
+      (exprs: Seq[Expression]) =>
+        ByteHistogram(arity(exprs, 1, "graft_byte_histogram(blob)").head)))
     e.injectFunction((
       FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -22,6 +22,13 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 1, "graft_simhash64(tokens) takes one argument")
         SimHash64(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_byte_histogram",
+      exprs => {
+        require(exprs.length == 1, "graft_byte_histogram(blob) takes one argument")
+        ByteHistogram(exprs.head)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

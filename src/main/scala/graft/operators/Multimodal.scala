@@ -231,5 +231,94 @@ object Multimodal extends QueryPack {
     GROUP BY format
     ORDER BY format ASC NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q46, q47, q48, q172)
+  // --------------------------------------------------------------- q179
+  /** Per-asset feature row from [[byteFeaturesBatched]]'s schema
+    * contract — what a real feature extractor's output must keep. */
+  final case class BlobFeatures(doc_id: Long, n_bytes: Long,
+      hist: Array[Long], top_bin: Int)
+
+  /** The imperative feature-extract path a real kernel plugs into
+    * (the [[decodeMetaBatched]] pattern applied to the feature slot):
+    * `mapPartitions` over the binary column, one JVM byte loop per blob,
+    * zero driver involvement. Computes the SAME 16-bin histogram as the
+    * native `graft_byte_histogram`, so MultimodalSpec pins the two paths
+    * to identical output — swapping in a real extractor is replacing the
+    * loop body with partitioning, schema and batch shape already proven. */
+  private[graft] def byteFeaturesBatched(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val counts = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) { counts((bytes(i) & 0xFF) >> 4) += 1L; i += 1 }
+          var top = 0
+          var j = 1
+          while (j < 16) { if (counts(j) > counts(top)) top = j; j += 1 }
+          BlobFeatures(id, bytes.length.toLong, counts, top)
+        }
+      }.toDF()
+  }
+
+  /** Feature extraction — the third multimodal batch-kernel slot next to
+    * decode (q47) and frame sampling (q48): every asset reduced to a
+    * fixed-width numeric feature row (here the 16-bin coarse byte
+    * histogram — a real extractor emits embeddings/moments through the
+    * identical shape). Registered path is the native
+    * [[graft.functions.expressions.ByteHistogram]] (one JIT byte loop
+    * per row inside whole-stage codegen — never a per-byte
+    * explode+substring walk); the imperative twin
+    * [[byteFeaturesBatched]] is the real-kernel swap-in point,
+    * spec-pinned to identical output. Histogram ships comma-joined per
+    * the q35 scalar-output protocol; `top_bin` is the argmax with the
+    * tie-to-lowest rule both engines share (`array_position` finds the
+    * FIRST maximal bin). Map-only + total sort: the q01 scan class at
+    * 100 TB. */
+  val q179 = QueryDef(
+    "q179_byte_features",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val d = Tables(spark, dir).documents
+        .withColumn("blob", col("text").cast("binary"))
+      d.select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          call_function("graft_byte_histogram", col("blob")).as("h"))
+        .select(col("doc_id"), col("n_bytes"),
+          array_join(transform(col("h"), c => c.cast("string")), ",").as("hist_csv"),
+          (array_position(col("h"), array_max(col("h"))) - 1)
+            .cast(IntegerType).as("top_bin"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS nb
+      FROM documents),
+    bt AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS INTEGER) // 16 AS bin
+      FROM b, UNNEST(range(1, CAST(nb AS BIGINT) + 1)) AS r(i)),
+    hist AS (
+      SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bt GROUP BY doc_id, bin),
+    fl AS (
+      SELECT d.doc_id, g.bin, COALESCE(h.c, 0) AS c
+      FROM (SELECT DISTINCT doc_id FROM b) d
+      CROSS JOIN range(0, 16) AS g(bin)
+      LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = g.bin),
+    ranked AS (
+      SELECT doc_id, bin, c,
+        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin ASC) AS rn
+      FROM fl)
+    SELECT f.doc_id,
+      CAST(b.nb AS BIGINT) AS n_bytes,
+      string_agg(CAST(f.c AS VARCHAR), ',' ORDER BY f.bin) AS hist_csv,
+      CAST(MIN(CASE WHEN r.rn = 1 THEN r.bin END) AS INTEGER) AS top_bin
+    FROM fl f
+    JOIN b ON b.doc_id = f.doc_id
+    JOIN ranked r ON r.doc_id = f.doc_id AND r.bin = f.bin
+    GROUP BY f.doc_id, b.nb
+    ORDER BY f.doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q46, q47, q48, q172, q179)
 }

@@ -103,4 +103,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(tot.exists(_._2 > 0) && tot.exists(_._3 > 0) && tot.exists(_._4 > 0))
     assert(tot.forall(v => v._5 > 0 && v._5 < v._1))
   }
+
+  test("q179: batched imperative feature kernel ≡ native graft_byte_histogram; JVM recompute agrees") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables(spark, sf0001).documents
+      .withColumn("blob", org.apache.spark.sql.functions.col("text").cast("binary"))
+    val batched = Multimodal.byteFeaturesBatched(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toSeq, r.getInt(3)))).toMap
+    val native = Multimodal.q179.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getString(2).split(",", -1).toSeq.map(_.toLong), r.getInt(3)))).toMap
+    assert(batched == native,
+      s"first diff: ${batched.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) }}")
+    // and both equal a driver-side recompute from the raw bytes
+    val raw = graft.Tables(spark, sf0001).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val expected = raw.map { case (id, bytes) =>
+      val counts = new Array[Long](16)
+      bytes.foreach(b => counts((b & 0xFF) >> 4) += 1L)
+      id -> ((bytes.length.toLong, counts.toSeq, counts.indexOf(counts.max)))
+    }.toMap
+    assert(native == expected)
+    // invariants every consumer relies on: 16 bins, Σ = n_bytes
+    native.foreach { case (id, (nb, hist, top)) =>
+      assert(hist.length == 16 && hist.sum == nb && top >= 0 && top < 16, s"doc $id")
+    }
+  }
 }
