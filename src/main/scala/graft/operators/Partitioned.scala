@@ -573,5 +573,61 @@ object Partitioned extends QueryPack {
     },
     q98.oracle)
 
-  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164, q170, q177)
+  // --------------------------------------------------------------- q180
+  /** Scheduled-run ledger — the operational view `Pipeline.catchup`
+    * diffs, as an oracle-checked QUERY: one row per interval the cron
+    * schedule says should have run (hourly here — the events fixture has
+    * real gap hours, so missed runs are live at every SF), with whether
+    * data landed and how much. This is the monitoring table a data-ops
+    * team reads before triggering a backfill (q177), and it exercises
+    * the `pipeline.Schedule` cron engine END-TO-END against an
+    * independent oracle: every fire time `firesBetween` emits must match
+    * DuckDB's `generate_series` hour walk exactly, or the hash compare
+    * fails.
+    *
+    * Determinism: the span anchors are the feed's min/max µs timestamps
+    * (two collected scalars — the lastDay pattern); fires are strictly
+    * after the first event and at-or-before the last, minute-0 UTC;
+    * outputs are epoch BIGINTs (no raw timestamps, contract rule).
+    *
+    * Scale: the ledger frame is schedule-sized BY DEFINITION (one row
+    * per interval — a year of hourly runs is 8,760 rows), so building it
+    * driver-side and broadcasting is the dimension-table move; the only
+    * corpus-scale work is the per-hour count aggregate. */
+  val q180 = QueryDef(
+    "q180_run_ledger",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables(spark, dir).events
+      val Row2 = e.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
+      val (lo, hi) = (Row2.getTimestamp(0), Row2.getTimestamp(1))
+      val sched = graft.pipeline.Schedule("0 * * * *", "UTC")
+        .firesBetween(lo.toInstant, hi.toInstant)
+        .map(_.getEpochSecond)
+      val ledger = sched.toDF("hour_epoch")
+      val hourly = e.groupBy(unix_timestamp(date_trunc("hour", col("ts")))
+          .as("hour_epoch"))
+        .agg(count(lit(1)).as("n"))
+      ledger.join(hourly, Seq("hour_epoch"), "left")
+        .select(col("hour_epoch"),
+          when(col("n").isNotNull, 1).otherwise(0).cast(org.apache.spark.sql.types.IntegerType).as("ran"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("hour_epoch"))
+    },
+    Some("""WITH span AS (
+      SELECT date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR AS lo,
+        date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    sched AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+    SELECT epoch_ns(s.h) // 1000000000 AS hour_epoch,
+      CAST(CASE WHEN hourly.n IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS ran,
+      COALESCE(hourly.n, 0) AS n_events
+    FROM sched s LEFT JOIN hourly ON hourly.h = s.h
+    ORDER BY hour_epoch"""))
+
+  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164, q170, q177, q180)
 }

@@ -192,6 +192,31 @@ class PartitionedSpec extends SparkTestBase {
     assert(spark.read.parquet(p2).count() == n1)
   }
 
+  test("q180: run ledger covers every scheduled hour; missed runs are LIVE; counts conserve") {
+    val rows = Partitioned.q180.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // contiguous hourly schedule: exactly one row per hour in the span
+    val hours = rows.map(_._1)
+    assert(hours.toSeq == (hours.min to hours.max by 3600L).toSeq,
+      "ledger is not one row per scheduled hour")
+    // the fixture has real gap hours (the q90/q91 premise) — missed runs
+    // must be live, or a schedule regression could pass silently
+    assert(rows.exists(_._2 == 0), "no missed run in the fixture ledger")
+    assert(rows.exists(_._2 == 1))
+    // ran flag ≡ landed data; missed hours carry zero events; totals
+    // conserve against the raw feed minus the pre-first-fire fringe
+    rows.foreach { case (h, ran, n) =>
+      assert((ran == 1) == (n > 0), s"hour $h: ran=$ran n=$n")
+    }
+    val e = graft.Tables(spark, sf0001).events
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .collect().map(_.getLong(0))
+    val inSpan = e.count(h => h >= hours.min && h <= hours.max)
+    assert(rows.map(_._3).sum == inSpan.toLong,
+      "ledger event counts do not conserve over the scheduled span")
+  }
+
   private def stateSnapshot(path: String): Set[(java.sql.Date, String, Long, java.math.BigDecimal, Double, Double)] =
     spark.read.parquet(path)
       .select(col("day"), col("event_type"), col("n_events"),
