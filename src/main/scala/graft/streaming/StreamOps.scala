@@ -1517,6 +1517,107 @@ class HllDayProcessor extends StatefulProcessor[Int, DayUser, DistinctGauge] {
   }
 }
 
+/** One live event routed to its deterministic-HLL key. */
+case class HllKeyUser(eventType: String, userId: Long)
+
+/** One deterministic-HLL emission per touched type per micro-batch. */
+case class HllGauge(eventType: String, presentBuckets: Int, estUsers: Double)
+
+/** Streaming deterministic HLL — the live cell of the q178 pattern, next
+  * to [[StreamDistinct]]'s library-sketch gauge: the SAME md5
+  * bucket/rank registers batch q178 builds, maintained per event type in
+  * `transformWithState` as 256 BYTES of state forever (rank ≤ 57 fits a
+  * byte). Registers are a pure function of the input SET (per-bucket
+  * max), so arrival order, duplicates and micro-batch boundaries cannot
+  * move them — the end-of-stream gauge equals batch q178's
+  * (present_buckets, est_users) row exactly (spec-asserted across a
+  * batch boundary), including the identical two-branch estimator: the
+  * raw-harmonic arithmetic replays the SQL op sequence on the same
+  * exact integers, and the linear-counting ln() is safe at 6 dp by the
+  * same 255-argument boundary-margin proof. */
+object StreamHllDeterministic {
+
+  /** (type, user) rows — narrow ops only; static or streaming. */
+  def keyUsers(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("eventType"), col("user_id").as("userId"))
+
+  /** The stateful per-type register machine over [[keyUsers]] rows. */
+  def gauge(rows: DataFrame): Dataset[HllGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("eventType"), col("userId")).as[HllKeyUser]
+      .groupByKey(_.eventType)
+      .transformWithState(new DetHllProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-type deterministic register machine behind
+  * [[StreamHllDeterministic]]. */
+class DetHllProcessor extends StatefulProcessor[String, HllKeyUser, HllGauge] {
+  @transient private var st: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Array[Byte]]("regs", Encoders.BINARY, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[HllKeyUser],
+      timerValues: TimerValues): Iterator[HllGauge] = {
+    val regs = if (st.exists()) st.get() else new Array[Byte](256)
+    val md = DetHllProcessor.digest.get()
+    rows.foreach { r =>
+      md.reset()
+      val dig = md.digest(r.userId.toString.getBytes("UTF-8"))
+      val bucket = dig(0) & 0xFF
+      // rank = leading zeros of the next 56 bits (dig bytes 1..7) + 1 —
+      // identical to q178's hex derivation (4·hexZeros + nibbleZeros + 1)
+      var rank = 1
+      var i = 1
+      var done = false
+      while (i < 8 && !done) {
+        val b = dig(i) & 0xFF
+        if (b == 0) rank += 8
+        else { rank += Integer.numberOfLeadingZeros(b) - 24; done = true }
+        i += 1
+      }
+      if (!done) rank = 57 // all 56 bits zero
+      if (rank > (regs(bucket) & 0xFF)) regs(bucket) = rank.toByte
+    }
+    st.update(regs)
+    Iterator.single(HllGauge(key, DetHllProcessor.present(regs),
+      DetHllProcessor.estimate(regs)))
+  }
+}
+
+object DetHllProcessor {
+  private[streaming] val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[streaming] def present(regs: Array[Byte]): Int = regs.count(_ != 0)
+
+  /** Batch q178's estimator on a register array — the SAME op sequence
+    * as the SQL (`hllRawSql`/`hllEstSql`): exact-integer harmonic sum →
+    * one correctly-rounded double conversion → the identical E0-literal
+    * arithmetic, with the linear-counting branch under raw ≤ 2.5m. */
+  private[streaming] def estimate(regs: Array[Byte]): Double = {
+    var s = java.math.BigInteger.ZERO
+    var j = 0
+    while (j < 256) {
+      s = s.add(java.math.BigInteger.ONE.shiftLeft(57 - (regs(j) & 0xFF)))
+      j += 1
+    }
+    val zeros = 256 - present(regs)
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      144115188075855872L.toDouble / s.doubleValue()
+    val est =
+      if (raw <= 640.0 && zeros > 0) 256.0 * math.log(256.0 / zeros)
+      else raw
+    java.math.BigDecimal.valueOf(est)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
 /** The per-cell running counter behind [[StreamDrift]]. */
 class BinCellProcessor extends StatefulProcessor[Int, BinRow, BinCount] {
   @transient private var st: ValueState[Long] = _

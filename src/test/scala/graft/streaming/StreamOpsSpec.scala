@@ -955,6 +955,48 @@ class StreamOpsSpec extends SparkTestBase {
       "no day re-emitted a grown estimate; state carry untested")
   }
 
+  test("deterministic HLL gauge: end-of-stream registers equal batch q178 exactly") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    // ordered by user so the SECOND batch introduces users (and thus
+    // registers) the first one never saw — the fixture's ~15 users per
+    // type would otherwise all land in batch 1 and leave the
+    // cross-boundary growth probe vacuous
+    val rows = StreamHllDeterministic.keyUsers(graft.Tables(s2, sf0001).events)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._2)
+    val in = MemoryStream[(String, Long)](newProductEncoder[(String, Long)], s2.sqlContext)
+    val q = StreamHllDeterministic.gauge(in.toDF().toDF("eventType", "userId"))
+      .writeStream.outputMode("append").format("memory").queryName("dethll")
+      .start()
+    in.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // registers only grow → present is monotone; take each type's final
+    // emission (max present, its estimate)
+    val streamed = s2.table("dethll").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(v => v.maxBy(_._2)).toMap
+      .map { case (k, (_, p, e)) => k -> ((p, e)) }
+    // batch q178 (daily pages max-merged — the union law makes the two
+    // register sets identical) at the same fixture
+    val batch = graft.operators.Analytic.q178.fn(s2, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getDouble(4)))).toMap
+    assert(streamed == batch,
+      s"stream/batch deterministic-HLL divergence: only-stream=" +
+        s"${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+    // cross-boundary growth: some type re-emitted a grown register set
+    val perType = s2.table("dethll").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perType.values.exists(_.size > 1),
+      "no type re-emitted grown registers; state carry untested")
+  }
+
   test("freshness monitor: final per-feed anchors equal batch q145's last-seen and totals") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
