@@ -908,29 +908,41 @@ object Analytic extends QueryPack {
         .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")),
       Seq("event_type", "day"), "user_id")
 
+  /** Register pages → the per-type gauge: max-merge to one register set
+    * per type, exact harmonic state, two-branch estimate. Shared by
+    * q178 (pages built from the full feed) and q181 (stored pages + one
+    * pruned-partition delta page) — the IVM pair's common finishing
+    * stage, so the two queries cannot drift. CALLERS CUT the pages
+    * frame first (cut-per-consumer rule): this stage consumes it twice
+    * (register merge + day count), and an uncut feed-derived page frame
+    * would re-scan its corpus for each consumer. */
+  private[graft] def hllGaugeOf(pages: DataFrame): DataFrame = {
+    val merged = pages.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+    val days = pages.select(col("event_type"), col("day")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("days_merged"))
+    merged.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("present_buckets"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - m) AS DECIMAL(38,0))"))
+          .as("s_present"))
+      .withColumn("zero_buckets", (lit(256) - col("present_buckets")).cast(IntegerType))
+      .withColumn("reg_sum",
+        col("s_present") + col("zero_buckets").cast(DecimalType(38, 0)) *
+          expr("CAST(144115188075855872 AS DECIMAL(38,0))"))
+      .join(days, "event_type")
+      .select(col("event_type"), col("days_merged"),
+        col("present_buckets"), col("zero_buckets"),
+        expr(hllEstSql).as("est_users"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val q178 = QueryDef(
     "q178_deterministic_hll",
-    (spark, dir) => {
-      val daily = hllDailyRegisters(spark, dir)
-      val merged = daily.groupBy(col("event_type"), col("bucket"))
-        .agg(max(col("m")).as("m"))
-      val days = daily.select(col("event_type"), col("day")).distinct()
-        .groupBy(col("event_type")).agg(count(lit(1)).as("days_merged"))
-      merged.groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).cast(IntegerType).as("present_buckets"),
-          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - m) AS DECIMAL(38,0))"))
-            .as("s_present"))
-        .withColumn("zero_buckets", (lit(256) - col("present_buckets")).cast(IntegerType))
-        .withColumn("reg_sum",
-          col("s_present") + col("zero_buckets").cast(DecimalType(38, 0)) *
-            expr("CAST(144115188075855872 AS DECIMAL(38,0))"))
-        .join(days, "event_type")
-        .select(col("event_type"), col("days_merged"),
-          col("present_buckets"), col("zero_buckets"),
-          expr(hllEstSql).as("est_users"))
-        .orderBy(col("event_type").asc_nulls_first)
-    },
+    // pages cut before the two-consumer finishing stage: ONE feed scan
+    // builds the ≤ types×days×256-row page frame, the gauge reads the
+    // materialization twice
+    (spark, dir) => hllGaugeOf(graft.Materialize.cut(hllDailyRegisters(spark, dir))),
     Some(s"""WITH h AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
         md5(CAST(user_id AS VARCHAR)) AS h

@@ -629,5 +629,67 @@ object Partitioned extends QueryPack {
     FROM sched s LEFT JOIN hourly ON hourly.h = s.h
     ORDER BY hour_epoch"""))
 
-  override def queries: Seq[QueryDef] = Seq(q92, q96, q98, q164, q170, q177, q180)
+  // --------------------------------------------------------------- q181
+  /** Stored deterministic-HLL register pages for every day BEFORE the
+    * latest — the distinct-counting analogue of [[ensureAggState]]'s
+    * sum/count partials: ≤ days × types × 256 tiny rows, landed once;
+    * every day after, the incremental path touches ONE partition. This
+    * is q123's "rollups union stored sketches, never rescan history"
+    * pattern with q178's fully ORACLE-CHECKED register encoding. */
+  private[graft] def ensureHllState(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/hll_state_$tag"
+      if (!landed(path)) {
+        val last = lastDay(spark, dir)
+        Analytic.hllRegistersOf(
+            eventsByDay(spark, dir).filter(col("day") < lit(last))
+              .select(col("event_type"), col("day"), col("user_id")),
+            Seq("event_type", "day"), "user_id")
+          .write.mode("overwrite").parquet(path)
+        landed += path
+      }
+      path
+    }
+
+  /** The latest day's register page, PRE-cut — the frame the pruning
+    * plan assertion inspects (a cut truncates the executed plan, so the
+    * one-partition guarantee must be asserted here, PlanSpec-style). */
+  private[graft] def hllDeltaPage(spark: SparkSession, dir: String): DataFrame =
+    Analytic.hllRegistersOf(
+      eventsByDay(spark, dir).filter(col("day") === lit(lastDay(spark, dir)))
+        .select(col("event_type"), col("day"), col("user_id")),
+      Seq("event_type", "day"), "user_id")
+
+  /** q181 pipeline: stored register pages + ONE pruned partition's delta
+    * page, through q178's shared finishing stage. The delta page is cut
+    * (types × 256 rows) before the two-consumer gauge so the day
+    * partition is scanned exactly once; the state read is a parquet
+    * scan of the tiny page table either way. */
+  private[graft] def incrementalHllPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val state = spark.read.parquet(ensureHllState(spark, dir))
+    Analytic.hllGaugeOf(
+      state.unionByName(graft.Materialize.cut(hllDeltaPage(spark, dir))))
+  }
+
+  /** Incremental distinct-count maintenance — the IVM row for unique
+    * counting, FULLY oracle-checked: the stored per-(type, day) register
+    * pages are merged with a delta page computed from ONLY the latest
+    * day's directory (static pruning to 1 of 30 partitions,
+    * plan-asserted), and because registers max-merge (the AlgebraProps
+    * homomorphism law), the maintained gauge equals q178's full-feed
+    * recompute — which is exactly what the oracle states (q178's SQL
+    * verbatim, the q98/q164/q170 IVM-contract style). At 100 TB this is
+    * the difference between rescanning the full history for every daily
+    * unique-count refresh and scanning one day into a types × 256-row
+    * state update; unlike q123's library sketches, every value in the
+    * refreshed gauge hash-verifies cross-engine. */
+  val q181 = QueryDef(
+    "q181_incremental_hll",
+    (spark, dir) => incrementalHllPipeline(spark, dir),
+    Analytic.q178.oracle)
+
+  override def queries: Seq[QueryDef] =
+    Seq(q92, q96, q98, q164, q170, q177, q180, q181)
 }

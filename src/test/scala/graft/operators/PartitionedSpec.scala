@@ -192,6 +192,31 @@ class PartitionedSpec extends SparkTestBase {
     assert(spark.read.parquet(p2).count() == n1)
   }
 
+  test("q181: incremental register merge ≡ q178's full-feed recompute") {
+    val inc = Partitioned.q181.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    val full = Analytic.q178.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(inc.nonEmpty)
+    assert(inc.toSeq == full.toSeq,
+      "stored pages + one-day delta drifted from the full register recompute")
+  }
+
+  test("q181: the delta register page reads exactly 1 of 30 partitions") {
+    // asserted on the PRE-cut delta frame (the cut in the registered
+    // pipeline truncates the executed plan — the PlanSpec convention)
+    val s2 = planSession()
+    val df = Partitioned.hllDeltaPage(s2, sf0001)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "user_id") => f
+    }
+    assert(scans.size == 1, s"expected one fact scan:\n${df.queryExecution.executedPlan}")
+    df.collect()
+    val read = scans.head.metrics("numPartitions").value
+    assert(read == 1,
+      s"delta page read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q180: run ledger covers every scheduled hour; missed runs are LIVE; counts conserve") {
     val rows = Partitioned.q180.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
