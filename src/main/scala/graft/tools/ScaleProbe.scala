@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | delta | edelta | scrub | winnow | analytic | pagerank | cdf | all.
+  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -405,6 +405,54 @@ object ScaleProbe {
         val tDay = replayOnce()
         val tFull = fullOnce()
         println(f"SCALE-BACKFILL f=$f days=$nDays replay_one_day=$tDay%.2f " +
+          f"full_rebuild=$tFull%.2f")
+      }
+    }
+
+    // ---- incremental deterministic HLL (q181): the claim to quantify is
+    // the IVM crossover — the daily distinct-count refresh (stored pages
+    // + ONE day's delta page) stays flat as the landed history grows,
+    // while q178's full-feed register rebuild grows with it. Same grown
+    // day tree as the backfill probe; pages landed first (the state's
+    // one-time construction cost, not refresh cost).
+    if (mode == "hll") {
+      val ev0 = graft.Tables(spark, sfDir).events
+        .select(col("ts"), col("event_type"), col("user_id"))
+      factors.foreach { f =>
+        val grown = (
+          if (f == 1) ev0
+          else ev0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+            .select(expr("timestampadd(DAY, CAST(i * 30 AS INT), ts)").as("ts"),
+              col("event_type"),
+              // distinct users per epoch keep every replica's day pages
+              // registering new values (the worst case for state size)
+              (col("user_id") + col("i") * lit(1000000L)).as("user_id"))
+        ).localCheckpoint()
+        val root = java.nio.file.Files.createTempDirectory("graft_hll_probe").toString
+        grown.withColumn("day", to_date(col("ts")))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(s"$root/tree")
+        val tree = spark.read.parquet(s"$root/tree")
+        val nDays = tree.select(col("day")).distinct().count()
+        val last = tree.agg(max(col("day"))).collect()(0).getDate(0)
+        def pages(d: DataFrame) = Analytic.hllRegistersOf(
+          d.select(col("event_type"), col("day"), col("user_id")),
+          Seq("event_type", "day"), "user_id")
+        // landed state: every day before the last (one-time cost)
+        pages(tree.filter(col("day") < lit(last)))
+          .write.mode("overwrite").parquet(s"$root/state")
+        def refreshOnce() = timed(
+          Analytic.hllGaugeOf(
+            spark.read.parquet(s"$root/state").unionByName(
+              graft.Materialize.cut(pages(tree.filter(col("day") === lit(last))))))
+            .write.format("noop").mode("overwrite").save())._2
+        def fullOnce() = timed(
+          Analytic.hllGaugeOf(graft.Materialize.cut(pages(tree)))
+            .write.format("noop").mode("overwrite").save())._2
+        refreshOnce(); fullOnce() // warm (codegen) — report the second
+        val tInc = refreshOnce()
+        val tFull = fullOnce()
+        println(f"SCALE-HLL f=$f days=$nDays incremental_refresh=$tInc%.2f " +
           f"full_rebuild=$tFull%.2f")
       }
     }
