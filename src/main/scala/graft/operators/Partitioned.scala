@@ -55,6 +55,24 @@ object Partitioned extends QueryPack {
   private val lock = new Object
   private val landed = scala.collection.mutable.Set.empty[String]
 
+  /** Shared land-once memoization for every derived layout/state table in
+    * this pack: the target path is `root/<tagPrefix>_<md5(dir) prefix>`,
+    * `build` runs under the lock exactly once per (JVM, dir), and later
+    * calls return the landed path without touching storage. The md5 tag
+    * keys the layout to its SOURCE directory, so sf0.01 and sf0.1 runs in
+    * one JVM land side by side instead of clobbering each other. */
+  private[graft] def ensureLanded(tagPrefix: String, dir: String)(build: String => Unit): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/${tagPrefix}_$tag"
+      if (!landed(path)) {
+        build(path)
+        landed += path
+      }
+      path
+    }
+
   /** Idempotently lands `events` as a day-partitioned directory tree for
     * `dir` and returns the path. `repartition(day)` first, so every day
     * directory holds exactly one file (the dynamic-partition-insert
@@ -63,18 +81,11 @@ object Partitioned extends QueryPack {
     * keeps the layout readable). First call per (JVM, dir) pays the
     * write; later calls — and the bench's second pass — reuse it. */
   private[graft] def ensureEventsByDay(spark: SparkSession, dir: String): String =
-    lock.synchronized {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = s"$root/events_by_day_$tag"
-      if (!landed(path)) {
-        Tables(spark, dir).events
-          .withColumn("day", to_date(col("ts")))
-          .repartition(col("day"))
-          .write.mode("overwrite").partitionBy("day").parquet(path)
-        landed += path
-      }
-      path
+    ensureLanded("events_by_day", dir) { path =>
+      Tables(spark, dir).events
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
     }
 
   /** Reads the partitioned layout back; `day` comes from the directory
@@ -133,22 +144,15 @@ object Partitioned extends QueryPack {
     * scan is the state's construction cost; every day after that, the
     * incremental path below touches ONE partition. */
   private[graft] def ensureAggState(spark: SparkSession, dir: String): String =
-    lock.synchronized {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = s"$root/agg_state_$tag"
-      if (!landed(path)) {
-        val last = lastDay(spark, dir)
-        eventsByDay(spark, dir).filter(col("day") < lit(last))
-          .groupBy(col("day"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-              .as("sum_value_dec"),
-            min(col("value")).as("min_value"), max(col("value")).as("max_value"))
-          .write.mode("overwrite").parquet(path)
-        landed += path
-      }
-      path
+    ensureLanded("agg_state", dir) { path =>
+      val last = lastDay(spark, dir)
+      eventsByDay(spark, dir).filter(col("day") < lit(last))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("sum_value_dec"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .write.mode("overwrite").parquet(path)
     }
 
   /** q98 pipeline — incremental aggregate maintenance: merge the
@@ -520,12 +524,20 @@ object Partitioned extends QueryPack {
       .parquet(statePath)
 
   /** Days already landed in a backfill state table — from the partition
-    * directory listing only (no data files read), which is what makes
-    * restart-from-listing cheap at any scale. */
-  private[graft] def landedDays(spark: SparkSession, statePath: String): Set[java.sql.Date] =
-    if (!new java.io.File(statePath).exists()) Set.empty
-    else spark.read.parquet(statePath).select(col("day")).distinct()
-      .collect().map(_.getDate(0)).toSet
+    * directory listing only: one FileSystem `listStatus` on the state
+    * root, parsing `day=YYYY-MM-DD` directory names. No Spark job, no
+    * parquet footer reads — which is what makes restart-from-listing
+    * cheap at any scale (a year of daily partitions is one 365-entry
+    * listing RPC, independent of data volume). */
+  private[graft] def landedDays(spark: SparkSession, statePath: String): Set[java.sql.Date] = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map(st => java.sql.Date.valueOf(st.getPath.getName.stripPrefix("day=")))
+      .toSet
+  }
 
   /** The catchup-built state for q177, landed once per (JVM, dir):
     * `Pipeline.catchup` replays every scheduled day that has not landed
@@ -533,19 +545,12 @@ object Partitioned extends QueryPack {
     * BECAUSE replay is idempotent, a second call (or a crash-restart)
     * replays nothing: the listing already covers the schedule. */
   private[graft] def ensureBackfillState(spark: SparkSession, dir: String): String =
-    lock.synchronized {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = s"$root/backfill_state_$tag"
-      if (!landed(path)) {
-        val scheduled = dayDim(spark, dir).select(col("day"))
-          .collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
-        graft.pipeline.Pipeline.catchup(scheduled, landedDays(spark, path))(
-          (d: java.sql.Date) => replayDay(spark, dir, path, d))(
-          Ordering.by(_.getTime))
-        landed += path
-      }
-      path
+    ensureLanded("backfill_state", dir) { path =>
+      val scheduled = dayDim(spark, dir).select(col("day"))
+        .collect().map(_.getDate(0)).toSeq.sortBy(_.getTime)
+      graft.pipeline.Pipeline.catchup(scheduled, landedDays(spark, path))(
+        (d: java.sql.Date) => replayDay(spark, dir, path, d))(
+        Ordering.by(_.getTime))
     }
 
   /** Backfill/catchup replay — the `catchup=True` semantics both
@@ -637,20 +642,13 @@ object Partitioned extends QueryPack {
     * is q123's "rollups union stored sketches, never rescan history"
     * pattern with q178's fully ORACLE-CHECKED register encoding. */
   private[graft] def ensureHllState(spark: SparkSession, dir: String): String =
-    lock.synchronized {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = s"$root/hll_state_$tag"
-      if (!landed(path)) {
-        val last = lastDay(spark, dir)
-        Analytic.hllRegistersOf(
-            eventsByDay(spark, dir).filter(col("day") < lit(last))
-              .select(col("event_type"), col("day"), col("user_id")),
-            Seq("event_type", "day"), "user_id")
-          .write.mode("overwrite").parquet(path)
-        landed += path
-      }
-      path
+    ensureLanded("hll_state", dir) { path =>
+      val last = lastDay(spark, dir)
+      Analytic.hllRegistersOf(
+          eventsByDay(spark, dir).filter(col("day") < lit(last))
+            .select(col("event_type"), col("day"), col("user_id")),
+          Seq("event_type", "day"), "user_id")
+        .write.mode("overwrite").parquet(path)
     }
 
   /** The latest day's register page, PRE-cut — the frame the pruning

@@ -976,12 +976,14 @@ class StreamOpsSpec extends SparkTestBase {
     in.addData(rows.drop(rows.length / 2): _*)
     q.processAllAvailable()
     q.stop()
-    // registers only grow → present is monotone; take each type's final
-    // emission (max present, its estimate)
-    val streamed = s2.table("dethll").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).view.mapValues(v => v.maxBy(_._2)).toMap
-      .map { case (k, (_, p, e)) => k -> ((p, e)) }
+    // take each type's FINAL emission by emission order (memory-sink rows
+    // append in batch order) — maxBy(present) would return a stale
+    // estimate if a later batch only raised an existing register's rank
+    // (present unchanged, estimate changed)
+    val streamed = s2.table("dethll").collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getInt(1), r.getDouble(2), i) }
+      .groupBy(_._1).view.mapValues(v => v.maxBy(_._4)).toMap
+      .map { case (k, (_, p, e, _)) => k -> ((p, e)) }
     // batch q178 (daily pages max-merged — the union law makes the two
     // register sets identical) at the same fixture
     val batch = graft.operators.Analytic.q178.fn(s2, sf0001).collect()
