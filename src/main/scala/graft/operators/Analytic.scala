@@ -974,6 +974,142 @@ object Analytic extends QueryPack {
     FROM stats s JOIN days d ON s.event_type = d.event_type
     ORDER BY s.event_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q184
+  /** Deterministic-HLL register stats over arbitrary page keys: present/
+    * zero bucket counts, the exact DECIMAL(38,0) harmonic denominator and
+    * the two-branch estimate — q178's finishing math factored so set
+    *-algebra consumers (q184) can run it per PAIR as well as per type. */
+  private[graft] def hllStatsOf(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast(IntegerType).as("present_buckets"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - m) AS DECIMAL(38,0))"))
+          .as("s_present"))
+      .withColumn("zero_buckets", (lit(256) - col("present_buckets")).cast(IntegerType))
+      .withColumn("reg_sum",
+        col("s_present") + col("zero_buckets").cast(DecimalType(38, 0)) *
+          expr("CAST(144115188075855872 AS DECIMAL(38,0))"))
+      .withColumn("est", expr(hllEstSql))
+      .drop("s_present")
+
+  /** Sketch set algebra over the deterministic registers — union and
+    * intersection cardinality estimates for every event-type PAIR, with
+    * the exact overlap beside them. The register union of two sets is
+    * the elementwise max of their register pages (the same merge law
+    * q178/q181 prove), so |A ∪ B| is estimable from state alone —
+    * without re-touching the feed — and |A ∩ B| follows by inclusion–
+    * exclusion: est(A) + est(B) − est(A∪B). That subtraction is the
+    * textbook HLL intersection (error grows as the true overlap
+    * shrinks), which is exactly why the exact count sits in the next
+    * column: this is the audience-overlap / cross-feed-containment
+    * report, with its own error made visible.
+    *
+    * Determinism: every estimate is q178's two-branch formula over
+    * exact integer register state, identical in both engines; the
+    * intersection is one fixed-shape float expression over those
+    * already-ROUND(,6)-stable estimates, re-rounded at 6 dp.
+    *
+    * Scale: the feed is touched exactly twice — once map-side-combined
+    * into ≤ types×256 register rows (cut: the pair grid consumes them
+    * three ways), once for the exact-overlap twin (distinct (type,
+    * user) then a user-keyed self equi-join whose per-user fan-out is
+    * ≤ |types|², never corpus-quadratic). The pair grid itself is a
+    * deliberate |types|² dimension cross (q16/q149's whitelisted
+    * class); every register join is a broadcast. At 100 TB the
+    * register pages ARE the stored state (q181), so this report runs
+    * entirely off ~KBs of sketch state plus one overlap join. */
+  val q184 = QueryDef(
+    "q184_hll_setops",
+    (spark, dir) => {
+      val regs = graft.Materialize.cut(hllRegistersOf(
+        Tables(spark, dir).events.select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id"))
+      val types = regs.select(col("event_type")).distinct()
+      val pairs = types.select(col("event_type").as("t1"))
+        .crossJoin(types.select(col("event_type").as("t2")))
+        .filter(col("t1") < col("t2"))
+      val unionRegs = pairs
+        .join(regs.select(col("event_type").as("t1"), col("bucket"), col("m")), Seq("t1"))
+        .unionByName(pairs
+          .join(regs.select(col("event_type").as("t2"), col("bucket"), col("m")), Seq("t2"))
+          .select(col("t1"), col("t2"), col("bucket"), col("m")))
+        .groupBy(col("t1"), col("t2"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val typeStats = hllStatsOf(regs, Seq("event_type"))
+      val unionStats = hllStatsOf(unionRegs, Seq("t1", "t2"))
+        .select(col("t1"), col("t2"), col("est").as("est_union"))
+      val tu = graft.Materialize.cut(
+        Tables(spark, dir).events.select(col("event_type"), col("user_id")).distinct())
+      val exactBoth = tu.select(col("event_type").as("t1"), col("user_id"))
+        .join(tu.select(col("event_type").as("t2"), col("user_id")), Seq("user_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("exact_both"))
+      pairs
+        .join(broadcast(typeStats.select(col("event_type").as("t1"),
+          col("est").as("est_t1"))), Seq("t1"))
+        .join(broadcast(typeStats.select(col("event_type").as("t2"),
+          col("est").as("est_t2"))), Seq("t2"))
+        .join(broadcast(unionStats), Seq("t1", "t2"))
+        .join(exactBoth, Seq("t1", "t2"), "left")
+        .select(col("t1"), col("t2"), col("est_t1"), col("est_t2"),
+          col("est_union"),
+          round(col("est_t1") + col("est_t2") - col("est_union"), 6)
+            .as("est_overlap"),
+          coalesce(col("exact_both"), lit(0L)).as("exact_both"))
+        .orderBy(col("t1"), col("t2"))
+    },
+    Some(s"""WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+    r AS (
+      SELECT event_type,
+        CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+        regexp_replace(substr(h, 3, 14), '^0*', '') AS t
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket, MAX($hllRankSql) AS m
+      FROM r GROUP BY event_type, bucket),
+    types AS (SELECT DISTINCT event_type FROM regs),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2
+      FROM types a JOIN types b ON a.event_type < b.event_type),
+    ur AS (
+      SELECT p.t1, p.t2, g.bucket, MAX(g.m) AS m
+      FROM pairs p JOIN regs g
+        ON g.event_type = p.t1 OR g.event_type = p.t2
+      GROUP BY p.t1, p.t2, g.bucket),
+    tstats AS (
+      SELECT event_type,
+        CAST(256 - COUNT(*) AS INT) AS zero_buckets,
+        SUM((CAST(1 AS BIGINT) << (57 - m))::HUGEINT)
+          + (256 - COUNT(*))::HUGEINT * 144115188075855872::HUGEINT AS reg_sum
+      FROM regs GROUP BY event_type),
+    test AS (
+      SELECT event_type, $hllEstSql AS est FROM tstats),
+    ustats AS (
+      SELECT t1, t2,
+        CAST(256 - COUNT(*) AS INT) AS zero_buckets,
+        SUM((CAST(1 AS BIGINT) << (57 - m))::HUGEINT)
+          + (256 - COUNT(*))::HUGEINT * 144115188075855872::HUGEINT AS reg_sum
+      FROM ur GROUP BY t1, t2),
+    uest AS (
+      SELECT t1, t2, $hllEstSql AS est_union FROM ustats),
+    tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+      SELECT x.event_type AS t1, y.event_type AS t2, COUNT(*) AS exact_both
+      FROM tu x JOIN tu y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT p.t1, p.t2, a.est AS est_t1, b.est AS est_t2, u.est_union,
+      ROUND(a.est + b.est - u.est_union, 6) AS est_overlap,
+      CAST(COALESCE(e.exact_both, 0) AS BIGINT) AS exact_both
+    FROM pairs p
+    JOIN test a ON a.event_type = p.t1
+    JOIN test b ON b.event_type = p.t2
+    JOIN uest u ON u.t1 = p.t1 AND u.t2 = p.t2
+    LEFT JOIN exact e ON e.t1 = p.t1 AND e.t2 = p.t2
+    ORDER BY p.t1, p.t2"""))
+
   // --------------------------------------------------------------- q124
   /** Equi-DEPTH histogram of order value — decile cells each holding
     * n/10 rows, the quantile-profiling dual of q111's equi-width bins
@@ -2592,5 +2728,5 @@ object Analytic extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178)
+      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184)
 }

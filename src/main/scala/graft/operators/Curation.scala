@@ -979,7 +979,68 @@ object Curation extends QueryPack {
     GROUP BY ladder
     ORDER BY ladder ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q185
+  /** Cross-source quantile normalization — map every document's
+    * per-source score rank onto the GLOBAL score distribution, the
+    * calibration step that makes heterogeneous per-source quality
+    * scores comparable before a corpus-wide threshold (q71) or mix
+    * (q78) uses them: source A's p90 document gets the corpus-wide p90
+    * score, regardless of how compressed A's raw scale is. Score here
+    * is `n_chars` (the fixture's per-doc magnitude column); the
+    * transform is the classic quantile-matching one — per-source rank
+    * r of n_s maps to global position 1 + ⌊(r−1)(N−1)/(n_s−1)⌋, all
+    * exact integer arithmetic (no interpolated percentiles — contract
+    * rule: a float boundary can land knife-edge on a data value).
+    *
+    * Scale: the global total order goes through [[GlobalRank]]'s
+    * range-partitioned two-pass rank (never a SinglePartition window —
+    * the workload PlanSpec guard); the per-source ranks are an
+    * ordinary high-cardinality-key window; the value lookup is a
+    * row-scale equi-join on the target position. At 100 TB: one range
+    * shuffle + one source-keyed window + one position join — the same
+    * three moves regardless of corpus size. */
+  val q185 = QueryDef(
+    "q185_quantile_normalize",
+    (spark, dir) => {
+      val base = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val (ranked, n) = GlobalRank.withRowNumber(
+        base, Seq(col("n_chars").asc, col("doc_id").asc), "g")
+      val ws = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wc = Window.partitionBy(col("source"))
+      val withPos = ranked
+        .withColumn("rs", row_number().over(ws).cast(org.apache.spark.sql.types.LongType))
+        .withColumn("ns", count(lit(1)).over(wc))
+        .withColumn("p", expr(
+          s"CAST(CASE WHEN ns > 1 THEN 1 + ((rs - 1) * ${n - 1}L) DIV (ns - 1) " +
+            s"ELSE ${(n + 1) / 2}L END AS BIGINT)"))
+      val lookup = ranked.select(col("g").as("p"), col("n_chars").as("norm_chars"))
+      withPos.join(lookup, Seq("p"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, source, n_chars FROM documents),
+    t AS (SELECT COUNT(*) AS n FROM base),
+    g AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS g
+      FROM base),
+    rs AS (
+      SELECT doc_id, source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+        COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM base),
+    pos AS (
+      SELECT doc_id, source, n_chars,
+        CASE WHEN ns > 1 THEN 1 + ((rs - 1) * (n - 1)) // (ns - 1)
+             ELSE (n + 1) // 2 END AS p
+      FROM rs, t)
+    SELECT pos.doc_id, pos.source, pos.n_chars, g.n_chars AS norm_chars
+    FROM pos JOIN g ON g.g = pos.p
+    ORDER BY pos.doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174)
+      q173, q174, q185)
 }

@@ -1050,7 +1050,63 @@ object TextOps extends QueryPack {
     GROUP BY source
     ORDER BY source ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q186
+  /** Per-document n-gram NOVELTY — the inverse of q66's contamination
+    * lens: what fraction of a document's distinct word-3-grams appears
+    * in NO other document (corpus df = 1)? High-novelty docs carry
+    * information the rest of the corpus lacks (keep/upsample
+    * candidates); near-zero novelty marks boilerplate and template
+    * families that survive exact dedup but add nothing — the per-doc
+    * selection signal between q67's WITHIN-doc repetition gate and the
+    * pair-building near-dup pipelines (this needs no pairs at all).
+    *
+    * Shape: one explode to (doc, shingle-hash), one map-side-combinable
+    * df aggregate, one equi-join back, one per-doc aggregate — exact
+    * integer ppm output. Shingles ride [[Dedup.hashedShingleArray]]'s
+    * fused native pass, so the join and df keys are fixed-width longs
+    * (the q33 precedent: set semantics survive hashing; a 64-bit
+    * collision among ~10⁵ corpus shingles is ~1e-9-improbable, and the
+    * oracle's string-shingle replay would surface one as a hash
+    * mismatch). The shingle frame is cut — df pass and join both
+    * consume it.
+    *
+    * Scale: df-style shuffles on hashed shingles, identical to the
+    * dedup pipelines' candidate stages — never a pair product; 100 TB
+    * cost is two shuffles of the shingle stream. */
+  val q186 = QueryDef(
+    "q186_ngram_novelty",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val sh = Dedup.hashedShingleArray(Tables(spark, dir).documents)
+        .select(col("doc_id"), explode(col("shs")).as("h")).cut()
+      val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      sh.join(dfc, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+        .withColumn("novel_ppm",
+          expr("CAST((novel_shingles * 1000000) DIV n_shingles AS BIGINT)"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+             ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS s
+      FROM tok, UNNEST(CASE WHEN len(ts) < 3 THEN [1]
+                            ELSE range(1, len(ts) - 1) END) AS t(i)),
+    dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+      COUNT(*) AS n_shingles,
+      CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+      CAST((SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+        AS novel_ppm
+    FROM sh JOIN dfc USING (s)
+    GROUP BY sh.doc_id
+    ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165)
+      q104, q118, q161, q165, q186)
 }

@@ -1173,7 +1173,170 @@ object WindowOps extends QueryPack {
     GROUP BY user_id, session_id
     ORDER BY user_id ASC NULLS FIRST, session_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q182
+  /** Interval union (coverage) per supplier — the gaps-and-islands sweep
+    * over true INTERVALS, not point events: each lineitem occupies its
+    * supplier for the closed fulfillment window [o_orderdate,
+    * l_shipdate]; overlapping or day-adjacent windows merge into busy
+    * spans, and the output is each supplier's shipment count, span
+    * count, total covered days and longest span. q26 sessionizes POINTS
+    * by gap; q108 counts interval OVERLAP depth; this is the third
+    * member — total covered TIME with overlap collapsed — the
+    * utilization/SLA-coverage primitive.
+    *
+    * Shape: the classic one-pass sweep — per-supplier running
+    * `max(receipt)` over strictly-preceding rows; a row opens a new span
+    * iff its ship day clears that running end by more than one day
+    * (day-adjacent spans chain: receipt Jan-5 + ship Jan-6 is continuous
+    * coverage). Span boundaries are order-independent facts of the
+    * interval set, but both engines still sort the identical
+    * (ship, receipt, orderkey, linenumber) total order so window frames
+    * match row for row. Intervals are normalized up front
+    * (`receipt := greatest(ship, receipt)`) so a malformed row cannot
+    * produce a negative span.
+    *
+    * Scale: the interval build is the standard orders ⋈ lineitem
+    * equi-join; then one shuffle on `l_suppkey` for the sweep window
+    * (suppliers are high-cardinality — state distributes), the
+    * span/supplier aggregates reuse dimension-bounded frames, and the
+    * name attach is a broadcast. No self-join, no interval cross
+    * product — at 100 TB the naive `a JOIN b ON overlaps` alternative
+    * is quadratic per key; the sweep is O(n log n), the same plan a
+    * native range-interval operator would pick. */
+  val q182 = QueryDef(
+    "q182_interval_union",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val li = t.lineitem
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("shipd"))
+        .join(t.orders.select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("ship")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("ship"),
+          greatest(col("ship"), col("shipd")).as("rcpt"),
+          col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("ship"), col("rcpt"), col("l_orderkey"), col("l_linenumber"))
+      val wPrev = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = li
+        .withColumn("prev_end", max(col("rcpt")).over(wPrev))
+        .withColumn("new_span",
+          when(col("prev_end").isNull ||
+            col("ship") > date_add(col("prev_end"), 1), 1).otherwise(0))
+        .withColumn("span_id", sum(col("new_span")).over(wRun))
+        .groupBy(col("l_suppkey"), col("span_id"))
+        .agg(min(col("ship")).as("span_start"),
+          max(col("rcpt")).as("span_end"),
+          count(lit(1)).as("n_items"))
+      spans
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(col("n_items")).as("n_shipments"),
+          count(lit(1)).as("n_spans"),
+          sum(datediff(col("span_end"), col("span_start")) + 1).as("covered_days"),
+          max(datediff(col("span_end"), col("span_start")) + 1)
+            .cast(IntegerType).as("max_span_days"))
+        .join(broadcast(Tables(spark, dir).supplier
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_shipments"),
+          col("n_spans"), col("covered_days"), col("max_span_days"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH iv AS (
+      SELECT l_suppkey, CAST(o_orderdate AS DATE) AS ship,
+        greatest(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS rcpt,
+        l_orderkey, l_linenumber
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    marked AS (
+      SELECT l_suppkey, ship, rcpt,
+        CASE WHEN max(rcpt) OVER (PARTITION BY l_suppkey
+            ORDER BY ship, rcpt, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR ship > max(rcpt) OVER (PARTITION BY l_suppkey
+            ORDER BY ship, rcpt, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        THEN 1 ELSE 0 END AS new_span,
+        l_orderkey, l_linenumber
+      FROM iv),
+    sp AS (
+      SELECT l_suppkey, ship, rcpt,
+        SUM(new_span) OVER (PARTITION BY l_suppkey
+          ORDER BY ship, rcpt, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked),
+    spans AS (
+      SELECT l_suppkey, span_id, MIN(ship) AS span_start,
+        MAX(rcpt) AS span_end, COUNT(*) AS n_items
+      FROM sp GROUP BY l_suppkey, span_id)
+    SELECT s.s_suppkey, s.s_name,
+      CAST(SUM(n_items) AS BIGINT) AS n_shipments,
+      CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(SUM(date_diff('day', span_start, span_end) + 1) AS BIGINT) AS covered_days,
+      CAST(MAX(date_diff('day', span_start, span_end) + 1) AS INT) AS max_span_days
+    FROM spans JOIN supplier s ON s.s_suppkey = spans.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey"""))
+
+  // --------------------------------------------------------------- q183
+  /** As-of join with a staleness TOLERANCE — q27's backward as-of plus
+    * the bound every production lookup needs: an error event only
+    * attaches its user's latest preceding purchase if that purchase is
+    * at most 24 h old; staler context is worse than none. This is
+    * pandas `merge_asof(tolerance=...)` / the sensor's bounded wait
+    * (`timeout=3600`, `update_tr_from_ex_dag.py:128`) as a join
+    * semantic, and unlike q27 it is a LEFT as-of: every error row
+    * survives, unmatched ones with NULL context.
+    *
+    * The tolerance costs nothing: [[AsOf.backward]]'s union+LOCF carry
+    * already surfaces the LATEST preceding purchase, and "latest is too
+    * old ⇒ every earlier one is older" (backward monotonicity), so one
+    * post-filter is exact — no second search, the single key shuffle is
+    * unchanged. At 100 TB this stays one sort-merge pass; the naive
+    * pair join + prune is quadratic per key. */
+  val q183 = QueryDef(
+    "q183_asof_tolerance",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val errors = e.filter(col("event_type") === "error")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"),
+          col("ts").as("purchase_ts"))
+      AsOf.backward(
+          errors, purchases,
+          keyL = "user_id", keyR = "user_id",
+          timeL = "ts", timeR = "ts",
+          payload = Seq("purchase_event_id", "purchase_ts"),
+          tieR = "purchase_event_id")
+        .withColumn("gap_raw",
+          (unix_timestamp(col("ts")) - unix_timestamp(col("purchase_ts")))
+            .cast(LongType))
+        .select(
+          col("event_id"), col("user_id"),
+          when(col("gap_raw") <= 86400L, col("purchase_event_id"))
+            .as("purchase_event_id"),
+          when(col("gap_raw") <= 86400L, col("gap_raw")).as("gap_sec"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT e.event_id, p.event_id AS purchase_event_id,
+        date_diff('second', p.ts, e.ts) AS gap_sec,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM e JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts),
+    m AS (
+      SELECT event_id, purchase_event_id, gap_sec
+      FROM j WHERE rn = 1 AND gap_sec <= 86400)
+    SELECT e.event_id, e.user_id, m.purchase_event_id, m.gap_sec
+    FROM e LEFT JOIN m ON m.event_id = e.event_id
+    ORDER BY e.event_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171)
+      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171, q182, q183)
 }

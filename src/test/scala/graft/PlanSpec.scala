@@ -243,7 +243,11 @@ class PlanSpec extends SparkTestBase {
       "q166_recency_score",
       // q175's pair total is ONE row broadcast into the surviving
       // rules — q162's tiny-stats pattern.
-      "q175_sequence_rules")
+      "q175_sequence_rules",
+      // q184's type-pair grid is a deliberate |event types|² dimension
+      // cross join (q16/q149's class); every register join against it
+      // is a broadcast of ≤ types×256 sketch rows.
+      "q184_hll_setops")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -1087,4 +1087,30 @@ class AnalyticSpec extends SparkTestBase {
         s"zeros=$z: 256·ln(256/$z) lands ${distToBoundary} micro-units from a rounding boundary")
     }
   }
+
+  test("q184 set algebra: union estimate equals a direct union-feed build; exact overlap is exact") {
+    val ev = Tables(spark, sf0001).events.select(col("event_type"), col("user_id"))
+    val sets: Map[String, Set[Long]] = ev.distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rows = Analytic.q184.fn(spark, sf0001).collect()
+    assert(rows.length == sets.size * (sets.size - 1) / 2, "one row per unordered type pair")
+    rows.foreach { r =>
+      val (t1, t2) = (r.getString(0), r.getString(1))
+      val (e1, e2, eu, eo) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // exact overlap column is the true set intersection
+      assert(r.getLong(6) == (sets(t1) & sets(t2)).size.toLong, s"($t1,$t2) exact_both")
+      // the register max-merge union must equal estimating A∪B as ONE set
+      // (the merge-homomorphism law, applied to the pair)
+      val direct = Analytic.hllStatsOf(
+        Analytic.hllRegistersOf(
+          ev.filter(col("event_type").isin(t1, t2)).withColumn("pk", lit("u")),
+          Seq("pk"), "user_id"),
+        Seq("pk")).collect()(0).getAs[Double]("est")
+      assert(eu == direct, s"($t1,$t2) union estimate diverges from the direct build")
+      // inclusion–exclusion, re-rounded exactly as both engines do
+      val expected = BigDecimal(e1 + e2 - eu)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(eo == expected, s"($t1,$t2) est_overlap")
+    }
+  }
 }

@@ -388,4 +388,31 @@ class CurationSpec extends SparkTestBase {
       assert(funded.max <= clipped.min,
         "a fully funded source must not exceed any clipped allocation")
   }
+
+  test("q185 quantile normalization equals the driver-side quantile-matching replay") {
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val globalSorted = docs.sortBy(d => (d._3, d._1)).map(_._3) // value at position p = globalSorted(p-1)
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val ns = ds.length.toLong
+      ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case ((id, src, nc), i) =>
+        val rs = i + 1L
+        val p = if (ns > 1) 1 + ((rs - 1) * (n - 1)) / (ns - 1) else (n + 1) / 2
+        (id, (src, nc, globalSorted((p - 1).toInt)))
+      }
+    }.toMap
+    val got = Curation.q185.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // per-source extremes land on the global extremes (n_s > 1 everywhere
+    // in the fixture), and the transform must actually move some scores
+    val bySource = got.values.groupBy(_._1)
+    bySource.foreach { case (src, vs) =>
+      assert(vs.map(_._3).min == globalSorted.head && vs.map(_._3).max == globalSorted.last,
+        s"source $src extremes not pinned to the global range")
+    }
+    assert(got.values.exists(v => v._2 != v._3), "normalization was the identity everywhere")
+  }
 }

@@ -276,4 +276,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(atShipped.forall(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)),
       "shipped OovVocabSize saturates the report at the fixture")
   }
+
+  test("q186 novelty over hashed shingles equals the string-shingle replay") {
+    // ground truth from UNHASHED string shingles — proves the xxhash64
+    // working representation preserved every df (no collisions at the
+    // fixture, the q33 set-semantics argument made concrete)
+    val sh = Dedup.shingles(graft.Tables(spark, sf0001).documents).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = sh.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = sh.groupBy(_._1).map { case (doc, ss) =>
+      val novel = ss.count(s => df(s._2) == 1).toLong
+      (doc, (ss.length.toLong, novel, novel * 1000000L / ss.length))
+    }
+    val got = TextOps.q186.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // the signal must separate the fixture's template families from its
+    // unique docs: a low tail (near-dups share almost everything) and a
+    // real spread above it
+    val ppms = got.values.map(_._3)
+    assert(ppms.exists(_ < 100000L),
+      "no low-novelty docs — near-dup families missing from the fixture?")
+    assert(ppms.max >= ppms.min + 300000L,
+      s"novelty signal flat (min=${ppms.min}, max=${ppms.max}) — no separation")
+  }
 }

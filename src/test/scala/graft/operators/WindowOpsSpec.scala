@@ -409,4 +409,69 @@ class WindowOpsSpec extends SparkTestBase {
     assert(got.contains("__none") && got.size > 2,
       "fixture exercises neither the window bound nor type diversity")
   }
+
+  test("q182 interval union equals the brute-force per-supplier day-set union") {
+    val t = Tables(spark, sf0001)
+    val iv = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("shipd"))
+      .join(t.orders.select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("od"), col("shipd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    // ground truth: enumerate every covered day per supplier (fine at
+    // sf0.001), then spans = contiguous runs of the day set
+    val daySets: Map[Long, Set[Long]] = iv.groupBy(_._1).view.mapValues(_.flatMap {
+      case (_, od, shipd) =>
+        val end = if (shipd.isAfter(od)) shipd else od
+        od.toEpochDay to end.toEpochDay
+    }.toSet).toMap
+    def runs(days: Set[Long]): Seq[Long] = {
+      val sorted = days.toSeq.sorted
+      sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, d) if d == e + 1 => (s, d) :: rest
+        case (acc, d) => (d, d) :: acc
+      }.map { case (s, e) => e - s + 1 }
+    }
+    val got = WindowOps.q182.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+      .toMap
+    assert(got.keySet == daySets.keySet)
+    daySets.foreach { case (sk, days) =>
+      val rl = runs(days)
+      val (nShip, nSpans, covered, maxSpan) = got(sk)
+      assert(nShip == iv.count(_._1 == sk).toLong, s"supplier $sk shipment count")
+      assert(nSpans == rl.length.toLong, s"supplier $sk span count")
+      assert(covered == days.size.toLong, s"supplier $sk covered days")
+      assert(maxSpan == rl.max.toInt, s"supplier $sk longest span")
+    }
+    // the fixture must actually exercise merging (fewer spans than items)
+    assert(daySets.exists { case (sk, days) => runs(days).length < iv.count(_._1 == sk) })
+  }
+
+  test("q183 as-of tolerance: left-complete, and exactly q27's matches filtered at 24h") {
+    val errors = Tables(spark, sf0001).events
+      .filter(col("event_type") === "error").count()
+    val got = WindowOps.q183.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(got.size.toLong == errors, "q183 must keep every error row")
+    // q27 = unbounded backward as-of (inner); the tolerance form must
+    // agree on every pair within 24h and null out everything else
+    val unbounded = WindowOps.q27.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    got.foreach {
+      case (eid, Some((pid, gap))) =>
+        assert(gap <= 86400L, s"event $eid matched past tolerance")
+        assert(unbounded(eid) == ((pid, gap)), s"event $eid pair diverges from q27")
+      case (eid, None) =>
+        assert(unbounded.get(eid).forall(_._2 > 86400L),
+          s"event $eid nulled although an in-tolerance match exists")
+    }
+    // both behaviors must bite on the fixture
+    assert(got.values.exists(_.isDefined) && got.exists {
+      case (eid, None) => unbounded.contains(eid)
+      case _ => false
+    }, "fixture exercises neither the match nor the staleness cut")
+  }
 }
