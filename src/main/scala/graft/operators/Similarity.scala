@@ -1022,6 +1022,100 @@ object Similarity extends QueryPack {
     GROUP BY id
     ORDER BY vec_id"""))
 
+  // --------------------------------------------------------------- q187
+  /** SemDeDup-style semantic prune (Abbas et al. 2023, arXiv:2303.09540):
+    * within each embedding near-dup cluster, KEEP the member least
+    * similar to the cluster centroid and prune the rest — the
+    * diversity-maximizing keep rule the paper found beats random/keep-
+    * first at fixed token budgets. q70 labels the clusters; this is the
+    * downstream decision an actual curation run publishes (which
+    * members survive, with their centroid similarity as the audit
+    * column).
+    *
+    * Determinism: the centroid is never a float mean — members'
+    * micro-scaled integer components (q43's protocol) sum exactly, and
+    * cosine(v, centroid) is computed on exact integer dot/norm state
+    * (Σ vm·sm as DECIMAL(38,0); Σ sm² likewise — sm² alone can pass
+    * int64 at ~500-member clusters), floats appearing only in the final
+    * fixed-shape `dot/(√nv·√nc)` both engines evaluate on identical
+    * integers. Ranking ties (equal 6-dp cosine) break on vec_id.
+    *
+    * Scale: cluster labels ride the memoized pair view ([[neardupPairs]]
+    * + min-label propagation — equi-join rounds, PlanSpec-guarded); the
+    * centroid pass and the dot join are (cluster, dim)-keyed aggregates/
+    * equi-joins over the ×dim exploded frame (q43's class, corpus-linear);
+    * the keep decision is one cluster-keyed rank window. No pair
+    * products anywhere — the pairs were already bucketed upstream. */
+  val q187 = QueryDef(
+    "q187_semdedup",
+    (spark, dir) => {
+      val em = Tables(spark, dir).embeddings
+      val pairs = neardupPairs(spark, dir).select(col("vid1"), col("vid2"))
+      val labels = Dedup.propagateMinLabels(em.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("lbl").as("cluster"))
+      val vm = em.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("vm", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+        .select(col("vec_id"), col("dim"), col("vm"))
+      val mv = labels.join(vm, Seq("vec_id")).cut() // centroid agg + dot join both read it
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cent = mv.groupBy(col("cluster"), col("dim")).agg(sum(col("vm")).as("sm"))
+      val stats = mv.join(cent, Seq("cluster", "dim"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(
+          sum((col("vm") * col("sm")).cast(dec)).as("dot_i"),
+          sum(col("vm") * col("vm")).as("nv_i"),
+          sum(col("sm").cast(dec) * col("sm")).as("nc_i"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+      stats
+        .withColumn("cos_centroid",
+          round(col("dot_i").cast(DoubleType) /
+            (sqrt(col("nv_i").cast(DoubleType)) * sqrt(col("nc_i").cast(DoubleType))), 6))
+        .withColumn("kept", row_number().over(w) === 1)
+        .select(col("vec_id"), col("cluster"), col("cos_centroid"), col("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) >= 0.45),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM pairs
+      UNION ALL SELECT v2, v1 FROM pairs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id),
+    lab AS (SELECT id AS vec_id, MIN(r) AS cluster FROM reach GROUP BY id),
+    vm AS (
+      SELECT vec_id, i AS dim,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    mv AS (SELECT l.cluster, v.vec_id, v.dim, v.vm FROM vm v JOIN lab l USING (vec_id)),
+    cent AS (SELECT cluster, dim, SUM(vm) AS sm FROM mv GROUP BY cluster, dim),
+    stats AS (
+      SELECT m.vec_id, m.cluster,
+        SUM(CAST(m.vm AS HUGEINT) * c.sm) AS dot_i,
+        SUM(CAST(m.vm AS HUGEINT) * m.vm) AS nv_i,
+        SUM(CAST(c.sm AS HUGEINT) * c.sm) AS nc_i
+      FROM mv m JOIN cent c ON c.cluster = m.cluster AND c.dim = m.dim
+      GROUP BY m.vec_id, m.cluster),
+    scored AS (
+      SELECT vec_id, cluster,
+        ROUND(CAST(dot_i AS DOUBLE)
+          / (sqrt(CAST(nv_i AS DOUBLE)) * sqrt(CAST(nc_i AS DOUBLE))), 6)
+          AS cos_centroid
+      FROM stats),
+    rk AS (
+      SELECT vec_id, cluster, cos_centroid,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY cos_centroid, vec_id) AS rk
+      FROM scored)
+    SELECT vec_id, cluster, cos_centroid, rk = 1 AS kept
+    FROM rk
+    ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------- q130
   /** Cluster labeling (the BERTopic c-TF-IDF step): each multi-member
     * near-dup cluster gets its top-3 distinctive terms — "what IS this
@@ -1465,5 +1559,5 @@ object Similarity extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152,
-      q153, q160)
+      q153, q160, q187)
 }

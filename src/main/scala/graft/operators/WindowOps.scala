@@ -1203,6 +1203,35 @@ object WindowOps extends QueryPack {
     * product — at 100 TB the naive `a JOIN b ON overlaps` alternative
     * is quadratic per key; the sweep is O(n log n), the same plan a
     * native range-interval operator would pick. */
+  /** The gaps-and-islands sweep + span/supplier aggregates over an
+    * interval frame `(l_suppkey, ship, rcpt, l_orderkey, l_linenumber)`
+    * — q182's core, shared with ScaleProbe's `sweep` mode so the scale
+    * measurement runs the production code path. */
+  private[graft] def intervalUnionOn(iv: DataFrame): DataFrame = {
+    val order = Seq(col("ship"), col("rcpt"), col("l_orderkey"), col("l_linenumber"))
+    val wPrev = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("prev_end", max(col("rcpt")).over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_end").isNull ||
+          col("ship") > date_add(col("prev_end"), 1), 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(wRun))
+      .groupBy(col("l_suppkey"), col("span_id"))
+      .agg(min(col("ship")).as("span_start"),
+        max(col("rcpt")).as("span_end"),
+        count(lit(1)).as("n_items"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("n_items")).as("n_shipments"),
+        count(lit(1)).as("n_spans"),
+        sum(datediff(col("span_end"), col("span_start")) + 1).as("covered_days"),
+        max(datediff(col("span_end"), col("span_start")) + 1)
+          .cast(IntegerType).as("max_span_days"))
+  }
+
   val q182 = QueryDef(
     "q182_interval_union",
     (spark, dir) => {
@@ -1215,29 +1244,7 @@ object WindowOps extends QueryPack {
         .select(col("l_suppkey"), col("ship"),
           greatest(col("ship"), col("shipd")).as("rcpt"),
           col("l_orderkey"), col("l_linenumber"))
-      val order = Seq(col("ship"), col("rcpt"), col("l_orderkey"), col("l_linenumber"))
-      val wPrev = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val spans = li
-        .withColumn("prev_end", max(col("rcpt")).over(wPrev))
-        .withColumn("new_span",
-          when(col("prev_end").isNull ||
-            col("ship") > date_add(col("prev_end"), 1), 1).otherwise(0))
-        .withColumn("span_id", sum(col("new_span")).over(wRun))
-        .groupBy(col("l_suppkey"), col("span_id"))
-        .agg(min(col("ship")).as("span_start"),
-          max(col("rcpt")).as("span_end"),
-          count(lit(1)).as("n_items"))
-      spans
-        .groupBy(col("l_suppkey"))
-        .agg(
-          sum(col("n_items")).as("n_shipments"),
-          count(lit(1)).as("n_spans"),
-          sum(datediff(col("span_end"), col("span_start")) + 1).as("covered_days"),
-          max(datediff(col("span_end"), col("span_start")) + 1)
-            .cast(IntegerType).as("max_span_days"))
+      intervalUnionOn(li)
         .join(broadcast(Tables(spark, dir).supplier
           .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))

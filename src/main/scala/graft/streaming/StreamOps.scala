@@ -1635,3 +1635,96 @@ class BinCellProcessor extends StatefulProcessor[Int, BinRow, BinCount] {
     Iterator.single(BinCount(key, bin, n))
   }
 }
+
+/** One closed fulfillment interval for a supplier, in epoch days; the
+  * (s, e, orderKey, lineNumber) tuple is q182's total sort order. */
+case class IntervalRow(suppkey: Long, s: Long, e: Long,
+    orderKey: Long, lineNumber: Int)
+
+/** Per-supplier sweep state: the OPEN span's bounds plus closed-span
+  * accumulators — six longs forever, regardless of stream length. */
+case class CoverageState(spanStart: Long, spanEnd: Long,
+    closedCovered: Long, closedMaxSpan: Long, nSpans: Long, nItems: Long)
+
+/** One running gauge emission per touched supplier per micro-batch
+  * (all fields monotone per key — readers keep the latest emission). */
+case class CoverageGauge(suppkey: Long, nShipments: Long, nSpans: Long,
+    coveredDays: Long, maxSpanDays: Long)
+
+/** Streaming interval-union coverage — the live twin of batch q182: the
+  * utilization gauge ("how many days has this supplier been busy, over
+  * how many distinct busy spans?") maintained continuously instead of
+  * recomputed from history every night.
+  *
+  * Same in-order contract as [[StreamTransitions]]: per supplier, the
+  * interval feed arrives ordered by (start, end, orderKey, lineNumber)
+  * — the natural order of a landing that appends fulfillment records as
+  * orders are placed. Under that contract the classic sweep needs only
+  * the OPEN span in state: an arriving interval either extends it
+  * (start ≤ open end + 1, day-adjacent chaining — q182's rule) or
+  * closes it into the accumulators and opens a new one. State is six
+  * longs per supplier forever; the end-of-stream gauge equals batch
+  * q182's (n_shipments, n_spans, covered_days, max_span_days) exactly,
+  * spec-asserted with spans extending across a micro-batch boundary.
+  * Rows inside one micro-batch are sorted before folding (the
+  * [[ConcProcessor]] move) — the contract binds order ACROSS batches. */
+object StreamCoverage {
+
+  /** (suppkey, start epoch-day, end epoch-day, tie columns) interval
+    * rows from the fact tables — narrow ops + the standard orders
+    * equi-join; usable on static frames (spec ground truth) and as the
+    * shape a live feed must deliver. */
+  def intervals(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("shipd"))
+      .join(orders.select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("suppkey"),
+        datediff(col("od"), lit("1970-01-01").cast("date")).cast("long").as("s"),
+        datediff(greatest(col("od"), col("shipd")), lit("1970-01-01").cast("date"))
+          .cast("long").as("e"),
+        col("l_orderkey").as("orderKey"), col("l_linenumber").as("lineNumber"))
+
+  /** The stateful sweep over [[intervals]]-shaped rows. */
+  def gauge(rows: DataFrame): Dataset[CoverageGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("suppkey"), col("s"), col("e"),
+        col("orderKey"), col("lineNumber")).as[IntervalRow]
+      .groupByKey(_.suppkey)
+      .transformWithState(new CoverageProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-supplier open-span sweep machine behind [[StreamCoverage]]. */
+class CoverageProcessor
+    extends StatefulProcessor[Long, IntervalRow, CoverageGauge] {
+  @transient private var st: ValueState[CoverageState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CoverageState]("span",
+      Encoders.product[CoverageState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[IntervalRow],
+      timerValues: TimerValues): Iterator[CoverageGauge] = {
+    var cur = if (st.exists()) st.get() else CoverageState(0L, -2L, 0L, 0L, 0L, 0L)
+    rows.toArray.sortBy(r => (r.s, r.e, r.orderKey, r.lineNumber)).foreach { r =>
+      val e = math.max(r.s, r.e) // normalize, like q182's greatest()
+      if (cur.nSpans == 0L)
+        cur = CoverageState(r.s, e, 0L, 0L, 1L, 1L)
+      else if (r.s > cur.spanEnd + 1) {
+        val len = cur.spanEnd - cur.spanStart + 1
+        cur = CoverageState(r.s, e,
+          cur.closedCovered + len, math.max(cur.closedMaxSpan, len),
+          cur.nSpans + 1, cur.nItems + 1)
+      } else
+        cur = cur.copy(spanEnd = math.max(cur.spanEnd, e), nItems = cur.nItems + 1)
+    }
+    st.update(cur)
+    val openLen = cur.spanEnd - cur.spanStart + 1
+    Iterator.single(CoverageGauge(key, cur.nItems, cur.nSpans,
+      cur.closedCovered + openLen, math.max(cur.closedMaxSpan, openLen)))
+  }
+}

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | all.
+  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | sweep | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -109,6 +109,39 @@ object ScaleProbe {
       val (out, t) = timed(Curation.spanScrubOn(docs).localCheckpoint())
       val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
       println(f"SCALE-SCRUB f=$f docs=$nDocs removed_chunks=$removed t=$t%.2f")
+    }
+
+    // ---- interval-union sweep (q182): the gaps-and-islands sweep must
+    // stay O(n log n) per key as interval volume grows — wall tracks the
+    // single suppkey range-sort (linear-ish in f), never the quadratic
+    // overlaps-self-join alternative. Replica i shifts dates by i days,
+    // so per-supplier interval counts grow f× with heavy overlap (the
+    // merge-hostile case: long chains of chained spans).
+    if (mode == "sweep") factors.foreach { f =>
+      val t = graft.Tables(spark, sfDir)
+      val iv0 = t.lineitem
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("shipd"))
+        .join(t.orders.select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("ship")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("ship"),
+          greatest(col("ship"), col("shipd")).as("rcpt"),
+          col("l_orderkey"), col("l_linenumber"))
+      val iv = (
+        if (f == 1) iv0
+        else iv0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(col("l_suppkey"),
+            date_add(col("ship"), col("i")).as("ship"),
+            date_add(col("rcpt"), col("i")).as("rcpt"),
+            (col("l_orderkey") * f + col("i")).as("l_orderkey"),
+            col("l_linenumber"))
+      ).localCheckpoint()
+      val n = iv.count()
+      val (_, tSweep) = timed(
+        graft.operators.WindowOps.intervalUnionOn(iv)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-SWEEP f=$f intervals=$n t_sweep=$tSweep%.2f")
     }
 
     // ---- cdf (GlobalCdf / q141): the two-pass prefix sum must stay

@@ -172,6 +172,19 @@ class PlanSpec extends SparkTestBase {
       s"multi-probe pair generation must stay an equi-join on the packed key:\n$p")
   }
 
+  test("q182: interval sweep runs on ONE suppkey hash exchange — windows and aggregates share it") {
+    val p = plan(operators.WindowOps.q182)
+    // the gaps-and-islands sweep must never become an overlaps self-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval union must stay a window sweep:\n$p")
+    // exactly one hash exchange (the suppkey shuffle): both windows AND
+    // both downstream aggregates reuse its partitioning; everything else
+    // is broadcast or the final output range sort
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("q66: decontamination joins train shingles to a BROADCAST eval side, equi-join only") {
     val p = plan(operators.Curation.q66)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

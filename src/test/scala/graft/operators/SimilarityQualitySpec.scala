@@ -701,4 +701,41 @@ class SimilarityQualitySpec extends SparkTestBase {
         s"pairwise identity broken on $src")
     }
   }
+
+  test("q187 semdedup: clusters = q70's, one keeper per cluster, cosine = exact integer replay") {
+    val rows = Similarity.q187.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // cluster labels must be exactly q70's keeper assignment
+    val q70lbl = Similarity.q70.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == q70lbl,
+      "q187 cluster labels diverge from q70")
+    // exactly one kept member per cluster, and it is the (cos, id) argmin
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.count(_._4) == 1, s"cluster $c kept ${ms.count(_._4)} members")
+      val keeper = ms.minBy(m => (m._3, m._1))
+      assert(keeper._4, s"cluster $c kept a member that is not the (cos, id) argmin")
+    }
+    // centroid cosine: exact integer replay from the raw vectors
+    val em = graft.Tables(spark, sf0001).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val micro: Map[Long, Array[Long]] = em.view.mapValues(
+      _.map(v => BigDecimal(v.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toMap
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      val dims = micro(ms.head._1).length
+      val sm = Array.tabulate(dims)(d => ms.map(m => BigInt(micro(m._1)(d))).sum)
+      ms.foreach { m =>
+        val vm = micro(m._1)
+        val dot = (0 until dims).map(d => BigInt(vm(d)) * sm(d)).sum
+        val nv = (0 until dims).map(d => BigInt(vm(d)) * BigInt(vm(d))).sum
+        val nc = (0 until dims).map(d => sm(d) * sm(d)).sum
+        val cos = BigDecimal(dot.toDouble / (math.sqrt(nv.toDouble) * math.sqrt(nc.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(m._3 == cos, s"vec ${m._1}: cos ${m._3} != replay $cos")
+      }
+    }
+    // the prune must bite: some cluster has >1 member, so kept < total
+    assert(rows.count(_._4) < rows.length, "no multi-member clusters pruned")
+  }
 }

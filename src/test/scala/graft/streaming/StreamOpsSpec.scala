@@ -1193,4 +1193,47 @@ class StreamOpsSpec extends SparkTestBase {
     // and the pre-observation None emitted nothing for key b at hour 0
     assert(!streamed.exists { case (k, h, _) => k == "b" && h == 0L })
   }
+
+  test("streaming interval coverage: end-of-stream gauge equals batch q182 exactly") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val t = graft.Tables(s2, sf0001)
+    // in-order contract: global (s, e, orderKey, lineNumber) order makes
+    // every per-key subsequence ordered; the batch split lands mid-span
+    // for many suppliers, so state carry is exercised hard
+    val rows = StreamCoverage.intervals(t.lineitem, t.orders).collect()
+      .map(r => IntervalRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+      .sortBy(r => (r.s, r.e, r.orderKey, r.lineNumber))
+    val in = MemoryStream[IntervalRow](newProductEncoder[IntervalRow], s2.sqlContext)
+    val q = StreamCoverage.gauge(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("cov")
+      .start()
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per supplier by emission order (memory-sink rows
+    // append in batch order)
+    val streamed = s2.table("cov").collect().zipWithIndex
+      .map { case (r, i) =>
+        (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), i)
+      }
+      .groupBy(_._1).view.mapValues(v => v.maxBy(_._3)._2).toMap
+    val batch = graft.operators.WindowOps.q182.fn(s2, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5).toLong))).toMap
+    assert(streamed == batch,
+      s"stream/batch coverage divergence: only-stream=" +
+        s"${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
+    // cross-boundary state carry: some supplier's gauge GREW in batch 2
+    val perKey = s2.table("cov").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perKey.values.exists(_.size > 1),
+      "no supplier re-emitted a grown gauge; state carry untested")
+  }
 }
