@@ -1018,26 +1018,46 @@ object Analytic extends QueryPack {
     * class); every register join is a broadcast. At 100 TB the
     * register pages ARE the stored state (q181), so this report runs
     * entirely off ~KBs of sketch state plus one overlap join. */
+  /** The pair-estimate stage of q184, running ENTIRELY off a register
+    * frame `(event_type, bucket, m)` — no feed access. This is the
+    * 100 TB shape: once the pages are stored state (q181), every
+    * union/intersection estimate in the pair grid is computable from
+    * ~KBs, and ScaleProbe's `setops` mode times exactly this function
+    * to show the report cost is feed-size-INDEPENDENT. Callers cut
+    * `regs` (three consumers: type stats, two pair-tag joins). */
+  private[graft] def hllPairEstimates(regs: DataFrame): DataFrame = {
+    val types = regs.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("t1"))
+      .crossJoin(types.select(col("event_type").as("t2")))
+      .filter(col("t1") < col("t2"))
+    val unionRegs = pairs
+      .join(regs.select(col("event_type").as("t1"), col("bucket"), col("m")), Seq("t1"))
+      .unionByName(pairs
+        .join(regs.select(col("event_type").as("t2"), col("bucket"), col("m")), Seq("t2"))
+        .select(col("t1"), col("t2"), col("bucket"), col("m")))
+      .groupBy(col("t1"), col("t2"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+    val typeStats = hllStatsOf(regs, Seq("event_type"))
+    val unionStats = hllStatsOf(unionRegs, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("est").as("est_union"))
+    pairs
+      .join(broadcast(typeStats.select(col("event_type").as("t1"),
+        col("est").as("est_t1"))), Seq("t1"))
+      .join(broadcast(typeStats.select(col("event_type").as("t2"),
+        col("est").as("est_t2"))), Seq("t2"))
+      .join(broadcast(unionStats), Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("est_t1"), col("est_t2"),
+        col("est_union"),
+        round(col("est_t1") + col("est_t2") - col("est_union"), 6)
+          .as("est_overlap"))
+  }
+
   val q184 = QueryDef(
     "q184_hll_setops",
     (spark, dir) => {
       val regs = graft.Materialize.cut(hllRegistersOf(
         Tables(spark, dir).events.select(col("event_type"), col("user_id")),
         Seq("event_type"), "user_id"))
-      val types = regs.select(col("event_type")).distinct()
-      val pairs = types.select(col("event_type").as("t1"))
-        .crossJoin(types.select(col("event_type").as("t2")))
-        .filter(col("t1") < col("t2"))
-      val unionRegs = pairs
-        .join(regs.select(col("event_type").as("t1"), col("bucket"), col("m")), Seq("t1"))
-        .unionByName(pairs
-          .join(regs.select(col("event_type").as("t2"), col("bucket"), col("m")), Seq("t2"))
-          .select(col("t1"), col("t2"), col("bucket"), col("m")))
-        .groupBy(col("t1"), col("t2"), col("bucket"))
-        .agg(max(col("m")).as("m"))
-      val typeStats = hllStatsOf(regs, Seq("event_type"))
-      val unionStats = hllStatsOf(unionRegs, Seq("t1", "t2"))
-        .select(col("t1"), col("t2"), col("est").as("est_union"))
       val tu = graft.Materialize.cut(
         Tables(spark, dir).events.select(col("event_type"), col("user_id")).distinct())
       val exactBoth = tu.select(col("event_type").as("t1"), col("user_id"))
@@ -1045,17 +1065,10 @@ object Analytic extends QueryPack {
         .filter(col("t1") < col("t2"))
         .groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("exact_both"))
-      pairs
-        .join(broadcast(typeStats.select(col("event_type").as("t1"),
-          col("est").as("est_t1"))), Seq("t1"))
-        .join(broadcast(typeStats.select(col("event_type").as("t2"),
-          col("est").as("est_t2"))), Seq("t2"))
-        .join(broadcast(unionStats), Seq("t1", "t2"))
+      hllPairEstimates(regs)
         .join(exactBoth, Seq("t1", "t2"), "left")
         .select(col("t1"), col("t2"), col("est_t1"), col("est_t2"),
-          col("est_union"),
-          round(col("est_t1") + col("est_t2") - col("est_union"), 6)
-            .as("est_overlap"),
+          col("est_union"), col("est_overlap"),
           coalesce(col("exact_both"), lit(0L)).as("exact_both"))
         .orderBy(col("t1"), col("t2"))
     },

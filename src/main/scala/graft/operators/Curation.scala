@@ -1040,7 +1040,61 @@ object Curation extends QueryPack {
     FROM pos JOIN g ON g.g = pos.p
     ORDER BY pos.doc_id"""))
 
+  // --------------------------------------------------------------- q188
+  /** Pseudonymization with referential integrity — the PII-safe export
+    * next to q76's redaction and q173/q174's aggregate-side privacy
+    * rows: customer keys replaced by a deterministic 64-bit md5-prefix
+    * token (the contract's cross-engine hash, never an engine-local
+    * xxhash) IDENTICALLY on the dim and the fact, so joins and
+    * aggregates survive tokenization — the property that lets a
+    * de-identified extract feed the same downstream pipelines as the
+    * clear data. Output: per-token order count and exact-decimal spend,
+    * zero-order customers kept by the left join (their absence would
+    * leak "who never ordered" by omission).
+    *
+    * Determinism: the token is a pure function of the key, identical
+    * in both engines and under task retry; tokenization is injective
+    * on any realistic key space (64-bit prefix — a fixture-wide
+    * bijectivity check runs in the spec, and a production deployment
+    * monitors it the same way).
+    *
+    * Scale: tokenization is map-only; the join keys change name, not
+    * shape — one equi-join on uniformly-distributed tokens (md5
+    * incidentally removes key skew), one hash aggregate. */
+  val q188 = QueryDef(
+    "q188_pseudonymize",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val cust = t.customer.select(
+        substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 16)
+          .as("token"),
+        col("c_mktsegment"))
+      val ords = t.orders.select(
+        substring(md5(col("o_custkey").cast("string").cast("binary")), 1, 16)
+          .as("token"),
+        col("o_totalprice"))
+      cust.join(ords, Seq("token"), "left")
+        .groupBy(col("token"), col("c_mktsegment"))
+        .agg(count(col("o_totalprice")).as("n_orders"),
+          Det.dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_spend"))
+        .orderBy(col("token"))
+    },
+    Some(s"""WITH cust AS (
+      SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS token,
+        c_mktsegment
+      FROM customer),
+    ords AS (
+      SELECT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16) AS token,
+        o_totalprice
+      FROM orders)
+    SELECT cust.token, c_mktsegment,
+      COUNT(o_totalprice) AS n_orders,
+      ${Det.sqlDsum("COALESCE(o_totalprice, 0)")} AS sum_spend
+    FROM cust LEFT JOIN ords ON ords.token = cust.token
+    GROUP BY 1, 2
+    ORDER BY cust.token"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185)
+      q173, q174, q185, q188)
 }

@@ -1343,7 +1343,55 @@ object WindowOps extends QueryPack {
     FROM e LEFT JOIN m ON m.event_id = e.event_id
     ORDER BY e.event_id"""))
 
+  // --------------------------------------------------------------- q189
+  /** Top journey TRIGRAMS — the 3-step extension of q107's transition
+    * bigrams: which contiguous (a → b → c) paths dominate user
+    * behavior? Bigrams give the Markov-1 view (q149 estimates from
+    * them); trigrams expose exactly the second-order structure a
+    * Markov-1 model washes out (e.g. error → click → error loops vs
+    * error → click → purchase recoveries) — the standard diagnostic
+    * before committing to order-1 sequence features in a behavioral
+    * corpus (q171).
+    *
+    * Shape: ONE user-keyed window (two lags ride the same sort), one
+    * map-side-combinable count to a ≤|types|³ frame, top-20 via
+    * TakeOrdered on the (n DESC, path ASC) total order. Stage depth is
+    * constant in n-gram length — lag(k) adds columns, not shuffles. */
+  val q189 = QueryDef(
+    "q189_journey_trigrams",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc_nulls_first, col("event_id").asc_nulls_first)
+      e.withColumn("t1", lag(col("event_type"), 2).over(byUser))
+        .withColumn("t2", lag(col("event_type"), 1).over(byUser))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+        .limit(20)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, event_id
+      FROM events),
+    t AS (
+      SELECT user_id, event_type,
+        lag(event_type, 2) OVER (PARTITION BY user_id
+          ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS t1,
+        lag(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS t2
+      FROM e)
+    SELECT t1, t2, event_type AS t3, COUNT(*) AS n
+    FROM t
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+    LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
-      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171, q182, q183)
+      q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171, q182, q183,
+      q189)
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | sweep | all.
+  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | sweep | setops | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -109,6 +109,34 @@ object ScaleProbe {
       val (out, t) = timed(Curation.spanScrubOn(docs).localCheckpoint())
       val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
       println(f"SCALE-SCRUB f=$f docs=$nDocs removed_chunks=$removed t=$t%.2f")
+    }
+
+    // ---- deterministic-HLL set algebra (q184): the pair-estimate
+    // report must be FEED-SIZE-INDEPENDENT once pages exist — page
+    // build is the linear one-pass cost, but the pair grid's
+    // union/intersection estimates run off ≤ types×256 register rows
+    // (the stored state of q181). Replica i remaps user ids, so the
+    // true distinct sets grow f× while the register frame stays the
+    // same shape.
+    if (mode == "setops") factors.foreach { f =>
+      val ev0 = graft.Tables(spark, sfDir).events
+        .select(col("event_type"), col("user_id"))
+      val ev = (
+        if (f == 1) ev0
+        else ev0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(col("event_type"),
+            (col("user_id") * f + col("i")).as("user_id"))
+      ).localCheckpoint()
+      val nRows = ev.count()
+      val (pages, tBuild) = timed(
+        graft.Materialize.cut(
+          Analytic.hllRegistersOf(ev, Seq("event_type"), "user_id")))
+      val nPages = pages.count()
+      val (_, tReport) = timed(
+        Analytic.hllPairEstimates(pages)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-SETOPS f=$f rows=$nRows pages=$nPages " +
+        f"t_build=$tBuild%.2f t_report=$tReport%.2f")
     }
 
     // ---- interval-union sweep (q182): the gaps-and-islands sweep must

@@ -415,4 +415,36 @@ class CurationSpec extends SparkTestBase {
     }
     assert(got.values.exists(v => v._2 != v._3), "normalization was the identity everywhere")
   }
+
+  test("q188 pseudonymization: tokens bijective on the fixture, aggregates equal the clear-key join") {
+    val t = graft.Tables(spark, sf0001)
+    val custkeys = t.customer.select(col("c_custkey")).collect().map(_.getLong(0))
+    val rows = Curation.q188.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // bijective tokenization: one output row per customer, all tokens distinct
+    assert(rows.length == custkeys.length, "row count != customer count")
+    assert(rows.map(_._1).distinct.length == rows.length, "token collision on the fixture")
+    // aggregate fidelity: per-customer clear-key join, re-keyed by token
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def token(k: Long): String =
+      md.digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val orders = t.orders.select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val byCust = orders.groupBy(_._1)
+    val expected = custkeys.map { k =>
+      val os = byCust.getOrElse(k, Array.empty[(Long, Double)])
+      val sum = os.map(o => BigDecimal(o._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+      token(k) -> ((os.length.toLong, sum.toDouble))
+    }.toMap
+    rows.foreach { case (tok, _, n, s) =>
+      val (en, es) = expected(tok)
+      assert(n == en && s == es, s"token $tok: ($n, $s) != clear-key ($en, $es)")
+    }
+    // zero-order customers (none at sf0.001, dozens at sf0.01 — q06's
+    // anti-join set) must appear with n_orders = 0, never be dropped
+    val zeroExpected = custkeys.toSet -- byCust.keySet
+    assert(rows.count(_._3 == 0L) == zeroExpected.size,
+      "zero-order customers dropped or invented by the left join")
+  }
 }

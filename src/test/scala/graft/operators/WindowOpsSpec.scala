@@ -474,4 +474,24 @@ class WindowOpsSpec extends SparkTestBase {
       case _ => false
     }, "fixture exercises neither the match nor the staleness cut")
   }
+
+  test("q189 journey trigrams equal the driver-side sequence replay") {
+    val evs = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val counts = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._3, e._4)).map(_._2).sliding(3).filter(_.length == 3)
+        .map(w => (w(0), w(1), w(2))).toSeq
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = WindowOps.q189.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // second-order structure must be visible: some prefix (a→b) leads to
+    // more than one distinct top-20 continuation
+    assert(got.groupBy(g => (g._1, g._2)).exists(_._2.length > 1),
+      "top-20 shows no branching — trigram view adds nothing over bigrams?")
+  }
 }
