@@ -2738,8 +2738,204 @@ object Analytic extends QueryPack {
     GROUP BY user_id
     ORDER BY score DESC NULLS LAST, user_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q190
+  /** Deterministic count-min sketch — the FREQUENCY sibling of q178's
+    * deterministic HLL: d = 4 hash rows × w = 65536 counters over item
+    * (part) occurrence counts, estimates read as the row-wise minimum,
+    * reported for the top-20 exact-count items with the exact count and
+    * the one-sided overcount beside them (CMS never undercounts —
+    * `est ≥ exact` is the sketch's guarantee and the spec asserts it
+    * for EVERY key, not just the top 20).
+    *
+    * Like q178, the sketch is built from pure md5 integer arithmetic —
+    * bucket(j, k) = first 16 bits of md5(j || ':' || k) — so BOTH
+    * engines materialize bit-identical counter tables and the oracle
+    * checks the estimates exactly, which no library sketch
+    * (`count_min_sketch()` et al.) allows. Counters sum-merge
+    * (spec-asserted law: the sketch of a union feed is the elementwise
+    * sum of per-day sketches), making this the incremental/streaming
+    * counterpart of exact per-key counts when the key space no longer
+    * fits: state is ≤ d·w longs FOREVER, vs one counter per key.
+    *
+    * Scale: ONE feed aggregate to the |keys|-sized exact frame (cut:
+    * the sketch build and the top-k probe both consume it), then a
+    * 4×-exploded map over THAT frame (never over the feed) into a
+    * map-side-combinable (j, bucket) sum — the shuffle carries ≤ d·w
+    * rows per mapper. The probe side is 20 keys × 4 rows joined against
+    * a broadcast counter table. At 100 TB the exact frame is the only
+    * corpus-sized stage (the q01 scan-aggregate class); a pure
+    * streaming deployment drops even that and feeds the counters
+    * directly (the q181 stored-state pattern). */
+  val q190 = QueryDef(
+    "q190_countmin",
+    (spark, dir) => {
+      val exact = graft.Materialize.cut(
+        Tables(spark, dir).lineitem
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("n_exact")))
+      def bucketOf(j: Column, k: Column): Column =
+        conv(substring(md5(concat(j.cast("string"), lit(":"),
+          k.cast("string")).cast("binary")), 1, 4), 16, 10)
+          .cast(IntegerType)
+      val counters = exact
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("bucket", bucketOf(col("j"), col("k")))
+        .groupBy(col("j"), col("bucket"))
+        .agg(sum(col("n_exact")).as("c"))
+      val top = exact
+        .orderBy(col("n_exact").desc, col("k").asc_nulls_first)
+        .limit(20)
+      val est = top
+        .withColumn("j", explode(sequence(lit(0), lit(3))))
+        .withColumn("bucket", bucketOf(col("j"), col("k")))
+        .join(broadcast(counters), Seq("j", "bucket"))
+        .groupBy(col("k"), col("n_exact"))
+        .agg(min(col("c")).as("n_est"))
+      est.select(col("k").as("part_key"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("part_key").asc_nulls_first)
+    },
+    Some("""WITH exact AS (
+      SELECT l_partkey AS k, COUNT(*) AS n_exact FROM lineitem GROUP BY 1),
+    d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(j)),
+    counters AS (
+      SELECT j,
+        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket,
+        CAST(SUM(n_exact) AS BIGINT) AS c
+      FROM exact CROSS JOIN d GROUP BY 1, 2),
+    top AS (
+      SELECT k, n_exact FROM exact
+      ORDER BY n_exact DESC, k ASC LIMIT 20),
+    probe AS (
+      SELECT k, n_exact, j,
+        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+      FROM top CROSS JOIN d),
+    est AS (
+      SELECT p.k, p.n_exact, MIN(c.c) AS n_est
+      FROM probe p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY 1, 2)
+    SELECT k AS part_key, n_exact, n_est, n_est - n_exact AS overcount
+    FROM est
+    ORDER BY n_exact DESC, part_key ASC"""))
+
+  // --------------------------------------------------------------- q191
+  /** Multi-feature OLS (2 regressors + intercept) via one-pass normal
+    * equations — the "fit a linear probe over the whole corpus in one
+    * scan" shape that q109 provides for a single regressor: per return
+    * flag, extendedprice ~ b0 + b1·quantity + b2·discount. The whole
+    * fit reduces to TEN per-group sums (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂²,
+    * Σy, Σx₁y, Σx₂y, Σy²) — ONE map-side-combinable hash aggregate,
+    * then the 3×3 system X'X·b = X'y solved per group by Cramer's rule
+    * in pure scalar math. No second pass, no per-group sort, state
+    * O(groups · d²) — the d² growth is why full normal equations stop
+    * at modest d and 100 TB regressions with wide d go through
+    * gradient passes instead; at d = 2 this IS the optimal plan.
+    *
+    * Determinism (the q109 contract): every sum accumulates exact
+    * DECIMAL (scale-4 products keep unscaled int64 for DuckDB's decimal
+    * multiply — see q109's width note); both engines then evaluate the
+    * IDENTICAL fixed-shape double expression (shared cofactor terms,
+    * same parenthesization) over identical stats, rounded at the end.
+    * Native `regr_*` aggregates in both engines are rejected for
+    * reduction-order double accumulation. */
+  val q191 = QueryDef(
+    "q191_multi_regression",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem.select(
+        col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("x1"),
+        col("l_discount").cast(DecimalType(18, 2)).as("x2"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+      val s = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n_pts"),
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x1")).cast(DoubleType).as("s1"),
+        sum(col("x2")).cast(DoubleType).as("s2"),
+        sum(col("x1") * col("x1")).cast(DoubleType).as("s11"),
+        sum(col("x1") * col("x2")).cast(DoubleType).as("s12"),
+        sum(col("x2") * col("x2")).cast(DoubleType).as("s22"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x1") * col("y")).cast(DoubleType).as("s1y"),
+        sum(col("x2") * col("y")).cast(DoubleType).as("s2y"),
+        sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+      // shared 2×2 cofactors — the same intermediates the oracle names,
+      // so the double expression SHAPE is identical in both engines
+      val withCof = s
+        .withColumn("cA", col("s11") * col("s22") - col("s12") * col("s12"))
+        .withColumn("cB", col("s1") * col("s22") - col("s12") * col("s2"))
+        .withColumn("cC", col("s1") * col("s12") - col("s11") * col("s2"))
+        .withColumn("det",
+          col("n") * col("cA") - col("s1") * col("cB") + col("s2") * col("cC"))
+        .withColumn("b0",
+          (col("sy") * col("cA")
+            - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+            + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y")))
+            / col("det"))
+        .withColumn("b1",
+          (col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+            - col("sy") * col("cB")
+            + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2")))
+            / col("det"))
+        .withColumn("b2",
+          (col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+            - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+            + col("sy") * col("cC"))
+            / col("det"))
+        .withColumn("sse", col("syy") - col("b0") * col("sy")
+          - col("b1") * col("s1y") - col("b2") * col("s2y"))
+        .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n"))
+      withCof.select(
+          col("l_returnflag"), col("n_pts"),
+          round(col("b0"), 4).as("b0"),
+          round(col("b1"), 6).as("b1"),
+          round(col("b2"), 6).as("b2"),
+          round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+    Some("""WITH s AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n_pts,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag),
+    cof AS (
+      SELECT *,
+        s11*s22 - s12*s12 AS cA,
+        s1*s22 - s12*s2 AS cB,
+        s1*s12 - s11*s2 AS cC
+      FROM s),
+    det AS (
+      SELECT *, n*cA - s1*cB + s2*cC AS det FROM cof),
+    beta AS (
+      SELECT *,
+        (sy*cA - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS b0,
+        (n*(s1y*s22 - s12*s2y) - sy*cB + s2*(s1*s2y - s1y*s2)) / det AS b1,
+        (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*cC) / det AS b2
+      FROM det),
+    fit AS (
+      SELECT *,
+        syy - b0*sy - b1*s1y - b2*s2y AS sse,
+        syy - sy*sy/n AS sst
+      FROM beta)
+    SELECT l_returnflag, n_pts,
+      round(b0, 4) AS b0,
+      round(b1, 6) AS b1,
+      round(b2, 6) AS b2,
+      round(1.0 - sse/sst, 6) AS r2
+    FROM fit
+    ORDER BY l_returnflag ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
-      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184)
+      q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
+      q190, q191)
 }

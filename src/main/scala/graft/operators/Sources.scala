@@ -155,5 +155,58 @@ object Sources extends QueryPack {
     GROUP BY source
     ORDER BY source NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q89, q95)
+  /** Idempotently lands the documents table as ORC for `dir` — the
+    * columnar-interchange sibling of [[ensureJsonl]]/[[ensureCsv]], same
+    * lifecycle. ORC is the other splittable columnar format a lake
+    * ingests beside parquet (Hive-era estates land ORC); like parquet it
+    * carries its own schema, types survive exactly, and min/max stripe
+    * statistics serve predicate pushdown. */
+  private[graft] def ensureOrc(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/docs_orc_$tag"
+      if (!landed(path)) {
+        Tables(spark, dir).documents
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").orc(path)
+        landed += path
+      }
+      path
+    }
+
+  // ---------------------------------------------------------------- q192
+  /** ORC round-trip with a pushed predicate: land documents as ORC, read
+    * back (schema from the file footer — unlike text formats, columnar
+    * self-describes, so no inference pass and no explicit-schema
+    * requirement), filter on a stats-prunable column and aggregate per
+    * source. Values and types must survive the trip exactly — the oracle
+    * runs the same filtered aggregate on the original parquet. The
+    * `n_chars` predicate reaches the OrcScan as a pushed filter and the
+    * projection prunes `text` out of the read entirely (both
+    * plan-asserted in SourcesSpec — at 100 TB the pruned column IS the
+    * bulk of the bytes). */
+  val q192 = QueryDef(
+    "q192_orc_source",
+    (spark, dir) => {
+      val docs = spark.read.orc(ensureOrc(spark, dir))
+      docs.filter(col("n_chars") >= 300 && col("n_chars") < 900)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      min(n_chars) AS min_chars,
+      max(n_chars) AS max_chars
+    FROM documents
+    WHERE n_chars >= 300 AND n_chars < 900
+    GROUP BY source
+    ORDER BY source NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q89, q95, q192)
 }

@@ -550,6 +550,66 @@ class TransProcessor
   }
 }
 
+/** One observed per-user (t1 → t2 → t3) contiguous trigram at `us`. */
+case class Trigram(userId: Long, t1: String, t2: String, t3: String, us: Long)
+
+/** Per-user last-two-events window for the trigram miner. */
+case class TrigramState(prev2: String, prev1: String, us: Long, eventId: Long)
+
+/** Streaming form of the q189 journey-trigram miner — [[StreamTransitions]]
+  * with a two-event memory: the per-user state holds the LAST TWO event
+  * types (one ~40-byte record per user, forever — state is O(n−1) strings
+  * per key for n-gram mining, never a history buffer) and each arriving
+  * event emits one completed (t1, t2, t3) row once the window is full.
+  * Same in-order contract as [[StreamTransitions]]; on an in-order stream
+  * the aggregated trigram counts equal batch q189's exactly
+  * (spec-asserted across a micro-batch boundary). */
+object StreamTrigrams {
+  /** `events` needs `user_id`, `event_type`, `ts`, `event_id`; works on
+    * static frames and streams alike. */
+  def trigrams(events: DataFrame): Dataset[Trigram] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").as("eventId"))
+      .as[TransEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new TrigramProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-user two-event sliding window behind [[StreamTrigrams]]. */
+class TrigramProcessor
+    extends StatefulProcessor[Long, TransEvent, Trigram] {
+  @transient private var st: ValueState[TrigramState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TrigramState]("last2",
+      Encoders.product[TrigramState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+      timerValues: TimerValues): Iterator[Trigram] = {
+    var last = if (st.exists()) Option(st.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Trigram]
+    // q189's per-user total order: (us, event_id)
+    rows.toArray.sortBy(e => (e.us, e.eventId)).foreach { e =>
+      last match {
+        case Some(s) =>
+          if (s.prev2 != null)
+            out += Trigram(key, s.prev2, s.prev1, e.eventType, e.us)
+          last = Some(TrigramState(s.prev1, e.eventType, e.us, e.eventId))
+        case None =>
+          last = Some(TrigramState(null, e.eventType, e.us, e.eventId))
+      }
+    }
+    last.foreach(st.update)
+    out.iterator
+  }
+}
+
 /** One forward-filled hourly tick from [[StreamLocf]]. */
 case class LocfTick(eventType: String, hourEpoch: Long, vLocf: Double)
 

@@ -1113,4 +1113,99 @@ class AnalyticSpec extends SparkTestBase {
       assert(eo == expected, s"($t1,$t2) est_overlap")
     }
   }
+
+  test("q190 CMS: never undercounts ANY key, top-20 matches a driver replay, counters sum-merge") {
+    val keys = Tables(spark, sf0001).lineitem
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val exact = keys.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def bucket(j: Int, k: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$j:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    // driver CMS replay over the full fixture
+    val counters = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    exact.foreach { case (k, n) =>
+      (0 to 3).foreach { j =>
+        val b = (j, bucket(j, k)); counters(b) = counters.getOrElse(b, 0L) + n
+      }
+    }
+    def est(k: Long): Long = (0 to 3).map(j => counters((j, bucket(j, k)))).min
+    // CMS one-sided guarantee on EVERY key
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"key $k: est ${est(k)} undercounts exact $n")
+    }
+    // the registered query's top-20 rows equal the replay
+    val expected = exact.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+      .map { case (k, n) => (k, n, est(k), est(k) - n) }
+    val got = Analytic.q190.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // merge law: the full-feed counters are the elementwise SUM of
+    // per-year counter pages (the property that makes the sketch
+    // incrementally maintainable / streamable)
+    val byYear = keys.groupBy(_._2).view.mapValues(
+      _.groupBy(_._1).view.mapValues(_.length.toLong).toMap).toMap
+    val merged = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    byYear.values.foreach(_.foreach { case (k, n) =>
+      (0 to 3).foreach { j =>
+        val b = (j, bucket(j, k)); merged(b) = merged.getOrElse(b, 0L) + n
+      }
+    })
+    assert(merged == counters, "per-year pages do not sum-merge to the full sketch")
+  }
+
+  test("q191 multi-feature OLS equals an exact driver-side normal-equations solve") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (flag, rs) =>
+      // exact decimal sufficient statistics, like the engines accumulate
+      val (x1, x2, y) = (rs.map(r => d2(r._2)), rs.map(r => d2(r._3)), rs.map(r => d2(r._4)))
+      val n = rs.length.toDouble
+      def s(v: Iterable[BigDecimal]) = v.sum.toDouble
+      val (s1, s2, sy) = (s(x1), s(x2), s(y))
+      val s11 = s(x1.zip(x1).map { case (a, b) => a * b })
+      val s12 = s(x1.zip(x2).map { case (a, b) => a * b })
+      val s22 = s(x2.zip(x2).map { case (a, b) => a * b })
+      val s1y = s(x1.zip(y).map { case (a, b) => a * b })
+      val s2y = s(x2.zip(y).map { case (a, b) => a * b })
+      val syy = s(y.zip(y).map { case (a, b) => a * b })
+      // the same fixed-shape Cramer expressions as the query
+      val cA = s11 * s22 - s12 * s12
+      val cB = s1 * s22 - s12 * s2
+      val cC = s1 * s12 - s11 * s2
+      val det = n * cA - s1 * cB + s2 * cC
+      val b0 = (sy * cA - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det
+      val b1 = (n * (s1y * s22 - s12 * s2y) - sy * cB + s2 * (s1 * s2y - s1y * s2)) / det
+      val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * cC) / det
+      val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+      val sst = syy - sy * sy / n
+      def rnd(x: Double, sc: Int) =
+        BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the solve must actually satisfy the normal equations X'X·b = X'y
+      // (validates the Cramer expansion itself, not just replay agreement)
+      val eq = Seq(
+        (n * b0 + s1 * b1 + s2 * b2, sy),
+        (s1 * b0 + s11 * b1 + s12 * b2, s1y),
+        (s2 * b0 + s12 * b1 + s22 * b2, s2y))
+      eq.foreach { case (lhs, rhs) =>
+        assert(math.abs(lhs - rhs) <= 1e-9 * math.max(1.0, math.abs(rhs)),
+          s"$flag: normal equation violated: $lhs != $rhs")
+      }
+      (flag, rs.length.toLong, rnd(b0, 4), rnd(b1, 6), rnd(b2, 6), rnd(1.0 - sse / sst, 6))
+    }
+    val got = Analytic.q191.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // r2 sane (the synthetic fixture has near-zero cross-column signal,
+    // so only the mathematical band is assertable, not a strength floor)
+    got.foreach { case (flag, _, _, _, _, r2) =>
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$flag: r2 $r2 out of [0, 1]")
+    }
+  }
 }

@@ -71,4 +71,24 @@ class SourcesSpec extends SparkTestBase {
       .forEach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  test("q192 ORC source: n_chars filter pushed to the OrcScan, text pruned out of the read") {
+    val df = Sources.q192.fn(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("OrcScan") || plan.toLowerCase.contains("orc"),
+      s"no ORC scan in the plan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,300)"),
+      s"n_chars filter not pushed to the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("text:"),
+      s"text column not pruned from the ORC read:\n$plan")
+    // values survive the trip: same aggregate over the original parquet
+    val expected = Tables(spark, sf0001).documents
+      .filter(col("n_chars") >= 300 && col("n_chars") < 900)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source").asc_nulls_first)
+      .collect().toSeq
+    assert(df.collect().toSeq == expected)
+  }
+
 }

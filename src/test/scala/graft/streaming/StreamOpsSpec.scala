@@ -645,6 +645,39 @@ class StreamOpsSpec extends SparkTestBase {
       s"only-stream=${streamed.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamed.toSet}")
   }
 
+  test("trigram miner on an in-order stream reproduces exactly q189's top-20") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamTrigrams.trigrams(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("triq189")
+      .start()
+    // two arrival chunks so the two-event window state crosses a
+    // micro-batch boundary mid-trigram
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamedTop = s2.table("triq189")
+      .groupBy(col("t1"), col("t2"), col("t3")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20).toSeq
+    val batch = graft.operators.WindowOps.q189.fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(streamedTop == batch, s"stream/batch trigram divergence: " +
+      s"only-stream=${streamedTop.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamedTop.toSet}")
+  }
+
   test("buffered funnel: out-of-order arrival within the watermark still equals q105") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
