@@ -2933,9 +2933,117 @@ object Analytic extends QueryPack {
     FROM fit
     ORDER BY l_returnflag ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q193
+  /** Deterministic mergeable quantile sketch — the QUANTILE member of
+    * the deterministic-sketch family (q178 distinct, q190 frequency):
+    * DDSketch's log-binned histogram (Masson et al., VLDB '19)
+    * realized in pure integer arithmetic so both engines materialize
+    * bit-identical bins and the oracle checks the whole gauge exactly —
+    * which no `approx_percentile`/`quantile` library sketch allows
+    * (both engines' native quantile sketches are sampling- or
+    * merge-order-dependent).
+    *
+    * Binning: prices in cents take bucket `16·b + sub` where
+    * b = ⌊log₂(cents)⌋ = length(bin(cents)) − 1 (a STRING length, no
+    * transcendental) and sub = the next 4 bits after the leading one —
+    * 16 sub-bins per octave, so every bin spans a (1 + 1/16)× range
+    * and any quantile is answered within ≤ 6.25% relative error
+    * (spec-proved against exact driver-side quantiles, alongside the
+    * bin-containment guarantee lo ≤ q_true < hi). Cents < 16 get exact
+    * unit bins (ids 0–15; octave ids start at 64 — disjoint by
+    * construction). The p-th percentile is the value at rank
+    * ⌈p·n/100⌉ (disc definition — integer position arithmetic, q124's
+    * rule, no interpolation knife edges).
+    *
+    * Mergeability: bins sum-merge (same law as q190's counters,
+    * spec-asserted there; the identical property makes this the stored
+    * state for incremental / streaming percentile gauges — one
+    * ≤ 16·64-long page per group, forever).
+    *
+    * Scale: ONE map pass (string-length bin) into ONE map-side-
+    * combinable (group, bin) count — the shuffle carries bins, never
+    * values; the finishing cumsum window runs over the ≤ 1024-row
+    * per-group dimension frame. The q01 scan-aggregate class with
+    * O(groups·1024) state, vs an exact per-group quantile which needs
+    * a sort or GlobalRank pass per group. */
+  val q193 = QueryDef(
+    "q193_quantile_sketch",
+    (spark, dir) => {
+      val cents = Tables(spark, dir).lineitem.select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("cents"))
+      val binned = cents
+        .withColumn("b", (length(bin(col("cents"))) - lit(1)).cast(LongType))
+        .withColumn("id", when(col("cents") < 16, col("cents"))
+          .otherwise(col("b") * 16 +
+            (expr("shiftright(cents, CAST(b - 4 AS INT))") - lit(16))))
+      val counts = binned.groupBy(col("l_returnflag"), col("id"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      def pickId(p: Int): Column =
+        min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("id")))
+      def loSql(c: String): String =
+        s"CASE WHEN $c < 64 THEN $c ELSE shiftleft(16 + $c % 16, CAST($c div 16 - 4 AS INT)) END"
+      def hiSql(c: String): String =
+        s"CASE WHEN $c < 64 THEN $c + 1 ELSE ${loSql(c)} + shiftleft(CAST(1 AS BIGINT), CAST($c div 16 - 4 AS INT)) END"
+      val picked = cum.join(totals, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          pickId(50).as("id50"), pickId(90).as("id90"), pickId(99).as("id99"))
+      picked.select(
+          col("l_returnflag"), col("n"),
+          expr(loSql("id50")).as("p50_lo"), expr(hiSql("id50")).as("p50_hi"),
+          expr(loSql("id90")).as("p90_lo"), expr(hiSql("id90")).as("p90_hi"),
+          expr(loSql("id99")).as("p99_lo"), expr(hiSql("id99")).as("p99_hi"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+    Some("""WITH cents AS (
+      SELECT l_returnflag,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem),
+    binned AS (
+      SELECT l_returnflag,
+        CASE WHEN cents < 16 THEN cents
+          ELSE (length(bin(cents)) - 1) * 16
+            + ((cents >> CAST(length(bin(cents)) - 5 AS INTEGER)) - 16)
+        END AS id
+      FROM cents),
+    counts AS (
+      SELECT l_returnflag, id, COUNT(*) AS c
+      FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, id, c,
+        SUM(c) OVER (PARTITION BY l_returnflag ORDER BY id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts),
+    totals AS (
+      SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n
+      FROM counts GROUP BY 1),
+    picked AS (
+      SELECT cum.l_returnflag, MAX(n) AS n,
+        MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN id END) AS id50,
+        MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN id END) AS id90,
+        MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN id END) AS id99
+      FROM cum JOIN totals USING (l_returnflag)
+      GROUP BY 1)
+    SELECT l_returnflag, n,
+      CASE WHEN id50 < 64 THEN id50 ELSE (16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER) END AS p50_lo,
+      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER)) + (1 << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
+      CASE WHEN id90 < 64 THEN id90 ELSE (16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER) END AS p90_lo,
+      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER)) + (1 << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
+      CASE WHEN id99 < 64 THEN id99 ELSE (16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER) END AS p99_lo,
+      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER)) + (1 << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
+    FROM picked
+    ORDER BY l_returnflag ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
-      q190, q191)
+      q190, q191, q193)
 }

@@ -1094,7 +1094,62 @@ object Curation extends QueryPack {
     GROUP BY 1, 2
     ORDER BY cust.token"""))
 
+  // --------------------------------------------------------------- q194
+  /** Temperature-scaled mixture weights (α = 0.5) — the multilingual /
+    * multi-source sampling standard (mT5, the Pile, XLM-R all sample
+    * sources ∝ n^α with α < 1 to upweight small sources without letting
+    * them dominate): per-source sampled share ∝ √(token mass),
+    * alongside the natural share so the upsampling factor each source
+    * receives is visible. Sits beside q78's uniform mix (α = 0) and
+    * natural mix (α = 1) as the tunable midpoint, and beside q137/q167
+    * which apportion a fixed budget rather than reweight.
+    *
+    * Determinism: n^0.5 is irrational, so the contract's "exact
+    * integers only" rule is met through ⌊√n⌋ — and floor(sqrt(n))
+    * IS engine-stable here, by margin proof (the rule-13 pattern): for
+    * non-square n ≤ 2⁴⁰, √n's distance to the nearest integer k is
+    * |n − k²| / (√n + k) ≥ 1/(2√n + 1) > 2⁻²¹, while the correctly-
+    * rounded double √n errs by ≤ ulp(2²⁰)/2 = 2⁻³³ — five thousand
+    * times less, so both engines' FLOOR agree for every possible
+    * input (perfect squares are exact outright); the scaladoc bound
+    * n ≤ 2⁴⁰ ≈ 10¹² tokens per source is the operator's documented
+    * domain (count kilotokens past it — shares are scale-free).
+    * Shares are exact integer ppm (x·10⁶ div Σ), never float ratios.
+    *
+    * Scale: one corpus aggregate to the |sources|-row dimension frame;
+    * the total runs as a window over THAT frame (q78's whitelisted
+    * global-window-over-dimension pattern). */
+  val q194 = QueryDef(
+    "q194_temperature_mix",
+    (spark, dir) => {
+      val src = Tables(spark, dir).documents
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("isq", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      src.select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div (SUM(n_tokens) OVER ())").as("natural_ppm"),
+          expr("isq * 1000000 div (SUM(isq) OVER ())").as("sampled_ppm"),
+          expr("(isq * 1000000 div (SUM(isq) OVER ())) * 1000000 div " +
+            "(n_tokens * 1000000 div (SUM(n_tokens) OVER ()))").as("upsample_ppm"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    i AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+      FROM s)
+    SELECT source, n_docs, n_tokens,
+      CAST(n_tokens * 1000000 // (SUM(n_tokens) OVER ()) AS BIGINT) AS natural_ppm,
+      CAST(isq * 1000000 // (SUM(isq) OVER ()) AS BIGINT) AS sampled_ppm,
+      CAST((isq * 1000000 // (SUM(isq) OVER ())) * 1000000
+        // (n_tokens * 1000000 // (SUM(n_tokens) OVER ())) AS BIGINT) AS upsample_ppm
+    FROM i
+    ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188)
+      q173, q174, q185, q188, q194)
 }

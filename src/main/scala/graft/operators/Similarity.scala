@@ -1557,7 +1557,120 @@ object Similarity extends QueryPack {
     em.select((col("vec_id") +: cols.toSeq): _*)
   }
 
+  // --------------------------------------------------------------- q195
+  /** Product-quantization encoding (Jégou et al., TPAMI '11) — the
+    * vector-COMPRESSION step beyond q151's scalar int8: each 64-dim
+    * embedding splits into 4 sub-vectors of 16 dims, each assigned to
+    * its nearest of K = 16 codebook entries, so a vector stores as 4
+    * nibbles (2 bytes) + the codebook — a 128× store shrink, and the
+    * asymmetric-distance tables ANN serving scans instead of floats.
+    * Output per vector: the 4 codes and the exact total squared
+    * reconstruction distance (micro²), the quality column a PQ
+    * deployment monitors.
+    *
+    * Codebook: the K entries per subspace are the sub-vectors of the 16
+    * md5-least vec_ids — the deterministic seeding stand-in for sampled
+    * k-means (a production codebook trains Lloyd rounds on a sample via
+    * q70's machinery and lands as a table; the ENCODE pass graded here
+    * is identical either way). Seed rank breaks argmin ties.
+    *
+    * Determinism: components enter as micro-scaled integers (the
+    * q43/q151 pattern), distances are exact integer sums of squares,
+    * and the argmin is integer arithmetic end-to-end —
+    * `combined = dist·16 + rank`, `min(combined)`, then `% 16` /
+    * `div 16` recover the code and distance with the tie broken by
+    * rank, no struct-ordering or float compare anywhere.
+    *
+    * Scale: the codebook is 16 × 64 micro-ints — BROADCAST state; the
+    * encode pass is one explode + one (sub, dim) broadcast equi-join
+    * with fan-out K per component row (never corpus×corpus), one
+    * (vec, sub) hash aggregate and one vec-keyed pivot aggregate. At
+    * 100 TB this is the standard PQ-encode map pass; the md5 seed
+    * selection is a TakeOrdered over the corpus (the q110 class). */
+  val q195 = QueryDef(
+    "q195_pq_codes",
+    (spark, dir) => {
+      val ex = Tables(spark, dir).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("vec_id"), (col("d0") + 1).cast(IntegerType).as("dim"),
+          expr("(d0 div 16)").cast(IntegerType).as("sub"),
+          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi"))
+      // 16 md5-least vec_ids, ranked 0..15 (rank breaks argmin ties);
+      // the 16-row frame makes the global row_number a dimension window
+      val seeds = Tables(spark, dir).embeddings
+        .select(col("vec_id").as("seed_id"),
+          Det.md5Bucket(col("vec_id")).as("pfx"))
+        .orderBy(col("pfx").asc, col("seed_id").asc)
+        .limit(16)
+        .withColumn("rank",
+          (row_number().over(Window.orderBy(col("pfx").asc, col("seed_id").asc))
+            - 1).cast(LongType))
+      // seeds join BEFORE the explode: only 16 vectors unfold into the
+      // codebook (the corpus-side explode would be a second full pass)
+      val book = broadcast(
+        Tables(spark, dir).embeddings
+          .join(broadcast(seeds), col("vec_id") === col("seed_id"))
+          .select(col("rank"), posexplode(col("embedding")).as(Seq("d0", "v")))
+          .select(col("rank"),
+            expr("(d0 div 16)").cast(IntegerType).as("sub"),
+            (col("d0") + 1).cast(IntegerType).as("dim"),
+            round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("si")))
+      val dists = ex.join(book, Seq("sub", "dim"))
+        .groupBy(col("vec_id"), col("sub"), col("rank"))
+        .agg(sum((col("vi") - col("si")) * (col("vi") - col("si"))).as("dist"))
+      val assigned = dists
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("dist") * 16 + col("rank")).as("combined"))
+        .select(col("vec_id"), col("sub"),
+          (col("combined") % 16).as("code"),
+          expr("combined div 16").as("dist"))
+      assigned.groupBy(col("vec_id"))
+        .agg(
+          max(when(col("sub") === 0, col("code"))).as("c0"),
+          max(when(col("sub") === 1, col("code"))).as("c1"),
+          max(when(col("sub") === 2, col("code"))).as("c2"),
+          max(when(col("sub") === 3, col("code"))).as("c3"),
+          sum(col("dist")).as("recon_micro2"))
+        .orderBy(col("vec_id").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST((i - 1) // 16 AS INT) AS sub,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    seeds AS (
+      SELECT vec_id AS seed_id,
+        ROW_NUMBER() OVER (ORDER BY
+          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) ASC,
+          vec_id ASC) - 1 AS rank
+      FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) ASC,
+        vec_id ASC
+      LIMIT 16),
+    book AS (
+      SELECT s.rank, e.sub, e.dim, e.vi AS si
+      FROM seeds s JOIN ex e ON e.vec_id = s.seed_id),
+    dists AS (
+      SELECT e.vec_id, e.sub, b.rank,
+        SUM((e.vi - b.si) * (e.vi - b.si)) AS dist
+      FROM ex e JOIN book b ON b.sub = e.sub AND b.dim = e.dim
+      GROUP BY 1, 2, 3),
+    assigned AS (
+      SELECT vec_id, sub,
+        CAST(MIN(dist * 16 + rank) % 16 AS BIGINT) AS code,
+        CAST(MIN(dist * 16 + rank) // 16 AS BIGINT) AS dist
+      FROM dists GROUP BY 1, 2)
+    SELECT vec_id,
+      MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+      MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+      MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+      MAX(CASE WHEN sub = 3 THEN code END) AS c3,
+      CAST(SUM(dist) AS BIGINT) AS recon_micro2
+    FROM assigned
+    GROUP BY vec_id
+    ORDER BY vec_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152,
-      q153, q160, q187)
+      q153, q160, q187, q195)
 }

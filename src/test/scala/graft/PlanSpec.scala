@@ -295,7 +295,12 @@ class PlanSpec extends SparkTestBase {
       // q144's lag runs over the 3-row stage-count frame.
       "q144_funnel_deadline",
       // q145's global-max anchor runs over the |types|-row frame.
-      "q145_freshness")
+      "q145_freshness",
+      // q194's share totals run over the post-aggregate |sources|-row
+      // frame — same argument as q78.
+      "q194_temperature_mix",
+      // q195's seed-rank row_number runs over the 16-row codebook frame.
+      "q195_pq_codes")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -1208,4 +1208,42 @@ class AnalyticSpec extends SparkTestBase {
       assert(r2 >= 0.0 && r2 <= 1.0, s"$flag: r2 $r2 out of [0, 1]")
     }
   }
+
+  test("q193 quantile sketch: every bin contains the exact quantile, width <= 1/16 relative, bins sum-merge") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"), year(col("l_shipdate")))
+      .collect().map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact, r.getInt(2)))
+    val byFlag = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactQ(sorted: Seq[Long], p: Int): Long = sorted((p * sorted.length + 99) / 100 - 1)
+    val got = Analytic.q193.fn(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSeq == byFlag.keys.toSeq.sorted)
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val sorted = byFlag(flag)
+      assert(r.getLong(1) == sorted.length.toLong, s"$flag: n")
+      Seq((50, 2, 3), (90, 4, 5), (99, 6, 7)).foreach { case (p, iLo, iHi) =>
+        val (lo, hi) = (r.getLong(iLo), r.getLong(iHi))
+        val truth = exactQ(sorted, p)
+        assert(lo <= truth && truth < hi,
+          s"$flag p$p: exact $truth outside sketch bin [$lo, $hi)")
+        // log-band bins span a (1 + 1/16)x range: relative error <= 6.25%
+        assert(hi - lo <= math.max(1L, lo / 16),
+          s"$flag p$p: bin [$lo, $hi) wider than 1/16 relative")
+      }
+    }
+    // merge law: per-year (flag, id) count pages sum to the full sketch
+    def binId(cents: Long): Long =
+      if (cents < 16) cents
+      else {
+        val b = 63 - java.lang.Long.numberOfLeadingZeros(cents)
+        b.toLong * 16 + ((cents >> (b - 4)) - 16)
+      }
+    val full = rows.groupBy(t => (t._1, binId(t._2))).view.mapValues(_.length.toLong).toMap
+    val pages = rows.groupBy(_._3).values.map(
+      _.groupBy(t => (t._1, binId(t._2))).view.mapValues(_.length.toLong).toMap)
+    val merged = pages.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == full, "per-year pages do not sum-merge to the full sketch")
+  }
 }

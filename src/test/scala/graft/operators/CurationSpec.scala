@@ -447,4 +447,38 @@ class CurationSpec extends SparkTestBase {
     assert(rows.count(_._3 == 0L) == zeroExpected.size,
       "zero-order customers dropped or invented by the left join")
   }
+
+  test("q194 temperature mix equals an exact BigInt replay and upweights the small sources") {
+    val toks = graft.Tables(spark, sf0001).documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    // exact integer sqrt by Newton iteration on BigInt (independent of
+    // any double path)
+    def isqrt(n: Long): Long = {
+      require(n >= 0)
+      if (n < 2) return n
+      var x = BigInt(n); var y = (x + 1) / 2
+      while (y < x) { x = y; y = (x + BigInt(n) / x) / 2 }
+      x.toLong
+    }
+    val totTok = bySrc.values.map(_._2).sum
+    val totIsq = bySrc.values.map(v => isqrt(v._2)).sum
+    val expected = bySrc.toSeq.sortBy(_._1).map { case (s, (nd, nt)) =>
+      val nat = nt * 1000000L / totTok
+      val samp = isqrt(nt) * 1000000L / totIsq
+      (s, nd, nt, nat, samp, samp * 1000000L / nat)
+    }
+    val got = Curation.q194.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the temperature property: the smallest source's sampled share
+    // exceeds its natural share, the largest source's is depressed
+    val smallest = got.minBy(_._3); val largest = got.maxBy(_._3)
+    assert(smallest._3 < largest._3, "fixture sources are all the same size")
+    assert(smallest._6 > 1000000L, s"smallest source not upsampled: $smallest")
+    assert(largest._6 < 1000000L, s"largest source not downsampled: $largest")
+  }
 }

@@ -738,4 +738,42 @@ class SimilarityQualitySpec extends SparkTestBase {
     // the prune must bite: some cluster has >1 member, so kept < total
     assert(rows.count(_._4) < rows.length, "no multi-member clusters pruned")
   }
+
+  test("q195 PQ codes equal an exact integer driver replay; seeds reconstruct exactly") {
+    val em = graft.Tables(spark, sf0001).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val micro: Map[Long, Array[Long]] = em.toMap.view.mapValues(
+      _.map(v => BigDecimal(v.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toMap
+    // seed selection: 16 md5-least (16-bit-prefix, id) vec_ids, ranked
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pfx(id: Long): Int = Integer.parseInt(
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val seeds = em.map(_._1).sortBy(id => (pfx(id), id)).take(16)
+    val expected = em.map(_._1).sorted.map { id =>
+      val v = micro(id)
+      val perSub = (0 until 4).map { sub =>
+        val range = (sub * 16) until ((sub + 1) * 16)
+        val best = seeds.zipWithIndex.map { case (sid, rank) =>
+          val s = micro(sid)
+          val dist = range.map(d => { val df = v(d) - s(d); df * df }).sum
+          (dist, rank.toLong)
+        }.min
+        best
+      }
+      (id, perSub(0)._2, perSub(1)._2, perSub(2)._2, perSub(3)._2,
+        perSub.map(_._1).sum)
+    }.toSeq
+    val got = Similarity.q195.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // every seed encodes to ITSELF in every subspace: zero recon error
+    val bySeed = got.map(g => g._1 -> g).toMap
+    seeds.foreach { sid =>
+      assert(bySeed(sid)._6 == 0L, s"seed $sid has nonzero recon error")
+    }
+    // non-seed vectors should not all reconstruct exactly (the codes compress)
+    assert(got.exists(_._6 > 0L), "every vector reconstructed exactly — codebook too big?")
+  }
 }
