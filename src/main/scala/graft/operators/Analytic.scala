@@ -2766,6 +2766,33 @@ object Analytic extends QueryPack {
     * corpus-sized stage (the q01 scan-aggregate class); a pure
     * streaming deployment drops even that and feeds the counters
     * directly (the q181 stored-state pattern). */
+  /** CMS bucket for hash row `j` and key `k` — first 16 md5 bits of
+    * "j:k" (the q178/q190 pure-integer contract). */
+  private[graft] def cmsBucket(j: Column, k: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"),
+      k.cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast(IntegerType)
+
+  /** The d=4 × w=65536 counter table over an exact `(k, n_exact)`
+    * frame — q190's sketch build, factored so ScaleProbe's `cms` mode
+    * drives the production code on replicated key spaces. */
+  private[graft] def cmsCountersOf(exact: DataFrame): DataFrame =
+    exact
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", cmsBucket(col("j"), col("k")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("n_exact")).as("c"))
+
+  /** Row-min CMS estimates for a (small) probe key frame against the
+    * counter table — the read side of the sketch, broadcast-joined. */
+  private[graft] def cmsEstimates(probe: DataFrame, counters: DataFrame): DataFrame =
+    probe
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", cmsBucket(col("j"), col("k")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("k"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+
   val q190 = QueryDef(
     "q190_countmin",
     (spark, dir) => {
@@ -2773,25 +2800,12 @@ object Analytic extends QueryPack {
         Tables(spark, dir).lineitem
           .groupBy(col("l_partkey").as("k"))
           .agg(count(lit(1)).as("n_exact")))
-      def bucketOf(j: Column, k: Column): Column =
-        conv(substring(md5(concat(j.cast("string"), lit(":"),
-          k.cast("string")).cast("binary")), 1, 4), 16, 10)
-          .cast(IntegerType)
-      val counters = exact
-        .withColumn("j", explode(sequence(lit(0), lit(3))))
-        .withColumn("bucket", bucketOf(col("j"), col("k")))
-        .groupBy(col("j"), col("bucket"))
-        .agg(sum(col("n_exact")).as("c"))
+      val counters = cmsCountersOf(exact)
       val top = exact
         .orderBy(col("n_exact").desc, col("k").asc_nulls_first)
         .limit(20)
-      val est = top
-        .withColumn("j", explode(sequence(lit(0), lit(3))))
-        .withColumn("bucket", bucketOf(col("j"), col("k")))
-        .join(broadcast(counters), Seq("j", "bucket"))
-        .groupBy(col("k"), col("n_exact"))
-        .agg(min(col("c")).as("n_est"))
-      est.select(col("k").as("part_key"), col("n_exact"), col("n_est"),
+      cmsEstimates(top, counters)
+        .select(col("k").as("part_key"), col("n_exact"), col("n_est"),
           (col("n_est") - col("n_exact")).as("overcount"))
         .orderBy(col("n_exact").desc, col("part_key").asc_nulls_first)
     },
@@ -3041,9 +3055,174 @@ object Analytic extends QueryPack {
     FROM picked
     ORDER BY l_returnflag ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q197
+  /** ANALYZE-style column statistics — the optimizer-catalog pass a CBO
+    * (and every capacity plan) runs over a lake table: per key column,
+    * row count, null count, min/max, and the distinct count BOTH ways —
+    * exact, and estimated by the q178 deterministic-HLL registers built
+    * over the SAME unpivoted pass. The estimate column is the one that
+    * matters at 100 TB (register pages sum-merge per partition, so
+    * stats MAINTAIN incrementally — the q181 pattern — while the exact
+    * ndv needs a full re-aggregate); the exact column sits beside it to
+    * make the sketch error visible, q184's convention.
+    *
+    * Scale: ONE unpivot map pass (`stack` — rows × |cols|, no join)
+    * feeding two map-side-combinable aggregates: the moment frame
+    * (|cols| rows) and the register pages (≤ |cols|×256 rows). Nothing
+    * else touches the table. */
+  val q197 = QueryDef(
+    "q197_column_stats",
+    (spark, dir) => {
+      val cols = Tables(spark, dir).lineitem.select(
+        expr("stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, " +
+          "'l_suppkey', l_suppkey) AS (col_name, v)"))
+      val stacked = graft.Materialize.cut(cols)
+      val moments = stacked.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        countDistinct(col("v")).as("ndv_exact"))
+      val est = hllStatsOf(
+        hllRegistersOf(stacked.filter(col("v").isNotNull),
+          Seq("col_name"), "v"),
+        Seq("col_name"))
+        .select(col("col_name"), col("est").as("ndv_est"))
+      moments.join(broadcast(est), Seq("col_name"))
+        .orderBy(col("col_name").asc_nulls_first)
+    },
+    Some(s"""WITH stacked AS (
+      SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem),
+    moments AS (
+      SELECT col_name,
+        COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(v) AS n_nulls,
+        MIN(v) AS min_v,
+        MAX(v) AS max_v,
+        COUNT(DISTINCT v) AS ndv_exact
+      FROM stacked GROUP BY col_name),
+    h AS (
+      SELECT col_name, md5(CAST(v AS VARCHAR)) AS h
+      FROM stacked WHERE v IS NOT NULL),
+    r AS (
+      SELECT col_name,
+        CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS bucket,
+        regexp_replace(substr(h, 3, 14), '^0*', '') AS t
+      FROM h),
+    regs AS (
+      SELECT col_name, bucket, MAX($hllRankSql) AS m
+      FROM r GROUP BY col_name, bucket),
+    stats AS (
+      SELECT col_name,
+        CAST(COUNT(*) AS INT) AS present_buckets,
+        CAST(256 - COUNT(*) AS INT) AS zero_buckets,
+        SUM((CAST(1 AS BIGINT) << (57 - m))::HUGEINT)
+          + (256 - COUNT(*))::HUGEINT * 144115188075855872::HUGEINT AS reg_sum
+      FROM regs GROUP BY col_name)
+    SELECT m.col_name, m.n_rows, m.n_nulls, m.min_v, m.max_v, m.ndv_exact,
+      $hllEstSql AS ndv_est
+    FROM moments m JOIN stats ON stats.col_name = m.col_name
+    ORDER BY m.col_name ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q198
+  /** Join-skew advisor — the decision table you read BEFORE reaching for
+    * q72's salted join: per candidate join key, the frequency histogram
+    * summary (distinct keys, max/mean per-key multiplicity, the p99 key
+    * frequency) and the derived knobs — the hottest key's share of the
+    * table in exact ppm, and the salt fan-out that caps any one
+    * (key, salt) bucket at the MEAN load (`ceil(max/mean)` — 1 means
+    * "don't salt"). Two key columns side by side make the report the
+    * comparison the planner actually performs.
+    *
+    * Everything is exact integer arithmetic: mean as `n div keys`
+    * stays a ratio inside the derived expressions (max·keys vs n), p99
+    * by the ⌈p·k/100⌉ rank rule over the per-key count frame (q193's
+    * rule). The per-key count frame is the only corpus-sized aggregate;
+    * its own percentile runs over |keys| rows via one keyed window —
+    * at catalog scale this report is itself maintainable from stored
+    * per-partition count pages (counts sum-merge, the q190 law).
+    *
+    * Scale: one map-side-combinable count per key column + a
+    * cumulative window over the count-histogram (counts-of-counts,
+    * ≤ distinct multiplicities rows) — never a global row sort. */
+  val q198 = QueryDef(
+    "q198_skew_advisor",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def report(keyed: DataFrame): DataFrame = {
+        val freq = keyed.groupBy(col("col_name"), col("k"))
+          .agg(count(lit(1)).as("f"))
+        // counts-of-counts: the ≤|multiplicities| histogram the p99
+        // rank walks (never a window over the |keys| frame's row order)
+        val hist = freq.groupBy(col("col_name"), col("f"))
+          .agg(count(lit(1)).as("nk"))
+        val cum = hist.withColumn("cum",
+          sum(col("nk")).over(Window.partitionBy(col("col_name"))
+            .orderBy(col("f").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = freq.groupBy(col("col_name")).agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_f"))
+        cum.join(tot, Seq("col_name"))
+          .groupBy(col("col_name"))
+          .agg(max(col("n_keys")).as("n_keys"),
+            max(col("n_rows")).as("n_rows"),
+            max(col("max_f")).as("max_f"),
+            min(when(col("cum") >= expr("(n_keys * 99 + 99) div 100"),
+              col("f"))).as("p99_f"))
+      }
+      val li = t.lineitem.select(lit("l_orderkey").as("col_name"),
+          col("l_orderkey").as("k"))
+        .unionByName(t.lineitem.select(lit("l_suppkey").as("col_name"),
+          col("l_suppkey").as("k")))
+      report(li)
+        .select(col("col_name"), col("n_keys"), col("n_rows"),
+          col("max_f"), col("p99_f"),
+          expr("max_f * 1000000 div n_rows").as("hot_key_ppm"),
+          expr("(max_f * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+        .orderBy(col("col_name").asc_nulls_first)
+    },
+    Some("""WITH keyed AS (
+      SELECT 'l_orderkey' AS col_name, l_orderkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem),
+    freq AS (
+      SELECT col_name, k, COUNT(*) AS f
+      FROM keyed GROUP BY 1, 2),
+    hist AS (
+      SELECT col_name, f, COUNT(*) AS nk
+      FROM freq GROUP BY 1, 2),
+    cum AS (
+      SELECT col_name, f, nk,
+        SUM(nk) OVER (PARTITION BY col_name ORDER BY f ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    tot AS (
+      SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(f) AS BIGINT) AS n_rows,
+        CAST(MAX(f) AS BIGINT) AS max_f
+      FROM freq GROUP BY 1),
+    picked AS (
+      SELECT cum.col_name,
+        MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows, MAX(max_f) AS max_f,
+        CAST(MIN(CASE WHEN cum >= (n_keys * 99 + 99) // 100 THEN f END)
+          AS BIGINT) AS p99_f
+      FROM cum JOIN tot ON tot.col_name = cum.col_name
+      GROUP BY 1)
+    SELECT col_name, n_keys, n_rows, max_f, p99_f,
+      CAST(max_f * 1000000 // n_rows AS BIGINT) AS hot_key_ppm,
+      CAST((max_f * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt_factor
+    FROM picked
+    ORDER BY col_name ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
-      q190, q191, q193)
+      q190, q191, q193, q197, q198)
 }

@@ -1019,6 +1019,58 @@ object Dedup extends QueryPack {
     FROM pc GROUP BY csize
     ORDER BY cluster_size ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q196
+  /** Character-level edit-distance verification of the near-dup pairs —
+    * the SECOND verification lens beside q33's token-set Jaccard: for
+    * every exact-Jaccard ≥ 1/2 pair, the Levenshtein similarity of the
+    * two documents' 256-char prefixes. Token-set similarity is order-
+    * blind (two documents with the same shingle BAG but shuffled
+    * passages score high); character-order similarity catches exactly
+    * that, so the pair table with both columns is the triage view a
+    * dedup reviewer ranks — high-jac/low-edit rows are the reorderings
+    * and template collisions worth human eyes.
+    *
+    * Determinism: Levenshtein distance is exact integer DP, identical
+    * in both engines (Spark `levenshtein`, DuckDB `levenshtein`);
+    * similarity is exact integer ppm `(maxlen − lev)·10⁶ div maxlen`.
+    * Prefix window: edit distance is O(L²) per pair — the fixed
+    * 256-char prefix bounds per-pair cost at scale (the standard
+    * verify-window trade; the candidates were already full-text
+    * token-verified by the q33 stage upstream).
+    *
+    * Scale: pair generation is q33's lossless prefix-filtered
+    * equi-join (never all-pairs); the two text attaches are doc-keyed
+    * equi-joins; the DP runs once per surviving pair. */
+  val q196 = QueryDef(
+    "q196_edit_verify",
+    (spark, dir) => {
+      val pairs = exactPairsPipeline(spark, dir).cut()
+      val pfx = Tables(spark, dir).documents
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
+      pairs
+        .join(pfx.select(col("doc_id").as("d1"), col("p").as("p1")), Seq("d1"))
+        .join(pfx.select(col("doc_id").as("d2"), col("p").as("p2")), Seq("d2"))
+        .withColumn("lev", levenshtein(col("p1"), col("p2")).cast("long"))
+        .withColumn("maxlen",
+          greatest(length(col("p1")), length(col("p2"))).cast("long"))
+        .select(col("d1"), col("d2"), col("jac"), col("lev"),
+          expr("(maxlen - lev) * 1000000 div maxlen").as("edit_sim_ppm"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH pairs AS ($exactJaccardSql),
+    pfx AS (SELECT doc_id, substr(text, 1, 256) AS p FROM documents),
+    j AS (
+      SELECT pairs.d1, pairs.d2, pairs.jac,
+        CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+        CAST(GREATEST(length(a.p), length(b.p)) AS BIGINT) AS maxlen
+      FROM pairs
+      JOIN pfx a ON a.doc_id = pairs.d1
+      JOIN pfx b ON b.doc_id = pairs.d2)
+    SELECT d1, d2, jac, lev,
+      CAST((maxlen - lev) * 1000000 // maxlen AS BIGINT) AS edit_sim_ppm
+    FROM j
+    ORDER BY d1, d2"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136, q155)
+    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136, q155, q196)
 }

@@ -1612,6 +1612,96 @@ object StreamHllDeterministic {
   }
 }
 
+/** One live reading routed to its quantile-sketch key. */
+case class QuantIn(eventType: String, micro: Long)
+
+/** One quantile-gauge emission per touched type per micro-batch. */
+case class QuantGauge(eventType: String, n: Long,
+    p50Lo: Long, p50Hi: Long, p90Lo: Long, p90Hi: Long,
+    p99Lo: Long, p99Hi: Long)
+
+/** Streaming deterministic quantile sketch — the live cell of the q193
+  * pattern, completing the deterministic-sketch family's streaming row
+  * (distinct: [[StreamHllDeterministic]]; frequency: q190's counters
+  * sum-merge into any stateful counter; quantile: THIS): per event
+  * type, the SAME integer log-bins batch q193 builds (16 sub-bins per
+  * octave, exact unit bins below 16) maintained in `transformWithState`
+  * as ≤ ~1k (bin → count) map entries forever, emitting the
+  * (n, p50/p90/p99 bin bounds) gauge each micro-batch. Bin counts are
+  * a pure function of the input MULTISET — arrival order, batching and
+  * duplicates cannot move them — so the end-of-stream gauge equals a
+  * batch replay over the same readings exactly (spec-asserted across a
+  * micro-batch boundary, same percentile-rank rule ⌈p·n/100⌉). Domain:
+  * non-negative micro readings (q193's cents contract). */
+object StreamQuantileSketch {
+
+  /** (type, micro-reading) rows — narrow ops only; static or streaming. */
+  def keyed(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("eventType"),
+      greatest(lit(0L), round(col("value").cast("double") * 1000000).cast("long"))
+        .as("micro"))
+
+  /** The stateful per-type bin machine over [[keyed]] rows. */
+  def gauge(rows: DataFrame): Dataset[QuantGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("eventType"), col("micro")).as[QuantIn]
+      .groupByKey(_.eventType)
+      .transformWithState(new QuantProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-type log-bin machine behind [[StreamQuantileSketch]]. */
+class QuantProcessor extends StatefulProcessor[String, QuantIn, QuantGauge] {
+  import org.apache.spark.sql.streaming.MapState
+
+  @transient private var st: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getMapState[Long, Long]("bins",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[QuantIn],
+      timerValues: TimerValues): Iterator[QuantGauge] = {
+    rows.foreach { r =>
+      val id = QuantProcessor.binId(r.micro)
+      val cur = if (st.containsKey(id)) st.getValue(id) else 0L
+      st.updateValue(id, cur + 1L)
+    }
+    val bins = st.iterator().toArray.sortBy(_._1)
+    val n = bins.map(_._2).sum
+    def pick(p: Int): Long = {
+      val pos = (n * p + 99) / 100
+      var cum = 0L
+      bins.find { case (_, c) => cum += c; cum >= pos }.map(_._1).getOrElse(0L)
+    }
+    val (i50, i90, i99) = (pick(50), pick(90), pick(99))
+    Iterator.single(QuantGauge(key, n,
+      QuantProcessor.lo(i50), QuantProcessor.hi(i50),
+      QuantProcessor.lo(i90), QuantProcessor.hi(i90),
+      QuantProcessor.lo(i99), QuantProcessor.hi(i99)))
+  }
+}
+
+object QuantProcessor {
+  /** Batch q193's integer bin: exact unit bins below 16, then
+    * 16·⌊log₂(x)⌋ + next-4-bits — identical to the SQL's
+    * `length(bin(x))`/shift derivation. */
+  private[streaming] def binId(m: Long): Long =
+    if (m < 16) m
+    else {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(m)
+      b.toLong * 16 + ((m >> (b - 4)) - 16)
+    }
+
+  private[streaming] def lo(id: Long): Long =
+    if (id < 64) id else (16 + id % 16) << (id / 16 - 4)
+
+  private[streaming] def hi(id: Long): Long =
+    if (id < 64) id + 1 else lo(id) + (1L << (id / 16 - 4))
+}
+
 /** The per-type deterministic register machine behind
   * [[StreamHllDeterministic]]. */
 class DetHllProcessor extends StatefulProcessor[String, HllKeyUser, HllGauge] {

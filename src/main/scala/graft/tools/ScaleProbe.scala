@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | sweep | setops | all.
+  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | sweep | setops | cms | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|cms|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -137,6 +137,36 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save())
       println(f"SCALE-SETOPS f=$f rows=$nRows pages=$nPages " +
         f"t_build=$tBuild%.2f t_report=$tReport%.2f")
+    }
+
+    // ---- deterministic CMS (q190): counter state must SATURATE at
+    // d·w rows while the key space grows — replica i remaps part keys
+    // (k·f + i), so distinct keys grow f× while the sketch stays 4 ×
+    // 65536. Build cost tracks the exact-frame aggregate (linear);
+    // the top-20 probe runs off the broadcast counter table and stays
+    // flat — the stored-state read pattern at 100 TB.
+    if (mode == "cms") factors.foreach { f =>
+      val li0 = graft.Tables(spark, sfDir).lineitem
+        .select(col("l_partkey").as("k"))
+      val keyed = (
+        if (f == 1) li0
+        else li0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("k") * f + col("i")).as("k"))
+      ).localCheckpoint()
+      val nRows = keyed.count()
+      val (exact, tAgg) = timed(graft.Materialize.cut(
+        keyed.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))))
+      val nKeys = exact.count()
+      val (counters, tBuild) = timed(graft.Materialize.cut(
+        graft.operators.Analytic.cmsCountersOf(exact)))
+      val nCounters = counters.count()
+      val top = exact.orderBy(col("n_exact").desc, col("k").asc_nulls_first)
+        .limit(20)
+      val (_, tProbe) = timed(
+        graft.operators.Analytic.cmsEstimates(top, counters)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-CMS f=$f rows=$nRows keys=$nKeys counters=$nCounters " +
+        f"t_agg=$tAgg%.2f t_build=$tBuild%.2f t_probe=$tProbe%.2f")
     }
 
     // ---- interval-union sweep (q182): the gaps-and-islands sweep must

@@ -1246,4 +1246,52 @@ class AnalyticSpec extends SparkTestBase {
     val merged = pages.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(merged == full, "per-year pages do not sum-merge to the full sketch")
   }
+
+  test("q197 column stats: moments equal a driver replay, ndv estimate inside the HLL error band") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCol = Map(
+      "l_orderkey" -> rows.map(_._1), "l_partkey" -> rows.map(_._2),
+      "l_suppkey" -> rows.map(_._3))
+    val got = Analytic.q197.fn(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSeq == byCol.keys.toSeq.sorted)
+    got.foreach { r =>
+      val vs = byCol(r.getString(0))
+      assert(r.getLong(1) == vs.length.toLong, "n_rows")
+      assert(r.getLong(2) == 0L, "n_nulls")
+      assert(r.getLong(3) == vs.min && r.getLong(4) == vs.max, "min/max")
+      val exact = vs.distinct.length.toLong
+      assert(r.getLong(5) == exact, "ndv_exact")
+      // 256-register HLL standard error is ~6.5%; 3σ band
+      val est = r.getDouble(6)
+      assert(math.abs(est - exact) <= 0.20 * exact,
+        s"${r.getString(0)}: ndv_est $est vs exact $exact outside the error band")
+    }
+  }
+
+  test("q198 skew advisor equals a driver replay of the frequency histogram math") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Seq(
+      "l_orderkey" -> rows.map(_._1), "l_suppkey" -> rows.map(_._2))
+      .map { case (name, ks) =>
+        val freq = ks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val fs = freq.values.toSeq.sorted
+        val (nKeys, nRows, maxF) = (fs.length.toLong, fs.sum, fs.max)
+        val p99 = fs(((nKeys * 99 + 99) / 100 - 1).toInt)
+        (name, nKeys, nRows, maxF, p99,
+          maxF * 1000000L / nRows, (maxF * nKeys + nRows - 1) / nRows)
+      }.sortBy(_._1)
+    val got = Analytic.q198.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // the advisor must discriminate: the two key columns differ in skew
+    // profile on the fixture (orderkey multiplicities are small; suppkey
+    // is the hot one), so the salt recommendation is not constant
+    assert(got.map(_._7).distinct.length > 1,
+      "salt_factor identical across key columns — advisor sees no contrast")
+  }
 }

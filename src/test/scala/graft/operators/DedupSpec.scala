@@ -329,4 +329,38 @@ class DedupSpec extends SparkTestBase {
     assert(got.values.exists { case (k, surv, _) => surv != k },
       "every survivor equals the min-id keeper; quality policy unexercised")
   }
+
+  test("q196 edit verify: levenshtein column equals a driver DP replay over the q33 pair set") {
+    val texts = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(256)).toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length).toLong
+    }
+    val q33pairs = Dedup.q33.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = q33pairs.map { case (d1, d2, jac) =>
+      val (p1, p2) = (texts(d1), texts(d2))
+      val l = lev(p1, p2)
+      val m = math.max(p1.length, p2.length).toLong
+      (d1, d2, jac, l, (m - l) * 1000000L / m)
+    }
+    val got = Dedup.q196.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // ppm sanity band
+    got.foreach { case (d1, d2, _, _, ppm) =>
+      assert(ppm >= 0L && ppm <= 1000000L, s"($d1,$d2): edit_sim_ppm $ppm")
+    }
+  }
 }

@@ -678,6 +678,64 @@ class StreamOpsSpec extends SparkTestBase {
       s"only-stream=${streamedTop.toSet -- batch.toSet}, only-batch=${batch.toSet -- streamedTop.toSet}")
   }
 
+  test("streaming quantile sketch: end gauge equals a driver replay of q193's bin math") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Ev](newProductEncoder[Ev], s2.sqlContext)
+    val q = StreamQuantileSketch.gauge(StreamQuantileSketch.keyed(in.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("quantg")
+      .start()
+    // two arrival chunks so bin state crosses a micro-batch boundary
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // final emission per type = the last row per type in emission order
+    val emitted = s2.table("quantg").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+    val finals = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    // driver replay with the same integer bin math and rank rule
+    def micro(v: Double): Long = math.max(0L,
+      BigDecimal(v * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val expected = evs.groupBy(_.event_type).view.mapValues { es =>
+      val ids = es.map(e => QuantProcessor.binId(micro(e.value))).sorted
+      val n = ids.length.toLong
+      def pickBounds(p: Int): (Long, Long) = {
+        val pos = (n * p + 99) / 100
+        val id = ids((pos - 1).toInt)
+        (QuantProcessor.lo(id), QuantProcessor.hi(id))
+      }
+      val (a, b) = pickBounds(50); val (c, d) = pickBounds(90)
+      val (e, f) = pickBounds(99)
+      (n, a, b, c, d, e, f)
+    }.toMap
+    assert(finals == expected, s"stream/replay divergence: " +
+      s"only-stream=${finals.toSet -- expected.toSet}, only-replay=${expected.toSet -- finals.toSet}")
+    // the state stayed bin-bounded: every type's distinct bin count is
+    // far below its reading count (the compression is real)
+    val nBins = evs.groupBy(_.event_type).view
+      .mapValues(_.map(e => QuantProcessor.binId(micro(e.value))).distinct.length)
+    nBins.foreach { case (t, b) =>
+      assert(b <= 16 * 64, s"$t: $b bins exceeds the structural bound")
+    }
+    // strictly fewer bins than readings even on the tiny fixture; the
+    // structural 16·64 ceiling above is the scale claim (state stops
+    // growing entirely once every touchable bin is hot)
+    assert(nBins.values.sum < evs.length, "bins do not compress the readings")
+  }
+
   test("buffered funnel: out-of-order arrival within the watermark still equals q105") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
