@@ -3128,6 +3128,102 @@ object Analytic extends QueryPack {
     FROM moments m JOIN stats ON stats.col_name = m.col_name
     ORDER BY m.col_name ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q199
+  /** CMS join-size estimation — the INNER-PRODUCT half of the count-min
+    * algebra (Cormode–Muthukrishnan '05 §4.2), doing for q190's
+    * frequency sketches what q184 did for q178's HLL registers: the
+    * equi-join cardinality |A ⋈ B| = Σₖ f_A(k)·f_B(k) is estimated as
+    * minⱼ Σ_b cmsA[j][b]·cmsB[j][b] — from COUNTER PAGES ALONE, no data
+    * read — which is exactly what a join planner wants from stored
+    * stats state at 100 TB (pages sum-merge per partition, the q181
+    * maintenance story). The estimate is one-sided (never
+    * undercounts, same guarantee as the point query — spec-asserted),
+    * and the exact join size sits beside it with the overcount in ppm,
+    * q184's error-visible convention. Two join shapes side by side:
+    * the fan-out self-join (lineitem×lineitem on partkey, Σf² — the
+    * shape that explodes) and the key-unique dim join (lineitem×orders
+    * on orderkey).
+    *
+    * Scale: each side is one per-key count to its keys frame, one
+    * bounded counter build (≤ d·w rows); the estimate joins two
+    * ≤ 262k-row counter tables on (j, bucket) and the exact twin is
+    * one keys-frame equi-join — nothing corpus×corpus anywhere. */
+  val q199 = QueryDef(
+    "q199_cms_join_estimate",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def freqs(df: DataFrame, key: String): DataFrame =
+        graft.Materialize.cut(
+          df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n_exact")))
+      def pair(name: String, fa: DataFrame, fb: DataFrame): DataFrame = {
+        val ca = cmsCountersOf(fa).select(col("j"), col("bucket"), col("c").as("ca"))
+        val cb = cmsCountersOf(fb).select(col("j"), col("bucket"), col("c").as("cb"))
+        val est = ca.join(cb, Seq("j", "bucket"))
+          .groupBy(col("j"))
+          .agg(sum(col("ca") * col("cb")).as("ip"))
+          .agg(min(col("ip")).as("est_pairs"))
+        val exact = fa.select(col("k"), col("n_exact").as("na"))
+          .join(fb.select(col("k"), col("n_exact").as("nb")), Seq("k"))
+          .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+        est.crossJoin(exact).select(lit(name).as("pair"),
+          col("est_pairs"), col("exact_pairs"),
+          expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs")
+            .as("over_ppm"))
+      }
+      val li = freqs(t.lineitem, "l_partkey")
+      val lo = freqs(t.lineitem, "l_orderkey")
+      val oo = freqs(t.orders, "o_orderkey")
+      pair("lineitem*lineitem:partkey", li, li)
+        .unionByName(pair("lineitem*orders:orderkey", lo, oo))
+        .orderBy(col("pair").asc_nulls_first)
+    },
+    Some("""WITH fa1 AS (
+      SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    fa2 AS (
+      SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    fb2 AS (
+      SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+    d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(j)),
+    c1 AS (
+      SELECT j,
+        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket,
+        CAST(SUM(n) AS BIGINT) AS c
+      FROM fa1 CROSS JOIN d GROUP BY 1, 2),
+    c2a AS (
+      SELECT j,
+        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket,
+        CAST(SUM(n) AS BIGINT) AS c
+      FROM fa2 CROSS JOIN d GROUP BY 1, 2),
+    c2b AS (
+      SELECT j,
+        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket,
+        CAST(SUM(n) AS BIGINT) AS c
+      FROM fb2 CROSS JOIN d GROUP BY 1, 2),
+    est1 AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM (
+        SELECT a.j, SUM(a.c * b.c) AS ip
+        FROM c1 a JOIN c1 b ON a.j = b.j AND a.bucket = b.bucket
+        GROUP BY a.j)),
+    ex1 AS (
+      SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_pairs
+      FROM fa1 a JOIN fa1 b ON a.k = b.k),
+    est2 AS (
+      SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM (
+        SELECT a.j, SUM(a.c * b.c) AS ip
+        FROM c2a a JOIN c2b b ON a.j = b.j AND a.bucket = b.bucket
+        GROUP BY a.j)),
+    ex2 AS (
+      SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_pairs
+      FROM fa2 a JOIN fb2 b ON a.k = b.k)
+    SELECT 'lineitem*lineitem:partkey' AS pair, est1.est_pairs, ex1.exact_pairs,
+      CAST((est1.est_pairs - ex1.exact_pairs) * 1000000 // ex1.exact_pairs AS BIGINT) AS over_ppm
+    FROM est1, ex1
+    UNION ALL
+    SELECT 'lineitem*orders:orderkey', est2.est_pairs, ex2.exact_pairs,
+      CAST((est2.est_pairs - ex2.exact_pairs) * 1000000 // ex2.exact_pairs AS BIGINT) AS over_ppm
+    FROM est2, ex2
+    ORDER BY pair ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q198
   /** Join-skew advisor — the decision table you read BEFORE reaching for
     * q72's salted join: per candidate join key, the frequency histogram
@@ -3176,10 +3272,11 @@ object Analytic extends QueryPack {
             min(when(col("cum") >= expr("(n_keys * 99 + 99) div 100"),
               col("f"))).as("p99_f"))
       }
-      val li = t.lineitem.select(lit("l_orderkey").as("col_name"),
-          col("l_orderkey").as("k"))
-        .unionByName(t.lineitem.select(lit("l_suppkey").as("col_name"),
-          col("l_suppkey").as("k")))
+      // one scan for both key columns (q197's stack unpivot, not a
+      // two-scan union)
+      val li = t.lineitem.select(
+        expr("stack(2, 'l_orderkey', l_orderkey, 'l_suppkey', l_suppkey) " +
+          "AS (col_name, k)"))
       report(li)
         .select(col("col_name"), col("n_keys"), col("n_rows"),
           col("max_f"), col("p99_f"),
@@ -3224,5 +3321,5 @@ object Analytic extends QueryPack {
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
-      q190, q191, q193, q197, q198)
+      q190, q191, q193, q197, q198, q199)
 }

@@ -1390,8 +1390,122 @@ object WindowOps extends QueryPack {
     ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
     LIMIT 20"""))
 
+  // --------------------------------------------------------------- q200
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * credit-SPLITTING model next to q169's last-touch: each purchase's
+    * credit of 10⁶ ppm is divided over ALL its preceding touches within
+    * the 7-day lookback (a touch belongs to its NEAREST following
+    * purchase, so no touch is counted twice): one touch takes all, two
+    * split 50/50, three-plus give 40% to the first, 40% to the last and
+    * split the remaining 20% evenly over the middles — the standard
+    * U-shape every attribution suite ships beside first/last-touch.
+    *
+    * Conservation is EXACT, not approximate: middles take
+    * `200000 div (k−2)` each and the integer remainder goes to the last
+    * touch (a deterministic rule, not float crumbs), and conversions
+    * with no qualifying touch land in `__none` with their full 10⁶ —
+    * so Σ credit = conversions × 10⁶ identically (spec-asserted), the
+    * same books-balance property q169 keeps for counts.
+    *
+    * Shape: ONE user-keyed window (nearest following purchase via a
+    * [1, ∞) frame `first(ignoreNulls)` — q169's LOCF primitive
+    * mirrored forward), one (user, conversion)-keyed window pair
+    * (row_number + count) for positions, an anti-join for the
+    * untouched conversions, then a \|types\|-bounded aggregate. At
+    * 100 TB: two passes over the same user shuffle, no self-joins. */
+  val q200 = QueryDef(
+    "q200_position_attribution",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val wFwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(1, Window.unboundedFollowing)
+      val nxt = first(
+        when(col("event_type") === "purchase",
+          struct(col("us"), col("event_id"))),
+        ignoreNulls = true).over(wFwd)
+      val touches = e.withColumn("nxt", nxt)
+        .filter(col("event_type") =!= "purchase" && col("nxt").isNotNull &&
+          col("nxt.us") - col("us") <= lit(7L * 86400000000L))
+        .select(col("user_id"), col("event_type"), col("us"), col("event_id"),
+          col("nxt.event_id").as("conv"))
+      val wConv = Window.partitionBy(col("user_id"), col("conv"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val wConvAll = Window.partitionBy(col("user_id"), col("conv"))
+      val credited = touches
+        .withColumn("pos", row_number().over(wConv))
+        .withColumn("k", count(lit(1)).over(wConvAll))
+        .withColumn("credit_ppm",
+          when(col("k") === 1, lit(1000000L))
+            .when(col("k") === 2, lit(500000L))
+            .when(col("pos") === 1, lit(400000L))
+            .when(col("pos") === col("k"),
+              lit(400000L) + lit(200000L)
+                - expr("200000 div (k - 2)") * (col("k") - 2))
+            .otherwise(expr("CAST(200000 div (k - 2) AS BIGINT)")))
+      val byType = credited.groupBy(col("event_type").as("attributed_type"))
+        .agg(sum(col("credit_ppm")).as("credit_ppm"),
+          count(lit(1)).as("n_touches"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"))
+      val untouched = purchases
+        .join(credited.select(col("conv").as("event_id")).distinct(),
+          Seq("event_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("__none").as("attributed_type"),
+          (col("n") * 1000000L).as("credit_ppm"),
+          lit(0L).as("n_touches"))
+      byType.unionByName(untouched)
+        .orderBy(col("attributed_type").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+    t AS (
+      SELECT user_id, event_type, us, event_id,
+        first_value(CASE WHEN event_type = 'purchase'
+            THEN struct_pack(us := us, eid := event_id) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+      FROM e),
+    touches AS (
+      SELECT user_id, event_type, us, event_id, nxt.eid AS conv
+      FROM t
+      WHERE event_type <> 'purchase' AND nxt IS NOT NULL
+        AND nxt.us - us <= 604800000000),
+    credited AS (
+      SELECT event_type,
+        CASE WHEN k = 1 THEN 1000000
+          WHEN k = 2 THEN 500000
+          WHEN pos = 1 THEN 400000
+          WHEN pos = k THEN 400000 + 200000 - (200000 // (k - 2)) * (k - 2)
+          ELSE 200000 // (k - 2) END AS credit_ppm
+      FROM (
+        SELECT event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id, conv
+            ORDER BY us ASC, event_id ASC) AS pos,
+          COUNT(*) OVER (PARTITION BY user_id, conv) AS k
+        FROM touches)),
+    by_type AS (
+      SELECT event_type AS attributed_type,
+        CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm,
+        COUNT(*) AS n_touches
+      FROM credited GROUP BY 1),
+    untouched AS (
+      SELECT '__none' AS attributed_type,
+        CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm,
+        CAST(0 AS BIGINT) AS n_touches
+      FROM e
+      WHERE event_type = 'purchase'
+        AND event_id NOT IN (SELECT DISTINCT conv FROM touches))
+    SELECT * FROM by_type
+    UNION ALL
+    SELECT * FROM untouched
+    ORDER BY attributed_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
       q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171, q182, q183,
-      q189)
+      q189, q200)
 }

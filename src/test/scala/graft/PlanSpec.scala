@@ -260,7 +260,10 @@ class PlanSpec extends SparkTestBase {
       // q184's type-pair grid is a deliberate |event types|² dimension
       // cross join (q16/q149's class); every register join against it
       // is a broadcast of ≤ types×256 sketch rows.
-      "q184_hll_setops")
+      "q184_hll_setops",
+      // q199 combines two ONE-row frames per pair (the sketch estimate
+      // and the exact twin) — the q157 tiny-stats pattern.
+      "q199_cms_join_estimate")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

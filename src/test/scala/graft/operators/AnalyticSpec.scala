@@ -1294,4 +1294,44 @@ class AnalyticSpec extends SparkTestBase {
     assert(got.map(_._7).distinct.length > 1,
       "salt_factor identical across key columns — advisor sees no contrast")
   }
+
+  test("q199 CMS join estimate: equals a driver replay and never undercounts the exact join size") {
+    val li = Tables(spark, sf0001).lineitem
+      .select(col("l_partkey"), col("l_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = Tables(spark, sf0001).orders
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    def bucket(j: Int, k: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$j:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    def counters(freq: Map[Long, Long]): Map[(Int, Int), Long] = {
+      val m = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      freq.foreach { case (k, n) => (0 to 3).foreach { j =>
+        val b = (j, bucket(j, k)); m(b) = m.getOrElse(b, 0L) + n } }
+      m.toMap
+    }
+    def ip(a: Map[(Int, Int), Long], b: Map[(Int, Int), Long]): Long =
+      (0 to 3).map(j => a.collect { case ((`j`, bk), c) =>
+        c * b.getOrElse((j, bk), 0L) }.sum).min
+    val fPart = li.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val fOrd = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val fO = nOrders.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cases = Seq(
+      ("lineitem*lineitem:partkey", fPart, fPart),
+      ("lineitem*orders:orderkey", fOrd, fO))
+    val expected = cases.map { case (name, fa, fb) =>
+      val exact = fa.map { case (k, n) => n * fb.getOrElse(k, 0L) }.sum
+      val est = ip(counters(fa), counters(fb))
+      (name, est, exact, (est - exact) * 1000000L / exact)
+    }.sortBy(_._1)
+    val got = Analytic.q199.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the inner-product one-sided guarantee
+    got.foreach { case (name, est, exact, _) =>
+      assert(est >= exact, s"$name: estimate $est undercounts exact $exact")
+    }
+  }
 }

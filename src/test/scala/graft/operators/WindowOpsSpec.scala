@@ -494,4 +494,59 @@ class WindowOpsSpec extends SparkTestBase {
     assert(got.groupBy(g => (g._1, g._2)).exists(_._2.length > 1),
       "top-20 shows no branching — trigram view adds nothing over bigrams?")
   }
+
+  test("q200 position attribution equals a driver replay and conserves credit exactly") {
+    val evs = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lookback = 7L * 86400000000L
+    // replay: per user in (us, event_id) order, each non-purchase touch
+    // attaches to its nearest strictly-following purchase within 7 days
+    val credits = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var purchases = 0L
+    val touchedConvs = scala.collection.mutable.Set.empty[Long]
+    evs.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      purchases += sorted.count(_._2 == "purchase")
+      val byConv = scala.collection.mutable.Map.empty[Long, Vector[(String, Long, Long)]]
+      sorted.zipWithIndex.foreach { case ((_, tpe, us, eid), i) =>
+        if (tpe != "purchase") {
+          sorted.drop(i + 1).find(_._2 == "purchase") match {
+            case Some((_, _, pus, peid)) if pus - us <= lookback =>
+              byConv(peid) = byConv.getOrElse(peid, Vector.empty) :+ ((tpe, us, eid))
+            case _ => ()
+          }
+        }
+      }
+      byConv.foreach { case (conv, ts) =>
+        touchedConvs += conv
+        val k = ts.length
+        ts.zipWithIndex.foreach { case ((tpe, _, _), i) =>
+          val pos = i + 1
+          val c =
+            if (k == 1) 1000000L
+            else if (k == 2) 500000L
+            else if (pos == 1) 400000L
+            else if (pos == k) 400000L + 200000L - (200000L / (k - 2)) * (k - 2)
+            else 200000L / (k - 2)
+          credits += ((tpe, c))
+        }
+      }
+    }
+    val byType = credits.groupBy(_._1).view
+      .mapValues(cs => (cs.map(_._2).sum, cs.length.toLong)).toMap
+    val untouched = purchases - touchedConvs.size
+    val expected = (byType.toSeq.map { case (t, (c, n)) => (t, c, n) } :+
+      (("__none", untouched * 1000000L, 0L))).sortBy(_._1)
+    val got = WindowOps.q200.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // books balance: total credit = conversions × 1e6 EXACTLY
+    assert(got.map(_._2).sum == purchases * 1000000L,
+      "credit not conserved across attribution buckets")
+    // the U-shape must actually split somewhere (a 3+-touch path exists)
+    assert(got.exists(g => g._1 != "__none" && g._2 % 100000L != 0L) ||
+      credits.exists(_._2 == 400000L),
+      "no multi-touch path on the fixture — U-shape unexercised")
+  }
 }
