@@ -2980,40 +2980,51 @@ object Analytic extends QueryPack {
     * per-group dimension frame. The q01 scan-aggregate class with
     * O(groups·1024) state, vs an exact per-group quantile which needs
     * a sort or GlobalRank pass per group. */
-  val q193 = QueryDef(
-    "q193_quantile_sketch",
-    (spark, dir) => {
-      val cents = Tables(spark, dir).lineitem.select(
-        col("l_returnflag"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
-          .cast(LongType).as("cents"))
-      val binned = cents
-        .withColumn("b", (length(bin(col("cents"))) - lit(1)).cast(LongType))
-        .withColumn("id", when(col("cents") < 16, col("cents"))
+  /** The q193 finishing stage over any `(g, v)` frame (v a non-negative
+    * long): log-bin, count, cumsum over the bounded per-group frame,
+    * pick p50/p90/p99 bins by the ⌈p·n/100⌉ rank rule, emit integer
+    * bin bounds. Shared by q193 (prices per return flag) and q201
+    * (funnel hop latencies) — the gauge math cannot drift between its
+    * consumers. */
+  private[graft] def quantileSketchGauge(vals: DataFrame): DataFrame = {
+      val binned = vals
+        .withColumn("b", (length(bin(col("v"))) - lit(1)).cast(LongType))
+        .withColumn("id", when(col("v") < 16, col("v"))
           .otherwise(col("b") * 16 +
-            (expr("shiftright(cents, CAST(b - 4 AS INT))") - lit(16))))
-      val counts = binned.groupBy(col("l_returnflag"), col("id"))
+            (expr("shiftright(v, CAST(b - 4 AS INT))") - lit(16))))
+      val counts = binned.groupBy(col("g"), col("id"))
         .agg(count(lit(1)).as("c"))
       val cum = counts.withColumn("cum",
-        sum(col("c")).over(Window.partitionBy(col("l_returnflag"))
+        sum(col("c")).over(Window.partitionBy(col("g"))
           .orderBy(col("id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val totals = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
       def pickId(p: Int): Column =
         min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("id")))
       def loSql(c: String): String =
         s"CASE WHEN $c < 64 THEN $c ELSE shiftleft(16 + $c % 16, CAST($c div 16 - 4 AS INT)) END"
       def hiSql(c: String): String =
         s"CASE WHEN $c < 64 THEN $c + 1 ELSE ${loSql(c)} + shiftleft(CAST(1 AS BIGINT), CAST($c div 16 - 4 AS INT)) END"
-      val picked = cum.join(totals, "l_returnflag")
-        .groupBy(col("l_returnflag"))
+      val picked = cum.join(totals, "g")
+        .groupBy(col("g"))
         .agg(max(col("n")).as("n"),
           pickId(50).as("id50"), pickId(90).as("id90"), pickId(99).as("id99"))
       picked.select(
-          col("l_returnflag"), col("n"),
+          col("g"), col("n"),
           expr(loSql("id50")).as("p50_lo"), expr(hiSql("id50")).as("p50_hi"),
           expr(loSql("id90")).as("p90_lo"), expr(hiSql("id90")).as("p90_hi"),
           expr(loSql("id99")).as("p99_lo"), expr(hiSql("id99")).as("p99_hi"))
+  }
+
+  val q193 = QueryDef(
+    "q193_quantile_sketch",
+    (spark, dir) => {
+      val cents = Tables(spark, dir).lineitem.select(
+        col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("v"))
+      quantileSketchGauge(cents)
+        .withColumnRenamed("g", "l_returnflag")
         .orderBy(col("l_returnflag").asc_nulls_first)
     },
     Some("""WITH cents AS (

@@ -1504,8 +1504,86 @@ object WindowOps extends QueryPack {
     SELECT * FROM untouched
     ORDER BY attributed_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q201
+  /** Funnel latency percentiles from the deterministic quantile sketch —
+    * q129's question ("how FAST do converters move per hop") answered
+    * the way it must be at 100 TB: per hop, p50/p90/p99 time-to-convert
+    * as q193 SKETCH BINS (≤6.25% relative), not exact interpolated
+    * percentiles — the exact form needs a per-hop sort (or per-group
+    * percentile state linear in users), the bins need one
+    * map-side-combinable count to ≤1024 rows per hop, and the bins
+    * sum-merge so the latency dashboard maintains incrementally from
+    * stored pages (the q181/q190 story). A deliberate composition:
+    * [[funnelStages]]' strict-order hop frames feed
+    * [[Analytic.quantileSketchGauge]] unchanged, so funnel semantics
+    * and gauge math each have exactly one definition.
+    *
+    * Latencies are integer µs differences of per-user stage minima
+    * (q129's values, bit-identical); both output bounds are exact
+    * BIGINT µs. */
+  val q201 = QueryDef(
+    "q201_funnel_latency_sketch",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val (s, v, p) = funnelStages(e)
+      val hops = s.join(v, "user_id")
+        .select(lit("1_signup_view").as("g"), (col("v_us") - col("s_us")).as("v"))
+        .unionByName(v.join(p, "user_id")
+          .select(lit("2_view_purchase").as("g"), (col("p_us") - col("v_us")).as("v")))
+      Analytic.quantileSketchGauge(hops)
+        .withColumnRenamed("g", "hop")
+        .orderBy(col("hop").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+    s AS (SELECT user_id, MIN(us) AS s_us FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    vv AS (SELECT e.user_id, MIN(us) AS v_us FROM e JOIN s USING (user_id)
+          WHERE event_type = 'view' AND us > s_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN vv USING (user_id)
+          WHERE event_type = 'purchase' AND us > v_us GROUP BY e.user_id),
+    vals AS (
+      SELECT '1_signup_view' AS g, v_us - s_us AS v
+      FROM s JOIN vv USING (user_id)
+      UNION ALL
+      SELECT '2_view_purchase', p_us - v_us
+      FROM vv JOIN p USING (user_id)),
+    binned AS (
+      SELECT g,
+        CASE WHEN v < 16 THEN v
+          ELSE (length(bin(v)) - 1) * 16
+            + ((v >> CAST(length(bin(v)) - 5 AS INTEGER)) - 16)
+        END AS id
+      FROM vals),
+    counts AS (
+      SELECT g, id, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT g, id, c,
+        SUM(c) OVER (PARTITION BY g ORDER BY id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts),
+    totals AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    picked AS (
+      SELECT cum.g, MAX(n) AS n,
+        MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN id END) AS id50,
+        MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN id END) AS id90,
+        MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN id END) AS id99
+      FROM cum JOIN totals USING (g)
+      GROUP BY 1)
+    SELECT g AS hop, n,
+      CASE WHEN id50 < 64 THEN id50 ELSE (CAST(16 + id50 % 16 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_lo,
+      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((CAST(16 + id50 % 16 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
+      CASE WHEN id90 < 64 THEN id90 ELSE (CAST(16 + id90 % 16 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_lo,
+      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((CAST(16 + id90 % 16 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
+      CASE WHEN id99 < 64 THEN id99 ELSE (CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_lo,
+      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
+    FROM picked
+    ORDER BY hop ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
       q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171, q182, q183,
-      q189, q200)
+      q189, q200, q201)
 }

@@ -1688,17 +1688,17 @@ object QuantProcessor {
   /** Batch q193's integer bin: exact unit bins below 16, then
     * 16·⌊log₂(x)⌋ + next-4-bits — identical to the SQL's
     * `length(bin(x))`/shift derivation. */
-  private[streaming] def binId(m: Long): Long =
+  private[graft] def binId(m: Long): Long =
     if (m < 16) m
     else {
       val b = 63 - java.lang.Long.numberOfLeadingZeros(m)
       b.toLong * 16 + ((m >> (b - 4)) - 16)
     }
 
-  private[streaming] def lo(id: Long): Long =
+  private[graft] def lo(id: Long): Long =
     if (id < 64) id else (16 + id % 16) << (id / 16 - 4)
 
-  private[streaming] def hi(id: Long): Long =
+  private[graft] def hi(id: Long): Long =
     if (id < 64) id + 1 else lo(id) + (1L << (id / 16 - 4))
 }
 

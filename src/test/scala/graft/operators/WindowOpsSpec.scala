@@ -549,4 +549,47 @@ class WindowOpsSpec extends SparkTestBase {
       credits.exists(_._2 == 400000L),
       "no multi-touch path on the fixture — U-shape unexercised")
   }
+
+  test("q201 funnel latency sketch: bins contain the exact hop percentiles, replay via the stream twin's math") {
+    val evs = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // strict-order stage minima, q105/q129 semantics
+    val byUser = evs.groupBy(_._1)
+    val hops = byUser.values.toSeq.flatMap { es =>
+      val s = es.filter(_._2 == "signup").map(_._3).minOption
+      val v = s.flatMap(su => es.filter(e => e._2 == "view" && e._3 > su)
+        .map(_._3).minOption)
+      val p = v.flatMap(vu => es.filter(e => e._2 == "purchase" && e._3 > vu)
+        .map(_._3).minOption)
+      Seq(
+        s.zip(v).map { case (a, b) => ("1_signup_view", b - a) },
+        v.zip(p).map { case (a, b) => ("2_view_purchase", b - a) }).flatten
+    }
+    // replay uses the STREAMING twin's bin math — batch gauge, stream
+    // processor and this spec must all agree on one bin definition
+    import graft.streaming.QuantProcessor
+    val expected = hops.groupBy(_._1).toSeq.sortBy(_._1).map { case (hop, ds) =>
+      val ids = ds.map(d => QuantProcessor.binId(d._2)).sorted
+      val n = ids.length.toLong
+      def bounds(p: Int): (Long, Long) = {
+        val id = ids((((n * p + 99) / 100) - 1).toInt)
+        (QuantProcessor.lo(id), QuantProcessor.hi(id))
+      }
+      val (a, b) = bounds(50); val (c, d) = bounds(90); val (e, f) = bounds(99)
+      (hop, n, a, b, c, d, e, f)
+    }
+    val got = WindowOps.q201.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // bin containment against the EXACT percentile values
+    got.foreach { case (hop, n, l50, h50, l90, h90, l99, h99) =>
+      val ds = hops.filter(_._1 == hop).map(_._2).sorted
+      def exact(p: Int): Long = ds((((n * p + 99) / 100) - 1).toInt)
+      assert(l50 <= exact(50) && exact(50) < h50, s"$hop p50")
+      assert(l90 <= exact(90) && exact(90) < h90, s"$hop p90")
+      assert(l99 <= exact(99) && exact(99) < h99, s"$hop p99")
+    }
+  }
 }
