@@ -3328,9 +3328,374 @@ object Analytic extends QueryPack {
     FROM picked
     ORDER BY col_name ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q202
+  /** Single-source BFS hop distance over the co-purchase graph — the
+    * reachability/radius member of the graph family (q127 centrality,
+    * q157/q168 closure, q163 cores): every node's minimum hop count from
+    * a deterministic source (the graph's minimum part key), bounded at
+    * [[BfsMaxHops]] hops. The "how far does influence spread" primitive
+    * recommendation and contamination-propagation analyses start from.
+    *
+    * Algorithm: frontier-delta BFS — round h joins ONLY the nodes first
+    * reached at h−1 against the undirected edge list (never the whole
+    * reached set, and never edges × edges), anti-joins out already-seen
+    * nodes, and unions the survivors in as the next frontier. Each round
+    * is one equi-join + one anti join; total work across rounds is
+    * O(Σ frontier degrees) ≤ O(|E|·maxHops) with frontier-sized (≤ |V|)
+    * shuffles — the textbook Pregel BFS shape. Rounds are FIXED at
+    * [[BfsMaxHops]] (a radius report, not a full transitive closure), so
+    * the plan has a static depth; each frontier is checkpoint-cut so
+    * lineage doesn't grow with rounds (q55's discipline).
+    *
+    * Determinism: hop counts are exact integers; the source is
+    * `min(u)` — u < v on every canonical edge, so that IS the graph's
+    * minimum endpoint — an aggregate in the plan, no driver collect.
+    * Oracle: DuckDB recursive CTE bounded at the same hop count, MIN(hops)
+    * per node. Reads the memoized [[coPurchaseEdges]] view (the
+    * q157/q163/q168 convention). */
+  private[graft] val BfsMaxHops = 3
+
+  /** Frontier-delta BFS from the graph's minimum endpoint over a
+    * canonical (u < v) edge frame — factored so the spec drives it on
+    * hand-built graphs with known distances. Returns (node, hops). */
+  private[graft] def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+    // undirected adjacency: each canonical edge contributes both
+    // directions. Deliberately NOT cut — callers pass a materialized
+    // edge frame (the memoized view), so each round's join re-reads
+    // that checkpoint twice, cheaper than re-materializing 2|E| rows
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var frontier = Materialize.cut(
+      edges.agg(min(col("u")).as("node")).withColumn("hops", lit(0)))
+    var reached = frontier
+    for (h <- 1 to maxHops) {
+      frontier = Materialize.cut(
+        frontier.join(und, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h)))
+      reached = reached.unionByName(frontier)
+    }
+    reached.orderBy(col("hops").asc, col("node").asc)
+  }
+
+  val q202 = QueryDef(
+    "q202_bfs_hops",
+    (spark, dir) => bfsHops(coPurchaseEdges(spark, dir), BfsMaxHops),
+    Some("""WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+    und AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+    src AS (SELECT MIN(u) AS s FROM e),
+    walk(node, hops) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT und.b, walk.hops + 1
+      FROM walk JOIN und ON und.a = walk.node
+      WHERE walk.hops < 3)
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM walk
+    GROUP BY node
+    ORDER BY hops ASC, node ASC"""))
+
+  // --------------------------------------------------------------- q203
+  /** Histogram-based decision-split finding — the inner primitive of
+    * every distributed GBDT/decision-tree trainer (XGBoost/LightGBM's
+    * histogram method): for each candidate feature, the split point that
+    * minimizes weighted binary Gini impurity of label `l_returnflag =
+    * 'R'`, found from ONE pass of per-value label histograms — never a
+    * per-split rescan and never a per-group row sort.
+    *
+    * Identity making the argmax exact: for a binary label, minimizing
+    * weighted Gini Σ_side (n_s/N)·(1 − (p_s² + q_s²)/n_s²) is equivalent
+    * to maximizing Σ_side p_s²/n_s, because (p² + q²)/n = 2p²/n − 2p + n
+    * and Σp, Σn are split-invariant. So the score is the exact integral
+    * `p_L²·10⁶ div n_L + p_R²·10⁶ div n_R` (DECIMAL-widened products per
+    * contract rule 11, non-negative so div/`//` agree), and the argmax
+    * breaks ties toward the smallest split point in both engines. The
+    * reported `gain_scaled` subtracts the unsplit baseline p²·10⁶ div n.
+    *
+    * Shape: one stack-unpivot map pass (q197's idiom) into ONE
+    * (feature, value) hash aggregate — candidate splits are the distinct
+    * value grid, the histogram trick — then cumsum windows over the
+    * per-feature value frame (bounded by value cardinality, the q156
+    * class) and one argmax struct aggregate. At 100 TB the only
+    * corpus-sized stage is the histogram aggregate (map-side
+    * combinable); a deployment with continuous features pre-bins to a
+    * fixed grid in the same map pass, changing nothing downstream. */
+  val q203 = QueryDef(
+    "q203_split_finder",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem.select(
+        expr("""stack(2,
+          'l_quantity', CAST(ROUND(l_quantity * 100) AS BIGINT),
+          'l_discount', CAST(ROUND(l_discount * 100) AS BIGINT))
+          AS (feature, xc)"""),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+      val cells = li.groupBy(col("feature"), col("xc"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val run = Window.partitionBy(col("feature")).orderBy(col("xc").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("feature"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = cells
+        .withColumn("nl", sum(col("n")).over(run))
+        .withColumn("pl", sum(col("p")).over(run))
+        .withColumn("nt", sum(col("n")).over(all))
+        .withColumn("pt", sum(col("p")).over(all))
+        .filter(col("nl") < col("nt"))
+        .withColumn("score",
+          expr("""CAST(pl AS DECIMAL(38,0)) * pl * 1000000 div nl
+            + CAST(pt - pl AS DECIMAL(38,0)) * (pt - pl) * 1000000 div (nt - nl)"""))
+      scored.groupBy(col("feature"))
+        .agg(max(struct(col("score"), (-col("xc")).as("nx"), col("xc"),
+          col("nl"), col("pl"), col("nt"), col("pt"))).as("best"))
+        .select(col("feature"),
+          col("best.xc").as("split_cents"),
+          col("best.nl").as("n_left"),
+          (col("best.nt") - col("best.nl")).as("n_right"),
+          col("best.pl").as("pos_left"),
+          (col("best.pt") - col("best.pl")).as("pos_right"),
+          col("best.score").as("score_scaled"),
+          expr("""CAST(best.pt AS DECIMAL(38,0)) * best.pt * 1000000
+            div best.nt""").as("base_score"))
+        .withColumn("gain_scaled", col("score_scaled") - col("base_score"))
+        .orderBy(col("feature").asc_nulls_first)
+    },
+    Some("""WITH li AS (
+      SELECT 'l_quantity' AS feature,
+        CAST(ROUND(l_quantity * 100) AS BIGINT) AS xc,
+        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(ROUND(l_discount * 100) AS BIGINT),
+        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+      FROM lineitem),
+    cells AS (
+      SELECT feature, xc, COUNT(*) AS n, SUM(pos) AS p
+      FROM li GROUP BY 1, 2),
+    sc AS (
+      SELECT feature, xc,
+        SUM(n) OVER (PARTITION BY feature ORDER BY xc
+          ROWS UNBOUNDED PRECEDING) AS nl,
+        SUM(p) OVER (PARTITION BY feature ORDER BY xc
+          ROWS UNBOUNDED PRECEDING) AS pl,
+        SUM(n) OVER (PARTITION BY feature) AS nt,
+        SUM(p) OVER (PARTITION BY feature) AS pt
+      FROM cells),
+    scored AS (
+      SELECT feature, xc, nl, pl, nt, pt,
+        CAST(CAST(pl AS HUGEINT) * pl * 1000000 // nl
+          + CAST(pt - pl AS HUGEINT) * (pt - pl) * 1000000 // (nt - nl)
+          AS BIGINT) AS score,
+        row_number() OVER (PARTITION BY feature ORDER BY
+          CAST(pl AS HUGEINT) * pl * 1000000 // nl
+            + CAST(pt - pl AS HUGEINT) * (pt - pl) * 1000000 // (nt - nl) DESC,
+          xc ASC) AS rn
+      FROM sc WHERE nl < nt)
+    SELECT feature, xc AS split_cents,
+      CAST(nl AS BIGINT) AS n_left,
+      CAST(nt - nl AS BIGINT) AS n_right,
+      CAST(pl AS BIGINT) AS pos_left,
+      CAST(pt - pl AS BIGINT) AS pos_right,
+      score AS score_scaled,
+      CAST(CAST(pt AS HUGEINT) * pt * 1000000 // nt AS BIGINT) AS base_score,
+      score - CAST(CAST(pt AS HUGEINT) * pt * 1000000 // nt AS BIGINT)
+        AS gain_scaled
+    FROM scored WHERE rn = 1
+    ORDER BY feature ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q207
+  /** CUSUM change-point detection on the per-type daily event-count
+    * series — the "when did this feed's behavior change" monitor next to
+    * q122's distribution drift and q126's seasonal outliers: for every
+    * event type, the day maximizing the absolute CUSUM statistic
+    * |S_t| = |Σ_{i≤t}(x_i − x̄)| over the zero-filled daily series
+    * (missing days count 0 — a feed going silent IS a change).
+    *
+    * Exact integers end-to-end: S_t·D = D·C_t − t·N (C_t the running
+    * count sum, N the type total, D the day count), so the argmax
+    * compares integers and the normalized statistic is the integral ppm
+    * `|S|·10⁶ div (N·D)` — no float mean ever forms. Ties break toward
+    * the earliest day (the change POINT) via the negated-epoch struct
+    * field, q143's argmax idiom.
+    *
+    * Shape: one (type, day) count aggregate, the q90 explode(sequence)
+    * zero-fill over the |types|×|days| dimension frame, cumsum windows
+    * over ≤|days| rows per type, one argmax aggregate. The only
+    * corpus-sized stage is the map-side-combinable daily count — the
+    * q01 scan-aggregate class; the calendar span is a 1-row broadcast
+    * (whitelisted tiny-stats pattern). */
+  val q207 = QueryDef(
+    "q207_cusum",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val byDay = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val frame = byDay.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+            .as("day"))
+      val filled = frame.join(byDay, Seq("event_type", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val run = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cusum = filled
+        .withColumn("cum", sum(col("n")).over(run))
+        .withColumn("t", count(lit(1)).over(run))
+        .withColumn("tot", sum(col("n")).over(all))
+        .withColumn("d", count(lit(1)).over(all))
+        .withColumn("s", col("d") * col("cum") - col("t") * col("tot"))
+      cusum.groupBy(col("event_type"))
+        .agg(max(struct(abs(col("s")).as("s_abs"),
+          (-unix_date(col("day"))).as("nd"),
+          col("day"), col("tot"), col("d"))).as("best"))
+        .select(col("event_type"),
+          col("best.day").as("change_day"),
+          col("best.s_abs").as("s_abs"),
+          col("best.tot").as("n_events"),
+          col("best.d").as("n_days"))
+        .withColumn("stat_ppm",
+          expr("""CAST(s_abs AS DECIMAL(38,0)) * 1000000
+            div (CAST(n_events AS DECIMAL(38,0)) * n_days)"""))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+    byday AS (
+      SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+    frame AS (
+      SELECT t.event_type, CAST(d0 + CAST(i AS INTEGER) AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM byday) t
+      CROSS JOIN span
+      CROSS JOIN UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS r(i)),
+    filled AS (
+      SELECT f.event_type, f.day, COALESCE(b.n, 0) AS n
+      FROM frame f LEFT JOIN byday b
+        ON b.event_type = f.event_type AND b.day = f.day),
+    c AS (
+      SELECT event_type, day,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS cum,
+        COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS t,
+        SUM(n) OVER (PARTITION BY event_type) AS tot,
+        COUNT(*) OVER (PARTITION BY event_type) AS d
+      FROM filled),
+    s AS (
+      SELECT event_type, day, d * cum - t * tot AS s, tot, d,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY abs(d * cum - t * tot) DESC, day ASC) AS rn
+      FROM c)
+    SELECT event_type, day AS change_day,
+      CAST(abs(s) AS BIGINT) AS s_abs,
+      CAST(tot AS BIGINT) AS n_events,
+      CAST(d AS BIGINT) AS n_days,
+      CAST(CAST(abs(s) AS HUGEINT) * 1000000
+        // (CAST(tot AS HUGEINT) * d) AS BIGINT) AS stat_ppm
+    FROM s WHERE rn = 1
+    ORDER BY event_type ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q208
+  /** Per-group Spearman rank correlation — the robust (monotone,
+    * outlier-immune) sibling of q114's Pearson matrix: quantity vs
+    * extended price per return flag, computed as Pearson over exact
+    * integer MIDRANKS (the tie-correct definition).
+    *
+    * Midranks without a row sort: q156's trick — over the per-group
+    * DISTINCT value frame, midrank2 = 2·(count below) + ties + 1 is
+    * twice the average rank and stays integral; each row picks up its
+    * midrank2 by a (group, value) equi-join. The Pearson then reduces to
+    * six exact-DECIMAL sufficient statistics in ONE map-side-combinable
+    * aggregate (the q109/q114 contract), and both engines evaluate the
+    * IDENTICAL fixed-shape double expression over identical integers.
+    *
+    * Shape: two distinct-frame cumsum windows (bounded by value
+    * cardinality per group), two equi-joins back, one hash aggregate.
+    * At 100 TB: the joins shuffle on (group, value) — the q156 class —
+    * and everything else is map-side-combinable. */
+  val q208 = QueryDef(
+    "q208_spearman",
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem.select(
+        col("l_returnflag").as("g"),
+        round(col("l_quantity") * 100).cast(LongType).as("x"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("y"))
+      def midranks(v: String, out: String): DataFrame = {
+        val cnt = li.groupBy(col("g"), col(v)).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("g")).orderBy(col(v).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnt.withColumn("below", sum(col("c")).over(w) - col("c"))
+          .select(col("g"), col(v),
+            (col("below") * 2 + col("c") + 1).as(out))
+      }
+      val ranked = li
+        .join(midranks("x", "rx"), Seq("g", "x"))
+        .join(midranks("y", "ry"), Seq("g", "y"))
+      val s = ranked.groupBy(col("g")).agg(
+        count(lit(1)).as("n_pts"),
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("rx").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+        sum(col("ry").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
+        sum(col("rx").cast(DecimalType(38, 0)) * col("rx"))
+          .cast(DoubleType).as("sxx"),
+        sum(col("ry").cast(DecimalType(38, 0)) * col("ry"))
+          .cast(DoubleType).as("syy"),
+        sum(col("rx").cast(DecimalType(38, 0)) * col("ry"))
+          .cast(DoubleType).as("sxy"))
+      s.select(col("g").as("l_returnflag"), col("n_pts"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("rho"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+    Some("""WITH li AS (
+      SELECT l_returnflag AS g,
+        CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    mx AS (
+      SELECT g, x,
+        2 * (SUM(c) OVER (PARTITION BY g ORDER BY x
+          ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS rx
+      FROM (SELECT g, x, COUNT(*) AS c FROM li GROUP BY 1, 2)),
+    my AS (
+      SELECT g, y,
+        2 * (SUM(c) OVER (PARTITION BY g ORDER BY y
+          ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS ry
+      FROM (SELECT g, y, COUNT(*) AS c FROM li GROUP BY 1, 2)),
+    r AS (
+      SELECT li.g, mx.rx, my.ry
+      FROM li
+      JOIN mx ON mx.g = li.g AND mx.x = li.x
+      JOIN my ON my.g = li.g AND my.y = li.y),
+    s AS (
+      SELECT g, COUNT(*) AS n_pts,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy
+      FROM r GROUP BY g)
+    SELECT g AS l_returnflag, n_pts,
+      ROUND((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS rho
+    FROM s
+    ORDER BY l_returnflag ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
-      q190, q191, q193, q197, q198, q199)
+      q190, q191, q193, q197, q198, q199, q202, q203, q207, q208)
 }

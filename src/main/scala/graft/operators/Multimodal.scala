@@ -320,5 +320,107 @@ object Multimodal extends QueryPack {
     GROUP BY f.doc_id, b.nb
     ORDER BY f.doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q46, q47, q48, q172, q179)
+  // --------------------------------------------------------------- q209
+  /** Perceptual-hash (aHash) media near-dup pairs — the IMAGE cell of
+    * the dedup modality matrix (text: q32/q33/q34; embeddings: q44;
+    * media bytes: THIS): a 60-bit average-hash per blob (bit i set iff
+    * byte i exceeds the blob's 60-byte-prefix mean — the classic aHash
+    * with the prefix standing in for the decoded 8×8 luma grid), then
+    * hamming ≤ 8 pairs through q34's chunk-key candidate machinery
+    * (4 × 15-bit chunks equi-join — recall guaranteed for hamming ≤ 3,
+    * wider radii kept when a clean chunk survives, the documented
+    * SimHash recall cut). Near-identical byte streams differ in a few
+    * positions, so their bit patterns collide on most chunks — exactly
+    * the pHash/aHash dedup a multimodal corpus runs on thumbnails.
+    *
+    * 60 bits (not 64) so the hash stays a positive BIGINT in both
+    * engines (q131's 60-bit convention — no sign games in the xor).
+    * Everything is exact integer arithmetic: unsigned byte values via
+    * ISO-8859-1 decode + ascii (q47's byteAt idiom), the floor mean
+    * `s div 60`, bit_count(xor) hamming — the oracle rebuilds the
+    * identical hash from hex(encode(text)).
+    *
+    * Shape: one 60-row-per-blob posexplode (the q151/q152 explode
+    * class) + ONE doc-keyed window for the byte mean + one doc
+    * aggregate packing the bits; candidates are a chunk equi-join,
+    * never all-pairs (PlanSpec discipline). At 100 TB the hash pass
+    * swaps into the decode kernel itself (the q179
+    * `byteFeaturesBatched` slot — one JVM loop per blob instead of the
+    * explode); the candidate/verify stages are unchanged. */
+
+  /** The q209 pipeline over any (doc_id, blob) frame — factored so the
+    * spec drives it on hand-built corpora with known duplicates. */
+  private[graft] def ahashPairs(docs: DataFrame): DataFrame = {
+      val d = docs.filter(length(col("blob")) >= 60)
+      val bytes = d
+        .select(col("doc_id"),
+          posexplode(sequence(lit(1), lit(60))).as(Seq("i0", "i")),
+          col("blob"))
+        .select(col("doc_id"), col("i"),
+          expr("ascii(decode(substring(blob, i, 1), 'ISO-8859-1'))").as("v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val hashes = bytes
+        .withColumn("s", sum(col("v")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") > expr("s div 60"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - i AS INT))"))
+          .otherwise(0L)).as("ahash"))
+      val chunks = hashes.select(col("doc_id"), col("ahash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("ahash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
+          .as(Seq("chunk_idx", "chunk")))
+      val cands = chunks.as("x").join(chunks.as("y"),
+          col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.ahash").as("h1"), col("y.ahash").as("h2"))
+        .distinct()
+      cands
+        .withColumn("hamming",
+          bit_count(col("h1").bitwiseXOR(col("h2"))).cast(IntegerType))
+        .filter(col("hamming") <= 8)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+  }
+
+  private val ahashOracle = Some("""WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+      FROM documents),
+    eligible AS (SELECT doc_id, hx FROM b WHERE nb >= 60),
+    bytes AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+        CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2)) AS INTEGER) AS v
+      FROM eligible, UNNEST(range(1, 61)) AS t(i)),
+    st AS (
+      SELECT doc_id, i, v, SUM(v) OVER (PARTITION BY doc_id) AS s
+      FROM bytes),
+    hs AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > s // 60
+          THEN (CAST(1 AS BIGINT) << CAST(60 - i AS INTEGER))
+          ELSE 0 END) AS BIGINT) AS ahash
+      FROM st GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, ahash, c AS chunk_idx,
+        (ahash >> CAST(c * 15 AS INTEGER)) & 32767 AS chunk
+      FROM hs, UNNEST([0, 1, 2, 3]) AS t(c)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        x.ahash AS h1, y.ahash AS h2
+      FROM chunks x JOIN chunks y
+        ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+       AND x.doc_id < y.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 8
+    ORDER BY d1, d2""")
+
+  val q209 = QueryDef(
+    "q209_ahash_neardup",
+    (spark, dir) => ahashPairs(
+      Tables(spark, dir).documents
+        .withColumn("blob", col("text").cast("binary"))),
+    ahashOracle)
+
+  override def queries: Seq[QueryDef] = Seq(q46, q47, q48, q172, q179, q209)
 }

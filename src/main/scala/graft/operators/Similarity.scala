@@ -4,6 +4,7 @@ import graft.functions.{GraftFunctions, VectorOps}
 import graft.{Det, QueryDef, QueryPack, Tables}
 import graft.Materialize.CutSyntax
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -1587,43 +1588,69 @@ object Similarity extends QueryPack {
     * (vec, sub) hash aggregate and one vec-keyed pivot aggregate. At
     * 100 TB this is the standard PQ-encode map pass; the md5 seed
     * selection is a TakeOrdered over the corpus (the q110 class). */
+  /** Micro-integer exploded corpus — (vec_id, dim 1-based, sub 0..3, vi):
+    * q195's encode input, shared by the k-means round (q204) and the ADC
+    * search (q205). Map-only (scan + posexplode); deliberately NOT cut —
+    * recomputing it is one columnar scan, cheaper than materializing
+    * corpus×64 rows. */
+  private[graft] def pqExploded(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("vec_id"), (col("d0") + 1).cast(IntegerType).as("dim"),
+        expr("(d0 div 16)").cast(IntegerType).as("sub"),
+        round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi"))
+
+  /** 16 md5-least vec_ids, ranked 0..15 (rank breaks argmin ties) — the
+    * deterministic codebook/centroid seeding shared by q195/q204/q205.
+    * The 16-row frame makes the global row_number a dimension window. */
+  private[graft] def pqSeeds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id").as("seed_id"),
+        Det.md5Bucket(col("vec_id")).as("pfx"))
+      .orderBy(col("pfx").asc, col("seed_id").asc)
+      .limit(16)
+      .withColumn("rank",
+        (row_number().over(Window.orderBy(col("pfx").asc, col("seed_id").asc))
+          - 1).cast(LongType))
+
+  /** Broadcast micro-integer codebook (rank, sub, dim, si) from the 16
+    * seed vectors. Seeds join BEFORE the explode: only 16 vectors unfold
+    * into the codebook (a corpus-side explode would be a second full
+    * pass). */
+  private[graft] def pqBook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    broadcast(
+      Tables(spark, dir).embeddings
+        .join(broadcast(pqSeeds(spark, dir)), col("vec_id") === col("seed_id"))
+        .select(col("rank"), posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("rank"),
+          expr("(d0 div 16)").cast(IntegerType).as("sub"),
+          (col("d0") + 1).cast(IntegerType).as("dim"),
+          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("si")))
+
+  /** Per-(vector, subspace) PQ assignments (vec_id, sub, code, dist) —
+    * q195's encode pass, factored so the ADC search (q205) reads the
+    * same codes the encode query emits. Integer argmin end-to-end (see
+    * q195 scaladoc). */
+  private[graft] def pqAssignments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val dists = pqExploded(spark, dir).join(pqBook(spark, dir), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("rank"))
+      .agg(sum((col("vi") - col("si")) * (col("vi") - col("si"))).as("dist"))
+    dists
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dist") * 16 + col("rank")).as("combined"))
+      .select(col("vec_id"), col("sub"),
+        (col("combined") % 16).as("code"),
+        expr("combined div 16").as("dist"))
+  }
+
   val q195 = QueryDef(
     "q195_pq_codes",
     (spark, dir) => {
-      val ex = Tables(spark, dir).embeddings
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
-        .select(col("vec_id"), (col("d0") + 1).cast(IntegerType).as("dim"),
-          expr("(d0 div 16)").cast(IntegerType).as("sub"),
-          round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("vi"))
-      // 16 md5-least vec_ids, ranked 0..15 (rank breaks argmin ties);
-      // the 16-row frame makes the global row_number a dimension window
-      val seeds = Tables(spark, dir).embeddings
-        .select(col("vec_id").as("seed_id"),
-          Det.md5Bucket(col("vec_id")).as("pfx"))
-        .orderBy(col("pfx").asc, col("seed_id").asc)
-        .limit(16)
-        .withColumn("rank",
-          (row_number().over(Window.orderBy(col("pfx").asc, col("seed_id").asc))
-            - 1).cast(LongType))
-      // seeds join BEFORE the explode: only 16 vectors unfold into the
-      // codebook (the corpus-side explode would be a second full pass)
-      val book = broadcast(
-        Tables(spark, dir).embeddings
-          .join(broadcast(seeds), col("vec_id") === col("seed_id"))
-          .select(col("rank"), posexplode(col("embedding")).as(Seq("d0", "v")))
-          .select(col("rank"),
-            expr("(d0 div 16)").cast(IntegerType).as("sub"),
-            (col("d0") + 1).cast(IntegerType).as("dim"),
-            round(col("v").cast(DoubleType) * 1000000).cast(LongType).as("si")))
-      val dists = ex.join(book, Seq("sub", "dim"))
-        .groupBy(col("vec_id"), col("sub"), col("rank"))
-        .agg(sum((col("vi") - col("si")) * (col("vi") - col("si"))).as("dist"))
-      val assigned = dists
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(col("dist") * 16 + col("rank")).as("combined"))
-        .select(col("vec_id"), col("sub"),
-          (col("combined") % 16).as("code"),
-          expr("combined div 16").as("dist"))
+      val assigned = pqAssignments(spark, dir)
       assigned.groupBy(col("vec_id"))
         .agg(
           max(when(col("sub") === 0, col("code"))).as("c0"),
@@ -1670,7 +1697,227 @@ object Similarity extends QueryPack {
     GROUP BY vec_id
     ORDER BY vec_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q204
+  /** One Lloyd k-means round, fully oracle-checked — the TRAINING step
+    * the IVF quantizer (q60) and a production PQ codebook (q195) both
+    * iterate, graded once in exact cross-engine arithmetic: assign every
+    * vector to its nearest of the 16 deterministic seed centroids
+    * ([[pqSeeds]] — md5-least vec_ids, the sampled-init stand-in), then
+    * emit the UPDATED per-(cluster, dim) centroid, the cluster sizes and
+    * the round's objective (total within-cluster squared distance). The
+    * engine-private Lloyd loop (`Similarity.lloyd`) is spec-verified;
+    * this query pins one full round's math to the DuckDB oracle.
+    *
+    * Determinism: micro-integer components, exact integer squared
+    * distances, q195's integer argmin (`dist·16 + rank`, min, %/div —
+    * seed rank breaks ties), and the new centroids through q153's
+    * SIGN-SPLIT round-half-up integer mean — no float forms anywhere.
+    *
+    * Scale: the assignment is one explode + broadcast codebook equi-join
+    * with fan-out K (the q195 encode shape — at production K the native
+    * `graft_nearest_cells` replaces the join, same integer fold); the
+    * update is ONE map-side-combinable (cluster, dim) aggregate — K·d
+    * rows of shuffle per mapper, the classic distributed-k-means round.
+    * Assignments are cut once and feed both the size/SSE aggregate and
+    * the centroid update. */
+  val q204 = QueryDef(
+    "q204_kmeans_round",
+    (spark, dir) => {
+      val ex = pqExploded(spark, dir)
+      val dists = ex.join(pqBook(spark, dir), Seq("sub", "dim"))
+        .groupBy(col("vec_id"), col("rank"))
+        .agg(sum((col("vi") - col("si")) * (col("vi") - col("si"))).as("dist"))
+      val assign = dists.groupBy(col("vec_id"))
+        .agg(min(col("dist") * 16 + col("rank")).as("combined"))
+        .select(col("vec_id"), (col("combined") % 16).as("cluster"),
+          expr("combined div 16").as("dist"))
+        .cut()
+      val stats = assign.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse_micro2"))
+      val means = assign.select(col("vec_id"), col("cluster"))
+        .join(ex, Seq("vec_id"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          expr("""CASE WHEN s < 0 THEN -((2 * (-s) + n) div (2 * n))
+            ELSE (2 * s + n) div (2 * n) END""").as("c_micro"))
+      means.join(broadcast(stats), Seq("cluster"))
+        .select(col("cluster"), col("dim"), col("c_micro"),
+          col("n_members"), col("sse_micro2"))
+        .orderBy(col("cluster").asc_nulls_first, col("dim").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST((i - 1) // 16 AS INT) AS sub,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    seeds AS (
+      SELECT vec_id AS seed_id,
+        ROW_NUMBER() OVER (ORDER BY
+          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) ASC,
+          vec_id ASC) - 1 AS rank
+      FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) ASC,
+        vec_id ASC
+      LIMIT 16),
+    book AS (
+      SELECT s.rank, e.sub, e.dim, e.vi AS si
+      FROM seeds s JOIN ex e ON e.vec_id = s.seed_id),
+    dists AS (
+      SELECT e.vec_id, b.rank,
+        SUM((e.vi - b.si) * (e.vi - b.si)) AS dist
+      FROM ex e JOIN book b ON b.sub = e.sub AND b.dim = e.dim
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id,
+        CAST(MIN(dist * 16 + rank) % 16 AS BIGINT) AS cluster,
+        CAST(MIN(dist * 16 + rank) // 16 AS BIGINT) AS dist
+      FROM dists GROUP BY 1),
+    stats AS (
+      SELECT cluster, COUNT(*) AS n_members,
+        CAST(SUM(dist) AS BIGINT) AS sse_micro2
+      FROM assign GROUP BY 1),
+    mem AS (
+      SELECT a.cluster, e.dim,
+        CAST(SUM(e.vi) AS BIGINT) AS s, COUNT(*) AS n
+      FROM assign a JOIN ex e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2)
+    SELECT m.cluster, m.dim,
+      CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+           ELSE (2 * s + n) // (2 * n) END AS c_micro,
+      st.n_members, st.sse_micro2
+    FROM mem m JOIN stats st ON st.cluster = m.cluster
+    ORDER BY m.cluster ASC NULLS FIRST, m.dim ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q205
+  /** PQ asymmetric-distance (ADC) top-k search — the SERVING half of
+    * q195's encode (Jégou et al. §IV): five deterministic query vectors
+    * (md5-GREATEST vec_ids — disjoint from the md5-least codebook seeds)
+    * scan the 2-byte PQ codes instead of the float corpus. Per query, a
+    * 4×16 lookup table of exact integer subspace distances is built once
+    * against the codebook; a corpus vector's ADC distance is then FOUR
+    * table lookups and three adds — the scan the 100 TB ANN serving
+    * path actually runs, 128× less state than the float corpus. The
+    * exact distance of each returned pair sits beside the ADC estimate
+    * (the q184/q190 error-visible convention).
+    *
+    * Shape: codes ⋈ broadcast LUT on (sub, code) — fan-out 1, map-only —
+    * into one (query, vector) sum, then `graft_top_k` (q75's bounded
+    * heap: shuffle volume k·queries·tasks, never a corpus sort); exact
+    * re-distance only for the ≤ k·queries survivors. Integer
+    * end-to-end; the −adc top-k score is an exactly-representable
+    * double (< 2⁵³).
+    *
+    * The ADC invariant `adc = Σ_sub lut[code_sub]` plus q195's argmin
+    * means adc ≥ the true all-codebook lower bound per subspace; recall
+    * vs exact top-k is the quality column a deployment monitors via the
+    * exact_micro2 twin. */
+  val q205 = QueryDef(
+    "q205_pq_adc",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val ex = pqExploded(spark, dir)
+      val codes = pqAssignments(spark, dir)
+        .select(col("vec_id"), col("sub"), col("code"))
+      val qs = Tables(spark, dir).embeddings
+        .select(col("vec_id").as("q_id"), Det.md5Bucket(col("vec_id")).as("pfx"))
+        .orderBy(col("pfx").desc, col("q_id").desc)
+        .limit(5)
+        .select(col("q_id"))
+      val exq = ex.join(broadcast(qs), col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("sub"), col("dim"), col("vi").as("qi"))
+      val lut = exq.join(pqBook(spark, dir), Seq("sub", "dim"))
+        .groupBy(col("q_id"), col("sub"), col("rank"))
+        .agg(sum((col("qi") - col("si")) * (col("qi") - col("si"))).as("lut"))
+        .select(col("q_id"), col("sub").as("lsub"), col("rank"), col("lut"))
+      val adc = codes.join(broadcast(lut),
+          col("sub") === col("lsub") && col("code") === col("rank"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("lut")).as("adc"))
+      val top = adc.groupBy(col("q_id"))
+        .agg(call_function("graft_top_k",
+          (-col("adc")).cast(DoubleType), col("vec_id"), lit(0L), lit(10))
+          .as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+        .select(col("q_id"), (col("rk0") + 1).cast(IntegerType).as("rk"),
+          col("t.id1").as("vec_id"),
+          (-col("t.score")).cast(LongType).as("adc_micro2"))
+        .cut()
+      val exact = top.select(col("q_id"), col("vec_id"))
+        .join(ex, Seq("vec_id"))
+        .join(exq.select(col("q_id"), col("dim"), col("qi")), Seq("q_id", "dim"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum((col("vi") - col("qi")) * (col("vi") - col("qi")))
+          .as("exact_micro2"))
+      top.join(exact, Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          col("adc_micro2"), col("exact_micro2"))
+        .orderBy(col("q_id").asc_nulls_first, col("rk").asc_nulls_first)
+    },
+    Some("""WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST((i - 1) // 16 AS INT) AS sub,
+        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    seeds AS (
+      SELECT vec_id AS seed_id,
+        ROW_NUMBER() OVER (ORDER BY
+          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) ASC,
+          vec_id ASC) - 1 AS rank
+      FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) ASC,
+        vec_id ASC
+      LIMIT 16),
+    book AS (
+      SELECT s.rank, e.sub, e.dim, e.vi AS si
+      FROM seeds s JOIN ex e ON e.vec_id = s.seed_id),
+    dists AS (
+      SELECT e.vec_id, e.sub, b.rank,
+        SUM((e.vi - b.si) * (e.vi - b.si)) AS dist
+      FROM ex e JOIN book b ON b.sub = e.sub AND b.dim = e.dim
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub,
+        CAST(MIN(dist * 16 + rank) % 16 AS BIGINT) AS code
+      FROM dists GROUP BY vec_id, sub),
+    qs AS (
+      SELECT vec_id AS q_id FROM embeddings
+      ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) DESC,
+        vec_id DESC
+      LIMIT 5),
+    exq AS (
+      SELECT q.q_id, e.sub, e.dim, e.vi AS qi
+      FROM ex e JOIN qs q ON e.vec_id = q.q_id),
+    lut AS (
+      SELECT x.q_id, x.sub, b.rank,
+        SUM((x.qi - b.si) * (x.qi - b.si)) AS lut
+      FROM exq x JOIN book b ON b.sub = x.sub AND b.dim = x.dim
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT l.q_id, c.vec_id, CAST(SUM(l.lut) AS BIGINT) AS adc
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.rank = c.code
+      WHERE c.vec_id <> l.q_id
+      GROUP BY 1, 2),
+    top AS (
+      SELECT q_id, vec_id, adc,
+        row_number() OVER (PARTITION BY q_id
+          ORDER BY adc ASC, vec_id ASC) AS rk
+      FROM adc),
+    p AS (SELECT q_id, vec_id, adc, rk FROM top WHERE rk <= 10),
+    exact AS (
+      SELECT p.q_id, p.vec_id,
+        CAST(SUM((e.vi - q.qi) * (e.vi - q.qi)) AS BIGINT) AS exact_micro2
+      FROM p
+      JOIN ex e ON e.vec_id = p.vec_id
+      JOIN exq q ON q.q_id = p.q_id AND q.dim = e.dim
+      GROUP BY 1, 2)
+    SELECT p.q_id, CAST(p.rk AS INTEGER) AS rk, p.vec_id,
+      p.adc AS adc_micro2, x.exact_micro2
+    FROM p JOIN exact x ON x.q_id = p.q_id AND x.vec_id = p.vec_id
+    ORDER BY p.q_id ASC NULLS FIRST, p.rk ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q41, q42, q43, q44, q59, q60, q70, q79, q84, q130, q147, q151, q152,
-      q153, q160, q187, q195)
+      q153, q160, q187, q195, q204, q205)
 }

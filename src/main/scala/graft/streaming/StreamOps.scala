@@ -1878,3 +1878,61 @@ class CoverageProcessor
       cur.closedCovered + openLen, math.max(cur.closedMaxSpan, openLen)))
   }
 }
+
+/** One live item occurrence routed to a CMS counter cell
+  * (cell = j·65536 + bucket, the d=4 × w=65536 grid flattened). */
+case class CmsCellRow(cell: Int)
+
+/** One counter emission per touched cell per micro-batch. */
+case class CmsGauge(cell: Int, c: Long)
+
+/** Streaming deterministic count-min sketch — the live twin of batch
+  * q190, completing the deterministic-sketch family's streaming row
+  * (distinct: [[StreamHllDeterministic]]; quantiles:
+  * [[StreamQuantileSketch]]; frequency: THIS). Every item occurrence
+  * increments its d=4 md5-derived counter cells; state is ONE exact long
+  * per touched cell — ≤ d·w = 262,144 cells forever, regardless of the
+  * key space (the saturation ScaleProbe `cms` measures). Counters
+  * sum-merge (q190's spec-asserted law), and a sum is arrival-order- and
+  * batch-boundary-free, so the end-of-stream counter table equals batch
+  * q190's `cmsCountersOf` over the same feed exactly (spec-asserted
+  * across a micro-batch boundary). */
+object StreamCountMin {
+
+  val Width = 65536
+
+  /** Each item row (one string/long key column `k`, one row per
+    * occurrence) fans out to its 4 counter cells — q190's md5 bucket
+    * math as narrow ops; static or streaming. */
+  def cells(items: DataFrame): DataFrame =
+    items
+      .select(explode(sequence(lit(0), lit(3))).as("j"), col("k"))
+      .select((col("j") * Width +
+        graft.operators.Analytic.cmsBucket(col("j"), col("k")))
+        .cast("int").as("cell"))
+
+  /** The stateful per-cell running counter over [[cells]] rows. */
+  def gauge(rows: DataFrame): Dataset[CmsGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("cell")).as[CmsCellRow]
+      .groupByKey(_.cell)
+      .transformWithState(new CmsCellProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-cell counter machine behind [[StreamCountMin]]. */
+class CmsCellProcessor extends StatefulProcessor[Int, CmsCellRow, CmsGauge] {
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("c", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[CmsCellRow],
+      timerValues: TimerValues): Iterator[CmsGauge] = {
+    val c = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(c)
+    Iterator.single(CmsGauge(key, c))
+  }
+}

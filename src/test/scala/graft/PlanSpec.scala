@@ -263,7 +263,10 @@ class PlanSpec extends SparkTestBase {
       "q184_hll_setops",
       // q199 combines two ONE-row frames per pair (the sketch estimate
       // and the exact twin) — the q157 tiny-stats pattern.
-      "q199_cms_join_estimate")
+      "q199_cms_join_estimate",
+      // q207's calendar span is ONE row broadcast into the |types|-row
+      // zero-fill frame — q166's scalar-aggregate pattern.
+      "q207_cusum")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -302,8 +305,9 @@ class PlanSpec extends SparkTestBase {
       // q194's share totals run over the post-aggregate |sources|-row
       // frame — same argument as q78.
       "q194_temperature_mix",
-      // q195's seed-rank row_number runs over the 16-row codebook frame.
-      "q195_pq_codes")
+      // q195's seed-rank row_number runs over the 16-row codebook frame;
+      // q204/q205 reuse the same 16-row seed ranking (pqSeeds).
+      "q195_pq_codes", "q204_kmeans_round", "q205_pq_adc")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

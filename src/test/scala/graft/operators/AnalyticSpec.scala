@@ -1334,4 +1334,158 @@ class AnalyticSpec extends SparkTestBase {
       assert(est >= exact, s"$name: estimate $est undercounts exact $exact")
     }
   }
+
+  test("q202 BFS: known distances on a hand graph, fixture output equals a driver BFS") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected component {6,7}
+    val hand = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("u", "v")
+    val two = Analytic.bfsHops(hand, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(two == Seq((1L, 0), (2L, 1), (3L, 2)),
+      s"hand-graph 2-hop BFS wrong: $two")
+    val four = Analytic.bfsHops(hand, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(four == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 4)),
+      "4-hop BFS must cover the path and never the other component")
+    // fixture: distributed frontier BFS == a driver-side BFS replay
+    val edges = Analytic.buildCoPurchaseEdges(Tables(spark, sf0001).lineitem)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (u, v) =>
+      adj(u) = v :: adj.getOrElse(u, Nil); adj(v) = u :: adj.getOrElse(v, Nil)
+    }
+    val src = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(src -> 0)
+    var frontier = Set(src)
+    for (h <- 1 to Analytic.BfsMaxHops) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = h)
+    }
+    val expected = dist.toSeq.map { case (n, h) => (n, h) }
+      .sortBy { case (n, h) => (h, n) }
+    val got = Analytic.q202.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q203 split finder equals a brute-force split search and the Gini argmin") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_quantity"), col("l_discount"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    def cents(x: Double): Long =
+      BigDecimal(x * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val feats = Seq(
+      ("l_discount", rows.map(r => (cents(r._2), r._3))),
+      ("l_quantity", rows.map(r => (cents(r._1), r._3))))
+    val expected = feats.map { case (name, xs) =>
+      val nt = xs.length.toLong
+      val pt = xs.map(_._2).sum
+      val values = xs.map(_._1).distinct.sorted
+      def score(nl: Long, pl: Long): Long =
+        (BigInt(pl) * pl * 1000000 / nl
+          + BigInt(pt - pl) * (pt - pl) * 1000000 / (nt - nl)).toLong
+      // brute force over every candidate split (xc = left-inclusive cut)
+      val splits = values.dropRight(1).map { v =>
+        val left = xs.filter(_._1 <= v)
+        (v, left.length.toLong, left.map(_._2).sum)
+      }
+      val best = splits.maxBy { case (v, nl, pl) => (score(nl, pl), -v) }
+      // cross-check: the p²/n argmax IS the weighted-Gini argmin
+      def gini(nl: Long, pl: Long): Double = {
+        def g(n: Long, p: Long): Double =
+          1.0 - (p.toDouble * p + (n - p).toDouble * (n - p)) / (n.toDouble * n)
+        (nl * g(nl, pl) + (nt - nl) * g(nt - nl, pt - pl)) / nt
+      }
+      val giniBest = splits.minBy { case (v, nl, pl) => (gini(nl, pl), v) }
+      assert(giniBest._1 == best._1,
+        s"$name: integer-score argmax ${best._1} != Gini argmin ${giniBest._1}")
+      val base = (BigInt(pt) * pt * 1000000 / nt).toLong
+      (name, best._1, best._2, nt - best._2, best._3, pt - best._3,
+        score(best._2, best._3), base, score(best._2, best._3) - base)
+    }
+    val got = Analytic.q203.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q207 CUSUM equals a driver replay over the zero-filled daily series") {
+    val evs = Tables(spark, sf0001).events
+      .select(col("event_type"), to_date(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = evs.map(_._2).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val d1 = evs.map(_._2).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val days = (d0.toEpochDay to d1.toEpochDay).map(java.time.LocalDate.ofEpochDay)
+    val expected = evs.groupBy(_._1).toSeq.map { case (tpe, es) =>
+      val byDay = es.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val series = days.map(d => byDay.getOrElse(d, 0L))
+      val tot = series.sum
+      val dCount = days.length.toLong
+      val cums = series.scanLeft(0L)(_ + _).drop(1)
+      val ss = cums.zipWithIndex.map { case (cum, i) =>
+        (dCount * cum - (i + 1) * tot, days(i))
+      }
+      val best = ss.maxBy { case (s, day) => (s.abs, -day.toEpochDay) }
+      (tpe, java.sql.Date.valueOf(best._2), best._1.abs, tot, dCount,
+        (BigInt(best._1.abs) * 1000000 / (BigInt(tot) * dCount)).toLong)
+    }.sortBy(_._1)
+    val got = Analytic.q207.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("q208 Spearman equals a midrank driver replay and detects the price~quantity monotonicity") {
+    val rows = Tables(spark, sf0001).lineitem
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def cents(x: Double): Long =
+      BigDecimal(x * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = rows.groupBy(_._1).toSeq.map { case (g, rs) =>
+      val xs = rs.map(r => cents(r._2)); val ys = rs.map(r => cents(r._3))
+      def midrank2(vs: Array[Long]): Map[Long, Long] = {
+        val cnt = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val sorted = cnt.keys.toSeq.sorted
+        var below = 0L
+        sorted.map { v =>
+          val c = cnt(v); val r = 2 * below + c + 1; below += c; v -> r
+        }.toMap
+      }
+      val (mx, my) = (midrank2(xs), midrank2(ys))
+      val rx = xs.map(mx); val ry = ys.map(my)
+      val n = rs.length.toDouble
+      def d(b: BigInt): Double = BigDecimal(b).toDouble
+      val (sx, sy) = (d(rx.map(BigInt(_)).sum), d(ry.map(BigInt(_)).sum))
+      val sxx = d(rx.map(v => BigInt(v) * v).sum)
+      val syy = d(ry.map(v => BigInt(v) * v).sum)
+      val sxy = d(rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum)
+      val rho = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      (g, rs.length.toLong,
+        BigDecimal(rho).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = Analytic.q208.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // midrank invariant: Σ midrank2 over the rows of a group is exactly
+    // n(n+1) — twice the sum of ranks 1..n — however the ties fall
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(r => cents(r._2))
+      val cnt = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = cnt.keys.toSeq.sorted
+      var below = 0L
+      val mr = sorted.map { v =>
+        val c = cnt(v); val r = 2 * below + c + 1; below += c; v -> r
+      }.toMap
+      val n = rs.length.toLong
+      assert(xs.map(mr).sum == n * (n + 1), s"group $g: midrank2 sum broken")
+    }
+    got.foreach { case (g, _, rho) =>
+      assert(rho.abs <= 1.0, s"group $g: rho $rho outside [-1, 1]")
+    }
+  }
 }

@@ -131,4 +131,46 @@ class MultimodalSpec extends SparkTestBase {
       assert(hist.length == 16 && hist.sum == nb && top >= 0 && top < 16, s"doc $id")
     }
   }
+  test("q209 aHash near-dup equals a byte-level driver replay; exact dups land at hamming 0") {
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val eligible = docs.map { case (id, t) => (id, t.getBytes("UTF-8")) }
+      .filter(_._2.length >= 60)
+    def ahash(bs: Array[Byte]): Long = {
+      val v = bs.take(60).map(b => (b & 0xFF).toLong)
+      val mean = v.sum / 60
+      (1 to 60).map(i => if (v(i - 1) > mean) 1L << (60 - i) else 0L).sum
+    }
+    val hs = eligible.map { case (id, bs) => (id, ahash(bs)) }
+    val cand = for {
+      (d1, h1) <- hs; (d2, h2) <- hs
+      if d1 < d2
+      if (0 until 4).exists(c => ((h1 >> (c * 15)) & 0x7FFF) == ((h2 >> (c * 15)) & 0x7FFF))
+      hd = java.lang.Long.bitCount(h1 ^ h2)
+      if hd <= 8
+    } yield (d1, d2, hd)
+    val expected = cand.sortBy { case (a, b, _) => (a, b) }.toSeq
+    val got = Multimodal.q209.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    // hand corpus with KNOWN structure through the factored pipeline:
+    // 1 ≡ 2 byte-identical (hamming 0), 3 = one flipped byte near 1
+    // (small hamming), 4 unrelated, 5 too short to hash
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val flip = base.updated(10, 'Z')
+    val other = "ZZZZ AAAA zzzz aaaa ZZZZ AAAA zzzz aaaa ZZZZ AAAA zzzz aaaa !!"
+    val hand = Seq((1L, base), (2L, base), (3L, flip), (4L, other), (5L, "tiny"))
+      .toDF("doc_id", "text")
+      .withColumn("blob", col("text").cast("binary"))
+    val handGot = Multimodal.ahashPairs(hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val handMap = handGot.map(g => (g._1, g._2) -> g._3).toMap
+    assert(handMap.get((1L, 2L)).contains(0), s"identical blobs not at hamming 0: $handGot")
+    assert(handMap.contains((1L, 3L)) && handMap((1L, 3L)) > 0 && handMap((1L, 3L)) <= 8,
+      s"one-byte flip should be a small-hamming near-dup: $handGot")
+    assert(!handGot.exists(g => g._1 == 4L || g._2 == 4L || g._1 == 5L || g._2 == 5L),
+      s"unrelated/short docs must not pair: $handGot")
+  }
 }

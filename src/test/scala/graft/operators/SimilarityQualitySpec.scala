@@ -776,4 +776,101 @@ class SimilarityQualitySpec extends SparkTestBase {
     // non-seed vectors should not all reconstruct exactly (the codes compress)
     assert(got.exists(_._6 > 0L), "every vector reconstructed exactly — codebook too big?")
   }
+
+  test("q204 k-means round equals an exact integer driver replay; objective <= seed-assignment scatter") {
+    val em = graft.Tables(spark, sf0001).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val micro: Map[Long, Array[Long]] = em.toMap.view.mapValues(
+      _.map(v => BigDecimal(v.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pfx(id: Long): Int = Integer.parseInt(
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val seeds = em.map(_._1).sortBy(id => (pfx(id), id)).take(16)
+    // full-dim nearest seed, tie to the lower rank
+    val assign: Map[Long, (Long, Long)] = em.map(_._1).map { id =>
+      val v = micro(id)
+      val best = seeds.zipWithIndex.map { case (sid, rank) =>
+        val s = micro(sid)
+        ((0 until 64).map(d => { val df = v(d) - s(d); df * df }).sum, rank.toLong)
+      }.min
+      id -> (best._2, best._1)
+    }.toMap
+    val byCluster = assign.groupBy(_._2._1)
+    def sgnMean(s: Long, n: Long): Long =
+      if (s < 0) -((2 * (-s) + n) / (2 * n)) else (2 * s + n) / (2 * n)
+    val expected = byCluster.toSeq.flatMap { case (c, members) =>
+      val ids = members.keys.toSeq
+      val nM = ids.length.toLong
+      val sse = members.values.map(_._2).sum
+      (0 until 64).map { d =>
+        val s = ids.map(micro(_)(d)).sum
+        (c, d + 1, sgnMean(s, nM), nM, sse)
+      }
+    }.sortBy { case (c, d, _, _, _) => (c, d) }
+    val got = Similarity.q204.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // Lloyd sanity: sizes total the corpus; every seed lands in its own cluster
+    assert(got.map(g => (g._1, g._4)).distinct.map(_._2).sum == em.length.toLong)
+    seeds.zipWithIndex.foreach { case (sid, rank) =>
+      assert(assign(sid)._1 == rank.toLong, s"seed $sid not in its own cluster")
+    }
+  }
+
+  test("q205 ADC search equals a driver replay; ADC of an exactly-encoded vector is exact") {
+    val em = graft.Tables(spark, sf0001).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val micro: Map[Long, Array[Long]] = em.toMap.view.mapValues(
+      _.map(v => BigDecimal(v.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pfx(id: Long): Int = Integer.parseInt(
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val ids = em.map(_._1)
+    val seeds = ids.sortBy(id => (pfx(id), id)).take(16)
+    val queries = ids.sortBy(id => (-pfx(id), -id)).take(5)
+    def subDist(v: Array[Long], s: Array[Long], sub: Int): Long =
+      ((sub * 16) until ((sub + 1) * 16)).map(d => { val df = v(d) - s(d); df * df }).sum
+    val codes: Map[Long, Array[Int]] = ids.map { id =>
+      id -> (0 until 4).map { sub =>
+        seeds.zipWithIndex.map { case (sid, rank) =>
+          (subDist(micro(id), micro(sid), sub), rank)
+        }.min._2
+      }.toArray
+    }.toMap
+    val expected = queries.sorted.flatMap { q =>
+      val lut: Array[Array[Long]] = (0 until 4).map(sub =>
+        seeds.map(sid => subDist(micro(q), micro(sid), sub)).toArray).toArray
+      val ranked = ids.filter(_ != q).map { v =>
+        (codes(v).zipWithIndex.map { case (c, sub) => lut(sub)(c) }.sum, v)
+      }.sortBy(p => p)
+      ranked.take(10).zipWithIndex.map { case ((adc, v), i) =>
+        val exact = (0 until 4).map(subDist(micro(q), micro(v), _)).sum
+        (q, i + 1, v, adc, exact)
+      }
+    }.toSeq
+    val got = Similarity.q205.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // shape: exactly top-10 per query, ADC non-decreasing within a query
+    assert(got.length == queries.length * 10)
+    got.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted, "ADC not monotone in rank")
+    }
+    // the ADC identity: a vector whose PQ encode is lossless (any
+    // codebook seed — its own sub-vectors ARE codebook entries) has
+    // ADC == exact distance for EVERY query, asserted over the full
+    // query × seed grid in the replay domain
+    for (q <- queries; s <- seeds if s != q) {
+      val adc = codes(s).zipWithIndex.map { case (c, sub) =>
+        subDist(micro(q), micro(seeds(c)), sub)
+      }.sum
+      val exact = (0 until 4).map(subDist(micro(q), micro(s), _)).sum
+      assert(adc == exact, s"seed $s, query $q: lossless encode but ADC $adc != exact $exact")
+    }
+  }
 }

@@ -1327,4 +1327,43 @@ class StreamOpsSpec extends SparkTestBase {
     assert(perKey.values.exists(_.size > 1),
       "no supplier re-emitted a grown gauge; state carry untested")
   }
+  test("streaming count-min: end counter table equals batch q190's counters across a batch boundary") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    // one row per item OCCURRENCE — the live feed q190's exact frame
+    // pre-aggregates; counter sums must agree by the sum-merge law
+    val keys = graft.Tables(s2, sf0001).lineitem
+      .select(col("l_partkey")).collect().map(_.getLong(0))
+    val in = MemoryStream[Long](newLongEncoder, s2.sqlContext)
+    val q = StreamCountMin.gauge(StreamCountMin.cells(in.toDF().toDF("k")))
+      .writeStream.outputMode("append").format("memory").queryName("cmsg")
+      .start()
+    // two arrival chunks so counter state crosses a micro-batch boundary
+    in.addData(keys.take(keys.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(keys.drop(keys.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // final emission per cell = the last row per cell in emission order
+    val emitted = s2.table("cmsg").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val finals = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    // batch q190 counter build over the same feed
+    val exact = graft.Tables(s2, sf0001).lineitem
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("n_exact"))
+    val batch = graft.operators.Analytic.cmsCountersOf(exact).collect()
+      .map(r => (r.getInt(0) * StreamCountMin.Width + r.getInt(1),
+        r.getLong(2))).toMap
+    assert(finals == batch, s"stream/batch counter divergence: " +
+      s"only-stream=${(finals.toSet -- batch.toSet).take(5)}, " +
+      s"only-batch=${(batch.toSet -- finals.toSet).take(5)}")
+    // the state bound: touched cells never exceed the d*w structural grid
+    assert(finals.size <= 4 * StreamCountMin.Width)
+    // counters really accumulated across the boundary: total mass = 4 rows per occurrence
+    assert(finals.values.sum == 4L * keys.length)
+  }
 }
