@@ -1591,7 +1591,7 @@ object Analytic extends QueryPack {
     * reconciliation unit is the (n_rows, checksum) PAIR — the count
     * catches what parity hides. Spec-asserted. */
   /** 60-bit md5-prefix row hash of a canonical serialization. */
-  private def rowHash60(c: Column): Column =
+  private[graft] def rowHash60(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast(LongType)
 
@@ -2986,14 +2986,25 @@ object Analytic extends QueryPack {
     * bin bounds. Shared by q193 (prices per return flag) and q201
     * (funnel hop latencies) — the gauge math cannot drift between its
     * consumers. */
-  private[graft] def quantileSketchGauge(vals: DataFrame): DataFrame = {
-      val binned = vals
-        .withColumn("b", (length(bin(col("v"))) - lit(1)).cast(LongType))
-        .withColumn("id", when(col("v") < 16, col("v"))
-          .otherwise(col("b") * 16 +
-            (expr("shiftright(v, CAST(b - 4 AS INT))") - lit(16))))
-      val counts = binned.groupBy(col("g"), col("id"))
-        .agg(count(lit(1)).as("c"))
+  /** Per-(keys, bin) count pages over a (keys..., v ≥ 0) frame — the
+    * MERGEABLE half of the q193 sketch (bins sum-merge, the property
+    * q213's stored pages ride). */
+  private[graft] def quantileBinsBy(vals: DataFrame, keys: Seq[String]): DataFrame =
+    vals
+      .withColumn("b", (length(bin(col("v"))) - lit(1)).cast(LongType))
+      .withColumn("id", when(col("v") < 16, col("v"))
+        .otherwise(col("b") * 16 +
+          (expr("shiftright(v, CAST(b - 4 AS INT))") - lit(16))))
+      .groupBy(keys.map(col) :+ col("id"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  private[graft] def quantileSketchGauge(vals: DataFrame): DataFrame =
+    quantileFinish(quantileBinsBy(vals, Seq("g")))
+
+  /** The finishing stage over a (g, id, c) bin-count frame: cumulative
+    * walk → p50/p90/p99 bin bounds. Accepts merged pages (any partition
+    * of the feed summed per (g, id) gives the same counts). */
+  private[graft] def quantileFinish(counts: DataFrame): DataFrame = {
       val cum = counts.withColumn("cum",
         sum(col("c")).over(Window.partitionBy(col("g"))
           .orderBy(col("id").asc)
@@ -3507,6 +3518,129 @@ object Analytic extends QueryPack {
     FROM scored WHERE rn = 1
     ORDER BY feature ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q206
+  /** HITS hubs & authorities on the nation trade graph — the SECOND
+    * centrality next to q127's PageRank, and the one that fits a
+    * directed bipartite-flavored graph: customer nations that buy
+    * broadly are HUBS, supplier nations bought from by good hubs are
+    * AUTHORITIES (Kleinberg JACM '99). Three mutual-reinforcement
+    * rounds: a ← Eᵀh, h ← E·a, each renormalized so max = 10⁹.
+    *
+    * Determinism (q127's fixed-point protocol): scores live in exact
+    * integer parts-per-billion; products are DECIMAL-widened (rule 11),
+    * the renormalization is the truncating integral divide both engines
+    * define identically on non-negative operands — so after any number
+    * of rounds the vectors are BIT-exact under any partitioning, and
+    * the oracle unrolls the rounds as CTE layers. Max-normalization
+    * (not the float L2 norm) is the standard integer-safe HITS variant;
+    * the fixed round count replaces convergence detection (the q127
+    * convention — centrality ranks stabilize in a handful of rounds).
+    *
+    * Scale: ONE corpus-sized stage (the same weighted-edge aggregation
+    * q127 materializes, shared shape), then every round is an equi-join
+    * + aggregate on the |nations|²-bounded edge frame with a 1-row max
+    * broadcast (whitelisted tiny-stats pattern). Model state never
+    * leaves the cluster. */
+  private[graft] def hitsOnEdges(edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = Materialize.cut(edges)
+    val dec = DecimalType(38, 0)
+    def renorm(raw0: DataFrame, key: String, out: String): DataFrame = {
+      // cut: `raw` feeds BOTH the max renormalizer and the score join —
+      // uncut, every round would re-execute its whole upstream chain
+      // under each consumer and the plan would grow exponentially with
+      // the round count (the Materialize discipline; each cut is a
+      // |nodes|-row frame)
+      val raw = Materialize.cut(raw0)
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nodes.join(raw, nodes("node") === raw(key), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"CAST(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * ${PrScale}L div mx AS BIGINT)")
+            .as(out))
+    }
+    var hub = nodes.withColumn("h", lit(PrScale))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      val araw = e.join(hub, e("src") === hub("node"))
+        .select(col("dst"), (col("w").cast(dec) * col("h")).as("p"))
+        .groupBy(col("dst")).agg(sum(col("p")).as("raw"))
+      auth = renorm(araw, "dst", "a")
+      val hraw = e.join(auth, e("dst") === auth("node"))
+        .select(col("src"), (col("w").cast(dec) * col("a")).as("p"))
+        .groupBy(col("src")).agg(sum(col("p")).as("raw"))
+      hub = renorm(hraw, "src", "h")
+    }
+    hub.join(auth, "node")
+  }
+
+  val q206 = QueryDef(
+    "q206_hits",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val nat = t.nation.select(col("n_nationkey"), col("n_name"))
+      val cust = t.customer.join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("src"))
+      val supp = t.supplier.join(broadcast(nat),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("dst"))
+      val edges = tradeEdges(t.lineitem, t.orders, cust, supp)
+      val nodes = nat.select(col("n_name").as("node"))
+      hitsOnEdges(edges, nodes, 3)
+        .select(col("node").as("n_name"),
+          col("h").as("hub_ppb"), col("a").as("auth_ppb"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+    Some("""WITH cust AS (
+      SELECT c_custkey, n_name AS src FROM customer
+      JOIN nation ON c_nationkey = n_nationkey),
+    supp AS (
+      SELECT s_suppkey, n_name AS dst FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN cust ON o_custkey = c_custkey
+      JOIN supp ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    n0 AS (SELECT n_name AS node FROM nation),
+    h0 AS (SELECT node, 1000000000 AS h FROM n0),
+    a1r AS (SELECT e.dst, SUM(CAST(e.w AS HUGEINT) * h.h) AS raw
+            FROM edges e JOIN h0 h ON h.node = e.src GROUP BY 1),
+    a1 AS (SELECT n.node,
+             CAST(COALESCE(r.raw, 0) * 1000000000 // (SELECT MAX(raw) FROM a1r) AS BIGINT) AS a
+           FROM n0 n LEFT JOIN a1r r ON r.dst = n.node),
+    h1r AS (SELECT e.src, SUM(CAST(e.w AS HUGEINT) * a.a) AS raw
+            FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+    h1 AS (SELECT n.node,
+             CAST(COALESCE(r.raw, 0) * 1000000000 // (SELECT MAX(raw) FROM h1r) AS BIGINT) AS h
+           FROM n0 n LEFT JOIN h1r r ON r.src = n.node),
+    a2r AS (SELECT e.dst, SUM(CAST(e.w AS HUGEINT) * h.h) AS raw
+            FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1),
+    a2 AS (SELECT n.node,
+             CAST(COALESCE(r.raw, 0) * 1000000000 // (SELECT MAX(raw) FROM a2r) AS BIGINT) AS a
+           FROM n0 n LEFT JOIN a2r r ON r.dst = n.node),
+    h2r AS (SELECT e.src, SUM(CAST(e.w AS HUGEINT) * a.a) AS raw
+            FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+    h2 AS (SELECT n.node,
+             CAST(COALESCE(r.raw, 0) * 1000000000 // (SELECT MAX(raw) FROM h2r) AS BIGINT) AS h
+           FROM n0 n LEFT JOIN h2r r ON r.src = n.node),
+    a3r AS (SELECT e.dst, SUM(CAST(e.w AS HUGEINT) * h.h) AS raw
+            FROM edges e JOIN h2 h ON h.node = e.src GROUP BY 1),
+    a3 AS (SELECT n.node,
+             CAST(COALESCE(r.raw, 0) * 1000000000 // (SELECT MAX(raw) FROM a3r) AS BIGINT) AS a
+           FROM n0 n LEFT JOIN a3r r ON r.dst = n.node),
+    h3r AS (SELECT e.src, SUM(CAST(e.w AS HUGEINT) * a.a) AS raw
+            FROM edges e JOIN a3 a ON a.node = e.dst GROUP BY 1),
+    h3 AS (SELECT n.node,
+             CAST(COALESCE(r.raw, 0) * 1000000000 // (SELECT MAX(raw) FROM h3r) AS BIGINT) AS h
+           FROM n0 n LEFT JOIN h3r r ON r.src = n.node)
+    SELECT h3.node AS n_name, h3.h AS hub_ppb, a3.a AS auth_ppb
+    FROM h3 JOIN a3 ON a3.node = h3.node
+    ORDER BY n_name ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q207
   /** CUSUM change-point detection on the per-type daily event-count
     * series — the "when did this feed's behavior change" monitor next to
@@ -3693,9 +3827,164 @@ object Analytic extends QueryPack {
     FROM s
     ORDER BY l_returnflag ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q215
+  /** Benford first-digit screen — the forensic data-quality lens next to
+    * q128's constraint report and q125's χ²: naturally-occurring
+    * positive amounts follow P(first digit = d) = log₁₀(1 + 1/d)
+    * (Benford's law); a feed that drifts hard from it has been
+    * truncated, capped, synthesized or tampered with. Per event type:
+    * the 9-digit observed-vs-expected table plus the total-variation
+    * deviation in exact ppm.
+    *
+    * Determinism: the first digit is the first character of the
+    * positive integer's decimal print (identical in both engines), the
+    * Benford expectations are the standard 6-dp ppm constants (they sum
+    * to exactly 10⁶), obs/TVD ppm are DECIMAL-routed integral divides —
+    * no log evaluated anywhere at query time (rule 13: the constants
+    * are literals, not computed transcendentals).
+    *
+    * Shape: one map pass into a (type, digit) count, then
+    * dimension-sized frames (9 digits × |types|) with the 9-row Benford
+    * dim and |types|-row totals broadcast. The q01 scan-aggregate class
+    * at 100 TB. */
+  private[graft] val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  val q215 = QueryDef(
+    "q215_benford",
+    (spark, dir) => {
+      import spark.implicits._
+      val bf = broadcast(BenfordPpm.toDF("digit", "benford_ppm"))
+      val e = Tables(spark, dir).events
+        .select(col("event_type"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("digit",
+          substring(col("cents").cast("string"), 1, 1).cast(IntegerType))
+      val obs = e.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+      val totals = obs.groupBy(col("event_type")).agg(sum(col("n_obs")).as("n"))
+      val grid = obs.select(col("event_type")).distinct()
+        .crossJoin(bf)
+        .join(obs, Seq("event_type", "digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .join(broadcast(totals), "event_type")
+      val tvd = grid.groupBy(col("event_type"))
+        .agg(expr("""CAST(SUM(abs(CAST(n_obs AS DECIMAL(28,0)) * 1000000
+          - CAST(n AS DECIMAL(28,0)) * benford_ppm)) div (2 * MAX(n)) AS BIGINT)""")
+          .as("tvd_ppm"))
+      grid.join(broadcast(tvd), "event_type")
+        .select(col("event_type"), col("digit"), col("n_obs"),
+          expr("CAST(n_obs AS DECIMAL(28,0)) * 1000000 div n").as("obs_ppm"),
+          col("benford_ppm"), col("tvd_ppm"))
+        .orderBy(col("event_type").asc_nulls_first, col("digit").asc_nulls_first)
+    },
+    Some("""WITH bf AS (
+      SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        (9, 45757)) AS bf(digit, benford_ppm)),
+    e AS (
+      SELECT event_type,
+        CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM events
+      WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+    obs AS (
+      SELECT event_type, digit, COUNT(*) AS n_obs FROM e GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n FROM obs GROUP BY 1),
+    grid AS (
+      SELECT t.event_type, bf.digit, bf.benford_ppm,
+        COALESCE(o.n_obs, 0) AS n_obs, tot.n
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN bf
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = bf.digit
+      JOIN tot ON tot.event_type = t.event_type),
+    tvd AS (
+      SELECT event_type,
+        CAST(SUM(abs(CAST(n_obs AS HUGEINT) * 1000000
+          - CAST(n AS HUGEINT) * benford_ppm)) // (2 * MAX(n)) AS BIGINT) AS tvd_ppm
+      FROM grid GROUP BY 1)
+    SELECT g.event_type, CAST(g.digit AS INTEGER) AS digit,
+      CAST(g.n_obs AS BIGINT) AS n_obs,
+      CAST(CAST(g.n_obs AS HUGEINT) * 1000000 // g.n AS BIGINT) AS obs_ppm,
+      CAST(g.benford_ppm AS BIGINT) AS benford_ppm,
+      t.tvd_ppm
+    FROM grid g JOIN tvd t ON t.event_type = g.event_type
+    ORDER BY g.event_type ASC NULLS FIRST, g.digit ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q216
+  /** Label-propagation community detection (Raghavan et al. '07, the
+    * deterministic synchronous variant) — the COMMUNITY row completing
+    * the graph family (components q55, centrality q127/q206, closure
+    * q157/q168, cores q163, reachability q202): every node starts as
+    * its own label; each round it adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label (determinism — the
+    * random tie-break of the paper is exactly what a cross-engine
+    * oracle can't have). Fixed [[LpaRounds]] synchronous rounds (LPA's
+    * documented convergence is "a few iterations"; a fixed count also
+    * sidesteps the oscillation synchronous LPA can exhibit).
+    *
+    * Scale: each round is ONE adjacency equi-join + two
+    * map-side-combinable aggregates (neighbor-label counts, then the
+    * per-node argmax struct) — the Pregel shape, per-round cut so plans
+    * don't stack. Reads the memoized co-purchase edge view. */
+  private[graft] val LpaRounds = 3
+
+  private[graft] def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val nodes = Materialize.cut(und.select(col("b").as("node")).distinct())
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val nb = und.join(labels, col("a") === col("node"))
+        .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      labels = Materialize.cut(
+        nb.groupBy(col("b"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"), col("lbl")))
+            .as("best"))
+          .select(col("b").as("node"), col("best.lbl").as("lbl")))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+      .orderBy(col("node").asc_nulls_first)
+  }
+
+  val q216 = QueryDef(
+    "q216_label_prop",
+    (spark, dir) => labelPropagation(coPurchaseEdges(spark, dir), LpaRounds),
+    Some("""WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+    und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT DISTINCT b AS node, b AS lbl FROM und),
+    c1 AS (SELECT und.b, l.lbl, COUNT(*) AS cnt
+           FROM und JOIN l0 l ON l.node = und.a GROUP BY 1, 2),
+    r1 AS (SELECT b AS node, lbl FROM (
+             SELECT b, lbl, row_number() OVER (PARTITION BY b
+               ORDER BY cnt DESC, lbl ASC) AS rn FROM c1) WHERE rn = 1),
+    c2 AS (SELECT und.b, l.lbl, COUNT(*) AS cnt
+           FROM und JOIN r1 l ON l.node = und.a GROUP BY 1, 2),
+    r2 AS (SELECT b AS node, lbl FROM (
+             SELECT b, lbl, row_number() OVER (PARTITION BY b
+               ORDER BY cnt DESC, lbl ASC) AS rn FROM c2) WHERE rn = 1),
+    c3 AS (SELECT und.b, l.lbl, COUNT(*) AS cnt
+           FROM und JOIN r2 l ON l.node = und.a GROUP BY 1, 2),
+    r3 AS (SELECT b AS node, lbl FROM (
+             SELECT b, lbl, row_number() OVER (PARTITION BY b
+               ORDER BY cnt DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1),
+    sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM r3 GROUP BY 1)
+    SELECT r3.node, r3.lbl AS community, s.community_size
+    FROM r3 JOIN sizes s ON s.lbl = r3.lbl
+    ORDER BY r3.node ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
-      q190, q191, q193, q197, q198, q199, q202, q203, q207, q208)
+      q190, q191, q193, q197, q198, q199, q202, q203, q206, q207, q208,
+      q215, q216)
 }

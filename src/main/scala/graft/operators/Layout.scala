@@ -406,5 +406,96 @@ object Layout extends QueryPack {
     SELECT bin, file, bytes FROM rec WHERE file IS NOT NULL
     ORDER BY bin ASC, file ASC"""))
 
-  override def queries: Seq[QueryDef] = Seq(q100, q101, q140)
+  // --------------------------------------------------------------- q214
+  /** Rendezvous (highest-random-weight) shard assignment — the data
+    * PLACEMENT primitive next to q140's compaction bins and q198's salt
+    * advisor: every document goes to the shard maximizing
+    * md5(shard ":" doc_id) (Thaler–Ravishankar HRW), and the report
+    * shows the 8-shard layout beside the 9-shard layout with per-shard
+    * movement. HRW's minimal-disruption guarantee — adding a shard
+    * moves ONLY the documents the new shard now wins (≈ 1/(n+1) of the
+    * corpus), nothing reshuffles between survivors — is the property
+    * that makes it the standard shard/cache assignment at scale, and
+    * the spec asserts it exactly (every moved doc lands on the new
+    * shard).
+    *
+    * Determinism: weights are 32-bit md5 prefixes (rule 9; 16 bits
+    * would tie ~once per thousand docs — ties break to the smallest
+    * shard identically in both engines either way).
+    *
+    * Shape: ONE 9-way per-doc explode (dimension fan-out) cut once —
+    * both grid argmaxes read it — then two map-side-combinable argmax
+    * aggregates and three shard-sized count frames. The q01
+    * scan-aggregate class at 100 TB; the shard dimension never touches
+    * a shuffle. */
+  private[graft] def hrwWeight(shard: Column, key: Column): Column =
+    conv(substring(md5(concat(shard.cast("string"), lit(":"),
+      key.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+
+  private[graft] def hrwAssign(exploded: DataFrame): DataFrame =
+    exploded.groupBy(col("doc_id"))
+      .agg(max(struct(col("w"), (-col("shard")).as("ns"), col("shard")))
+        .as("best"))
+      .select(col("doc_id"), col("best.shard").as("shard"))
+
+  val q214 = QueryDef(
+    "q214_rendezvous_shards",
+    (spark, dir) => {
+      val ex = graft.Materialize.cut(
+        Tables(spark, dir).documents.select(col("doc_id"))
+          .withColumn("shard", explode(sequence(lit(0), lit(8))))
+          .withColumn("w", hrwWeight(col("shard"), col("doc_id"))))
+      val a8 = hrwAssign(ex.filter(col("shard") < 8))
+        .withColumnRenamed("shard", "s8")
+      val a9 = hrwAssign(ex).withColumnRenamed("shard", "s9")
+      val j = graft.Materialize.cut(a8.join(a9, "doc_id"))
+      val shards = spark.range(9)
+        .select(col("id").cast(org.apache.spark.sql.types.IntegerType).as("shard"))
+      val n8 = j.groupBy(col("s8").as("shard")).agg(count(lit(1)).as("n8"))
+      val n9 = j.groupBy(col("s9").as("shard")).agg(count(lit(1)).as("n9"))
+      val moved = j.filter(col("s8") =!= col("s9"))
+        .groupBy(col("s9").as("shard")).agg(count(lit(1)).as("moved_in"))
+      shards
+        .join(n8, Seq("shard"), "left")
+        .join(n9, Seq("shard"), "left")
+        .join(moved, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n8"), lit(0L)).as("n_docs_8"),
+          coalesce(col("n9"), lit(0L)).as("n_docs_9"),
+          coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+        .orderBy(col("shard").asc_nulls_first)
+    },
+    Some("""WITH s AS (SELECT UNNEST(range(0, 9)) AS shard),
+    ex AS (
+      SELECT d.doc_id, CAST(s.shard AS INTEGER) AS shard,
+        CAST(('0x' || substr(md5(CAST(s.shard AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS w
+      FROM documents d CROSS JOIN s),
+    a8 AS (
+      SELECT doc_id, shard AS s8 FROM (
+        SELECT doc_id, shard,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY w DESC, shard ASC) AS rn
+        FROM ex WHERE shard < 8) WHERE rn = 1),
+    a9 AS (
+      SELECT doc_id, shard AS s9 FROM (
+        SELECT doc_id, shard,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY w DESC, shard ASC) AS rn
+        FROM ex) WHERE rn = 1),
+    j AS (SELECT a8.doc_id, s8, s9 FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id),
+    n8 AS (SELECT s8 AS shard, COUNT(*) AS n8 FROM j GROUP BY 1),
+    n9 AS (SELECT s9 AS shard, COUNT(*) AS n9 FROM j GROUP BY 1),
+    mv AS (SELECT s9 AS shard, COUNT(*) AS moved_in FROM j WHERE s8 <> s9 GROUP BY 1)
+    SELECT CAST(sh.shard AS INTEGER) AS shard,
+      COALESCE(n8.n8, 0) AS n_docs_8,
+      COALESCE(n9.n9, 0) AS n_docs_9,
+      COALESCE(mv.moved_in, 0) AS moved_in
+    FROM s sh
+    LEFT JOIN n8 ON n8.shard = sh.shard
+    LEFT JOIN n9 ON n9.shard = sh.shard
+    LEFT JOIN mv ON mv.shard = sh.shard
+    ORDER BY shard ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q100, q101, q140, q214)
 }

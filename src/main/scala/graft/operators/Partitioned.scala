@@ -688,6 +688,250 @@ object Partitioned extends QueryPack {
     (spark, dir) => incrementalHllPipeline(spark, dir),
     Analytic.q178.oracle)
 
+  // --------------------------------------------------------------- q210
+  /** Per-day CMS counter pages over a (day, user) feed — q190's counter
+    * build per partition day, the FREQUENCY analogue of
+    * [[ensureHllState]]'s register pages. Counters sum-merge (q190's
+    * spec law), so pages are strictly re-aggregatable state. */
+  private[graft] def cmsDayCounters(e: DataFrame): DataFrame =
+    e.select(col("day"), col("user_id").cast("string").as("k"))
+      .groupBy(col("day"), col("k")).agg(count(lit(1)).as("n_exact"))
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", Analytic.cmsBucket(col("j"), col("k")))
+      .groupBy(col("day"), col("j"), col("bucket"))
+      .agg(sum(col("n_exact")).as("c"))
+
+  /** Stored CMS pages for every day BEFORE the latest, landed once. */
+  private[graft] def ensureCmsState(spark: SparkSession, dir: String): String =
+    ensureLanded("cms_state", dir) { path =>
+      cmsDayCounters(
+          eventsByDay(spark, dir).filter(col("day") < lit(lastDay(spark, dir))))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The latest day's counter page, PRE-cut — the frame the pruning
+    * assertion inspects (q181's hllDeltaPage convention). */
+  private[graft] def cmsDeltaPage(spark: SparkSession, dir: String): DataFrame =
+    cmsDayCounters(
+      eventsByDay(spark, dir).filter(col("day") === lit(lastDay(spark, dir))))
+
+  /** q210 pipeline: stored pages + ONE pruned partition's delta page,
+    * sum-merged into the live counter table, then probed for the 20
+    * md5-least users ACTIVE ON THE LATEST DAY (the daily report a
+    * deployment actually asks: all-time activity estimates for today's
+    * users, at delta-sized probe cost). */
+  private[graft] def incrementalCmsPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val state = spark.read.parquet(ensureCmsState(spark, dir))
+      .select(col("j"), col("bucket"), col("c"))
+    val delta = graft.Materialize.cut(cmsDeltaPage(spark, dir))
+      .select(col("j"), col("bucket"), col("c"))
+    val counters = state.unionByName(delta)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("c"))
+    val probe = eventsByDay(spark, dir)
+      .filter(col("day") === lit(lastDay(spark, dir)))
+      .select(col("user_id").cast("string").as("k")).distinct()
+      .orderBy(graft.Det.md5Bucket(col("k")).asc, col("k").asc)
+      .limit(20)
+    probe
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", Analytic.cmsBucket(col("j"), col("k")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("k")).agg(min(col("c")).as("n_est"))
+      .select(col("k").cast("long").as("user_id"), col("n_est"))
+      .orderBy(col("user_id").asc_nulls_first)
+  }
+
+  /** Incremental frequency-sketch maintenance — the IVM row for item
+    * counting, FULLY oracle-checked (the frequency sibling of q181's
+    * distinct maintenance): stored per-day counter pages are sum-merged
+    * with a delta page computed from ONLY the latest day's directory
+    * (static pruning, plan-asserted like q181), and because counters
+    * sum-merge (q190's spec law) the maintained table equals the
+    * full-feed rebuild — which is what the oracle states, computing the
+    * same counters over the whole events feed. At 100 TB this turns the
+    * daily hot-key/frequency refresh from a full-history rescan into
+    * one day's scan plus a ≤ d·w-row state merge. */
+  val q210 = QueryDef(
+    "q210_incremental_cms",
+    (spark, dir) => incrementalCmsPipeline(spark, dir),
+    Some("""WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k
+      FROM events),
+    last AS (SELECT MAX(day) AS last FROM e),
+    exact AS (SELECT k, COUNT(*) AS n FROM e GROUP BY 1),
+    d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(j)),
+    counters AS (
+      SELECT j,
+        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 4)) AS INTEGER) AS bucket,
+        CAST(SUM(n) AS BIGINT) AS c
+      FROM exact CROSS JOIN d GROUP BY 1, 2),
+    active AS (
+      SELECT DISTINCT k FROM e, last WHERE day = last),
+    probe AS (
+      SELECT k FROM active
+      ORDER BY CAST(('0x' || substr(md5(k), 1, 4)) AS INTEGER) ASC, k ASC
+      LIMIT 20),
+    pb AS (
+      SELECT p.k, dd.j,
+        CAST(('0x' || substr(md5(CAST(dd.j AS VARCHAR) || ':' || p.k), 1, 4)) AS INTEGER) AS bucket
+      FROM probe p CROSS JOIN d dd)
+    SELECT CAST(pb.k AS BIGINT) AS user_id, CAST(MIN(c.c) AS BIGINT) AS n_est
+    FROM pb JOIN counters c ON c.j = pb.j AND c.bucket = pb.bucket
+    GROUP BY 1
+    ORDER BY user_id ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q213
+  /** Per-day quantile-sketch bin pages over the events landing — q193's
+    * log-binned counts per partition day, the QUANTILE analogue of
+    * [[ensureHllState]]/[[ensureCmsState]]. Bins sum-merge (q193's
+    * spec law). Values clamp at 0 (the bin math is defined on
+    * non-negative cents — the StreamQuantileSketch convention). */
+  private[graft] def quantDayBins(e: DataFrame): DataFrame =
+    Analytic.quantileBinsBy(
+      e.select(col("event_type").as("g"), col("day"),
+        greatest(lit(0L), round(col("value") * 100).cast(
+          org.apache.spark.sql.types.LongType)).as("v")),
+      Seq("g", "day"))
+
+  private[graft] def ensureQuantState(spark: SparkSession, dir: String): String =
+    ensureLanded("quant_state", dir) { path =>
+      quantDayBins(
+          eventsByDay(spark, dir).filter(col("day") < lit(lastDay(spark, dir))))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The latest day's bin page, PRE-cut (q181/q210's convention). */
+  private[graft] def quantDeltaPage(spark: SparkSession, dir: String): DataFrame =
+    quantDayBins(
+      eventsByDay(spark, dir).filter(col("day") === lit(lastDay(spark, dir))))
+
+  /** Incremental quantile-sketch maintenance — the QUANTILE row
+    * completing the IVM × deterministic-sketch matrix (distinct q181,
+    * frequency q210, quantiles THIS): stored per-day bin pages are
+    * sum-merged with a delta page from ONLY the latest day's directory
+    * (static pruning, plan-asserted) and walked through q193's shared
+    * finishing stage — so the maintained p50/p90/p99 bounds equal the
+    * full-feed sketch rebuild, which is what the oracle states. At
+    * 100 TB the daily latency/size-distribution dashboard refreshes
+    * from ≤ 16·64-row pages plus one day's scan, never a history
+    * rescan. */
+  val q213 = QueryDef(
+    "q213_incremental_quantile",
+    (spark, dir) => {
+      val state = spark.read.parquet(ensureQuantState(spark, dir))
+        .select(col("g"), col("id"), col("c"))
+      val delta = graft.Materialize.cut(quantDeltaPage(spark, dir))
+        .select(col("g"), col("id"), col("c"))
+      Analytic.quantileFinish(
+          state.unionByName(delta)
+            .groupBy(col("g"), col("id")).agg(sum(col("c")).as("c")))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH cents AS (
+      SELECT event_type, GREATEST(0, CAST(ROUND(value * 100) AS BIGINT)) AS v
+      FROM events),
+    binned AS (
+      SELECT event_type,
+        CASE WHEN v < 16 THEN v
+          ELSE (length(bin(v)) - 1) * 16
+            + ((v >> CAST(length(bin(v)) - 5 AS INTEGER)) - 16)
+        END AS id
+      FROM cents),
+    counts AS (
+      SELECT event_type, id, COUNT(*) AS c
+      FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, id, c,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts),
+    totals AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+      FROM counts GROUP BY 1),
+    picked AS (
+      SELECT cum.event_type, MAX(n) AS n,
+        MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN id END) AS id50,
+        MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN id END) AS id90,
+        MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN id END) AS id99
+      FROM cum JOIN totals USING (event_type)
+      GROUP BY 1)
+    SELECT event_type, n,
+      CASE WHEN id50 < 64 THEN id50 ELSE (16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER) END AS p50_lo,
+      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER)) + (1 << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
+      CASE WHEN id90 < 64 THEN id90 ELSE (16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER) END AS p90_lo,
+      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER)) + (1 << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
+      CASE WHEN id99 < 64 THEN id99 ELSE (16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER) END AS p99_lo,
+      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER)) + (1 << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
+    FROM picked
+    ORDER BY event_type ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q217
+  /** Canonical per-row serialization of the events feed for
+    * reconciliation hashing — q131's contract (integers raw, money as
+    * rounded cents, instants as epoch µs) applied to the events
+    * columns. */
+  private[graft] def eventRowSer: org.apache.spark.sql.Column =
+    concat_ws("|", col("event_id"), unix_micros(col("ts")), col("user_id"),
+      col("event_type"),
+      round(col("value") * 100, 0).cast(org.apache.spark.sql.types.LongType),
+      col("props"))
+
+  /** Per-(type, day) checksum pages: row count + 60-bit md5 XOR — q131's
+    * fingerprint at partition-day grain. XOR is commutative AND its own
+    * inverse, so pages merge by XOR and a day RETRACTS by XOR-ing its
+    * page back in — the only IVM row that repairs deletions for free. */
+  private[graft] def checksumDayPages(e: DataFrame): DataFrame =
+    e.select(col("event_type"), col("day"),
+        Analytic.rowHash60(eventRowSer).as("hh"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(hh)").as("checksum"))
+
+  private[graft] def ensureChecksumState(spark: SparkSession, dir: String): String =
+    ensureLanded("checksum_state", dir) { path =>
+      checksumDayPages(
+          eventsByDay(spark, dir).filter(col("day") < lit(lastDay(spark, dir))))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The latest day's checksum page, PRE-cut (the q181 convention). */
+  private[graft] def checksumDeltaPage(spark: SparkSession, dir: String): DataFrame =
+    checksumDayPages(
+      eventsByDay(spark, dir).filter(col("day") === lit(lastDay(spark, dir))))
+
+  /** Incremental reconciliation-checksum maintenance — the
+    * RECONCILIATION row of the IVM family (q181 distinct, q210
+    * frequency, q213 quantiles): stored per-(type, day) fingerprint
+    * pages XOR/sum-merged with a delta page from ONLY the latest day's
+    * directory (static pruning, the plan-asserted q181 pattern), giving
+    * the per-type (n_rows, checksum) a cross-system reconciliation
+    * compares — ≡ the full-feed q131-style fingerprint, which is what
+    * the oracle states. At 100 TB the nightly "do replicas agree"
+    * handshake refreshes from day pages instead of rescanning the
+    * table, and because XOR is its own inverse the same pages RETRACT a
+    * bad day algebraically (q170's deletion semantics for free). */
+  val q217 = QueryDef(
+    "q217_incremental_checksum",
+    (spark, dir) => {
+      val state = spark.read.parquet(ensureChecksumState(spark, dir))
+        .select(col("event_type"), col("n_rows"), col("checksum"))
+      val delta = graft.Materialize.cut(checksumDeltaPage(spark, dir))
+        .select(col("event_type"), col("n_rows"), col("checksum"))
+      state.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          expr("bit_xor(checksum)").as("checksum"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_rows,
+      bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        event_id, epoch_us(ts), user_id, event_type,
+        CAST(ROUND(value * 100) AS BIGINT), props)), 1, 15) AS BIGINT))
+        AS checksum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q92, q96, q98, q164, q170, q177, q180, q181)
+    Seq(q92, q96, q98, q164, q170, q177, q180, q181, q210, q213, q217)
 }

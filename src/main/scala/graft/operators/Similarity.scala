@@ -1594,8 +1594,10 @@ object Similarity extends QueryPack {
     * recomputing it is one columnar scan, cheaper than materializing
     * corpus×64 rows. */
   private[graft] def pqExploded(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    Tables(spark, dir).embeddings
+      dir: String): DataFrame = pqExplodedOf(Tables(spark, dir).embeddings)
+
+  private[graft] def pqExplodedOf(em: DataFrame): DataFrame =
+    em
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
       .select(col("vec_id"), (col("d0") + 1).cast(IntegerType).as("dim"),
         expr("(d0 div 16)").cast(IntegerType).as("sub"),
@@ -1605,8 +1607,10 @@ object Similarity extends QueryPack {
     * deterministic codebook/centroid seeding shared by q195/q204/q205.
     * The 16-row frame makes the global row_number a dimension window. */
   private[graft] def pqSeeds(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    Tables(spark, dir).embeddings
+      dir: String): DataFrame = pqSeedsOf(Tables(spark, dir).embeddings)
+
+  private[graft] def pqSeedsOf(em: DataFrame): DataFrame =
+    em
       .select(col("vec_id").as("seed_id"),
         Det.md5Bucket(col("vec_id")).as("pfx"))
       .orderBy(col("pfx").asc, col("seed_id").asc)
@@ -1620,10 +1624,12 @@ object Similarity extends QueryPack {
     * into the codebook (a corpus-side explode would be a second full
     * pass). */
   private[graft] def pqBook(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
+      dir: String): DataFrame = pqBookOf(Tables(spark, dir).embeddings)
+
+  private[graft] def pqBookOf(em: DataFrame): DataFrame =
     broadcast(
-      Tables(spark, dir).embeddings
-        .join(broadcast(pqSeeds(spark, dir)), col("vec_id") === col("seed_id"))
+      em
+        .join(broadcast(pqSeedsOf(em)), col("vec_id") === col("seed_id"))
         .select(col("rank"), posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("rank"),
           expr("(d0 div 16)").cast(IntegerType).as("sub"),
@@ -1635,8 +1641,10 @@ object Similarity extends QueryPack {
     * same codes the encode query emits. Integer argmin end-to-end (see
     * q195 scaladoc). */
   private[graft] def pqAssignments(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val dists = pqExploded(spark, dir).join(pqBook(spark, dir), Seq("sub", "dim"))
+      dir: String): DataFrame = pqAssignmentsOf(Tables(spark, dir).embeddings)
+
+  private[graft] def pqAssignmentsOf(em: DataFrame): DataFrame = {
+    val dists = pqExplodedOf(em).join(pqBookOf(em), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("rank"))
       .agg(sum((col("vi") - col("si")) * (col("vi") - col("si"))).as("dist"))
     dists
@@ -1812,38 +1820,57 @@ object Similarity extends QueryPack {
     * means adc ≥ the true all-codebook lower bound per subspace; recall
     * vs exact top-k is the quality column a deployment monitors via the
     * exact_micro2 twin. */
+  /** The 5 deterministic query ids (md5-GREATEST vec_ids — disjoint
+    * from the md5-least codebook seeds). */
+  private[graft] def adcQueriesOf(em: DataFrame): DataFrame =
+    em.select(col("vec_id").as("q_id"), Det.md5Bucket(col("vec_id")).as("pfx"))
+      .orderBy(col("pfx").desc, col("q_id").desc)
+      .limit(5)
+      .select(col("q_id"))
+
+  /** q205's ADC serving scan over any embeddings frame, factored so
+    * ScaleProbe drives the identical code on replicated corpora:
+    * codes ⋈ broadcast LUT, `graft_top_k` heap. Returns the top-k frame
+    * (q_id, rk, vec_id, adc_micro2), already cut. */
+  private[graft] def adcTopKOf(em: DataFrame, k: Int): (DataFrame, DataFrame, DataFrame) =
+    adcProbeOf(em,
+      pqAssignmentsOf(em).select(col("vec_id"), col("sub"), col("code")), k)
+
+  /** The probe HALF alone, over an already-encoded code table — the
+    * serving-time shape (codes are stored state; ScaleProbe times this
+    * separately from the encode). */
+  private[graft] def adcProbeOf(em: DataFrame, codes: DataFrame,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(em.sparkSession)
+    val ex = pqExplodedOf(em)
+    val qs = adcQueriesOf(em)
+    val exq = ex.join(broadcast(qs), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("sub"), col("dim"), col("vi").as("qi"))
+    val lut = exq.join(pqBookOf(em), Seq("sub", "dim"))
+      .groupBy(col("q_id"), col("sub"), col("rank"))
+      .agg(sum((col("qi") - col("si")) * (col("qi") - col("si"))).as("lut"))
+      .select(col("q_id"), col("sub").as("lsub"), col("rank"), col("lut"))
+    val adc = codes.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("rank"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lut")).as("adc"))
+    val top = adc.groupBy(col("q_id"))
+      .agg(call_function("graft_top_k",
+        (-col("adc")).cast(DoubleType), col("vec_id"), lit(0L), lit(k))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("q_id"), (col("rk0") + 1).cast(IntegerType).as("rk"),
+        col("t.id1").as("vec_id"),
+        (-col("t.score")).cast(LongType).as("adc_micro2"))
+      .cut()
+    (top, ex, exq)
+  }
+
   val q205 = QueryDef(
     "q205_pq_adc",
     (spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
-      val ex = pqExploded(spark, dir)
-      val codes = pqAssignments(spark, dir)
-        .select(col("vec_id"), col("sub"), col("code"))
-      val qs = Tables(spark, dir).embeddings
-        .select(col("vec_id").as("q_id"), Det.md5Bucket(col("vec_id")).as("pfx"))
-        .orderBy(col("pfx").desc, col("q_id").desc)
-        .limit(5)
-        .select(col("q_id"))
-      val exq = ex.join(broadcast(qs), col("vec_id") === col("q_id"))
-        .select(col("q_id"), col("sub"), col("dim"), col("vi").as("qi"))
-      val lut = exq.join(pqBook(spark, dir), Seq("sub", "dim"))
-        .groupBy(col("q_id"), col("sub"), col("rank"))
-        .agg(sum((col("qi") - col("si")) * (col("qi") - col("si"))).as("lut"))
-        .select(col("q_id"), col("sub").as("lsub"), col("rank"), col("lut"))
-      val adc = codes.join(broadcast(lut),
-          col("sub") === col("lsub") && col("code") === col("rank"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("lut")).as("adc"))
-      val top = adc.groupBy(col("q_id"))
-        .agg(call_function("graft_top_k",
-          (-col("adc")).cast(DoubleType), col("vec_id"), lit(0L), lit(10))
-          .as("top"))
-        .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
-        .select(col("q_id"), (col("rk0") + 1).cast(IntegerType).as("rk"),
-          col("t.id1").as("vec_id"),
-          (-col("t.score")).cast(LongType).as("adc_micro2"))
-        .cut()
+      val (top, ex, exq) = adcTopKOf(Tables(spark, dir).embeddings, 10)
       val exact = top.select(col("q_id"), col("vec_id"))
         .join(ex, Seq("vec_id"))
         .join(exq.select(col("q_id"), col("dim"), col("qi")), Seq("q_id", "dim"))

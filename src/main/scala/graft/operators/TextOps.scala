@@ -1106,7 +1106,134 @@ object TextOps extends QueryPack {
     GROUP BY sh.doc_id
     ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q211
+  /** Feature hashing (the "hashing trick", Weinberger et al. ICML '09) —
+    * the fixed-dimension featurization a linear probe/classifier runs on
+    * text without a vocabulary pass: every token maps to one of K = 256
+    * buckets by a hash, and a document/source becomes the K-dim count
+    * vector of its buckets. No dictionary to build, ship or version —
+    * the property that makes it the standard first featurizer at corpus
+    * scale. Output: per (source, bucket) token mass + distinct-term
+    * count (the collision-rate column a deployment monitors — hashing
+    * trades dictionary state for visible collisions).
+    *
+    * Determinism: the bucket is the md5-prefix hash mod K (contract
+    * rule 9 — never xxhash64 in cross-engine output), counts are exact
+    * integers.
+    *
+    * Shape: one map-only tokenize+explode into ONE (source, bucket)
+    * aggregate carrying count + distinct-term count — at 100 TB a pure
+    * scan-aggregate (the q36 class); the output frame is
+    * |sources| × K rows no matter the corpus. */
+  private[graft] val HashDim = 256
+
+  val q211 = QueryDef(
+    "q211_feature_hashing",
+    (spark, dir) => {
+      val tok = Tables(spark, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("bucket", pmod(Det.md5Bucket(col("t")), lit(HashDim)))
+      tok.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_terms"))
+        .orderBy(col("source").asc_nulls_first, col("bucket").asc_nulls_first)
+    },
+    Some(s"""WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    b AS (
+      SELECT source, t,
+        CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER) % $HashDim AS bucket
+      FROM tok)
+    SELECT source, bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms
+    FROM b
+    GROUP BY source, bucket
+    ORDER BY source ASC NULLS FIRST, bucket ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q212
+  /** Per-source bigram total-variation drift — "which source's phrasing
+    * diverges from the corpus mainstream", the distribution-distance
+    * sibling of q165's coverage ppm and q122's value-PSI, on the
+    * LANGUAGE-MODEL unit (bigrams): TVD(source, corpus) =
+    * ½ Σ_g |p_s(g) − p(g)| in exact ppm. TVD over KL deliberately —
+    * a rational of integer counts needs no ln (q146's Simpson-over-
+    * Shannon argument), so the whole table is exact integer arithmetic:
+    * per-gram |n_sg·N − n_g·N_s| summed in DECIMAL, ONE integral divide
+    * by 2·N_s·N at the end.
+    *
+    * Shape: the q165 bigram explode (map-only), ONE (source, gram) hash
+    * aggregate (cut — feeds the gram margins and the per-source fold),
+    * gram totals re-aggregated FROM that frame and equi-joined back on
+    * the gram key. The full-universe sum needs NO source × gram grid:
+    * grams a source lacks contribute n_g·N_s each, which telescopes to
+    * N_s·(N − Σ_covered n_g) — one extra column on the per-source fold.
+    * At 100 TB everything after the first aggregate is bounded by the
+    * OBSERVED (source, gram) support. */
+  val q212 = QueryDef(
+    "q212_tvd_drift",
+    (spark, dir) => {
+      val bi = Tables(spark, dir).documents
+        .select(col("source"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1)))).as("g"))
+      val sg = bi.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("nsg")).cut()
+      val gTot = sg.groupBy(col("g")).agg(sum(col("nsg")).as("ng"))
+      val sTot = sg.groupBy(col("source")).agg(sum(col("nsg")).as("ns"))
+      val nTot = sg.agg(sum(col("nsg")).as("n"))
+      val folded = sg.join(gTot, Seq("g"))
+        .join(sTot, Seq("source"))
+        .crossJoin(broadcast(nTot))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_src"),
+          max(col("n")).as("n_corpus"),
+          sum(abs(expr("CAST(nsg AS DECIMAL(38,0)) * n - CAST(ng AS DECIMAL(38,0)) * ns")))
+            .as("t1"),
+          sum(col("ng").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("covered"))
+      folded
+        .withColumn("num",
+          col("t1") + expr("CAST(n_src AS DECIMAL(38,0)) * (n_corpus - covered)"))
+        .select(col("source"), col("n_src"), col("n_corpus"),
+          expr("""CAST(num * 1000000
+            div (CAST(2 AS DECIMAL(38,0)) * n_src * n_corpus) AS BIGINT)""")
+            .as("tvd_ppm"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH toks AS (
+      SELECT source, string_split(text, ' ') AS ts FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bi AS (
+      SELECT source, ts[u.i] || ' ' || ts[u.i + 1] AS g
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) u(i)),
+    sg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS nsg
+      FROM bi GROUP BY source, g),
+    gt AS (SELECT g, CAST(SUM(nsg) AS BIGINT) AS ng FROM sg GROUP BY g),
+    st AS (SELECT source, CAST(SUM(nsg) AS BIGINT) AS ns FROM sg GROUP BY source),
+    nt AS (SELECT CAST(SUM(nsg) AS BIGINT) AS n FROM sg),
+    folded AS (
+      SELECT sg.source,
+        CAST(MAX(st.ns) AS BIGINT) AS n_src,
+        CAST(MAX(nt.n) AS BIGINT) AS n_corpus,
+        SUM(abs(CAST(sg.nsg AS HUGEINT) * nt.n - CAST(gt.ng AS HUGEINT) * st.ns)) AS t1,
+        CAST(SUM(gt.ng) AS HUGEINT) AS covered
+      FROM sg
+      JOIN gt ON gt.g = sg.g
+      JOIN st ON st.source = sg.source
+      CROSS JOIN nt
+      GROUP BY sg.source)
+    SELECT source, n_src, n_corpus,
+      CAST((t1 + CAST(n_src AS HUGEINT) * (n_corpus - covered)) * 1000000
+        // (CAST(2 AS HUGEINT) * n_src * n_corpus) AS BIGINT) AS tvd_ppm
+    FROM folded
+    ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165, q186)
+      q104, q118, q161, q165, q186, q211, q212)
 }

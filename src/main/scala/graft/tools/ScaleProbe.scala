@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|cms|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|cms|adc|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -751,6 +751,44 @@ object ScaleProbe {
       println(f"SCALE-ANNWALL f=$f vecs=$n exact_geo=$exactGeo " +
         f"wall_geo=${tMp}tx${p}px${q}q pairs_auto=$pairsAuto t_auto=$tAuto%.2f " +
         f"pairs_wall=$pairsWall t_wall=$tWall%.2f sym_diff=$symDiff")
+    }
+
+    // ---- PQ ADC serving scan (q205): the claim under test is that the
+    // probe stage scans 2-byte CODES, not float vectors — both the
+    // encode pass (one-time, per corpus append) and the ADC probe are
+    // linear in corpus size, but the probe's per-vector work is four
+    // broadcast-LUT lookups + adds vs the exact scan's 64-dim float
+    // dot per (query, vector). Replicas perturb coordinate 0, so the
+    // true neighbor sets stay nontrivial as the corpus grows.
+    if (mode == "adc") factors.foreach { f =>
+      val em = replicateEm(f)
+      val n = em.count()
+      val (codes, tEncode) = timed(
+        Similarity.pqAssignmentsOf(em).localCheckpoint())
+      val nCodes = codes.count()
+      val (top, tProbe) = timed {
+        val (t, _, _) = Similarity.adcProbeOf(em,
+          codes.select(col("vec_id"), col("sub"), col("code")), 10)
+        t.write.format("noop").mode("overwrite").save()
+        t
+      }
+      // exact float-scan baseline: brute-force integer distance of the
+      // same 5 queries against the full corpus (the plan ADC replaces)
+      val (_, tExact) = timed {
+        val ex = Similarity.pqExplodedOf(em)
+        val qs = Similarity.adcQueriesOf(em)
+        val exq = ex.join(broadcast(qs), col("vec_id") === col("q_id"))
+          .select(col("q_id"), col("dim"), col("vi").as("qi"))
+        ex.join(broadcast(exq), Seq("dim"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum((col("vi") - col("qi")) * (col("vi") - col("qi"))).as("d2"))
+          .groupBy(col("q_id"))
+          .agg(min(col("d2")).as("best"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"SCALE-ADC f=$f vecs=$n code_rows=$nCodes " +
+        f"t_encode=$tEncode%.2f t_adc_probe=$tProbe%.2f t_exact_scan=$tExact%.2f")
     }
 
     if (mode == "ann" || mode == "all") factors.foreach { f =>

@@ -492,4 +492,26 @@ object AlgebraProps extends Properties("Algebra") {
         .drop(1).takeWhile(_.isDefined).map(_.get).toSeq
       sorted && bounded && fieldsMatch && fires == chained
     }
+  // HRW (rendezvous) placement law — the q214 minimal-disruption
+  // guarantee on ARBITRARY id sets: growing the shard grid from n to
+  // n+1 moves a doc ONLY if the new shard wins it; no doc ever moves
+  // between surviving shards. Pure md5 arithmetic, no Spark needed.
+  private def hrwW(shard: Int, id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s"$shard:$id".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+  }
+  private def hrwAssign(id: Long, n: Int): Int =
+    (0 until n).map(s0 => (hrwW(s0, id), -s0)).max match { case (_, ns) => -ns }
+
+  property("HRW: adding a shard moves docs only onto the new shard") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L)),
+      Gen.chooseNum(2, 12)) { (ids, n) =>
+      ids.forall { id =>
+        val before = hrwAssign(id, n)
+        val after = hrwAssign(id, n + 1)
+        after == before || after == n
+      }
+    }
 }

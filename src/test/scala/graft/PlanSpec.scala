@@ -266,7 +266,16 @@ class PlanSpec extends SparkTestBase {
       "q199_cms_join_estimate",
       // q207's calendar span is ONE row broadcast into the |types|-row
       // zero-fill frame — q166's scalar-aggregate pattern.
-      "q207_cusum")
+      "q207_cusum",
+      // q206's per-round max renormalizer is a ONE-row aggregate
+      // broadcast into the |nations|-row score frame — q104's pattern.
+      "q206_hits",
+      // q212's corpus bigram total is ONE row broadcast into the
+      // (source, gram) support fold — q104's tiny-stats pattern.
+      "q212_tvd_drift",
+      // q215's Benford expectations are a 9-row literal dimension
+      // crossed into the |types|-row digit grid — q16's class.
+      "q215_benford")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -1413,6 +1413,109 @@ class AnalyticSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("q206 HITS equals an exact integer driver replay; renormalization pins max to 1e9") {
+    val t = Tables(spark, sf0001)
+    val nat = t.nation.select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .collect().map(r => r.getLong(0) -> nat(r.getInt(1))).toMap
+    val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => r.getLong(0) -> nat(r.getInt(1))).toMap
+    val ordC = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .collect().map(r => (cust(ordC(r.getLong(0))), supp(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nodes = nat.values.toSeq.sorted
+    val S = BigInt(1000000000L)
+    var hub = nodes.map(_ -> S).toMap
+    var auth = nodes.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to 3) {
+      val araw = nodes.map(n => n -> edges.collect {
+        case ((s, d), w) if d == n => BigInt(w) * hub(s) }.sum).toMap
+      val amax = araw.values.max
+      auth = araw.view.mapValues(v => v * S / amax).toMap
+      val hraw = nodes.map(n => n -> edges.collect {
+        case ((s, d), w) if s == n => BigInt(w) * auth(d) }.sum).toMap
+      val hmax = hraw.values.max
+      hub = hraw.view.mapValues(v => v * S / hmax).toMap
+    }
+    val expected = nodes.map(n => (n, hub(n).toLong, auth(n).toLong))
+    val got = Analytic.q206.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // max-renormalization invariant: some node sits exactly at 1e9 on
+    // each vector, nothing above it
+    assert(got.map(_._2).max == 1000000000L && got.map(_._3).max == 1000000000L)
+  }
+
+  test("q215 Benford screen equals a driver replay; expectations sum to exactly 1e6") {
+    assert(Analytic.BenfordPpm.map(_._2).sum == 1000000L)
+    val rows = Tables(spark, sf0001).events
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0)
+    val bf = Analytic.BenfordPpm.toMap
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val digits = rs.map(_._2.toString.head.asDigit)
+      val n = digits.length.toLong
+      val tvd = (1 to 9).map(d =>
+        (BigInt(digits.count(_ == d)) * 1000000 - BigInt(n) * bf(d)).abs).sum /
+        (2 * n)
+      (1 to 9).map { d =>
+        val nd = digits.count(_ == d).toLong
+        (tpe, d, nd, nd * 1000000L / n, bf(d), tvd.toLong)
+      }
+    }.sortBy { case (t, d, _, _, _, _) => (t, d) }
+    val got = Analytic.q215.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // observed shares total ~1e6 per type (exact up to 9 truncations)
+    got.groupBy(_._1).values.foreach { rs =>
+      val s = rs.map(_._4).sum
+      assert(s > 999990L && s <= 1000000L, s"obs_ppm sum $s")
+    }
+  }
+
+  test("q216 label propagation: known communities on a hand graph, fixture equals a driver replay") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge — LPA with min-tie floods
+    // each triangle from its least id; 3 rounds settle it
+    val hand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("u", "v")
+    val handGot = Analytic.labelPropagation(hand, Analytic.LpaRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // triangle {1,2,3} keeps label 1; triangle {4,5,6} floods from its
+    // bridge-adjacent corner toward the smaller labels
+    assert(handGot(1L) == handGot(2L) && handGot(2L) == handGot(3L),
+      s"first triangle split: $handGot")
+    assert(handGot(5L) == handGot(6L), s"far corner pair split: $handGot")
+    // fixture: distributed rounds == an in-memory synchronous replay
+    val edges = Analytic.buildCoPurchaseEdges(Tables(spark, sf0001).lineitem)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (u, v) =>
+      adj(u) = v :: adj.getOrElse(u, Nil); adj(v) = u :: adj.getOrElse(v, Nil)
+    }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Analytic.LpaRounds) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity).view
+          .mapValues(_.length).toSeq
+        n -> counts.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = lbl.toSeq.map { case (n, l) => (n, l, sizes(l)) }
+      .sortBy(_._1)
+    val got = Analytic.q216.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // LPA must actually cluster: far fewer communities than nodes
+    assert(sizes.size * 4 < lbl.size, s"${sizes.size} communities over ${lbl.size} nodes")
+  }
+
   test("q207 CUSUM equals a driver replay over the zero-filled daily series") {
     val evs = Tables(spark, sf0001).events
       .select(col("event_type"), to_date(col("ts")))

@@ -185,4 +185,34 @@ class LayoutSpec extends SparkTestBase {
     assert(nBins >= ((total + target - 1) / target).toInt)
     assert(nBins < files.size, "plan does not compact anything")
   }
+  test("q214 HRW sharding equals an md5 replay; adding a shard moves docs ONLY onto it") {
+    val ids = Tables(spark, sf0001).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(shard: Int, id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"$shard:$id".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    def assign(id: Long, n: Int): Int =
+      (0 until n).map(s0 => (w(s0, id), -s0)).max match { case (_, ns) => -ns }
+    val a8 = ids.map(id => id -> assign(id, 8)).toMap
+    val a9 = ids.map(id => id -> assign(id, 9)).toMap
+    val expected = (0 until 9).map { s0 =>
+      (s0,
+        ids.count(a8(_) == s0).toLong,
+        ids.count(a9(_) == s0).toLong,
+        ids.count(id => a9(id) == s0 && a8(id) != a9(id)).toLong)
+    }
+    val got = Layout.q214.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // HRW minimal disruption: every moved doc lands on the NEW shard
+    val movedElsewhere = got.filter(g => g._1 < 8 && g._4 != 0)
+    assert(movedElsewhere.isEmpty,
+      s"docs moved between surviving shards: $movedElsewhere")
+    val s8row = got.find(_._1 == 8).get
+    assert(s8row._2 == 0L && s8row._3 == s8row._4 && s8row._3 > 0,
+      "new shard's population must be exactly the moved set, and nonempty")
+    // placement conserves the corpus under both grids
+    assert(got.map(_._2).sum == ids.length.toLong)
+    assert(got.map(_._3).sum == ids.length.toLong)
+  }
 }

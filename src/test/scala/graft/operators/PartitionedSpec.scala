@@ -217,6 +217,109 @@ class PartitionedSpec extends SparkTestBase {
       s"delta page read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q210: incremental counter merge ≡ the full-feed counter rebuild") {
+    // the maintained counter table (stored pages + one-day delta) must
+    // equal q190-style counters over the whole feed — the sum-merge law
+    val e = Tables(spark, sf0001).events
+      .select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("k"))
+    val full = Analytic.cmsCountersOf(
+        e.groupBy(col("k")).agg(count(lit(1)).as("n_exact")))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val state = spark.read.parquet(Partitioned.ensureCmsState(spark, sf0001))
+    val merged = state.select(col("j"), col("bucket"), col("c"))
+      .unionByName(Partitioned.cmsDeltaPage(spark, sf0001)
+        .select(col("j"), col("bucket"), col("c")))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(merged == full,
+      "stored pages + one-day delta drifted from the full counter rebuild")
+    // the registered gauge: one row per probed user (≤ 20 — the fixture's
+    // last day may have fewer actives), every estimate bounded below by
+    // the user's TRUE all-time count (the CMS one-sided guarantee)
+    val got = Partitioned.q210.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length <= 20)
+    val exact = Tables(spark, sf0001).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, est) =>
+      assert(est >= exact(u), s"user $u: estimate $est undercounts ${exact(u)}")
+    }
+  }
+
+  test("q210: the delta counter page reads exactly 1 of 30 partitions") {
+    val s2 = planSession()
+    val df = Partitioned.cmsDeltaPage(s2, sf0001)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "user_id") => f
+    }
+    assert(scans.size == 1, s"expected one fact scan:\n${df.queryExecution.executedPlan}")
+    df.collect()
+    val read = scans.head.metrics("numPartitions").value
+    assert(read == 1,
+      s"delta page read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q213: incremental bin merge ≡ the full-feed quantile-sketch rebuild") {
+    val e = Tables(spark, sf0001).events
+      .select(col("event_type").as("g"),
+        greatest(lit(0L), round(col("value") * 100).cast("long")).as("v"))
+    val full = Analytic.quantileFinish(
+        Analytic.quantileBinsBy(e, Seq("g")))
+      .collect().map(_.toSeq).toSeq
+    val inc = Partitioned.q213.fn(spark, sf0001)
+    // same finishing output, modulo the rename + order
+    val incRows = inc.collect().map(_.toSeq).toSeq
+    val fullSorted = full.sortBy(_.head.asInstanceOf[String])
+    assert(incRows == fullSorted,
+      "stored pages + one-day delta drifted from the full sketch rebuild")
+  }
+
+  test("q213: the delta bin page reads exactly 1 of 30 partitions") {
+    val s2 = planSession()
+    val df = Partitioned.quantDeltaPage(s2, sf0001)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "value") => f
+    }
+    assert(scans.size == 1, s"expected one fact scan:\n${df.queryExecution.executedPlan}")
+    df.collect()
+    val read = scans.head.metrics("numPartitions").value
+    assert(read == 1,
+      s"delta page read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q217: incremental checksum merge ≡ the full-feed fingerprint; XOR retracts a day exactly") {
+    val full = Tables(spark, sf0001).events
+      .select(col("event_type"),
+        Analytic.rowHash60(Partitioned.eventRowSer).as("hh"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(hh)").as("checksum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = Partitioned.q217.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == full,
+      "stored pages + one-day delta drifted from the full fingerprint")
+    // XOR self-inverse: merging the delta page back OUT of the
+    // maintained result recovers the stored-state-only fold — the
+    // retraction move q170 needs algebra for, free here
+    val deltaPage = Partitioned.checksumDeltaPage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val stateOnly = spark.read
+      .parquet(Partitioned.ensureChecksumState(spark, sf0001))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_rows")).as("n"), expr("bit_xor(checksum)").as("cs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotMap = got.map(g => g._1 -> (g._2, g._3)).toMap
+    deltaPage.foreach { case (tpe, dn, dcs) =>
+      val (mn, mcs) = gotMap(tpe)
+      val (sn, scs) = stateOnly(tpe)
+      assert(mn - dn == sn && (mcs ^ dcs) == scs,
+        s"$tpe: XOR retraction did not recover the stored state")
+    }
+  }
+
   test("q180: run ledger covers every scheduled hour; missed runs are LIVE; counts conserve") {
     val rows = Partitioned.q180.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

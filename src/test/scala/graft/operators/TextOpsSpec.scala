@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkTestBase
+import graft.{SparkTestBase, Tables}
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkTestBase {
@@ -299,5 +299,58 @@ class TextOpsSpec extends SparkTestBase {
       "no low-novelty docs — near-dup families missing from the fixture?")
     assert(ppms.max >= ppms.min + 300000L,
       s"novelty signal flat (min=${ppms.min}, max=${ppms.max}) — no separation")
+  }
+  test("q211 feature hashing equals an md5 driver replay; buckets stay inside [0, 256)") {
+    val docs = Tables(spark, sf0001).documents
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pfx(t: String): Int = Integer.parseInt(
+      md.digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val toks = docs.flatMap { case (src, text) =>
+      text.split(" ", -1).map(t => (src, pfx(t) % 256, t))
+    }
+    val expected = toks.groupBy(t => (t._1, t._2)).toSeq.map {
+      case ((src, b), ts) =>
+        (src, b, ts.length.toLong, ts.map(_._3).distinct.length.toLong)
+    }.sortBy { case (s0, b, _, _) => (s0, b) }
+    val got = TextOps.q211.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.forall(g => g._2 >= 0 && g._2 < 256))
+    // the hashing trick must actually collide at this dim (n_terms > 1
+    // somewhere) — otherwise the collision column is untested
+    assert(got.exists(_._4 > 1), "no bucket carries more than one term")
+  }
+
+  test("q212 TVD drift equals a bigram driver replay and stays inside [0, 1e6]") {
+    val docs = Tables(spark, sf0001).documents
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val grams = docs.flatMap { case (src, text) =>
+      val ts = text.split(" ", -1)
+      if (ts.length < 2) Seq.empty
+      else ts.sliding(2).map(w => (src, w(0) + " " + w(1))).toSeq
+    }
+    val sg = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gTot = grams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sTot = grams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = grams.length.toLong
+    val expected = sTot.keys.toSeq.sorted.map { src =>
+      val ns = sTot(src)
+      // keysIterator, not keys: a Set-backed .map would dedupe equal
+      // per-gram contributions before the sum
+      val num = gTot.keysIterator.map { g =>
+        val nsg = sg.getOrElse((src, g), 0L)
+        (BigInt(nsg) * n - BigInt(gTot(g)) * ns).abs
+      }.sum
+      (src, ns, n, (num * 1000000 / (BigInt(2) * ns * n)).toLong)
+    }
+    val got = TextOps.q212.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.foreach { case (src, _, _, ppm) =>
+      assert(ppm >= 0 && ppm <= 1000000L, s"$src: TVD $ppm outside [0, 1e6]")
+    }
   }
 }
