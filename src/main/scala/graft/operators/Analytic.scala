@@ -3001,10 +3001,21 @@ object Analytic extends QueryPack {
   private[graft] def quantileSketchGauge(vals: DataFrame): DataFrame =
     quantileFinish(quantileBinsBy(vals, Seq("g")))
 
+  /** Lower/upper value bound of sketch bin `c` — the q193 bin-geometry
+    * SQL, factored so every consumer of the bins (q193/q201/q213's
+    * finishing walk, q219's sketch-winsorize bounds) shares ONE
+    * definition. */
+  private[graft] def quantBinLoSql(c: String): String =
+    s"CASE WHEN $c < 64 THEN $c ELSE shiftleft(16 + $c % 16, CAST($c div 16 - 4 AS INT)) END"
+  private[graft] def quantBinHiSql(c: String): String =
+    s"CASE WHEN $c < 64 THEN $c + 1 ELSE ${quantBinLoSql(c)} + shiftleft(CAST(1 AS BIGINT), CAST($c div 16 - 4 AS INT)) END"
+
   /** The finishing stage over a (g, id, c) bin-count frame: cumulative
     * walk → p50/p90/p99 bin bounds. Accepts merged pages (any partition
     * of the feed summed per (g, id) gives the same counts). */
   private[graft] def quantileFinish(counts: DataFrame): DataFrame = {
+      def loSql(c: String): String = quantBinLoSql(c)
+      def hiSql(c: String): String = quantBinHiSql(c)
       val cum = counts.withColumn("cum",
         sum(col("c")).over(Window.partitionBy(col("g"))
           .orderBy(col("id").asc)
@@ -3012,10 +3023,6 @@ object Analytic extends QueryPack {
       val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
       def pickId(p: Int): Column =
         min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("id")))
-      def loSql(c: String): String =
-        s"CASE WHEN $c < 64 THEN $c ELSE shiftleft(16 + $c % 16, CAST($c div 16 - 4 AS INT)) END"
-      def hiSql(c: String): String =
-        s"CASE WHEN $c < 64 THEN $c + 1 ELSE ${loSql(c)} + shiftleft(CAST(1 AS BIGINT), CAST($c div 16 - 4 AS INT)) END"
       val picked = cum.join(totals, "g")
         .groupBy(col("g"))
         .agg(max(col("n")).as("n"),
@@ -3981,10 +3988,106 @@ object Analytic extends QueryPack {
     FROM r3 JOIN sizes s ON s.lbl = r3.lbl
     ORDER BY r3.node ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q219
+  /** Sketch-driven winsorization — q176's robust clip report with the
+    * exact percentile replaced by q193's deterministic log-binned
+    * sketch: the p01/p99 clip bounds are BIN BOUNDARIES (within ≤ 6.25%
+    * relative of the true percentile by the bin-width guarantee), so
+    * the bounds come from ≤ 16·64-row pages instead of a per-group sort
+    * — at 100 TB this is the form that runs, with q176 as its exact
+    * fixture-scale twin and q213's stored pages making the bounds
+    * incrementally maintainable.
+    *
+    * Exactness: every VALUE in the output is exact integer arithmetic —
+    * the bounds are integer bin edges (the shared q193 bin geometry),
+    * the clip counts are exact counts against those integer bounds, and
+    * the ppm is a DECIMAL-routed integral divide. The approximation
+    * lives ONLY in where the bound sits inside its bin — visible by
+    * comparing against q176, never in cross-engine agreement.
+    *
+    * Shape: one bin-count pass (map-side combinable, the q193 class) to
+    * |types|×bins rows, the cumulative pick on that dimension frame,
+    * bounds broadcast back for one counting re-scan — two corpus passes
+    * total, q176's shape with the sort removed. */
+  val q219 = QueryDef(
+    "q219_sketch_winsorize",
+    (spark, dir) => {
+      val cents = Tables(spark, dir).events
+        .select(col("event_type").as("g"),
+          greatest(lit(0L), round(col("value") * 100).cast(LongType)).as("v"))
+      val counts = quantileBinsBy(cents, Seq("g"))
+      val run = Window.partitionBy(col("g")).orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.withColumn("cum", sum(col("c")).over(run))
+      val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      val picked = cum.join(broadcast(totals), "g")
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n_events"),
+          min(when(col("cum") >= expr("(n * 1 + 99) div 100"), col("id")))
+            .as("id01"),
+          min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("id")))
+            .as("id99"))
+        .select(col("g"), col("n_events"),
+          expr(quantBinLoSql("id01")).as("lo"),
+          expr(quantBinHiSql("id99")).as("hi"))
+      cents.join(broadcast(picked), "g")
+        .groupBy(col("g"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("lo")).as("lo_cents"),
+          max(col("hi")).as("hi_cents"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"))
+        .withColumn("clipped_ppm",
+          expr("""CAST((n_clipped_low + n_clipped_high) AS DECIMAL(28,0))
+            * 1000000 div n_events"""))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH cents AS (
+      SELECT event_type AS g, GREATEST(0, CAST(ROUND(value * 100) AS BIGINT)) AS v
+      FROM events),
+    binned AS (
+      SELECT g,
+        CASE WHEN v < 16 THEN v
+          ELSE (length(bin(v)) - 1) * 16
+            + ((v >> CAST(length(bin(v)) - 5 AS INTEGER)) - 16)
+        END AS id
+      FROM cents),
+    counts AS (SELECT g, id, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT g, id, c,
+        SUM(c) OVER (PARTITION BY g ORDER BY id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts),
+    totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    picked0 AS (
+      SELECT cum.g, MAX(n) AS n_events,
+        MIN(CASE WHEN cum >= (n * 1 + 99) // 100 THEN id END) AS id01,
+        MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN id END) AS id99
+      FROM cum JOIN totals USING (g)
+      GROUP BY 1),
+    picked AS (
+      SELECT g, n_events,
+        CASE WHEN id01 < 64 THEN id01 ELSE (16 + id01 % 16) << CAST(id01 // 16 - 4 AS INTEGER) END AS lo,
+        CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER)) + (1 << CAST(id99 // 16 - 4 AS INTEGER)) END AS hi
+      FROM picked0)
+    SELECT c.g AS event_type,
+      MAX(p.n_events) AS n_events,
+      CAST(MAX(p.lo) AS BIGINT) AS lo_cents,
+      CAST(MAX(p.hi) AS BIGINT) AS hi_cents,
+      CAST(SUM(CASE WHEN c.v < p.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      CAST(SUM(CASE WHEN c.v > p.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      CAST((SUM(CASE WHEN c.v < p.lo THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN c.v > p.hi THEN 1 ELSE 0 END)) * 1000000
+        // MAX(p.n_events) AS BIGINT) AS clipped_ppm
+    FROM cents c JOIN picked p ON p.g = c.g
+    GROUP BY c.g
+    ORDER BY event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
       q190, q191, q193, q197, q198, q199, q202, q203, q206, q207, q208,
-      q215, q216)
+      q215, q216, q219)
 }

@@ -1582,8 +1582,108 @@ object WindowOps extends QueryPack {
     FROM picked
     ORDER BY hop ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q218
+  /** Daily session-quality KPIs — the product-analytics table sitting on
+    * q26's sessionization: per session-START day, session volume, the
+    * bounce rate (single-event sessions) in exact ppm, integer-exact
+    * p50/p90 session DEPTH, and total engaged seconds. The engagement
+    * dashboard every behavioral pipeline (q171's corpora, q105's
+    * funnels) is sanity-checked against.
+    *
+    * Determinism: depth percentiles use the q134 integer rule (smallest
+    * depth with cum·2 ≥ n, cum·10 ≥ 9n) — no interpolated halves;
+    * bounce ppm is a DECIMAL-routed integral divide; durations are
+    * exact epoch-second differences summed as integers.
+    *
+    * Shape: q26's ONE user-keyed window pass builds sessions (cut —
+    * the depth histogram and the day totals both consume it); after
+    * that everything is |days|- or (day, depth)-bounded dimension
+    * frames. A session spanning midnight belongs to its start day. */
+  val q218 = QueryDef(
+    "q218_session_kpis",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = graft.Materialize.cut(
+        e.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(wRun).cast(LongType))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("depth"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+              .cast(LongType).as("dur_sec"),
+            to_date(min(col("ts"))).as("day")))
+      val byDepth = sessions.groupBy(col("day"), col("depth"))
+        .agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy(col("day")).orderBy(col("depth").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byDepth.withColumn("cum", sum(col("c")).over(run))
+      val tot = sessions.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("depth") === 1, 1L).otherwise(0L)).as("bounces"),
+          sum(col("dur_sec")).as("total_dur_sec"))
+      val picks = cum
+        .join(broadcast(tot.select(col("day"), col("n_sessions"))), "day")
+        .groupBy(col("day"))
+        .agg(min(when(col("cum") * 2 >= col("n_sessions"), col("depth")))
+            .as("p50_depth"),
+          min(when(col("cum") * 10 >= col("n_sessions") * 9, col("depth")))
+            .as("p90_depth"))
+      tot.join(picks, "day")
+        .select(col("day"), col("n_sessions"),
+          expr("CAST(bounces AS DECIMAL(28,0)) * 1000000 div n_sessions")
+            .as("bounce_ppm"),
+          col("p50_depth"), col("p90_depth"), col("total_dur_sec"))
+        .orderBy(col("day").asc_nulls_first)
+    },
+    Some("""WITH x AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts, 1) OVER w IS NULL
+               OR date_diff('second', lag(ts, 1) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
+      FROM x),
+    sess AS (
+      SELECT user_id, session_id, COUNT(*) AS depth,
+        date_diff('second', MIN(ts), MAX(ts)) AS dur_sec,
+        CAST(MIN(ts) AS DATE) AS day
+      FROM s GROUP BY 1, 2),
+    bydepth AS (SELECT day, depth, COUNT(*) AS c FROM sess GROUP BY 1, 2),
+    cum AS (
+      SELECT day, depth, c,
+        SUM(c) OVER (PARTITION BY day ORDER BY depth
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bydepth),
+    tot AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        CAST(SUM(dur_sec) AS BIGINT) AS total_dur_sec
+      FROM sess GROUP BY 1),
+    picks AS (
+      SELECT cum.day,
+        CAST(MIN(CASE WHEN cum * 2 >= n_sessions THEN depth END) AS BIGINT)
+          AS p50_depth,
+        CAST(MIN(CASE WHEN cum * 10 >= n_sessions * 9 THEN depth END) AS BIGINT)
+          AS p90_depth
+      FROM cum JOIN tot USING (day) GROUP BY 1)
+    SELECT t.day, t.n_sessions,
+      CAST(t.bounces * 1000000 // t.n_sessions AS BIGINT) AS bounce_ppm,
+      p.p50_depth, p.p90_depth, t.total_dur_sec
+    FROM tot t JOIN picks p ON p.day = t.day
+    ORDER BY t.day ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q58, q75, q80, q83, q90, q91, q97,
       q105, q106, q107, q129, q133, q144, q146, q149, q158, q169, q171, q182, q183,
-      q189, q200, q201)
+      q189, q200, q201, q218)
 }

@@ -1936,3 +1936,55 @@ class CmsCellProcessor extends StatefulProcessor[Int, CmsCellRow, CmsGauge] {
     Iterator.single(CmsGauge(key, c))
   }
 }
+
+/** One positive-cents event routed to its (type, first-digit) cell. */
+case class DigitCell(eventType: String, digit: Int)
+
+/** One digit-count emission per touched cell per micro-batch. */
+case class DigitGauge(eventType: String, digit: Int, n: Long)
+
+/** Streaming Benford gauge — the live twin of batch q215's forensic
+  * first-digit screen: every positive amount increments its
+  * (type, digit) cell in `transformWithState`; state is one exact long
+  * per cell, ≤ 9·|types| cells forever. Counts are a pure sum, so the
+  * end-of-stream cell table equals q215's observed grid exactly
+  * (spec-asserted across a micro-batch boundary) — the reader folds it
+  * against the same Benford ppm literals for the live tamper alarm. */
+object StreamBenford {
+
+  /** (type, first digit) rows — narrow ops only; static or streaming.
+    * The digit is the first character of the positive cents integer's
+    * decimal print, q215's cross-engine rule. */
+  def cells(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("eventType"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("eventType"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+
+  /** The stateful per-cell counter over [[cells]] rows. */
+  def gauge(rows: DataFrame): Dataset[DigitGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("eventType"), col("digit")).as[DigitCell]
+      .groupByKey(r => (r.eventType, r.digit))
+      .transformWithState(new DigitCellProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-cell counter machine behind [[StreamBenford]]. */
+class DigitCellProcessor
+    extends StatefulProcessor[(String, Int), DigitCell, DigitGauge] {
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, Int), rows: Iterator[DigitCell],
+      timerValues: TimerValues): Iterator[DigitGauge] = {
+    val n = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(n)
+    Iterator.single(DigitGauge(key._1, key._2, n))
+  }
+}

@@ -1516,6 +1516,45 @@ class AnalyticSpec extends SparkTestBase {
     assert(sizes.size * 4 < lbl.size, s"${sizes.size} communities over ${lbl.size} nodes")
   }
 
+  test("q219 sketch winsorize: bounds bracket the true percentiles, counts equal a driver replay") {
+    val rows = Tables(spark, sf0001).events
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), math.max(0L, r.getLong(1))))
+    def binId(v: Long): Long =
+      if (v < 16) v
+      else {
+        val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        b * 16 + ((v >> (b - 4)) - 16)
+      }
+    def lo(id: Long): Long =
+      if (id < 64) id else (16 + id % 16) << (id / 16 - 4).toInt
+    def hi(id: Long): Long =
+      if (id < 64) id + 1 else lo(id) + (1L << (id / 16 - 4).toInt)
+    val expected = rows.groupBy(_._1).toSeq.map { case (tpe, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.length.toLong
+      val ids = vs.map(binId).sorted
+      def pick(p: Int): Long = ids(((n * p + 99) / 100 - 1).toInt)
+      val (l, h) = (lo(pick(1)), hi(pick(99)))
+      (tpe, n, l, h, vs.count(_ < l).toLong, vs.count(_ > h).toLong,
+        (BigInt(vs.count(_ < l) + vs.count(_ > h)) * 1000000 / n).toLong)
+    }.sortBy(_._1)
+    val got = Analytic.q219.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // the sketch guarantee: the picked bin BRACKETS the true rank value
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.length.toLong
+      val g = got.find(_._1 == tpe).get
+      val true01 = vs(((n * 1 + 99) / 100 - 1).toInt)
+      val true99 = vs(((n * 99 + 99) / 100 - 1).toInt)
+      assert(g._3 <= true01, s"$tpe: lo ${g._3} above true p01 $true01")
+      assert(g._4 > true99, s"$tpe: hi ${g._4} not above true p99 $true99")
+    }
+  }
+
   test("q207 CUSUM equals a driver replay over the zero-filled daily series") {
     val evs = Tables(spark, sf0001).events
       .select(col("event_type"), to_date(col("ts")))

@@ -592,4 +592,52 @@ class WindowOpsSpec extends SparkTestBase {
       assert(l99 <= exact(99) && exact(99) < h99, s"$hop p99")
     }
   }
+  test("q218 session KPIs equal a driver replay of sessions, bounces and integer depth percentiles") {
+    val evs = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay sessionization: per user, (ts, event_id) order, 30-min gaps
+    // measured on SECOND-truncated instants (the query's unix_timestamp),
+    // exactly as q26 defines them
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+      ordered.foreach { e =>
+        val sec = Math.floorDiv(e._3, 1000000L)
+        if (buf.nonEmpty && sec - buf.last.head <= 1800)
+          buf(buf.length - 1) = sec :: buf.last
+        else buf += List(sec)
+      }
+      buf.toSeq
+    }
+    def dayOf(sec: Long): java.time.LocalDate =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+    case class S(day: java.time.LocalDate, depth: Long, dur: Long)
+    val ss = sessions.map { secs =>
+      S(dayOf(secs.min), secs.length.toLong, secs.max - secs.min)
+    }
+    val expected = ss.groupBy(_.day).toSeq.map { case (d, group) =>
+      val n = group.length.toLong
+      val bounces = group.count(_.depth == 1).toLong
+      val depths = group.map(_.depth).sorted
+      def pick(mul: Long, num: Long): Long = {
+        var cum = 0L
+        depths.distinct.sorted.find { dep =>
+          cum = depths.count(_ <= dep).toLong
+          cum * mul >= n * num
+        }.get
+      }
+      (java.sql.Date.valueOf(d), n, bounces * 1000000L / n,
+        pick(2, 1), pick(10, 9), group.map(_.dur).sum)
+    }.sortBy(_._1.toString)
+    val got = WindowOps.q218.fn(spark, sf0001).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // every day's percentiles are real observed depths, p50 <= p90
+    got.foreach { case (d, _, bp, p50, p90, _) =>
+      assert(p50 >= 1 && p90 >= p50, s"$d: p50=$p50 p90=$p90")
+      assert(bp >= 0 && bp <= 1000000L, s"$d: bounce ppm $bp")
+    }
+  }
 }

@@ -1366,4 +1366,40 @@ class StreamOpsSpec extends SparkTestBase {
     // counters really accumulated across the boundary: total mass = 4 rows per occurrence
     assert(finals.values.sum == 4L * keys.length)
   }
+  test("streaming Benford gauge: end cell table equals the batch digit grid across a batch boundary") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val in = MemoryStream[(String, Double)](
+      newProductEncoder[(String, Double)], s2.sqlContext)
+    val q = StreamBenford.gauge(
+        StreamBenford.cells(in.toDF().toDF("event_type", "value")))
+      .writeStream.outputMode("append").format("memory").queryName("benfg")
+      .start()
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = s2.table("benfg").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val finals = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    // batch grid: q215's observed digit counts
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val batch = evs.map { case (t, v) => (t, cents(v)) }
+      .filter(_._2 > 0)
+      .map { case (t, c) => (t, c.toString.head.asDigit) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(finals == batch, s"stream/batch digit-grid divergence: " +
+      s"only-stream=${(finals.toSet -- batch.toSet).take(5)}, " +
+      s"only-batch=${(batch.toSet -- finals.toSet).take(5)}")
+    // cell state is structurally bounded: <= 9 digits per type
+    finals.keys.groupBy(_._1).values.foreach(g => assert(g.size <= 9))
+  }
 }
