@@ -1149,7 +1149,102 @@ object Curation extends QueryPack {
     FROM i
     ORDER BY source ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q220
+  /** Inter-gate agreement (Cohen's κ) — "do my two quality raters agree
+    * beyond chance?", the calibration table a curation pipeline reads
+    * before composing gates (two gates that agree by chance alone add
+    * no information; two that anti-correlate deserve a look): per
+    * source, the 2×2 contingency of the q61 quality gate against the
+    * q67 repetition gate plus κ in exact ppm.
+    *
+    * κ = (p_o − p_e)/(1 − p_e) is a RATIONAL of integer counts:
+    * κ·den = N·(n11 + n00) − (a1·b1 + a0·b0) over
+    * den = N² − (a1·b1 + a0·b0) — DECIMAL-widened products (rule 11),
+    * SIGN-SPLIT integral divide (rule 10 — κ can be negative), den = 0
+    * (both marginals degenerate) surfaces as NULL via nullif. The gate
+    * predicates are the SHARED `TextOps.qualityKeep` /
+    * [[repetitionKeep]] expressions, so this table can never drift
+    * from what q61/q67/q69 mean by "keep".
+    *
+    * Shape: one map-only verdict pass (both gates are per-row
+    * expressions) into ONE source-keyed aggregate — the q01
+    * scan-aggregate class at any corpus size. */
+  val q220 = QueryDef(
+    "q220_gate_kappa",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val v = Tables(spark, dir).documents
+        .select(col("source"),
+          TextOps.qualityKeep.as("a"), repetitionKeep.as("b"))
+      v.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        .withColumn("pe2",
+          expr("""CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+            + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)"""))
+        .withColumn("num",
+          expr("CAST(n AS DECIMAL(38,0)) * (n11 + n00) - pe2"))
+        .withColumn("den",
+          expr("nullif(CAST(n AS DECIMAL(38,0)) * n - pe2, CAST(0 AS DECIMAL(38,0)))"))
+        .withColumn("kappa_ppm",
+          expr("""CASE WHEN num < 0
+            THEN -CAST((-num) * 1000000 div den AS BIGINT)
+            ELSE CAST(num * 1000000 div den AS BIGINT) END"""))
+        .select(col("source"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"), col("kappa_ppm"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH x AS (
+      SELECT doc_id, source,
+        len(string_split(text, ' ')) AS n,
+        len(list_distinct(string_split(text, ' '))) * 1.0
+          / len(string_split(text, ' ')) AS ttr,
+        len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','and','to'))) * 1.0
+          / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    qa AS (
+      SELECT doc_id, source,
+        (n >= 20 AND ttr >= 0.35 AND sr >= 0.02) AS a
+      FROM x),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)),
+    grp AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+        ((SUM(c) - COUNT(*)) * 5 <= SUM(c) AND MAX(c) * 10 <= SUM(c)) AS b
+      FROM grp GROUP BY doc_id),
+    v AS (
+      SELECT qa.source, qa.a, COALESCE(rep.b, TRUE) AS b
+      FROM qa LEFT JOIN rep ON rep.doc_id = qa.doc_id),
+    cells AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM v GROUP BY source),
+    k AS (
+      SELECT source, n, n11, n10, n01, n00,
+        CAST(n AS HUGEINT) * (n11 + n00)
+          - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS num,
+        NULLIF(CAST(n AS HUGEINT) * n
+          - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)), 0) AS den
+      FROM cells)
+    SELECT source, n, n11, n10, n01, n00,
+      CASE WHEN num < 0 THEN -CAST((-num) * 1000000 // den AS BIGINT)
+           ELSE CAST(num * 1000000 // den AS BIGINT) END AS kappa_ppm
+    FROM k
+    ORDER BY source ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194)
+      q173, q174, q185, q188, q194, q220)
 }

@@ -1233,7 +1233,83 @@ object TextOps extends QueryPack {
     FROM folded
     ORDER BY source ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q221
+  /** Collocation mining — the phrase-detection primitive (word2vec's
+    * phrase pass, tokenizer multi-word-unit selection) beside q165's
+    * frequency-ranked vocab: the top adjacent word pairs by PMI LIFT,
+    * lift(x,y) = P(xy) / (P(x)·P(y)) = n_xy·T² / (B·n_x·n_y), with a
+    * support floor (n_xy ≥ 5) killing the rare-pair noise PMI is
+    * notorious for. High lift = the pair co-occurs far beyond chance —
+    * a phrase, not two frequent words colliding.
+    *
+    * Determinism: PMI's log is monotone, so ranking by the RATIO in
+    * exact integer ppm (DECIMAL-widened, rule 11) gives the identical
+    * order with no transcendental (rule 13); ties break on the pair
+    * text. Shape: one unigram aggregate (cut — two margin attaches +
+    * the token total read it), one bigram aggregate with the support
+    * filter BEFORE the margin joins (q162's discipline), 1-row totals
+    * broadcast, top-20 via TakeOrderedAndProject. At 100 TB both
+    * aggregates are map-side-combinable and the joins are
+    * vocabulary-keyed. */
+  val q221 = QueryDef(
+    "q221_collocations",
+    (spark, dir) => {
+      val toks = Tables(spark, dir).documents
+        .select(split(col("text"), " ").as("ts"))
+      val uni = graft.Materialize.cut(
+        toks.select(explode(col("ts")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("nt")))
+      val totals = toks.agg(
+        sum(size(col("ts"))).cast(LongType).as("tt"),
+        sum(greatest(size(col("ts")) - 1, lit(0))).cast(LongType).as("bb"))
+      val bi = toks.filter(size(col("ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("ta"),
+            element_at(col("ts"), i + 1).as("tb")))).as("p"))
+        .select(col("p.ta"), col("p.tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+      bi
+        .join(uni.select(col("t").as("ta"), col("nt").as("na")), Seq("ta"))
+        .join(uni.select(col("t").as("tb"), col("nt").as("nb")), Seq("tb"))
+        .crossJoin(broadcast(totals))
+        .withColumn("lift_ppm",
+          expr("""CAST(n_xy AS DECIMAL(38,0)) * tt * tt * 1000000
+            div (CAST(bb AS DECIMAL(38,0)) * na * nb)"""))
+        .select(col("ta").as("term_a"), col("tb").as("term_b"),
+          col("n_xy"), col("lift_ppm"))
+        .orderBy(col("lift_ppm").desc_nulls_last,
+          col("term_a").asc_nulls_first, col("term_b").asc_nulls_first)
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+      SELECT string_split(text, ' ') AS ts FROM documents),
+    uni AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+    totals AS (
+      SELECT CAST(SUM(len(ts)) AS BIGINT) AS tt,
+        CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS bb
+      FROM toks),
+    bi AS (
+      SELECT ts[i] AS ta, ts[i + 1] AS tb
+      FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+      WHERE len(ts) >= 2),
+    bc AS (
+      SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM bi GROUP BY 1, 2
+      HAVING COUNT(*) >= 5)
+    SELECT bc.ta AS term_a, bc.tb AS term_b, bc.n_xy,
+      CAST(CAST(bc.n_xy AS HUGEINT) * tt * tt * 1000000
+        // (CAST(bb AS HUGEINT) * a.nt * b.nt) AS BIGINT) AS lift_ppm
+    FROM bc
+    JOIN uni a ON a.t = bc.ta
+    JOIN uni b ON b.t = bc.tb
+    CROSS JOIN totals
+    ORDER BY lift_ppm DESC, term_a ASC, term_b ASC
+    LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165, q186, q211, q212)
+      q104, q118, q161, q165, q186, q211, q212, q221)
 }

@@ -275,7 +275,10 @@ class PlanSpec extends SparkTestBase {
       "q212_tvd_drift",
       // q215's Benford expectations are a 9-row literal dimension
       // crossed into the |types|-row digit grid — q16's class.
-      "q215_benford")
+      "q215_benford",
+      // q221's token/bigram totals are ONE row broadcast into the
+      // surviving collocation pairs — q162's tiny-stats pattern.
+      "q221_collocations")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

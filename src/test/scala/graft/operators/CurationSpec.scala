@@ -481,4 +481,35 @@ class CurationSpec extends SparkTestBase {
     assert(smallest._6 > 1000000L, s"smallest source not upsampled: $smallest")
     assert(largest._6 < 1000000L, s"largest source not downsampled: $largest")
   }
+  test("q220 gate kappa equals a replay from the shared gate verdicts; |kappa| <= 1e6") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = graft.Tables(spark, sf0001).documents
+      .select(col("source"), TextOps.qualityKeep, Curation.repetitionKeep)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    val expected = v.groupBy(_._1).toSeq.map { case (src, rs) =>
+      val n = rs.length.toLong
+      val n11 = rs.count(r => r._2 && r._3).toLong
+      val n10 = rs.count(r => r._2 && !r._3).toLong
+      val n01 = rs.count(r => !r._2 && r._3).toLong
+      val n00 = rs.count(r => !r._2 && !r._3).toLong
+      val pe2 = BigInt(n11 + n10) * (n11 + n01) + BigInt(n01 + n00) * (n10 + n00)
+      val num = BigInt(n) * (n11 + n00) - pe2
+      val den = BigInt(n) * n - pe2
+      val kappa =
+        if (den == 0) None
+        else Some(
+          if (num < 0) -((-num) * 1000000 / den).toLong
+          else (num * 1000000 / den).toLong)
+      (src, n, n11, n10, n01, n00, kappa)
+    }.sortBy(_._1)
+    val got = Curation.q220.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    assert(got == expected)
+    got.foreach { case (src, n, n11, n10, n01, n00, k) =>
+      assert(n == n11 + n10 + n01 + n00, s"$src: cells do not total n")
+      k.foreach(v0 => assert(v0.abs <= 1000000L, s"$src: kappa $v0 out of range"))
+    }
+  }
 }

@@ -353,4 +353,30 @@ class TextOpsSpec extends SparkTestBase {
       assert(ppm >= 0 && ppm <= 1000000L, s"$src: TVD $ppm outside [0, 1e6]")
     }
   }
+  test("q221 collocations equal an exact lift-ratio driver replay; support floor holds") {
+    val texts = Tables(spark, sf0001).documents
+      .select(col("text")).collect().map(_.getString(0))
+    val tokLists = texts.map(_.split(" ", -1).toSeq)
+    val uni = tokLists.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tt = tokLists.map(_.length.toLong).sum
+    val bb = tokLists.map(ts => math.max(ts.length - 1, 0).toLong).sum
+    val pairs = tokLists.filter(_.length >= 2)
+      .flatMap(ts => ts.sliding(2).map(w => (w(0), w(1))))
+    val bc = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 5)
+    val scored = bc.toSeq.map { case ((a, b), nxy) =>
+      val lift = (BigInt(nxy) * tt * tt * 1000000 /
+        (BigInt(bb) * uni(a) * uni(b))).toLong
+      (a, b, nxy, lift)
+    }
+    val expected = scored
+      .sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    val got = TextOps.q221.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.forall(_._3 >= 5), "support floor violated")
+    // lift must discriminate: the top pair beats independence (1e6)
+    assert(got.head._4 > 1000000L, s"top collocation at or below chance: ${got.head}")
+  }
 }
