@@ -514,4 +514,60 @@ object AlgebraProps extends Properties("Algebra") {
         after == before || after == n
       }
     }
+  // CMS one-sided law (q190/q199/q210): for ANY multiset of keys, the
+  // row-min estimate never undercounts any key's true frequency —
+  // pure md5 counter arithmetic, no Spark.
+  private def cmsB(j: Int, k: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Integer.parseInt(
+      md.digest(s"$j:$k".getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+  }
+
+  property("CMS: row-min estimate >= exact count for every key on any feed") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))) { keys =>
+      val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val counters = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      exact.foreach { case (k, n) => (0 to 3).foreach { j =>
+        val c = (j, cmsB(j, k)); counters(c) = counters.getOrElse(c, 0L) + n } }
+      exact.forall { case (k, n) =>
+        (0 to 3).map(j => counters((j, cmsB(j, k)))).min >= n
+      }
+    }
+
+  // Cohen's kappa range law (q220): the exact-ppm rational stays within
+  // [-1e6, 1e6] for every non-degenerate 2x2 table.
+  property("kappa ppm lies in [-1e6, 1e6] on any 2x2 contingency") =
+    forAll(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 50L),
+      Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 50L)) { (n11, n10, n01, n00) =>
+      val n = n11 + n10 + n01 + n00
+      val pe2 = BigInt(n11 + n10) * (n11 + n01) + BigInt(n01 + n00) * (n10 + n00)
+      val num = BigInt(n) * (n11 + n00) - pe2
+      val den = BigInt(n) * n - pe2
+      den == 0 || {
+        val k = if (num < 0) -((-num) * 1000000 / den) else num * 1000000 / den
+        k.abs <= 1000000
+      }
+    }
+
+  // Quantile-bin geometry law (q193/q201/q213/q219): every non-negative
+  // value lands in a bin that CONTAINS it, and the bin's relative width
+  // is <= 1/16 of its lower edge past the exact region — the <= 6.25%
+  // guarantee, as arithmetic.
+  private def qBinId(v: Long): Long =
+    if (v < 16) v
+    else {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      b * 16 + ((v >> (b - 4)) - 16)
+    }
+  private def qLo(id: Long): Long =
+    if (id < 64) id else (16 + id % 16) << (id / 16 - 4).toInt
+  private def qHi(id: Long): Long =
+    if (id < 64) id + 1 else qLo(id) + (1L << (id / 16 - 4).toInt)
+
+  property("quantile bins contain their values with <= 1/16 relative width") =
+    forAll(Gen.chooseNum(0L, 1000000000000L)) { v =>
+      val id = qBinId(v)
+      qLo(id) <= v && v < qHi(id) &&
+        (id < 64 || (qHi(id) - qLo(id)) * 16 <= qLo(id))
+    }
 }
