@@ -99,6 +99,9 @@ object Bench {
       executeView("view_cluster_labels")(
         () => operators.Dedup.labelCache.invalidate(spark, sfDir),
         () => operators.Dedup.clusterLabels(spark, sfDir).count()),
+      // emitted below as "rounds": the label view is a convergence loop
+      // whose wall time is round-count-dominated, so the round count
+      // makes bench drift attributable (more rounds vs slower rounds)
       executeView("view_neardup_pairs")(
         () => operators.Similarity.pairsCache.invalidate(spark, sfDir),
         () => operators.Similarity.neardupPairs(spark, sfDir).count()),
@@ -141,7 +144,8 @@ object Bench {
         val b = Baseline.seconds(name)
         f"""{"query":"$name","sec":$sec%.2f,"baseline":$b,"ratio":${sec / b}%.2f}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"sf":"$sfDir"}"""
+    val rounds = s"""{"view_cluster_labels":${operators.Dedup.lastPropagationRounds.get()}}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"rounds":$rounds,"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but driver artifacts have
     // truncated it mid-tail (BENCH_r11.json ends before q44, parsed:
     // null) — so ALSO land the identical JSON as files: one under /tmp

@@ -23,7 +23,8 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    twins: Seq[String] = Nil)
 
 /** A module contributing queries to [[SparkEntry]]. */
 trait QueryPack {

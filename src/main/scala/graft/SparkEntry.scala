@@ -41,4 +41,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Twin coverage for the (deliberately) oracle-less queries: each
+    * no-oracle query name → the oracle-CHECKED queries that hash-verify
+    * its deterministic surface. Every no-oracle entry MUST declare at
+    * least one green twin — `SparkEntrySpec` enforces the invariant, and
+    * `Verify` dumps this map as `twins.json` next to `oracle_sql.json`
+    * so the driver's report can show sketch rows as twin-covered rather
+    * than bare `no_oracle`. */
+  def twinOf: Map[String, Seq[String]] =
+    allQueries.filter(q => q.oracle.isEmpty).map(q => q.name -> q.twins).toMap
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val e = arity(exprs, 2, "graft_hashed_shingles(tokens, n)")
         HashedShingles(e.head, intLit(e(1), "graft_hashed_shingles: n"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fps"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 3, "graft_winnow_fps(tokens, k, w)")
+        WinnowFingerprints(e.head, intLit(e(1), "graft_winnow_fps: k"),
+          intLit(e(2), "graft_winnow_fps: w"))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_bigram_hashes"),

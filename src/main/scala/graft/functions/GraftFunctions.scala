@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -52,6 +52,19 @@ object GraftFunctions {
           case Literal(n: Int, IntegerType) => HashedShingles(exprs.head, n)
           case _ => throw new IllegalArgumentException(
             "graft_hashed_shingles: n must be an int literal")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_fps",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_winnow_fps(tokens, k, w) takes three arguments")
+        (exprs(1), exprs(2)) match {
+          case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+            WinnowFingerprints(exprs.head, k, w)
+          case _ => throw new IllegalArgumentException(
+            "graft_winnow_fps: k and w must be int literals")
         }
       },
       "built-in")

@@ -834,7 +834,8 @@ object Analytic extends QueryPack {
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .orderBy(col("event_type").asc_nulls_first)
     },
-    None)
+    None,
+    twins = Seq("q178_deterministic_hll", "q184_hll_setops"))
 
   // --------------------------------------------------------------- q178
   /** Deterministic cross-engine HLL — the oracle-CHECKABLE sibling of
@@ -3075,12 +3076,12 @@ object Analytic extends QueryPack {
       FROM cum JOIN totals USING (l_returnflag)
       GROUP BY 1)
     SELECT l_returnflag, n,
-      CASE WHEN id50 < 64 THEN id50 ELSE (16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER) END AS p50_lo,
-      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER)) + (1 << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
-      CASE WHEN id90 < 64 THEN id90 ELSE (16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER) END AS p90_lo,
-      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER)) + (1 << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
-      CASE WHEN id99 < 64 THEN id99 ELSE (16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER) END AS p99_lo,
-      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER)) + (1 << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
+      CASE WHEN id50 < 64 THEN id50 ELSE (CAST(16 + id50 % 16 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_lo,
+      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((CAST(16 + id50 % 16 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
+      CASE WHEN id90 < 64 THEN id90 ELSE (CAST(16 + id90 % 16 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_lo,
+      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((CAST(16 + id90 % 16 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
+      CASE WHEN id99 < 64 THEN id99 ELSE (CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_lo,
+      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
     FROM picked
     ORDER BY l_returnflag ASC NULLS FIRST"""))
 
@@ -3394,7 +3395,7 @@ object Analytic extends QueryPack {
           .withColumn("hops", lit(h)))
       reached = reached.unionByName(frontier)
     }
-    reached.orderBy(col("hops").asc, col("node").asc)
+    reached.orderBy(col("hops").asc_nulls_first, col("node").asc_nulls_first)
   }
 
   val q202 = QueryDef(
@@ -3416,7 +3417,7 @@ object Analytic extends QueryPack {
     SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
     FROM walk
     GROUP BY node
-    ORDER BY hops ASC, node ASC"""))
+    ORDER BY hops ASC NULLS FIRST, node ASC NULLS FIRST"""))
 
   // --------------------------------------------------------------- q203
   /** Histogram-based decision-split finding — the inner primitive of
@@ -3952,7 +3953,12 @@ object Analytic extends QueryPack {
           .select(col("b").as("node"), col("best.lbl").as("lbl")))
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
-    labels.join(broadcast(sizes), "lbl")
+    // no broadcast hint: |sizes| = |distinct labels| is only
+    // clustering-bounded — in the LPA worst case (no convergence) it
+    // approaches |V|, so forcing the build side would bypass AQE's size
+    // threshold and risk a corpus-sized driver broadcast at scale; let
+    // AQE pick broadcast only when the measured size clears the bar
+    labels.join(sizes, "lbl")
       .select(col("node"), col("lbl").as("community"), col("community_size"))
       .orderBy(col("node").asc_nulls_first)
   }
@@ -4068,8 +4074,8 @@ object Analytic extends QueryPack {
       GROUP BY 1),
     picked AS (
       SELECT g, n_events,
-        CASE WHEN id01 < 64 THEN id01 ELSE (16 + id01 % 16) << CAST(id01 // 16 - 4 AS INTEGER) END AS lo,
-        CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER)) + (1 << CAST(id99 // 16 - 4 AS INTEGER)) END AS hi
+        CASE WHEN id01 < 64 THEN id01 ELSE (CAST(16 + id01 % 16 AS BIGINT) << CAST(id01 // 16 - 4 AS INTEGER)) END AS lo,
+        CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS hi
       FROM picked0)
     SELECT c.g AS event_type,
       MAX(p.n_events) AS n_events,

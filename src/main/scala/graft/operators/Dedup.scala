@@ -616,17 +616,20 @@ object Dedup extends QueryPack {
     * emitting partially-propagated labels (see q55 scaladoc). Returns
     * `(id, lbl)` with `lbl` = min reachable id.
     *
-    * Round complexity is the deploy knob: the default neighbor-min round
+    * Round complexity is adaptive: the default neighbor-min round
     * converges in O(component diameter) — the right choice for near-dup
-    * clusters, which are shallow dup sets, at one equi-join per round.
-    * `pointerDoubling = true` adds a [[shortcutRound]] (`lbl(x) ←
-    * lbl(lbl(x))`, the pointer-jumping step of classic log-diameter
-    * MapReduce connected components, cf. Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) after each neighbor
-    * round — O(log diameter) rounds total, the fallback for adversarial
-    * chain topologies (spec: a 500-node path converges in the same
-    * 30-round budget the plain variant would blow). Both variants emit
-    * identical labels (property-asserted). */
+    * clusters, which are shallow dup sets (2-3 rounds measured), at one
+    * equi-join per round — and if convergence drags past
+    * [[EscalateAfterRounds]] plain rounds the loop escalates to a
+    * [[shortcutRound]] per round (`lbl(x) ← lbl(lbl(x))`, the
+    * pointer-jumping step of classic log-diameter MapReduce connected
+    * components, cf. Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — O(log diameter) from there, so adversarial
+    * chain topologies finish inside the 30-round budget without taxing
+    * the shallow common case with an extra self-join job per round.
+    * `pointerDoubling = true` forces the shortcut from round 1. All
+    * variants emit identical labels (property-asserted — the shortcut
+    * preserves the min-label fixpoint). */
   private[graft] def propagateMinLabels(ids: DataFrame, pairs0: DataFrame,
       pointerDoubling: Boolean = false): DataFrame = {
       val pc = pairs0.columns
@@ -645,9 +648,18 @@ object Dedup extends QueryPack {
       while (!converged && round < 30) {
         // with doubling, the neighbor-round result feeds BOTH sides of
         // the shortcut self-join — cut it first or the join+aggregate
-        // subtree executes twice per iteration
+        // subtree executes twice per iteration.
+        // Adaptive escalation: even without pointerDoubling, the
+        // shortcut kicks in once convergence drags past
+        // [[EscalateAfterRounds]] plain rounds — shallow components
+        // (the near-dup common case, 2-3 rounds measured) never pay the
+        // extra self-join job, while an adversarial chain topology still
+        // finishes in O(log diameter) instead of blowing the 30-round
+        // budget. Labels are unchanged either way (shortcut preserves
+        // the min-label fixpoint; property-asserted in DedupSpec).
+        val doubleNow = pointerDoubling || round >= EscalateAfterRounds
         val next =
-          if (pointerDoubling) shortcutRound(propagationRound(edges, lbl).cut()).cut()
+          if (doubleNow) shortcutRound(propagationRound(edges, lbl).cut()).cut()
           else propagationRound(edges, lbl).cut()
         val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
         converged = nextSum == prevSum
@@ -656,14 +668,28 @@ object Dedup extends QueryPack {
         round += 1
       }
       // a silent non-converged exit would emit partially-propagated
-      // labels as if they were clusters — fail loudly instead (30 rounds
-      // covers component diameter 30 plain / 2^30 with doubling; a
-      // corpus tripping this on the default should re-run with
-      // pointerDoubling = true)
+      // labels as if they were clusters — fail loudly instead (the
+      // 30-round budget covers diameter ~2^26 once escalation kicks in
+      // after EscalateAfterRounds plain rounds — unreachable for any
+      // physical corpus)
       require(converged,
         s"connected components did not converge within $round rounds")
+      lastPropagationRounds.set(round)
       lbl
   }
+
+  /** Plain neighbor-min rounds before [[propagateMinLabels]] escalates
+    * to pointer doubling (see the loop comment). 4 covers every observed
+    * fixture/corpus topology (2-3 rounds) with margin. */
+  private[graft] val EscalateAfterRounds = 4
+
+  /** Round count of the most recent [[propagateMinLabels]] fixpoint on
+    * this JVM — observability for the bench: view_cluster_labels is a
+    * convergence loop whose wall time is round-count-dominated, so the
+    * bench emits this next to the timing to make drift attributable
+    * (round-count change vs per-round slowdown). */
+  private[graft] val lastPropagationRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** One pointer-jumping step: every node's label becomes its label's
     * label (`lbl(x) ← lbl(lbl(x))`) — min labels are fixpoints, so this
@@ -777,36 +803,37 @@ object Dedup extends QueryPack {
     * boilerplate that set-based MinHash (q32) dilutes. Pairs are then
     * documents sharing ≥ 3 distinct fingerprints.
     *
-    * Scale shape: the gram hash + window-min is map-side except ONE
-    * shuffle on doc_id (the per-doc window — co-partitioned, never
-    * global), and pair generation is the same capped equi-join as the
-    * LSH family: fingerprints seen in > 50 documents are dropped before
-    * the self-join (ubiquitous boilerplate carries no pair signal, and
-    * the cap bounds every join bucket at 50² — the workload-wide
-    * PlanSpec cross-product guard sees this query like any other).
+    * Scale shape: the gram hash + window-min runs entirely MAP-SIDE —
+    * [[graft.functions.expressions.WinnowFingerprints]] computes each
+    * document's distinct fingerprint set in one JIT pass over the token
+    * array (no position explode, no per-doc window exchange), so the
+    * query's only shuffle is pair generation: the same capped equi-join
+    * as the LSH family — fingerprints seen in > 50 documents are dropped
+    * before the self-join (ubiquitous boilerplate carries no pair
+    * signal, and the cap bounds every join bucket at 50² — the
+    * workload-wide PlanSpec cross-product guard sees this query like any
+    * other).
     *
     * Determinism: grams are hashed by md5 prefix — the one hash both
     * engines compute identically (contract: never xxhash64 across
     * engines) — and window minima compare those integer hashes, so the
-    * fingerprint sets match DuckDB's bit-for-bit. */
+    * fingerprint sets match DuckDB's bit-for-bit (the expression's hash
+    * equals `conv(substring(md5(gram), 1, 8), 16, 10)::long` exactly;
+    * property-asserted against the composed column form in
+    * WinnowFingerprintsSpec). */
   /** Distinct winnowing fingerprints per document: (doc_id, fp). k=3
-    * word grams, window w=4, md5-prefix hashes (see q103 scaladoc). */
+    * word grams, window w=4, md5-prefix hashes (see q103 scaladoc).
+    * Documents with < 4 full grams yield an empty array and vanish in
+    * the explode — the same gate as the old `filter(ng >= 4)`. */
   private[graft] def winnowFingerprints(d: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = d
-      .select(col("doc_id"), toks.as("toks"), (size(toks) - 2).as("ng"))
-      .filter(col("ng") >= 4) // need one full window of w=4 grams
-      .select(col("doc_id"), col("ng"),
-        explode(sequence(lit(1), col("ng"))).as("pos"), col("toks"))
-      .select(col("doc_id"), col("ng"), col("pos"),
-        conv(substring(md5(concat_ws(" ",
-          slice(col("toks"), col("pos"), lit(3))).cast("binary")), 1, 8),
-          16, 10).cast("long").as("h"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams
-      .withColumn("fp", min(col("h")).over(byDoc.rowsBetween(0, 3)))
-      .filter(col("pos") <= col("ng") - 3) // full windows only
-      .select(col("doc_id"), col("fp")).distinct()
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // narrow-input guard (see hashedShingleArray): the fused expression
+    // makes gram hashing this query's dominant un-shuffled map cost, and
+    // a fixture-sized scan plans 1–2 partitions
+    graft.Parallelism.ensure(d, col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow_fps",
+          split(col("text"), " "), lit(3), lit(4))).as("fp"))
   }
 
   /** Pairs of documents sharing ≥ minShared winnowing fingerprints, with

@@ -381,7 +381,7 @@ object Multimodal extends QueryPack {
           bit_count(col("h1").bitwiseXOR(col("h2"))).cast(IntegerType))
         .filter(col("hamming") <= 8)
         .select(col("d1"), col("d2"), col("hamming"))
-        .orderBy(col("d1"), col("d2"))
+        .orderBy(col("d1").asc_nulls_first, col("d2").asc_nulls_first)
   }
 
   private val ahashOracle = Some("""WITH b AS (
@@ -413,7 +413,7 @@ object Multimodal extends QueryPack {
        AND x.doc_id < y.doc_id)
     SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(h1, h2)) <= 8
-    ORDER BY d1, d2""")
+    ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""")
 
   val q209 = QueryDef(
     "q209_ahash_neardup",

@@ -857,12 +857,12 @@ object Partitioned extends QueryPack {
       FROM cum JOIN totals USING (event_type)
       GROUP BY 1)
     SELECT event_type, n,
-      CASE WHEN id50 < 64 THEN id50 ELSE (16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER) END AS p50_lo,
-      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((16 + id50 % 16) << CAST(id50 // 16 - 4 AS INTEGER)) + (1 << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
-      CASE WHEN id90 < 64 THEN id90 ELSE (16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER) END AS p90_lo,
-      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((16 + id90 % 16) << CAST(id90 // 16 - 4 AS INTEGER)) + (1 << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
-      CASE WHEN id99 < 64 THEN id99 ELSE (16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER) END AS p99_lo,
-      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((16 + id99 % 16) << CAST(id99 // 16 - 4 AS INTEGER)) + (1 << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
+      CASE WHEN id50 < 64 THEN id50 ELSE (CAST(16 + id50 % 16 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_lo,
+      CASE WHEN id50 < 64 THEN id50 + 1 ELSE ((CAST(16 + id50 % 16 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id50 // 16 - 4 AS INTEGER)) END AS p50_hi,
+      CASE WHEN id90 < 64 THEN id90 ELSE (CAST(16 + id90 % 16 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_lo,
+      CASE WHEN id90 < 64 THEN id90 + 1 ELSE ((CAST(16 + id90 % 16 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id90 // 16 - 4 AS INTEGER)) END AS p90_hi,
+      CASE WHEN id99 < 64 THEN id99 ELSE (CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_lo,
+      CASE WHEN id99 < 64 THEN id99 + 1 ELSE ((CAST(16 + id99 % 16 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER))) + (CAST(1 AS BIGINT) << CAST(id99 // 16 - 4 AS INTEGER)) END AS p99_hi
     FROM picked
     ORDER BY event_type ASC NULLS FIRST"""))
 

@@ -166,7 +166,8 @@ object RelationalExt extends QueryPack {
           col("approx_median_price"), col("exact_median_price"))
         .orderBy(col("o_orderpriority"))
     },
-    None)
+    None,
+    twins = Seq("q82_sketch_exact_twin"))
 
   // ---------------------------------------------------------------- q82
   /** The exact half of q50 as its own oracle-checked query: distinct

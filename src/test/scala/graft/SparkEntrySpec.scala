@@ -25,6 +25,20 @@ class SparkEntrySpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("every no-oracle query declares oracle-checked twins") {
+    val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+    val noOracle = SparkEntry.twinOf
+    assert(noOracle.keySet == SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+    noOracle.foreach { case (name, twins) =>
+      assert(twins.nonEmpty, s"$name has no oracle and no declared twin")
+      twins.foreach { t =>
+        val twin = byName.getOrElse(t,
+          fail(s"$name declares unknown twin $t"))
+        assert(twin.oracle.nonEmpty, s"$name's twin $t is itself oracle-less")
+      }
+    }
+  }
+
   test("output column names are distinct per query (driver sorts by name)") {
     SparkEntry.allQueries.foreach { q =>
       val cols = q.fn(spark, sf0001).columns

@@ -188,6 +188,21 @@ class DedupSpec extends SparkTestBase {
     assert(lbl.values.forall(_ == 0L), "every chain node must label to the min id 0")
   }
 
+  test("default variant escalates to doubling and converges the 500-node chain") {
+    // without escalation the default neighbor-min loop would need 500
+    // rounds (> the 30-round budget) and fail loudly; the adaptive
+    // escalation after EscalateAfterRounds plain rounds must close it
+    // within ~4 + log2(500) rounds and label every node to the min id
+    val n = 500
+    val ids = (0L until n.toLong).toDF("id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val lbl = Dedup.propagateMinLabels(ids, chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbl.size == n && lbl.values.forall(_ == 0L))
+    assert(Dedup.lastPropagationRounds.get() <= 15,
+      s"escalation should close a 500-chain in ~13 rounds, took ${Dedup.lastPropagationRounds.get()}")
+  }
+
   test("pointer-doubling emits identical labels to the plain variant") {
     // two shallow components + a singleton — the near-dup shape the
     // plain variant is tuned for; both variants must agree exactly
