@@ -634,7 +634,12 @@ object RelationalExt extends QueryPack {
     * 1-row pair total. Baskets attach by order-key equi-joins, so the
     * per-pair fan-out is |basket₁|·|basket₂| (the q119 C(k,·) class,
     * bounded by basket size — never corpus-quadratic). Margins are the
-    * x/y attach frames re-aggregated (each cut — two consumers each).
+    * x/y attach frames re-aggregated. Only pairs and items are cut —
+    * they keep the executed plan scan-free (PlanSpec) and feed 3/2
+    * consumers; cutting the xs/ys attach frames was measured NOT to pay
+    * (round 15: 5.5 → 4.2 s warm at sf0.1 dropping them — each attach
+    * is one equi-join over already-checkpointed inputs, cheaper to
+    * recompute for its second consumer than to materialize ~½M rows).
     * Support ≥ 2 lands BEFORE the margin joins; output is the top-50 by
     * lift under the q162 total tie order. Determinism/width: ppm
     * divides routed through DECIMAL(38,0) pre-multiply (q162's
@@ -654,12 +659,12 @@ object RelationalExt extends QueryPack {
         Tables(spark, dir).lineitem
           .select(col("l_orderkey"), col("l_partkey")).distinct())
       val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
-      val xs = graft.Materialize.cut(
+      val xs =
         pairs.join(items.select(col("l_orderkey").as("k1"),
-          col("l_partkey").as("px")), "k1").select(col("k2"), col("px")))
-      val ys = graft.Materialize.cut(
+          col("l_partkey").as("px")), "k1").select(col("k2"), col("px"))
+      val ys =
         pairs.join(items.select(col("l_orderkey").as("k2"),
-          col("l_partkey").as("py")), "k2").select(col("k2"), col("py")))
+          col("l_partkey").as("py")), "k2").select(col("k2"), col("py"))
       val trans = xs.join(ys, "k2")
         .groupBy(col("px"), col("py")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Sources extends QueryPack {
 
+  /** The Avro file format, addressed by class: this distribution bundles
+    * the complete Avro source inside spark-sql (reader, writer, options,
+    * schema converters) but does not list it in the jar's
+    * `DataSourceRegister` service file, so the `format("avro")` short
+    * name resolves to the "deploy spark-avro" error while the
+    * fully-qualified class loads and runs fine (round-trip
+    * spec-verified). */
+  private[graft] val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   /** Documents as they land from a JSON feed: explicit, no inference. */
   private[graft] val DocSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = true),
@@ -208,5 +217,76 @@ object Sources extends QueryPack {
     GROUP BY source
     ORDER BY source NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q89, q95, q192)
+  /** Idempotently lands the documents table as Avro for `dir` — the
+    * row-container sibling of [[ensureOrc]], same lifecycle. Avro is the
+    * splittable ROW format lakes ingest from Kafka-era producers
+    * (schema-registry estates land Avro); the schema travels in the file
+    * header, blocks are sync-marker-splittable, and types survive
+    * exactly. Spark 4 bundles the Avro connector in spark-sql itself
+    * (`org.apache.spark.sql.avro.AvroFileFormat`), no extra jar. */
+  private[graft] def ensureAvro(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/docs_avro_$tag"
+      if (!landed(path)) {
+        Tables(spark, dir).documents
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").format(AvroFormat).save(path)
+        landed += path
+      }
+      path
+    }
+
+  /** Reads an Avro directory with the EXPLICIT reader schema — the
+    * Avro-native evolution contract: fields resolve by NAME against the
+    * writer schema in each file header, so renamed producers surface as
+    * all-null columns instead of silently shifting positions (unlike
+    * headerless CSV), extra writer fields are projected away at the
+    * block decoder (column pruning for a row format), and a missing
+    * field reads as null. Quarantine is record-level, not line-level —
+    * Avro's binary blocks have no malformed-LINE notion, so the gate is
+    * the landed feed's key contract: rows with a null `doc_id` are split
+    * into `quarantineAvro` rather than failing the scan (same
+    * no-row-kills-the-read rule as JSONL's `_corrupt_record`). */
+  private[graft] def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DocSchema).format(AvroFormat).load(path)
+
+  private[graft] def cleanAvro(spark: SparkSession, path: String): DataFrame =
+    readAvro(spark, path).filter(col("doc_id").isNotNull)
+
+  private[graft] def quarantineAvro(spark: SparkSession, path: String): DataFrame =
+    readAvro(spark, path).filter(col("doc_id").isNull)
+
+  // ---------------------------------------------------------------- q222
+  /** Avro round-trip: land documents as Avro, read back with the
+    * explicit reader schema, quarantine key-less records, aggregate per
+    * (source, lang). Values and types must survive the trip exactly —
+    * the oracle runs the same aggregate on the original parquet.
+    * Completes the landed-feed matrix: JSONL (q89), CSV (q95), ORC
+    * (q192), Avro (here). */
+  val q222 = QueryDef(
+    "q222_avro_source",
+    (spark, dir) => {
+      val docs = cleanAvro(spark, ensureAvro(spark, dir))
+      docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    },
+    Some("""SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      min(doc_id) AS min_doc,
+      max(doc_id) AS max_doc,
+      CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    GROUP BY source, lang
+    ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q89, q95, q192, q222)
 }

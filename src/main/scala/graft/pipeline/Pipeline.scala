@@ -92,6 +92,42 @@ object Pipeline {
       case Failure(e) => onFailure(e)
     }
 
+  /** Airflow trigger rules over N upstream outcomes — the fan-in
+    * generalization of [[route]] (`hello_function_dag.py:43,55` and
+    * `update_tr_from_ex_dag.py:139,150` wire one-success/one-failed
+    * continuations off parallel upstreams). No `skipped` state here:
+    * a task either ran to a `Try`, or was never composed in. */
+  sealed trait TriggerRule {
+    /** Does a downstream task with this rule fire given these upstream
+      * outcomes? Empty upstream = vacuous truth for the all_* rules and
+      * false for the one_* rules, matching universal/existential
+      * quantification. */
+    def fires(upstream: Seq[Try[_]]): Boolean = this match {
+      case TriggerRule.AllSuccess => upstream.forall(_.isSuccess)
+      case TriggerRule.AllFailed  => upstream.forall(_.isFailure)
+      case TriggerRule.OneSuccess => upstream.exists(_.isSuccess)
+      case TriggerRule.OneFailed  => upstream.exists(_.isFailure)
+      case TriggerRule.AllDone    => true
+    }
+  }
+  object TriggerRule {
+    case object AllSuccess extends TriggerRule
+    case object AllFailed extends TriggerRule
+    case object OneSuccess extends TriggerRule
+    case object OneFailed extends TriggerRule
+    case object AllDone extends TriggerRule
+  }
+
+  /** Run every branch whose trigger rule fires on `upstream`, in the
+    * declared order; non-firing branches are skipped. Returns the fired
+    * branches' (name, result) pairs — the fan-in join point of a DAG
+    * with mixed success/cleanup/alerting continuations. */
+  def fanIn[T, R](upstream: Seq[Try[T]])(
+      branches: (String, TriggerRule, Seq[Try[T]] => R)*): Seq[(String, R)] =
+    branches.collect {
+      case (name, rule, run) if rule.fires(upstream) => name -> run(upstream)
+    }
+
   /** Whole-run deadline — `dagrun_timeout`
     * (`hello_function_dag.py:13`: `dagrun_timeout=timedelta(hours=2)`):
     * one wall-clock budget bounding an entire composed pipeline, on top

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.{Await, Future, Promise}
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Pipeline.{Done, FailedPoll, PipelineFailure, PollStatus, StillRunning}
+
+/** Deferrable sensor — the non-blocking analogue of
+  * [[graft.pipeline.Pipeline.pollUntil]].
+  *
+  * The reference deploys a dedicated `triggerer` service
+  * (`docker-compose.yaml:190-203`) precisely so a waiting sensor does NOT
+  * occupy a worker slot: deferrable sensors park their poll condition on
+  * an async loop and the worker is freed. This is that semantic on
+  * Spark's own async machinery: the poke loop becomes a rate-source
+  * streaming query with a `Trigger.ProcessingTime(pokeInterval)` cadence
+  * — each micro-batch evaluates the tri-state `check` once — and
+  * [[DeferredSensor.start]] returns immediately with a handle whose
+  * `result` future completes on Done / FailedPoll / deadline. The caller
+  * (driver thread = the "worker slot") composes other work meanwhile and
+  * joins at the DAG's fan-in point.
+  *
+  * Contract parity with `pollUntil` (spec-asserted):
+  *  - Done after k pokes   → `Success(k)`
+  *  - FailedPoll(reason)   → `Failure(PipelineFailure("external job failed: …"))`
+  *  - deadline exceeded    → `Failure(PipelineFailure("sensor timed out …"))`,
+  *    honored BETWEEN pokes: the check is never evaluated after the
+  *    deadline, matching the poke-loop's "would the next poke start past
+  *    the budget" test.
+  *
+  * Scale: the rate source emits one integer row per interval in ONE
+  * task; the check runs driver-side in `foreachBatch`. Cost is a few
+  * scheduler ticks per interval — hundreds of parked sensors coexist
+  * with the real work, which is the point of deferring.
+  */
+object DeferredSensor {
+
+  /** Handle to a parked sensor: a completion future plus the underlying
+    * query for inspection/cancellation. */
+  final class Deferred private[DeferredSensor] (
+      val query: StreamingQuery,
+      promise: Promise[Try[Int]]) {
+    /** Completes with the sensor outcome; never throws itself. */
+    def result: Future[Try[Int]] = promise.future
+    /** Block for the outcome — the fan-in join point. */
+    def await(atMost: Duration = Duration.Inf): Try[Int] =
+      Await.result(promise.future, atMost)
+    /** Park cancelled before completion → failed like a killed task. */
+    def cancel(): Unit = {
+      promise.trySuccess(Failure(PipelineFailure("sensor cancelled")))
+      query.stop()
+    }
+  }
+
+  /** Start the sensor and return immediately. `timeout` is the overall
+    * sensor budget (the HttpSensor `timeout=3600` contract), `clock` is
+    * injectable for tests of the deadline arithmetic. */
+  def start(
+      spark: SparkSession,
+      pokeInterval: FiniteDuration,
+      timeout: FiniteDuration,
+      clock: () => Long = () => System.nanoTime())(
+      check: () => PollStatus): Deferred = {
+    val deadline = clock() + timeout.toNanos
+    val pokes = new AtomicInteger(0)
+    val promise = Promise[Try[Int]]()
+    // one row per trigger is plenty — the stream is a metronome, the
+    // payload is never read
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    val query = ticks.writeStream
+      .trigger(Trigger.ProcessingTime(pokeInterval.toMillis))
+      .outputMode("append")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!promise.isCompleted) {
+          if (clock() >= deadline) {
+            promise.trySuccess(
+              Failure(PipelineFailure(s"sensor timed out after $timeout")))
+            ()
+          } else Try(check()) match {
+            case Success(Done) =>
+              promise.trySuccess(Success(pokes.incrementAndGet())); ()
+            case Success(FailedPoll(reason)) =>
+              promise.trySuccess(
+                Failure(PipelineFailure(s"external job failed: $reason"))); ()
+            case Success(StillRunning) =>
+              pokes.incrementAndGet(); ()
+            case Failure(e) =>
+              promise.trySuccess(Failure(e)); ()
+          }
+        }
+      }
+      .start()
+    // stopping a query from inside its own foreachBatch deadlocks (stop
+    // joins the in-flight batch) — a watcher thread does the stop once
+    // the outcome lands
+    val watcher = new Thread(() => {
+      try Await.ready(promise.future, Duration.Inf)
+      catch { case _: InterruptedException => () }
+      try query.stop() catch { case _: Throwable => () }
+    }, s"graft-deferred-sensor-stop-${query.id}")
+    watcher.setDaemon(true)
+    watcher.start()
+    // a query death (source failure, cluster issue) must fail the sensor
+    // rather than leave the future pending forever
+    val failWatcher = new Thread(() => {
+      try { query.awaitTermination();
+        promise.trySuccess(Failure(PipelineFailure("sensor query terminated before outcome"))); () }
+      catch { case e: Throwable => promise.trySuccess(Failure(e)); () }
+    }, s"graft-deferred-sensor-watch-${query.id}")
+    failWatcher.setDaemon(true)
+    failWatcher.start()
+    new Deferred(query, promise)
+  }
+}

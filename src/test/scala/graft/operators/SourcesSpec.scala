@@ -91,4 +91,57 @@ class SourcesSpec extends SparkTestBase {
     assert(df.collect().toSeq == expected)
   }
 
+  test("avro round-trip preserves values and types exactly") {
+    val docs = Tables(spark, sf0001).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = Sources.readAvro(spark, Sources.ensureAvro(spark, sf0001))
+    assert(back.schema == docs.schema, s"schema drift: ${back.schema}")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("avro explicit reader schema: name-based evolution, not positional") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_evo").toString
+    // writer schema has an EXTRA field (score) and LACKS n_chars —
+    // the two evolution directions a long-lived feed exercises
+    Seq((1L, "hello", "en", "s0", 0.9), (2L, "welt", "de", "s1", 0.1))
+      .toDF("doc_id", "text", "lang", "source", "score")
+      .write.mode("overwrite").format(Sources.AvroFormat).save(dir)
+    val back = Sources.readAvro(spark, dir)
+    // extra writer field projected away; missing reader field is null
+    assert(back.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = back.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(4)), "missing writer field must read as null")
+    assert(rows.map(_.getString(1)).toSeq == Seq("hello", "welt"))
+  }
+
+  test("avro quarantine: key-less records split out, never poison the clean side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_q").toString
+    Seq((Some(1L), "ok", "en", "s0", Some(2L)),
+        (None, "no key", "en", "s0", Some(6L)),
+        (Some(3L), "also ok", "de", "s1", Some(7L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").format(Sources.AvroFormat).save(dir)
+    val clean = Sources.cleanAvro(spark, dir).orderBy("doc_id").collect()
+    val bad = Sources.quarantineAvro(spark, dir).collect()
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(bad.length == 1 && bad.head.getString(1) == "no key")
+  }
+
+  test("q222 avro source equals the same aggregate over the original parquet") {
+    val df = Sources.q222.fn(spark, sf0001)
+    val expected = Tables(spark, sf0001).documents
+      .filter(col("doc_id").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+      .collect().toSeq
+    assert(df.collect().toSeq == expected)
+  }
+
 }

@@ -62,6 +62,43 @@ class PipelineSpec extends AnyFunSuite {
       v => s"ok $v", e => s"err ${e.getMessage}") == "err x")
   }
 
+  test("fanIn trigger rules fire correctly on mixed upstream vectors (N=3)") {
+    import TriggerRule._
+    val boom = new RuntimeException("boom")
+    val allOk: Seq[scala.util.Try[Int]] = Seq(Success(1), Success(2), Success(3))
+    val mixed: Seq[scala.util.Try[Int]] = Seq(Success(1), Failure(boom), Success(3))
+    val allBad: Seq[scala.util.Try[Int]] = Seq(Failure(boom), Failure(boom))
+    def fired(up: Seq[scala.util.Try[Int]]): Seq[String] =
+      fanIn(up)(
+        ("publish", AllSuccess, (_: Seq[scala.util.Try[Int]]) => "p"),
+        ("alert", OneFailed, (_: Seq[scala.util.Try[Int]]) => "a"),
+        ("page", AllFailed, (_: Seq[scala.util.Try[Int]]) => "g"),
+        ("partial", OneSuccess, (_: Seq[scala.util.Try[Int]]) => "s"),
+        ("cleanup", AllDone, (_: Seq[scala.util.Try[Int]]) => "c")
+      ).map(_._1)
+    assert(fired(allOk) == Seq("publish", "partial", "cleanup"))
+    assert(fired(mixed) == Seq("alert", "partial", "cleanup"))
+    assert(fired(allBad) == Seq("alert", "page", "cleanup"))
+  }
+
+  test("fanIn branches receive the upstream outcomes; non-firing branches never run") {
+    import TriggerRule._
+    val up: Seq[scala.util.Try[Int]] = Seq(Success(10), Success(20))
+    val out = fanIn(up)(
+      ("sum", AllSuccess, (u: Seq[scala.util.Try[Int]]) => u.map(_.get).sum),
+      ("alert", OneFailed, (_: Seq[scala.util.Try[Int]]) =>
+        fail("one_failed must not fire on all-success")))
+    assert(out == Seq("sum" -> 30))
+  }
+
+  test("fanIn rule quantifier edge cases: empty upstream, N=1") {
+    import TriggerRule._
+    assert(AllSuccess.fires(Nil) && AllFailed.fires(Nil) && AllDone.fires(Nil))
+    assert(!OneSuccess.fires(Nil) && !OneFailed.fires(Nil))
+    val one: Seq[scala.util.Try[Int]] = Seq(Failure(new RuntimeException("x")))
+    assert(OneFailed.fires(one) && AllFailed.fires(one) && !AllSuccess.fires(one))
+  }
+
   test("Connections registry resolves ids, fails on unknown") {
     val conns = Connections(
       "github_api" -> Map("endpoint" -> "https://api.example.com", "token" -> "t"))
