@@ -4090,10 +4090,106 @@ object Analytic extends QueryPack {
     GROUP BY c.g
     ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q223
+  /** Two-sample Kolmogorov–Smirnov drift: per event type, the KS
+    * statistic `D = max_v |F_type(v) − F_corpus(v)|` of the value
+    * distribution against the whole corpus, in EXACT integer ppm — the
+    * third member of the distribution-drift family (q122 value-PSI,
+    * q212 bigram-TVD): PSI needs bins chosen up front, TVD compares
+    * categorical mass, KS is the binless lens on a numeric column — one
+    * number, sensitive anywhere along the CDF, the classic "did this
+    * feed's distribution move" screen.
+    *
+    * Exactness: both CDFs are step functions jumping only at observed
+    * cent values, so the max over ALL v is the max over the corpus's
+    * distinct cents; at each the comparison is the pure integer
+    * `|cum_g·N − cum_all·n_g|` (cross-multiplied — no per-point
+    * division), widened through DECIMAL(38,0) (rule 11: at 10¹² events
+    * cum·N reaches ~10²⁴), and only the final ppm is one integral
+    * divide. Ties on D break to the SMALLEST cent value (min-struct).
+    *
+    * Shape: one map-side-combinable (type, cent) count aggregate (cut —
+    * feeds the grid, the type totals and the value frame), a
+    * types × distinct-cents grid (≤ |types|·|cent domain| — the 2-dp
+    * money domain is bounded; an unbounded-domain feed would bin
+    * through q193's log pages first and pay ≤ 6.25% bin width), per-TYPE
+    * cumsum windows (never a global window: the corpus CDF is recovered
+    * as Σ_g cum_g per value — one grid re-aggregate — instead of a
+    * single-partition cumsum over the value frame), then a per-type
+    * max-struct. */
+  val q223 = QueryDef(
+    "q223_ks_drift",
+    (spark, dir) => {
+      val cents = Materialize.cut(
+        Tables(spark, dir).events
+          .select(col("event_type").as("g"),
+            round(col("value") * 100).cast(LongType).as("v"))
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+      val types = cents.select(col("g")).distinct()
+      val vals = cents.select(col("v")).distinct()
+      val grid = types.crossJoin(vals)
+        .join(cents, Seq("g", "v"), "left")
+        .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      val wg = Window.partitionBy(col("g")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = Materialize.cut(
+        grid.withColumn("cum", sum(col("c")).over(wg)))
+      val cumAll = cum.groupBy(col("v")).agg(sum(col("cum")).as("cum_all"))
+      val totals = cents.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+      val nAll = cents.agg(sum(col("c")).as("n_all"))
+      cum.join(cumAll, "v").join(totals, "g")
+        .crossJoin(broadcast(nAll))
+        .withColumn("diff",
+          abs(col("cum").cast(DecimalType(38, 0)) * col("n_all")
+            - col("cum_all").cast(DecimalType(38, 0)) * col("n_g")))
+        .groupBy(col("g"))
+        .agg(max(col("n_g")).as("n_events"),
+          max(struct(col("diff"), (-col("v")).as("nv"))).as("best"),
+          max(col("n_all")).as("na"))
+        .select(col("g").as("event_type"), col("n_events"),
+          expr("""CAST(best.diff * 1000000
+            div (CAST(n_events AS DECIMAL(38,0)) * na) AS BIGINT)""")
+            .as("d_ppm"),
+          (-col("best.nv")).as("d_at_cents"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some("""WITH cents AS (
+      SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v,
+        COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT t.g, x.v, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT g FROM cents) t
+      CROSS JOIN (SELECT DISTINCT v FROM cents) x
+      LEFT JOIN cents c ON c.g = t.g AND c.v = x.v),
+    cum AS (
+      SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v ASC
+        ROWS UNBOUNDED PRECEDING) AS cum
+      FROM grid),
+    cum_all AS (SELECT v, SUM(cum) AS cum_all FROM cum GROUP BY 1),
+    totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cents GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cents),
+    diffs AS (
+      SELECT cum.g, cum.v,
+        ABS(CAST(cum.cum AS HUGEINT) * n.n_all
+          - CAST(a.cum_all AS HUGEINT) * t.n_g) AS diff,
+        t.n_g, n.n_all
+      FROM cum JOIN cum_all a USING (v) JOIN totals t USING (g) CROSS JOIN n),
+    best AS (
+      SELECT g, MAX(n_g) AS n_events,
+        MAX({'diff': diff, 'nv': -v}) AS best,
+        MAX(n_all) AS na
+      FROM diffs GROUP BY 1)
+    SELECT g AS event_type, n_events,
+      CAST(best.diff * 1000000 // (CAST(n_events AS HUGEINT) * na) AS BIGINT) AS d_ppm,
+      -best.nv AS d_at_cents
+    FROM best
+    ORDER BY event_type ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
       q190, q191, q193, q197, q198, q199, q202, q203, q206, q207, q208,
-      q215, q216, q219)
+      q215, q216, q219, q223)
 }

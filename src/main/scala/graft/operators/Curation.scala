@@ -1244,7 +1244,82 @@ object Curation extends QueryPack {
     FROM k
     ORDER BY source ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q225
+  /** Per-source Pareto frontier (2-D skyline): the documents for which no
+    * same-source document has BOTH fewer-or-equal tokens AND
+    * greater-or-equal repetition-quality, strict in one — the
+    * multi-objective pick list of a token-budget-constrained curation
+    * pass (maximize distinct-bigram quality, minimize token cost), where
+    * any single blended score (q61's thresholds, q71's rank cut) must
+    * pick a weighting first. Quality = distinct-bigram ratio in exact
+    * integer ppm from the q67 ArrayStats pass (higher = less
+    * repetitive).
+    *
+    * Skyline without pair generation: sort each source by token count —
+    * a point is on the frontier iff its quality strictly beats the best
+    * quality among strictly-fewer-token docs (a RANGE frame: max over
+    * `RANGE UNBOUNDED PRECEDING .. 1 PRECEDING` on the token axis) and
+    * ties the best at its own token count — two source-keyed windows,
+    * O(n log n), never the O(n²) dominance join. Equal (tokens, quality)
+    * duplicates are all kept (equal vectors don't dominate).
+    *
+    * Scale: stats are map-only native expressions; the only shuffle is
+    * the source-keyed window sort. Determinism: pure integer predicates,
+    * ppm via integral div, total output order. */
+  val q225 = QueryDef(
+    "q225_pareto_frontier",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val toks = split(col("text"), " ")
+      val st = call_function("graft_array_stats",
+        call_function("graft_bigram_hashes", toks).getField("hb"))
+      val base = Tables(spark, dir).documents
+        .filter(size(toks) >= 2)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          st.getField("n").as("nb"), st.getField("n_distinct").as("nd"))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr("CAST(nd * 1000000 div nb AS BIGINT)").as("q_ppm"))
+      val wPrev = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").asc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy(col("source"), col("n_tokens"))
+      base
+        .withColumn("m_prev", max(col("q_ppm")).over(wPrev))
+        .withColumn("m_same", max(col("q_ppm")).over(wSame))
+        .filter((col("m_prev").isNull || col("q_ppm") > col("m_prev")) &&
+          col("q_ppm") === col("m_same"))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("q_ppm"))
+        .orderBy(col("source").asc_nulls_first, col("n_tokens").asc_nulls_first,
+          col("doc_id").asc_nulls_first)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+    grp AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b, COUNT(*) AS c
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+      GROUP BY 1, 2),
+    st AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, COUNT(*) AS nd
+      FROM grp GROUP BY 1),
+    base AS (
+      SELECT t.source, t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        CAST(s.nd * 1000000 // s.nb AS BIGINT) AS q_ppm
+      FROM tok t JOIN st s USING (doc_id)),
+    m AS (
+      SELECT source, doc_id, n_tokens, q_ppm,
+        MAX(q_ppm) OVER (PARTITION BY source ORDER BY n_tokens
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_prev,
+        MAX(q_ppm) OVER (PARTITION BY source, n_tokens) AS m_same
+      FROM base)
+    SELECT source, doc_id, n_tokens, q_ppm
+    FROM m
+    WHERE (m_prev IS NULL OR q_ppm > m_prev) AND q_ppm = m_same
+    ORDER BY source ASC NULLS FIRST, n_tokens ASC NULLS FIRST,
+      doc_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194, q220)
+      q173, q174, q185, q188, q194, q220, q225)
 }

@@ -522,6 +522,127 @@ object TextOps extends QueryPack {
     FROM r
     ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q224
+  /** Gate-vs-score operating characteristic — the threshold-SWEEP table
+    * read before committing to q71's one fixed rank cut: for every
+    * observed LM-score bin edge b, "keep docs scoring ≥ b" evaluated
+    * against the stateless curation gates (q61 quality ∧ q67 repetition,
+    * the SHARED verdict expressions via [[Curation.gateVerdicts]], so the
+    * sweep can never drift from what the gates mean by keep):
+    * precision (gate-keepers among the retained), recall (retained among
+    * all gate-keepers) and F1, each in exact integer ppm — the
+    * PR-vs-threshold curve that turns "where should the score cut sit"
+    * from a guess into a table. Complements q220 (agreement BETWEEN two
+    * gates) with agreement between a continuous score and the gate
+    * composite.
+    *
+    * Determinism: bins are value-based (a twentieth of an ln unit:
+    * floor(mean_lp/50000) — FLOOR, not integer div: mean scores are
+    * negative; the lp range is corpus-statistics-bounded, so the bin
+    * frame stays ≤ a few hundred rows at any corpus size), counts exact,
+    * every ratio a DECIMAL-routed integral ppm with zero-denominator
+    * guards (rule 10). Scale: per-doc scores from q65's sharded LM
+    * pipeline, verdicts map-only native expressions; the sweep itself is
+    * two cumulative windows over the bounded bin frame — a
+    * dimension-frame global window (PlanSpec-whitelisted like q78/q138),
+    * never row data. */
+  val q224 = QueryDef(
+    "q224_gate_pr_sweep",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val scored = q65.fn(spark, dir)
+        .withColumn("mean_lp_micro",
+          floor(col("sum_lp_micro") * 1.0 / col("n_bigrams")).cast(LongType))
+        .select(col("doc_id"), col("mean_lp_micro"))
+      val verdicts = Curation.gateVerdicts(Tables(spark, dir).documents)
+        .select(col("doc_id"), (col("q_keep") && col("rep_keep")).as("keep"))
+      val bins = scored.join(verdicts, "doc_id")
+        .select(floor(col("mean_lp_micro") * 1.0 / 50000).cast(LongType)
+          .as("bin"), col("keep"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("pos_b"))
+      val desc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      bins
+        .withColumn("n_ge", sum(col("n_b")).over(desc))
+        .withColumn("tp", sum(col("pos_b")).over(desc))
+        .withColumn("n_pos", sum(col("pos_b")).over(all))
+        .select(
+          (col("bin") * 50000).as("threshold_micro"),
+          col("n_ge"), col("tp"), col("n_pos"),
+          expr("""CAST(CAST(tp AS DECIMAL(38,0)) * 1000000
+            div n_ge AS BIGINT)""").as("precision_ppm"),
+          expr("""CASE WHEN n_pos = 0 THEN NULL ELSE
+            CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div n_pos AS BIGINT)
+            END""").as("recall_ppm"),
+          expr("""CAST(CAST(tp AS DECIMAL(38,0)) * 2000000
+            div (n_ge + n_pos) AS BIGINT)""").as("f1_ppm"))
+        .orderBy(col("threshold_micro").desc_nulls_last)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tk) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)),
+    lp AS (
+      SELECT bi.doc_id,
+        CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp_micro
+      FROM bi
+      JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+      JOIN c1 ON bi.w1 = c1.w1
+      CROSS JOIN v),
+    per AS (
+      SELECT doc_id,
+        CAST(FLOOR(SUM(lp_micro) * 1.0 / COUNT(*)) AS BIGINT) AS mean_lp_micro
+      FROM lp GROUP BY doc_id),
+    x AS (
+      SELECT doc_id,
+        len(ts) AS n,
+        len(list_distinct(ts)) * 1.0 / len(ts) AS ttr,
+        len(list_filter(ts, t -> t IN ('the','a','of','and','to')))
+          * 1.0 / len(ts) AS sr
+      FROM tok),
+    grp AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b, COUNT(*) AS c
+      FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+        ((SUM(c) - COUNT(*)) * 5 <= SUM(c) AND MAX(c) * 10 <= SUM(c))
+          AS rep_keep
+      FROM grp GROUP BY doc_id),
+    keepers AS (
+      SELECT p.doc_id, p.mean_lp_micro,
+        ((x.n >= 20 AND x.ttr >= 0.35 AND x.sr >= 0.02)
+          AND COALESCE(r.rep_keep, TRUE)) AS keep
+      FROM per p JOIN x USING (doc_id) LEFT JOIN rep r USING (doc_id)),
+    bins AS (
+      SELECT CAST(FLOOR(mean_lp_micro * 1.0 / 50000) AS BIGINT) AS bin,
+        COUNT(*) AS n_b,
+        SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS pos_b
+      FROM keepers GROUP BY 1),
+    sweep AS (
+      SELECT bin,
+        CAST(SUM(n_b) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ge,
+        CAST(SUM(pos_b) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        CAST(SUM(pos_b) OVER () AS BIGINT) AS n_pos
+      FROM bins)
+    SELECT bin * 50000 AS threshold_micro, n_ge, tp, n_pos,
+      CAST(CAST(tp AS HUGEINT) * 1000000 // n_ge AS BIGINT) AS precision_ppm,
+      CASE WHEN n_pos = 0 THEN NULL ELSE
+        CAST(CAST(tp AS HUGEINT) * 1000000 // n_pos AS BIGINT) END AS recall_ppm,
+      CAST(CAST(tp AS HUGEINT) * 2000000 // (n_ge + n_pos) AS BIGINT) AS f1_ppm
+    FROM sweep
+    ORDER BY threshold_micro DESC NULLS LAST"""))
+
   // ---------------------------------------------------------------- q76
   /** The PII regexes and the redaction Column — shared by q76, its spec,
     * and any write path that must scrub before persisting. Patterns are
@@ -1311,5 +1432,5 @@ object TextOps extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165, q186, q211, q212, q221)
+      q104, q118, q161, q165, q186, q211, q212, q221, q224)
 }

@@ -1988,3 +1988,54 @@ class DigitCellProcessor
     Iterator.single(DigitGauge(key._1, key._2, n))
   }
 }
+
+/** One event routed to its (type, cents) CDF cell. */
+case class CentCell(eventType: String, cents: Long)
+
+/** One cent-count emission per touched cell per micro-batch. */
+case class CentGauge(eventType: String, cents: Long, n: Long)
+
+/** Streaming KS gauge — the live twin of batch q223's two-sample
+  * Kolmogorov–Smirnov drift screen: every event increments its
+  * (type, cents) cell in `transformWithState`; state is one exact long
+  * per cell, ≤ |types|·|cent domain| cells forever (the 2-dp money
+  * domain is bounded — an unbounded-domain feed would route cents
+  * through q193's log bins first, exactly as batch q223 documents).
+  * Counts are a pure sum, so the end-of-stream cell table equals the
+  * (type, cent) count frame q223's cross-multiplied CDF math consumes
+  * (spec-asserted across a micro-batch boundary) — the reader replays
+  * the same integer KS fold off the live cells for the drift alarm. */
+object StreamKs {
+
+  /** (type, cents) rows — narrow ops only; static or streaming. Cents
+    * by the q223 rule: round(value·100) as long. */
+  def cells(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("eventType"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  /** The stateful per-cell counter over [[cells]] rows. */
+  def gauge(rows: DataFrame): Dataset[CentGauge] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("eventType"), col("cents")).as[CentCell]
+      .groupByKey(r => (r.eventType, r.cents))
+      .transformWithState(new CentCellProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** The per-cell counter machine behind [[StreamKs]]. */
+class CentCellProcessor
+    extends StatefulProcessor[(String, Long), CentCell, CentGauge] {
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, Long), rows: Iterator[CentCell],
+      timerValues: TimerValues): Iterator[CentGauge] = {
+    val n = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(n)
+    Iterator.single(CentGauge(key._1, key._2, n))
+  }
+}

@@ -278,7 +278,12 @@ class PlanSpec extends SparkTestBase {
       "q215_benford",
       // q221's token/bigram totals are ONE row broadcast into the
       // surviving collocation pairs — q162's tiny-stats pattern.
-      "q221_collocations")
+      "q221_collocations",
+      // q223's CDF grid is a deliberate |event types| × |distinct cents|
+      // dimension cross join (q184's class — both sides post-aggregate
+      // frames, never row data), and its corpus total is ONE row
+      // broadcast into the grid — q104's tiny-stats pattern.
+      "q223_ks_drift")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -319,7 +324,11 @@ class PlanSpec extends SparkTestBase {
       "q194_temperature_mix",
       // q195's seed-rank row_number runs over the 16-row codebook frame;
       // q204/q205 reuse the same 16-row seed ranking (pqSeeds).
-      "q195_pq_codes", "q204_kmeans_round", "q205_pq_adc")
+      "q195_pq_codes", "q204_kmeans_round", "q205_pq_adc",
+      // q224's threshold sweep cumsums run over the LM-score bin frame
+      // (one bin per 0.05 ln unit, range corpus-statistics-bounded) —
+      // dimension-sized, same argument.
+      "q224_gate_pr_sweep")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -482,9 +491,10 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("FileScan"),
         s"$n: the co-purchase edge view lost its cut — basket expansion replays:\n$p")
     }
-    // q175's four interior cuts (pairs/items/x-attach/y-attach) must
-    // keep the executed plan scan-free: a FileScan here means a fact
-    // table replays into the rule join per read
+    // q175's two interior cuts (pairs/items) must keep the executed
+    // plan scan-free: a FileScan here means a fact table replays into
+    // the rule join per read (the x/y attach frames are deliberately
+    // uncut — they recompute from the checkpoints, never from a scan)
     val p175 = graft.operators.RelationalExt.q175
       .fn(spark, sf0001).queryExecution.executedPlan.toString
     assert(!p175.contains("FileScan"),

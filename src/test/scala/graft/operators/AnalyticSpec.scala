@@ -1630,4 +1630,53 @@ class AnalyticSpec extends SparkTestBase {
       assert(rho.abs <= 1.0, s"group $g: rho $rho outside [-1, 1]")
     }
   }
+
+  test("q223 KS drift equals a driver replay; D in [0, 1e6]; argmax ties to smallest cent") {
+    val evs = Tables(spark, sf0001).events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = evs.map(_._2)
+    val vals = all.distinct.sorted
+    val nAll = all.length.toLong
+    def cdfCounts(xs: Seq[Long]): Map[Long, Long] = {
+      // count of xs ≤ v for each grid value v
+      val cnt = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      var below = 0L
+      vals.map { v => below += cnt.getOrElse(v, 0L); v -> below }.toMap
+    }
+    val fAll = cdfCounts(all)
+    val expected = evs.groupBy(_._1).toSeq.map { case (tpe, es) =>
+      val xs = es.map(_._2)
+      val nG = xs.length.toLong
+      val fG = cdfCounts(xs)
+      val best = vals.map { v =>
+        ((BigInt(fG(v)) * nAll - BigInt(fAll(v)) * nG).abs, v)
+      }.maxBy { case (d, v) => (d, -v) }
+      (tpe, nG, (best._1 * 1000000 / (BigInt(nG) * nAll)).toLong, best._2)
+    }.sortBy(_._1)
+    val got = Analytic.q223.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.foreach { case (t, _, d, _) =>
+      assert(d >= 0 && d <= 1000000, s"$t: D $d outside [0, 1e6] ppm") }
+  }
+
+  test("q223 KS: a type identical to the corpus scores 0; a disjoint one scores near 1e6") {
+    // property on the same integer math the query uses, via a replay of
+    // the cross-multiplied comparison on a hand distribution
+    def ks(a: Seq[Long], b: Seq[Long]): Long = {
+      val vals = (a ++ b).distinct.sorted
+      def cum(xs: Seq[Long]) = {
+        val c = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        var s = 0L; vals.map { v => s += c.getOrElse(v, 0L); v -> s }.toMap
+      }
+      val (ca, cb) = (cum(a), cum(b))
+      vals.map(v => (BigInt(ca(v)) * b.length - BigInt(cb(v)) * a.length).abs)
+        .max.toLong * 1000000L / (a.length.toLong * b.length)
+    }
+    val base = Seq(1L, 2L, 3L, 4L, 5L)
+    assert(ks(base, base) == 0L)
+    assert(ks(Seq(1L, 2L), Seq(100L, 200L)) == 1000000L)
+  }
 }

@@ -512,4 +512,40 @@ class CurationSpec extends SparkTestBase {
       k.foreach(v0 => assert(v0.abs <= 1000000L, s"$src: kappa $v0 out of range"))
     }
   }
+
+  test("q225 Pareto frontier equals the naive O(n^2) dominance filter") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = split(col("text"), " ")
+    val st = call_function("graft_array_stats",
+      call_function("graft_bigram_hashes", toks).getField("hb"))
+    val base = graft.Tables(spark, sf0001).documents
+      .filter(size(toks) >= 2)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        st.getField("n").as("nb"), st.getField("n_distinct").as("nd"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr("CAST(nd * 1000000 div nb AS BIGINT)").as("q_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = base.filter { case (src, _, t, q) =>
+      !base.exists { case (s2, _, t2, q2) =>
+        s2 == src && t2 <= t && q2 >= q && (t2 < t || q2 > q)
+      }
+    }.sortBy(x => (x._1, x._3, x._2)).map(x => (x._1, x._2, x._3, x._4)).toSeq
+    val got = Curation.q225.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "frontier cannot be empty on a non-empty corpus")
+    // within a source the frontier is strictly improving: across its
+    // distinct token counts (ascending), quality strictly ascends — a
+    // later point costs more tokens, so it must strictly win on quality
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byTok = rows.map(r => (r._3, r._4)).distinct.sortBy(_._1)
+      byTok.sliding(2).foreach {
+        case Seq((t1, q1), (t2, q2)) =>
+          assert(t1 < t2 && q1 < q2,
+            s"$src: frontier not strictly improving at ($t1,$q1)->($t2,$q2)")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -379,4 +379,38 @@ class TextOpsSpec extends SparkTestBase {
     // lift must discriminate: the top pair beats independence (1e6)
     assert(got.head._4 > 1000000L, s"top collocation at or below chance: ${got.head}")
   }
+
+  test("q224 PR sweep equals a driver replay; conservation invariants hold") {
+    import org.apache.spark.sql.functions._
+    // per-doc (bin, keep) exactly as the query builds them
+    val scored = TextOps.q65.fn(spark, sf0001)
+      .withColumn("mean_lp_micro",
+        floor(col("sum_lp_micro") * 1.0 / col("n_bigrams")).cast("long"))
+      .select(col("doc_id"), col("mean_lp_micro"))
+    val verdicts = Curation.gateVerdicts(graft.Tables(spark, sf0001).documents)
+      .select(col("doc_id"), (col("q_keep") && col("rep_keep")).as("keep"))
+    val rows = scored.join(verdicts, "doc_id")
+      .select(floor(col("mean_lp_micro") * 1.0 / 50000).cast("long"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val nPos = rows.count(_._2).toLong
+    val expected = rows.map(_._1).distinct.sorted(Ordering[Long].reverse).map { b =>
+      val ge = rows.filter(_._1 >= b)
+      val (nGe, tp) = (ge.length.toLong, ge.count(_._2).toLong)
+      (b * 50000, nGe, tp, nPos,
+        tp * 1000000L / nGe,
+        if (nPos == 0) None else Some(tp * 1000000L / nPos),
+        tp * 2000000L / (nGe + nPos))
+    }
+    val got = TextOps.q224.fn(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6))).toSeq
+    assert(got == expected.toSeq)
+    // conservation: the loosest threshold retains everything and all keepers
+    val last = got.last
+    assert(last._2 == rows.length.toLong && last._3 == nPos)
+    // recall is non-increasing as the threshold tightens (scan in output
+    // order: thresholds descend... tighten = first rows)
+    val recalls = got.flatMap(_._6)
+    assert(recalls == recalls.sorted, "recall must grow as the threshold loosens")
+  }
 }

@@ -1402,4 +1402,61 @@ class StreamOpsSpec extends SparkTestBase {
     // cell state is structurally bounded: <= 9 digits per type
     finals.keys.groupBy(_._1).values.foreach(g => assert(g.size <= 9))
   }
+
+  test("StreamKs cell grid equals the (type, cent) frame q223's KS math consumes, across a micro-batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val in = MemoryStream[(String, Double)](
+      newProductEncoder[(String, Double)], s2.sqlContext)
+    val q = StreamKs.gauge(
+        StreamKs.cells(in.toDF().toDF("event_type", "value")))
+      .writeStream.outputMode("append").format("memory").queryName("ksg")
+      .start()
+    in.addData(evs.take(evs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = s2.table("ksg").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val finals = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val batch = evs.map { case (t, v) => (t, cents(v)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(finals == batch, "stream/batch cent-grid divergence")
+    // replaying q223's integer KS fold off the LIVE cells reproduces the
+    // batch query's D exactly — the gauge carries the full drift signal
+    val vals = batch.keys.map(_._2).toSeq.distinct.sorted
+    val types = batch.keys.map(_._1).toSeq.distinct
+    val nAll = batch.values.sum
+    def cum(t: Option[String]): Map[Long, Long] = {
+      var s = 0L
+      vals.map { v =>
+        s += batch.filter { case ((tt, vv), _) =>
+          vv == v && t.forall(_ == tt) }.values.sum
+        v -> s
+      }.toMap
+    }
+    val fAll = cum(None)
+    val live = types.map { t =>
+      val fG = cum(Some(t))
+      val nG = batch.filter(_._1._1 == t).values.sum
+      val best = vals.map { v =>
+        ((BigInt(fG(v)) * nAll - BigInt(fAll(v)) * nG).abs, v)
+      }.maxBy { case (d, v) => (d, -v) }
+      (t, nG, (best._1 * 1000000 / (BigInt(nG) * nAll)).toLong, best._2)
+    }.sortBy(_._1)
+    val got = graft.operators.Analytic.q223.fn(s2, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(live == got, s"live KS fold diverges from batch q223")
+  }
 }

@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""One-time full re-baseline (round 15): regenerate
+src/main/resources/graft/baseline_queries.tsv from the per-query MEDIAN
+across the session's full-suite bench runs of the final round-15 code.
+
+Usage: python3 tools/rebaseline.py run*.json
+
+Each input is a bench_full.json (the Bench main's JSON line). A query's
+baseline is the median of its samples across the runs that contain it
+(queries added mid-session appear in fewer runs); every query needs >= 3
+samples and every sample must be non-negative. Writes the tsv in sorted
+query order with a provenance header.
+"""
+import json
+import statistics
+import sys
+
+TSV = "src/main/resources/graft/baseline_queries.tsv"
+
+def main(paths):
+    assert len(paths) >= 3, "pass at least three bench_full.json files"
+    runs = [json.load(open(p))["queries"] for p in paths]
+    names = sorted(set().union(*[set(r) for r in runs]))
+    rows = []
+    for n in names:
+        xs = [r[n] for r in runs if n in r]
+        assert len(xs) >= 3, f"{n}: only {len(xs)} samples"
+        assert all(x >= 0 for x in xs), f"{n} failed in a baseline run: {xs}"
+        rows.append((n, statistics.median(xs)))
+    with open(TSV, "w") as f:
+        f.write(
+            "# Per-query quiet-run baseline seconds (sf0.1, local[32], min-of-2) —\n"
+            "# the machine-readable mirror of BASELINE.md's table, loaded by\n"
+            "# graft.Bench to emit its \"over_budget\" self-check (>2x per query).\n"
+            "# RE-ANCHORED 2026-08-16 (round 15): full-table re-record as the\n"
+            "# per-query MEDIAN across four same-day full-suite runs of the final\n"
+            "# round-15 code (tools/rebaseline.py; BASELINE.md round-15 note has\n"
+            "# the run provenance). The table is now FROZEN: no per-query upward\n"
+            "# re-records — a budget breach is a regression to fix, not a row to\n"
+            "# bump.\n")
+        for n, m in rows:
+            f.write(f"{n}\t{m:.2f}\n")
+    print(f"wrote {len(rows)} baselines to {TSV}")
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
