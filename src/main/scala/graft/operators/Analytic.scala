@@ -4117,14 +4117,14 @@ object Analytic extends QueryPack {
     * as Σ_g cum_g per value — one grid re-aggregate — instead of a
     * single-partition cumsum over the value frame), then a per-type
     * max-struct. */
-  val q223 = QueryDef(
-    "q223_ks_drift",
-    (spark, dir) => {
-      val cents = Materialize.cut(
-        Tables(spark, dir).events
-          .select(col("event_type").as("g"),
-            round(col("value") * 100).cast(LongType).as("v"))
-          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+  /** The KS finishing stage over a (g, v, c) cent-count frame — shared
+    * by q223 (counts from the live feed) and q226 (counts maintained
+    * from stored per-day pages), the q201/q213 one-definition
+    * convention: grid → per-type cumsums → cross-multiplied integer
+    * max → ppm. Cuts the input (it feeds the grid, both dimension
+    * frames, the totals and the grand total). */
+  private[graft] def ksFinish(cents0: DataFrame): DataFrame = {
+      val cents = Materialize.cut(cents0)
       val types = cents.select(col("g")).distinct()
       val vals = cents.select(col("v")).distinct()
       val grid = types.crossJoin(vals)
@@ -4152,7 +4152,15 @@ object Analytic extends QueryPack {
             .as("d_ppm"),
           (-col("best.nv")).as("d_at_cents"))
         .orderBy(col("event_type").asc_nulls_first)
-    },
+  }
+
+  val q223 = QueryDef(
+    "q223_ks_drift",
+    (spark, dir) => ksFinish(
+      Tables(spark, dir).events
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))),
     Some("""WITH cents AS (
       SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v,
         COUNT(*) AS c

@@ -866,6 +866,56 @@ object Partitioned extends QueryPack {
     FROM picked
     ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q226
+  /** Per-day cent-count pages over the events landing — the exact
+    * (type, cent) distribution state behind q223's KS fold (and the
+    * batch image of `StreamKs`'s cells), per partition day. Counts
+    * sum-merge trivially, so pages are strictly re-aggregatable state;
+    * page volume is ≤ |types|·|cent domain| rows per day (the 2-dp
+    * money domain is bounded — unbounded feeds would store q193 bin
+    * pages instead, same trade as batch q223 documents). */
+  private[graft] def centDayPages(e: DataFrame): DataFrame =
+    e.select(col("day"), col("event_type").as("g"),
+        round(col("value") * 100).cast(
+          org.apache.spark.sql.types.LongType).as("v"))
+      .groupBy(col("day"), col("g"), col("v")).agg(count(lit(1)).as("c"))
+
+  private[graft] def ensureKsState(spark: SparkSession, dir: String): String =
+    ensureLanded("ks_state", dir) { path =>
+      centDayPages(
+          eventsByDay(spark, dir).filter(col("day") < lit(lastDay(spark, dir))))
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The latest day's cent page, PRE-cut (q181/q210/q213's convention). */
+  private[graft] def ksDeltaPage(spark: SparkSession, dir: String): DataFrame =
+    centDayPages(
+      eventsByDay(spark, dir).filter(col("day") === lit(lastDay(spark, dir))))
+
+  /** Incremental drift maintenance — the DRIFT row of the IVM family
+    * (distinct q181, frequency q210, quantiles q213, checksums q217):
+    * stored per-day (type, cent) count pages are sum-merged with a
+    * delta page from ONLY the latest day's directory (static pruning,
+    * plan-asserted) and walked through q223's shared [[Analytic
+    * .ksFinish]] stage — counts sum-merge, so the maintained KS
+    * statistic equals the full-feed rebuild, which is what the oracle
+    * states. At 100 TB the daily "did any feed's distribution move"
+    * screen refreshes from bounded cent pages plus one day's scan,
+    * never a history rescan — and the SAME pages serve q223's batch
+    * fold and the `StreamKs` live gauge (one state, three readers). */
+  val q226 = QueryDef(
+    "q226_incremental_ks",
+    (spark, dir) => {
+      val state = spark.read.parquet(ensureKsState(spark, dir))
+        .select(col("g"), col("v"), col("c"))
+      val delta = graft.Materialize.cut(ksDeltaPage(spark, dir))
+        .select(col("g"), col("v"), col("c"))
+      Analytic.ksFinish(
+        state.unionByName(delta)
+          .groupBy(col("g"), col("v")).agg(sum(col("c")).as("c")))
+    },
+    Analytic.q223.oracle)
+
   // --------------------------------------------------------------- q217
   /** Canonical per-row serialization of the events feed for
     * reconciliation hashing — q131's contract (integers raw, money as
@@ -933,5 +983,5 @@ object Partitioned extends QueryPack {
     ORDER BY event_type ASC NULLS FIRST"""))
 
   override def queries: Seq[QueryDef] =
-    Seq(q92, q96, q98, q164, q170, q177, q180, q181, q210, q213, q217)
+    Seq(q92, q96, q98, q164, q170, q177, q180, q181, q210, q213, q217, q226)
 }

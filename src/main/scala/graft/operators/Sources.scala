@@ -288,5 +288,72 @@ object Sources extends QueryPack {
     GROUP BY source, lang
     ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q89, q95, q192, q222)
+  /** Idempotently lands the documents table as XML for `dir` — the
+    * legacy-feed sibling of the matrix (enterprise estates still emit
+    * XML exports); one `<doc>` element per row under a `<docs>` root.
+    * Spark 4 service-registers the XML source (`format("xml")`), unlike
+    * Avro. */
+  private[graft] def ensureXml(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"$root/docs_xml_$tag"
+      if (!landed(path)) {
+        Tables(spark, dir).documents
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").option("rowTag", "doc")
+          .option("rootTag", "docs").format("xml").save(path)
+        landed += path
+      }
+      path
+    }
+
+  /** Reads an XML directory with the explicit schema (no inference —
+    * the same full-extra-pass rule as JSONL/CSV), quarantining
+    * malformed elements into `_corrupt_record` instead of failing —
+    * XML's PERMISSIVE contract matches JSONL's line-level one at the
+    * rowTag-element level. */
+  private[graft] def readXml(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(DocSchema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("rowTag", "doc")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      // fidelity over leniency: the XML reader trims element text by
+      // default, which would silently corrupt whitespace-significant
+      // document text on the round trip
+      .option("ignoreSurroundingSpaces", "false")
+      .format("xml").load(path)
+
+  // ---------------------------------------------------------------- q227
+  /** XML round-trip: land documents as `<doc>` elements, read back with
+    * the explicit schema, quarantine malformed elements, aggregate per
+    * lang. Values and types must survive the trip exactly — the oracle
+    * runs the same aggregate on the original parquet. Completes the
+    * landed-feed matrix's fifth cell: JSONL (q89), CSV (q95), ORC
+    * (q192), Avro (q222), XML (here). */
+  val q227 = QueryDef(
+    "q227_xml_source",
+    (spark, dir) => {
+      val docs = readXml(spark, ensureXml(spark, dir))
+        .filter(col("_corrupt_record").isNull)
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      COUNT(DISTINCT source) AS n_sources,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      min(doc_id) AS min_doc,
+      max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q89, q95, q192, q222, q227)
 }

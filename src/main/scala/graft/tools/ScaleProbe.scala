@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|cms|adc|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -167,6 +167,34 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save())
       println(f"SCALE-CMS f=$f rows=$nRows keys=$nKeys counters=$nCounters " +
         f"t_agg=$tAgg%.2f t_build=$tBuild%.2f t_probe=$tProbe%.2f")
+    }
+
+    // ---- two-sample KS fold (q223): the fold's cost is the cent-count
+    // aggregate (linear) plus the types × distinct-cents grid — replica
+    // i shifts values by i cents, growing the DISTINCT-value frame ~f×
+    // with event volume f× (the grid-hostile case), so the interesting
+    // property is wall tracking the grid size, never event volume alone,
+    // and the count aggregate staying the only event-sized stage.
+    if (mode == "ks") factors.foreach { f =>
+      val e0 = graft.Tables(spark, sfDir).events
+        .select(col("event_type"), col("value"))
+      val keyed = (
+        if (f == 1) e0
+        else e0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select(col("event_type"),
+            (col("value") + col("i") * 0.01).as("value"))
+      ).localCheckpoint()
+      val nRows = keyed.count()
+      val cents = keyed.select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      val (pages, tAgg) = timed(graft.Materialize.cut(cents))
+      val nCells = pages.count()
+      val (_, tFold) = timed(
+        graft.operators.Analytic.ksFinish(pages)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-KS f=$f rows=$nRows cells=$nCells " +
+        f"t_agg=$tAgg%.2f t_fold=$tFold%.2f")
     }
 
     // ---- interval-union sweep (q182): the gaps-and-islands sweep must

@@ -570,4 +570,36 @@ object AlgebraProps extends Properties("Algebra") {
       qLo(id) <= v && v < qHi(id) &&
         (id < 64 || (qHi(id) - qLo(id)) * 16 <= qLo(id))
     }
+
+  // --- fan-in trigger-rule laws (Pipeline.TriggerRule) ---
+
+  private val genOutcomes: Gen[List[scala.util.Try[Int]]] =
+    Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(0, 99).map(scala.util.Success(_)),
+      Gen.const(scala.util.Failure[Int](new RuntimeException("x")))))
+
+  property("trigger rules: all_success is exactly not(one_failed)") =
+    forAll(genOutcomes) { up =>
+      import graft.pipeline.Pipeline.TriggerRule._
+      AllSuccess.fires(up) == !OneFailed.fires(up)
+    }
+
+  property("trigger rules: all_failed is exactly not(one_success)") =
+    forAll(genOutcomes) { up =>
+      import graft.pipeline.Pipeline.TriggerRule._
+      AllFailed.fires(up) == !OneSuccess.fires(up)
+    }
+
+  property("trigger rules: all_done always fires; fanIn runs exactly the firing branches in order") =
+    forAll(genOutcomes) { up =>
+      import graft.pipeline.Pipeline.{fanIn, TriggerRule}
+      import TriggerRule._
+      val rules = List("s" -> AllSuccess, "f" -> OneFailed, "af" -> AllFailed,
+        "os" -> OneSuccess, "d" -> AllDone)
+      val fired = fanIn(up)(rules.map { case (n, r) =>
+        (n, r, (_: Seq[scala.util.Try[Int]]) => n) }: _*)
+      AllDone.fires(up) &&
+        fired.map(_._1) == rules.filter(_._2.fires(up)).map(_._1) &&
+        fired.forall { case (n, r) => n == r }
+    }
 }

@@ -282,8 +282,9 @@ class PlanSpec extends SparkTestBase {
       // q223's CDF grid is a deliberate |event types| × |distinct cents|
       // dimension cross join (q184's class — both sides post-aggregate
       // frames, never row data), and its corpus total is ONE row
-      // broadcast into the grid — q104's tiny-stats pattern.
-      "q223_ks_drift")
+      // broadcast into the grid — q104's tiny-stats pattern. q226 walks
+      // the same shared ksFinish stage off stored pages.
+      "q223_ks_drift", "q226_incremental_ks")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

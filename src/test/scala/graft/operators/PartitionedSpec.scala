@@ -409,4 +409,25 @@ class PartitionedSpec extends SparkTestBase {
     assert(got.toSeq == full.toSeq,
       "backfill replay diverged from the incremental-merge/full-recompute answer")
   }
+
+  test("q226: incremental cent-page merge ≡ the full-feed KS rebuild (q223)") {
+    val full = graft.operators.Analytic.q223.fn(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val inc = Partitioned.q226.fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(inc == full,
+      "stored cent pages + one-day delta drifted from the full KS rebuild")
+  }
+
+  test("q226: the delta cent page reads exactly 1 of 30 partitions") {
+    val s2 = planSession()
+    val df = Partitioned.ksDeltaPage(s2, sf0001)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "value") => f
+    }
+    assert(scans.size == 1, s"expected one fact scan:\n${df.queryExecution.executedPlan}")
+    df.collect()
+    val read = scans.head.metrics("numPartitions").value
+    assert(read == 1,
+      s"delta page read $read partitions, want 1:\n${df.queryExecution.executedPlan}")
+  }
 }

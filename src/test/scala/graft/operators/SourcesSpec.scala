@@ -144,4 +144,57 @@ class SourcesSpec extends SparkTestBase {
     assert(df.collect().toSeq == expected)
   }
 
+
+  test("xml round-trip preserves values and types exactly (escaping included)") {
+    val docs = Tables(spark, sf0001).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = Sources.readXml(spark, Sources.ensureXml(spark, sf0001))
+      .filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.schema == docs.schema, s"schema drift: ${back.schema}")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // markup-hostile text survives the writer's escaping
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_esc").toString
+    val hostile = Seq((1L, "a & b < c > d", "en", "s0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    hostile.write.mode("overwrite").option("rowTag", "doc")
+      .option("rootTag", "docs").format("xml").save(dir)
+    val h = Sources.readXml(spark, dir).select("doc_id", "text").collect()
+    assert(h.length == 1 && h.head.getString(1) == "a & b < c > d")
+  }
+
+  test("malformed XML elements are quarantined, not fatal, and don't poison good rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_bad")
+    val p = dir.resolve("part-0.xml")
+    java.nio.file.Files.writeString(p,
+      """<docs>
+        |<doc><doc_id>1</doc_id><text>ok</text><lang>en</lang><source>s0</source><n_chars>2</n_chars></doc>
+        |<doc><doc_id>oops not a number</doc_id><text>bad</text><lang>en</lang><source>s0</source><n_chars>3</n_chars></doc>
+        |<doc><doc_id>3</doc_id><text>also ok</text><lang>de</lang><source>s1</source><n_chars>7</n_chars></doc>
+        |</docs>
+        |""".stripMargin)
+    val df = Sources.readXml(spark, dir.toString).cache() // same corrupt-column-only caveat as JSONL
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 1)
+      assert(good.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    } finally df.unpersist()
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  test("q227 xml source equals the same aggregate over the original parquet") {
+    val df = Sources.q227.fn(spark, sf0001)
+    val expected = Tables(spark, sf0001).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang").asc_nulls_first)
+      .collect().toSeq
+    assert(df.collect().toSeq == expected)
+  }
 }
