@@ -23,7 +23,12 @@ package graft
   * blocks that all reproduced under budget on a quiet box — while
   * pass-separated samples put minutes between a query's two runs, so a
   * burst must last the whole bench to defeat the min. A failure in
-  * either pass still marks the query failed.
+  * either pass still marks the query failed. Anti-flap: entries still
+  * over their 2× budget after the min-of-2 are re-measured ONCE at end
+  * of suite and the min of all samples is reported; the raw samples are
+  * emitted under "remeasured" so an artifact distinguishes an ambient
+  * spike (third sample in budget) from a regression (all three spiked)
+  * without re-running the suite.
   *
   * Materialized views: q44/q55 (and their consumers q64/q70) read
   * memoized per-session views after the first computation, so their
@@ -75,39 +80,44 @@ object Bench {
     // 2.20 s quiet on identical code, rounds 5-6); warming first makes
     // the min-of-2 measure the pipeline, not the engine's first contact
     // with it
-    def executeView(name: String)(invalidate: () => Unit,
-        compute: () => Long): (String, Double) = {
-      def once(): Double = {
-        invalidate()
-        val t0 = System.nanoTime()
-        try { compute(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case t: Throwable =>
-            System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
-            -1.0
-        }
+    def viewOnce(name: String, v: BenchViews.ViewDef): Double = {
+      v.invalidate()
+      val t0 = System.nanoTime()
+      try { v.compute(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+          -1.0
       }
-      val warm = once()
-      if (warm < 0) return name -> warm
-      val a = once()
-      if (a < 0) return name -> a
-      val b = once()
-      if (b < 0) return name -> b
-      name -> math.min(a, b)
     }
-    val views = Seq(
-      executeView("view_cluster_labels")(
-        () => operators.Dedup.labelCache.invalidate(spark, sfDir),
-        () => operators.Dedup.clusterLabels(spark, sfDir).count()),
-      // emitted below as "rounds": the label view is a convergence loop
-      // whose wall time is round-count-dominated, so the round count
-      // makes bench drift attributable (more rounds vs slower rounds)
-      executeView("view_neardup_pairs")(
-        () => operators.Similarity.pairsCache.invalidate(spark, sfDir),
-        () => operators.Similarity.neardupPairs(spark, sfDir).count()),
-      executeView("view_copurchase_edges")(
-        () => operators.Analytic.edgeCache.invalidate(spark, sfDir),
-        () => operators.Analytic.coPurchaseEdges(spark, sfDir).count()))
+    // returns (min, the two measured samples) — samples feed the
+    // anti-flap remeasure artifact below
+    def executeView(name: String, v: BenchViews.ViewDef): (Double, Seq[Double]) = {
+      val warm = viewOnce(name, v)
+      if (warm < 0) return (warm, Seq(warm))
+      val a = viewOnce(name, v)
+      if (a < 0) return (a, Seq(a))
+      val b = viewOnce(name, v)
+      if (b < 0) return (b, Seq(a, b))
+      (math.min(a, b), Seq(a, b))
+    }
+    val viewDefs = BenchViews.entries(spark, sfDir)
+    var clusterLabelRounds = -1L
+    val viewSamples = scala.collection.mutable.Map[String, Seq[Double]]()
+    val views = viewDefs.map { case (name, v) =>
+      val (min, samples) = executeView(name, v)
+      viewSamples(name) = samples
+      // "rounds" snapshot: the label view is a convergence loop whose
+      // wall time is round-count-dominated, so the round count makes
+      // bench drift attributable (more rounds vs slower rounds). Taken
+      // IMMEDIATELY after the view computes — q70/q187 also run the
+      // propagation later in the suite, so reading the global at
+      // line-format time would attribute the last embedding-cluster
+      // query's round count to this view (round-15 ADVICE).
+      if (name == "view_cluster_labels")
+        clusterLabelRounds = operators.Dedup.lastPropagationRounds.get()
+      name -> min
+    }
 
     // interleaved min-of-2 (see scaladoc): pass 1 over the full list,
     // then pass 2, per-query min across the two passes. One-time landing
@@ -116,10 +126,38 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> executeOnce(n)).toMap
     val pass2 = names.map(n => n -> (if (pass1(n) < 0) -1.0 else executeOnce(n))).toMap
-    val results = names.map { n =>
+    val minOf2 = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     } ++ views
+
+    // Anti-flap remeasure (round-15 verdict task 3): any entry whose
+    // min-of-2 lands over its 2× budget gets ONE more sample at end of
+    // suite, and the reported figure is the min of all samples. The
+    // frozen-baseline policy forbids re-recording the table, so a flag
+    // must be adjudicated as ambient-spike vs regression — a third
+    // sample taken MINUTES after the first two separates them
+    // mechanically (a tenant burst that outlives the whole suite is no
+    // longer "ambient"): three spiked samples ⇒ believe the regression.
+    // All samples are emitted under "remeasured" so the artifact shows
+    // its work; "over_budget" reflects the post-remeasure minima.
+    def overBudgetAt(sec: Double, name: String): Boolean =
+      sec >= 0 && Baseline.seconds.get(name).exists(b => sec > 2 * b)
+    val viewByName = viewDefs.toMap
+    val remeasured = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val results = minOf2.map { case (name, sec) =>
+      if (!overBudgetAt(sec, name)) name -> sec
+      else {
+        val third = viewByName.get(name) match {
+          case Some(v) => viewOnce(name, v)
+          case None => executeOnce(name)
+        }
+        val prior = viewSamples.getOrElse(name,
+          Seq(pass1.getOrElse(name, sec), pass2.getOrElse(name, sec)))
+        remeasured(name) = prior :+ third
+        name -> (if (third < 0) sec else math.min(sec, third))
+      }
+    }
     // 4-decimal seconds: sub-0.1ms precision is noise, and the shorter
     // line keeps the driver's stdout capture (which has truncated a
     // full-precision tail before — BENCH_r11's `parsed: null`) intact.
@@ -144,8 +182,11 @@ object Bench {
         val b = Baseline.seconds(name)
         f"""{"query":"$name","sec":$sec%.2f,"baseline":$b,"ratio":${sec / b}%.2f}"""
     }.mkString("[", ",", "]")
-    val rounds = s"""{"view_cluster_labels":${operators.Dedup.lastPropagationRounds.get()}}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"rounds":$rounds,"sf":"$sfDir"}"""
+    val rounds = s"""{"view_cluster_labels":$clusterLabelRounds}"""
+    val remeasuredJson = remeasured.map { case (n, ss) =>
+      "\"" + n + "\":" + ss.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"over_budget":$overBudget,"remeasured":$remeasuredJson,"rounds":$rounds,"sf":"$sfDir"}"""
     // The stdout line is the driver contract, but driver artifacts have
     // truncated it mid-tail (BENCH_r11.json ends before q44, parsed:
     // null) — so ALSO land the identical JSON as files: one under /tmp

@@ -2229,13 +2229,18 @@ object Analytic extends QueryPack {
   private[graft] val TriAdjBroadcastMaxEdges = 4000000L
 
   /** Canonical co-purchase edge build — basket → (u < v) edge set,
-    * deduped across orders; the fact frame self-joins DIRECTLY on
-    * l_orderkey (two column-pruned parquet scans — no pre-distinct
-    * pass: duplicate (order, part) rows only multiply pairs into the
-    * same final DISTINCT, and dropping the extra shuffle+checkpoint
-    * removed a whole eager action from the measured critical path). */
+    * deduped across orders. The item frame is DISTINCT'd on
+    * (l_orderkey, l_partkey) BEFORE the self-join: round 15 dropped
+    * this pre-pass on the theory that duplicate rows only multiply
+    * pairs into the same final DISTINCT, and the view promptly doubled
+    * on the driver bench (3.08→6.18 s) — duplicate (order, part) rows
+    * square through the self-join, so the early aggregate bounds the
+    * join output at the cost of one cheap map-side-combinable shuffle.
+    * Measured basis (round 16, quiet box, warm): with pre-distinct
+    * 1.94–2.22 s, without 2.91 s at sf0.1 — the pre-pass wins even
+    * before the skew/duplication argument that decides it at 100 TB. */
   private[graft] def buildCoPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))

@@ -1319,7 +1319,60 @@ object Curation extends QueryPack {
     ORDER BY source ASC NULLS FIRST, n_tokens ASC NULLS FIRST,
       doc_id ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q230
+  /** Coordinated cross-table sampling — sample KEYS, not rows: keep the
+    * customers whose md5 bucket lands in the first 1/8 of the bucket
+    * space and let every fact table ride the same key set, so the sample
+    * stays referentially intact across tables (every sampled order's
+    * customer is in the sampled dim BY CONSTRUCTION — a per-table
+    * `TABLESAMPLE` breaks exactly this, orphaning most fact rows). The
+    * standard way to build a 100 TB estate's consistent dev slice: the
+    * predicate is a pure function of the key (Det rule 9 — md5-prefix
+    * bucket, never engine-private hashes or RNG), so any table, today's
+    * or next year's, joins consistently without coordination state.
+    *
+    * Shape: the dim filter is map-only; the fact side reaches the join
+    * ALREADY filtered by the same predicate on its foreign key (no dim
+    * lookup needed to decide membership — that is what coordination
+    * buys), so the join moves only sampled rows; left join keeps
+    * zero-order customers in the slice. Per-segment report: sampled
+    * customers, their orders, exact spend cents. */
+  val q230 = QueryDef(
+    "q230_coordinated_sample",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def inSample(key: org.apache.spark.sql.Column) =
+        Det.md5Bucket(key) % 8 === 0
+      val cust = t.customer
+        .filter(inSample(col("c_custkey")))
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ords = t.orders
+        .filter(inSample(col("o_custkey")))
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+          count(col("o_custkey")).as("n_orders"),
+          coalesce(sum(col("cents")), lit(0L)).as("spend_cents"))
+        .orderBy(col("segment").asc_nulls_first)
+    },
+    Some("""WITH sc AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INTEGER) % 8 = 0),
+    so AS (
+      SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS INTEGER) % 8 = 0)
+    SELECT sc.c_mktsegment AS segment,
+      CAST(COUNT(DISTINCT sc.c_custkey) AS BIGINT) AS n_cust,
+      CAST(COUNT(so.o_custkey) AS BIGINT) AS n_orders,
+      CAST(COALESCE(SUM(so.cents), 0) AS BIGINT) AS spend_cents
+    FROM sc LEFT JOIN so ON sc.c_custkey = so.o_custkey
+    GROUP BY sc.c_mktsegment
+    ORDER BY segment ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194, q220, q225)
+      q173, q174, q185, q188, q194, q220, q225, q230)
 }

@@ -906,6 +906,18 @@ object Dedup extends QueryPack {
       docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val arr = hashedShingleArray(docs).cut()
+    val cands = containmentCandidates(arr, tauNum, tauDen)
+    jaccardForCandidates(cands, arr)
+      .filter(col("inter") * tauDen >= col("sz1") * tauNum)
+      .select(col("d1").as("d_a"), col("d2").as("d_b"),
+        round(col("inter").cast("double") / col("sz1"), 6).as("cont"))
+  }
+
+  /** Candidate stage of [[containmentPairs]] over an already-shingled
+    * frame — exposed so ScaleProbe's `contain` mode can measure the
+    * prefix filter's candidate volume separately from verification. */
+  private[graft] def containmentCandidates(
+      arr: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val sh = arr.select(col("doc_id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
@@ -920,16 +932,12 @@ object Dedup extends QueryPack {
       .filter(col("sz") * tauNum <= (col("sz") - col("rk") + 1) * tauDen)
       .select(col("doc_id").as("d_a"), col("s"), col("sz").as("sz_a"))
     val fullB = ranked.select(col("doc_id").as("d_b"), col("s"), col("sz").as("sz_b"))
-    val cands = prefixA.join(fullB,
+    prefixA.join(fullB,
         Seq("s").map(c => prefixA(c) === fullB(c)).reduce(_ && _) &&
           col("d_a") =!= col("d_b") &&
           col("sz_b") * tauDen >= col("sz_a") * tauNum)
       .select(col("d_a").as("d1"), col("d_b").as("d2"))
       .distinct()
-    jaccardForCandidates(cands, arr)
-      .filter(col("inter") * tauDen >= col("sz1") * tauNum)
-      .select(col("d1").as("d_a"), col("d2").as("d_b"),
-        round(col("inter").cast("double") / col("sz1"), 6).as("cont"))
   }
 
   val q116 = QueryDef(

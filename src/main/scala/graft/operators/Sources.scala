@@ -76,6 +76,40 @@ object Sources extends QueryPack {
       path
     }
 
+  // ---------------------------------------------------- named connections
+  /** Registers the landed feed at `path` under a deterministic
+    * connection name (`graft_<kind>_feed_<md5 tag>` — per-path, so two
+    * fixture dirs in one JVM resolve independently) and returns the
+    * NAME. The indirection is the reference's conn-id data model
+    * (`Connection.get_connection_from_secrets`,
+    * `dags/update_tr_from_ex_dag.py:47`): query code carries the name,
+    * the [[graft.pipeline.Connections]] registry owns the endpoint —
+    * a deployment re-points the feed by re-registering the name, never
+    * by editing query code. */
+  private[graft] def landedConn(kind: String, path: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val name = s"graft_${kind}_feed_$tag"
+    graft.pipeline.Connections.register(name, graft.pipeline.Connection(path))
+    name
+  }
+
+  /** [[readJsonl]] addressed by connection NAME (resolved at read time). */
+  private[graft] def readJsonlConn(spark: SparkSession, conn: String): DataFrame =
+    readJsonl(spark, graft.pipeline.Connections.resolve(conn).endpoint)
+
+  /** [[readCsv]] addressed by connection name. */
+  private[graft] def readCsvConn(spark: SparkSession, conn: String): DataFrame =
+    readCsv(spark, graft.pipeline.Connections.resolve(conn).endpoint)
+
+  /** [[cleanAvro]] addressed by connection name. */
+  private[graft] def cleanAvroConn(spark: SparkSession, conn: String): DataFrame =
+    cleanAvro(spark, graft.pipeline.Connections.resolve(conn).endpoint)
+
+  /** [[readXml]] addressed by connection name. */
+  private[graft] def readXmlConn(spark: SparkSession, conn: String): DataFrame =
+    readXml(spark, graft.pipeline.Connections.resolve(conn).endpoint)
+
   /** Reads a JSONL directory with the explicit schema, quarantining
     * malformed lines into `_corrupt_record` instead of failing. */
   private[graft] def readJsonl(spark: SparkSession, path: String): DataFrame =
@@ -93,7 +127,7 @@ object Sources extends QueryPack {
   val q89 = QueryDef(
     "q89_jsonl_source",
     (spark, dir) => {
-      val docs = readJsonl(spark, ensureJsonl(spark, dir))
+      val docs = readJsonlConn(spark, landedConn("jsonl", ensureJsonl(spark, dir)))
         .filter(col("_corrupt_record").isNull)
       docs.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -147,7 +181,7 @@ object Sources extends QueryPack {
   val q95 = QueryDef(
     "q95_csv_source",
     (spark, dir) => {
-      val docs = readCsv(spark, ensureCsv(spark, dir))
+      val docs = readCsvConn(spark, landedConn("csv", ensureCsv(spark, dir)))
         .filter(col("_corrupt_record").isNull)
       docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -269,7 +303,7 @@ object Sources extends QueryPack {
   val q222 = QueryDef(
     "q222_avro_source",
     (spark, dir) => {
-      val docs = cleanAvro(spark, ensureAvro(spark, dir))
+      val docs = cleanAvroConn(spark, landedConn("avro", ensureAvro(spark, dir)))
       docs.groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
@@ -336,7 +370,7 @@ object Sources extends QueryPack {
   val q227 = QueryDef(
     "q227_xml_source",
     (spark, dir) => {
-      val docs = readXml(spark, ensureXml(spark, dir))
+      val docs = readXmlConn(spark, landedConn("xml", ensureXml(spark, dir)))
         .filter(col("_corrupt_record").isNull)
       docs.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

@@ -1430,7 +1430,112 @@ object TextOps extends QueryPack {
     ORDER BY lift_ppm DESC, term_a ASC, term_b ASC
     LIMIT 20"""))
 
+  // ---------------------------------------------------------------- q228
+  /** Bigram-vocabulary growth curve (Heaps' law lens): distinct bigrams
+    * first seen in each ingest-order decile of the corpus, with the
+    * cumulative vocabulary beside the per-decile novelty. The corpus
+    * planner's "is more data still adding new language?" readout — a
+    * flattening curve says additional ingestion buys repetition, not
+    * coverage (the df=1 novelty q186 scores per DOC; this is the
+    * corpus-level integral of the same signal). Ingest order is the
+    * monotone doc_id the landing pipeline assigns; deciles are exact
+    * integer arithmetic `first_doc·10 div (max_id+1)` — no rank pass.
+    *
+    * Shape: one token-explode into a (bigram → min doc_id) hash
+    * aggregate — map-side combinable, state = |bigram vocabulary|, the
+    * same bound every bigram operator here carries (q212/q221) — then
+    * TWO dimension-sized frames: novelty counts per decile (≤10 rows)
+    * left-joined onto doc counts per decile, and one cumsum window over
+    * that ≤10-row frame (the q78 dimension-window class, whitelisted).
+    * The max-id anchor is a 1-row broadcast (q166's scalar pattern). */
+  val q228 = QueryDef(
+    "q228_vocab_growth",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+      val anchor = d.agg((max(col("doc_id")) + 1).as("n"))
+      val bigrams = d
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1)))).as("g"))
+      val firstSeen = bigrams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val newTerms = firstSeen.crossJoin(broadcast(anchor))
+        .select(expr("CAST(first_doc * 10 DIV n AS BIGINT)").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_grams"))
+      val nDocs = d.crossJoin(broadcast(anchor))
+        .select(expr("CAST(doc_id * 10 DIV n AS BIGINT)").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      nDocs.join(newTerms, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"),
+          coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+        .withColumn("cum_vocab",
+          sum(col("new_grams")).over(Window.orderBy(col("bucket"))))
+        .orderBy(col("bucket").asc_nulls_first)
+    },
+    Some("""WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bi AS (
+      SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1] AS g
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) u(i)),
+    ft AS (SELECT g, MIN(doc_id) AS first_doc FROM bi GROUP BY g),
+    nt AS (
+      SELECT first_doc * 10 // n AS bucket, CAST(COUNT(*) AS BIGINT) AS new_grams
+      FROM ft, mx GROUP BY 1),
+    nd AS (
+      SELECT doc_id * 10 // n AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents, mx GROUP BY 1)
+    SELECT nd.bucket, nd.n_docs,
+      CAST(COALESCE(nt.new_grams, 0) AS BIGINT) AS new_grams,
+      CAST(SUM(COALESCE(nt.new_grams, 0)) OVER (ORDER BY nd.bucket) AS BIGINT)
+        AS cum_vocab
+    FROM nd LEFT JOIN nt ON nd.bucket = nt.bucket
+    ORDER BY nd.bucket ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q229
+  /** Exact-term blocklist gate — the curation cell q61 (statistical
+    * quality) / q76 (PII regex) / q172 (media policy) don't cover:
+    * membership of any token in a maintained banned-term list, the
+    * standard first-pass safety/brand filter of a training corpus. Per
+    * flagged doc: total hits, distinct blocklisted terms, and the
+    * lexicographically-least offending term as the audit sample (an
+    * aggregate MIN — deterministic cross-engine, no "first" semantics).
+    *
+    * Shape: map-only token explode filtered by an `isin` literal set
+    * (compiles to a codegen'd membership test — K literals never
+    * shuffle; a production list of thousands becomes a broadcast
+    * equi-join on the token, same plan class as q63's threshold dim),
+    * then ONE per-doc hash aggregate. Docs without hits never leave the
+    * filter — output is hit-sized, not corpus-sized. */
+  val q229 = QueryDef(
+    "q229_blocklist_gate",
+    (spark, dir) => {
+      val blocklist = Seq("dup", "slow", "legacy")
+      val hits = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token").isin(blocklist: _*))
+      hits.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("token")).as("n_terms"),
+          min(col("token")).as("sample_term"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+    Some("""WITH hits AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t IN ('dup', 'slow', 'legacy'))
+    SELECT doc_id, COUNT(*) AS n_hits,
+      CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms,
+      MIN(token) AS sample_term
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165, q186, q211, q212, q221, q224)
+      q104, q118, q161, q165, q186, q211, q212, q221, q224, q228, q229)
 }

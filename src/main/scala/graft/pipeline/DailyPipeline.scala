@@ -17,6 +17,32 @@ import scala.util.Try
   * are injected so tests — and real deployments — supply their own
   * transports; the "XCom" between steps is the ordinary return value. */
 object DailyPipeline {
+
+  /** Readiness probe for a LANDED feed addressed by connection name —
+    * the engine form of the reference's HttpSensor, whose endpoint
+    * resolves from a conn id at runtime
+    * (`dags/update_tr_from_ex_dag.py:47`). The name re-resolves on
+    * EVERY poke, so a registry rotation mid-wait takes effect at the
+    * next poke exactly like a secrets-backend rotation; Done once the
+    * endpoint directory holds at least one visible data file (dotfiles
+    * and `_`-prefixed markers are writer bookkeeping, not data). */
+  def landedFeedReadiness(connName: String): () => Pipeline.PollStatus =
+    () => {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(Connections.resolve(connName).endpoint)
+      if (!Files.isDirectory(p)) Pipeline.StillRunning
+      else {
+        val it = Files.list(p)
+        try {
+          val ready = it.anyMatch { f =>
+            val n = f.getFileName.toString
+            !n.startsWith(".") && !n.startsWith("_")
+          }
+          if (ready) Pipeline.Done else Pipeline.StillRunning
+        } finally it.close()
+      }
+    }
+
   def run(
       spark: SparkSession,
       sfDir: String,

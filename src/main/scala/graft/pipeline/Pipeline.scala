@@ -15,8 +15,8 @@ import scala.util.{Failure, Success, Try}
   *    tri-state check (`update_tr_from_ex_dag.py:118-130`)
   *  - [[route]] — trigger rules: run success XOR failure continuation on
   *    the task outcome (`update_tr_from_ex_dag.py:132-154`)
-  *  - [[Connections]] — named connection/option registry resolved at run
-  *    time (`Connection.get_connection_from_secrets`,
+  *  - [[graft.pipeline.Connections]] — named connection/secret registry
+  *    resolved at run time (`Connection.get_connection_from_secrets`,
   *    `update_tr_from_ex_dag.py:47`)
   *  - [[DagRun]] — whole-run wall-clock deadline, the `dagrun_timeout`
   *    kwarg (`hello_function_dag.py:13`)
@@ -176,15 +176,9 @@ object Pipeline {
     missing
   }
 
-  /** Named connection registry (endpoint/credential options resolved at
-    * plan-build time — the `conn_id` pattern). */
-  final class Connections(entries: Map[String, Map[String, String]]) {
-    def apply(connId: String): Map[String, String] =
-      entries.getOrElse(connId,
-        throw PipelineFailure(s"unknown connection '$connId'"))
-  }
-  object Connections {
-    def apply(entries: (String, Map[String, String])*): Connections =
-      new Connections(entries.toMap)
-  }
+  // The named connection registry lives at [[graft.pipeline.Connections]]
+  // (top level, round 16): process-wide name → Connection(endpoint,
+  // options, SECRETS) with redacting render — superseding the
+  // plan-build-time options-map class that used to sit here, which had
+  // no secret separation and no rotation semantics.
 }

@@ -35,9 +35,15 @@ import graft.pipeline.Pipeline.{Done, FailedPoll, PipelineFailure, PollStatus, S
   *    the budget" test.
   *
   * Scale: the rate source emits one integer row per interval in ONE
-  * task; the check runs driver-side in `foreachBatch`. Cost is a few
-  * scheduler ticks per interval — hundreds of parked sensors coexist
-  * with the real work, which is the point of deferring.
+  * task (rowsPerSecond is derived from the pokeInterval so every
+  * ProcessingTime trigger has data — a fixed 1 row/s floor silently
+  * degraded sub-second intervals to ~1 s cadence); the check runs
+  * driver-side in `foreachBatch`. Cost is a few scheduler ticks per
+  * interval — hundreds of parked sensors coexist with the real work,
+  * which is the point of deferring. The deadline is enforced twice:
+  * authoritatively between pokes against the injectable `clock`, and by
+  * a wall-clock backstop thread that times the sensor out even if the
+  * source stalls and no micro-batch ever fires again.
   */
 object DeferredSensor {
 
@@ -70,10 +76,16 @@ object DeferredSensor {
     val deadline = clock() + timeout.toNanos
     val pokes = new AtomicInteger(0)
     val promise = Promise[Try[Int]]()
-    // one row per trigger is plenty — the stream is a metronome, the
-    // payload is never read
+    // the stream is a metronome and the payload is never read — but a
+    // micro-batch only executes when NEW OFFSETS exist, so the rate must
+    // keep up with the trigger cadence: at a fixed rowsPerSecond=1 a
+    // sub-second pokeInterval silently degraded to ~1 s pokes (round-15
+    // ADVICE). One row per interval, floor 1 — a pokeInterval ≥ 1 s
+    // keeps the old single-row tick.
+    val rowsPerSecond =
+      math.max(1L, (1000L + pokeInterval.toMillis - 1) / math.max(1L, pokeInterval.toMillis))
     val ticks = spark.readStream.format("rate")
-      .option("rowsPerSecond", 1).load()
+      .option("rowsPerSecond", rowsPerSecond).load()
     val query = ticks.writeStream
       .trigger(Trigger.ProcessingTime(pokeInterval.toMillis))
       .outputMode("append")
@@ -116,6 +128,30 @@ object DeferredSensor {
     }, s"graft-deferred-sensor-watch-${query.id}")
     failWatcher.setDaemon(true)
     failWatcher.start()
+    // deadline fallback OUTSIDE the micro-batch path (round-15 ADVICE):
+    // the in-batch deadline check only runs when a batch runs, so a
+    // STALLED source (no new offsets) could park the sensor forever.
+    // This watcher sleeps on the wall clock and times the sensor out
+    // even if no batch ever fires again; the injectable `clock` governs
+    // the authoritative in-batch check, this one is the hung-source
+    // backstop (sized off the same FiniteDuration budget).
+    val deadlineWatcher = new Thread(() => {
+      try {
+        var remainingMs = timeout.toMillis + 50
+        while (!promise.isCompleted && remainingMs > 0) {
+          val step = math.min(remainingMs, 100L)
+          Thread.sleep(step)
+          remainingMs -= step
+        }
+        if (!promise.isCompleted) {
+          promise.trySuccess(
+            Failure(PipelineFailure(s"sensor timed out after $timeout")))
+          ()
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-deferred-sensor-deadline-${query.id}")
+    deadlineWatcher.setDaemon(true)
+    deadlineWatcher.start()
     new Deferred(query, promise)
   }
 }

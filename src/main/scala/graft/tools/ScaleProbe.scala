@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -95,6 +95,31 @@ object ScaleProbe {
       val nPairs = pairs.count()
       println(f"SCALE-WINNOW f=$f docs=$nDocs fps=$nFps pairs=$nPairs " +
         f"t_fp=$tFp%.2f t_pairs=$tPairs%.2f")
+    }
+
+    // ---- containment dedup (q116): the one dedup lens without a growth
+    // measurement until round 16, and the lens the driver bench flagged
+    // at 4.45× on a sample that never reproduced on a quiet box — this
+    // probe is its variance baseline. Replica groups are mutual
+    // near-containments (only the tail shingle differs, so C ≈ 1 both
+    // ways): the TRUE ordered-pair answer grows ~f² per group, and the
+    // property under test is that candidate volume tracks that true
+    // answer (prefix-filter selectivity holds) rather than the
+    // df-quadratic worst case a naive shingle join would hit — each
+    // shingle's df grows f×, so an unfiltered join would grow f²·|shs|.
+    if (mode == "contain") factors.foreach { f =>
+      val docs = replicateDocs(f)
+      val nDocs = docs.count()
+      graft.functions.GraftFunctions.register(spark)
+      val arr = graft.Materialize.cut(Dedup.hashedShingleArray(docs))
+      val (cands, tCand) = timed(
+        Dedup.containmentCandidates(arr, 3, 4).localCheckpoint())
+      val nCands = cands.count()
+      val (pairs, tAll) = timed(
+        Dedup.containmentPairs(docs, 3, 4).localCheckpoint())
+      val nPairs = pairs.count()
+      println(f"SCALE-CONTAIN f=$f docs=$nDocs cands=$nCands pairs=$nPairs " +
+        f"t_cands=$tCand%.2f t_full=$tAll%.2f")
     }
 
     // ---- duplicate-span scrub (q148): replicas share every chunk except

@@ -34,10 +34,16 @@ object TimeQuery {
     // warm up the scan/join/agg codepaths once, like Bench
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // view_* names time the Bench view line items (invalidate +
+    // recompute, same BenchViews registry the official bench uses)
+    val views = graft.BenchViews.entries(spark, sfDir).toMap
     names.foreach { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      views.get(n) match {
+        case Some(v) => v.invalidate(); v.compute()
+        case None => SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -284,7 +284,10 @@ class PlanSpec extends SparkTestBase {
       // frames, never row data), and its corpus total is ONE row
       // broadcast into the grid — q104's tiny-stats pattern. q226 walks
       // the same shared ksFinish stage off stored pages.
-      "q223_ks_drift", "q226_incremental_ks")
+      "q223_ks_drift", "q226_incremental_ks",
+      // q228's max-doc-id anchor is ONE row broadcast into the bigram
+      // first-seen frame and the doc scan — q166's scalar pattern.
+      "q228_vocab_growth")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -329,7 +332,10 @@ class PlanSpec extends SparkTestBase {
       // q224's threshold sweep cumsums run over the LM-score bin frame
       // (one bin per 0.05 ln unit, range corpus-statistics-bounded) —
       // dimension-sized, same argument.
-      "q224_gate_pr_sweep")
+      "q224_gate_pr_sweep",
+      // q228's cumulative-vocabulary sum runs over the ≤10-row decile
+      // frame — dimension-sized, same argument as q78/q137.
+      "q228_vocab_growth")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

@@ -548,4 +548,36 @@ class CurationSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q230 coordinated sample: referential integrity by construction + exact replay") {
+    import graft.Det
+    val t = graft.Tables(spark, sf0001)
+    val sampledCust = t.customer
+      .filter(Det.md5Bucket(col("c_custkey")) % 8 === 0)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    assert(sampledCust.nonEmpty, "sample must be non-empty at sf0.001")
+    // coordination law: every order the fact-side predicate keeps has its
+    // customer in the sampled dim — no orphaned fact rows, ever
+    val sampledOrders = t.orders
+      .filter(Det.md5Bucket(col("o_custkey")) % 8 === 0)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    sampledOrders.foreach { case (ck, _) =>
+      assert(sampledCust(ck), s"orphaned sampled order for customer $ck")
+    }
+    // exact replay of the per-segment report
+    val seg = t.customer
+      .filter(Det.md5Bucket(col("c_custkey")) % 8 === 0)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byCust = sampledOrders.groupBy(_._1)
+    val expect = seg.groupBy(_._2).map { case (s, cs) =>
+      val orders = cs.keys.toSeq.flatMap(ck => byCust.getOrElse(ck, Array.empty[(Long, Double)]))
+      (s, cs.size.toLong, orders.length.toLong,
+        orders.map(o => math.round(o._2 * 100)).sum)
+    }
+    val got = Curation.q230.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect.toSet, s"coordinated-sample report diverges from replay")
+  }
 }

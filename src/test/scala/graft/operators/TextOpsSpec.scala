@@ -413,4 +413,54 @@ class TextOpsSpec extends SparkTestBase {
     val recalls = got.flatMap(_._6)
     assert(recalls == recalls.sorted, "recall must grow as the threshold loosens")
   }
+
+  test("q228 vocab growth: driver replay, telescoping cumsum, full-corpus coverage") {
+    val rows = TextOps.q228.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay of the whole decile curve
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.map(_._1).max + 1
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val ts = text.split(" ", -1)
+      if (ts.length >= 2)
+        ts.sliding(2).foreach { b =>
+          val g = b.mkString(" ")
+          if (!firstSeen.contains(g)) firstSeen(g) = id
+        }
+    }
+    val newG = firstSeen.values.groupBy(d => d * 10 / n).view.mapValues(_.size.toLong).toMap
+    val nDocs = docs.map(_._1).groupBy(d => d * 10 / n).view.mapValues(_.length.toLong).toMap
+    var cum = 0L
+    val expect = nDocs.keys.toSeq.sorted.map { b =>
+      cum += newG.getOrElse(b, 0L)
+      (b, nDocs(b), newG.getOrElse(b, 0L), cum)
+    }
+    assert(rows.toSeq == expect, s"vocab growth curve diverges from replay")
+    // telescoping: the final cumulative vocabulary is the corpus bigram count
+    assert(rows.last._4 == firstSeen.size.toLong)
+    // coverage: decile doc counts sum to the corpus
+    assert(rows.map(_._2).sum == docs.length.toLong)
+  }
+
+  test("q229 blocklist gate: every output row is a true hit and counts replay exactly") {
+    val blocklist = Set("dup", "slow", "legacy")
+    val rows = TextOps.q229.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty, "fixture contains blocklisted tokens")
+    val docs = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = docs.flatMap { case (id, text) =>
+      val hits = text.split(" ", -1).filter(blocklist)
+      if (hits.isEmpty) None
+      else Some(id -> (hits.length.toLong, hits.distinct.length.toLong, hits.min))
+    }
+    assert(rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap == expect,
+      "blocklist hit table diverges from replay")
+    // clean docs never appear (output is hit-sized, not corpus-sized)
+    rows.foreach { r => assert(r._2 >= 1 && blocklist(r._4)) }
+  }
 }

@@ -100,10 +100,16 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("Connections registry resolves ids, fails on unknown") {
-    val conns = Connections(
-      "github_api" -> Map("endpoint" -> "https://api.example.com", "token" -> "t"))
-    assert(conns("github_api")("endpoint") == "https://api.example.com")
-    intercept[PipelineFailure](conns("missing"))
+    // the process-wide registry (graft.pipeline.Connections) — full
+    // redaction/rotation contract in ConnectionsSpec
+    graft.pipeline.Connections.register("github_api",
+      graft.pipeline.Connection("https://api.example.com",
+        secrets = Map("token" -> "t")))
+    assert(graft.pipeline.Connections.resolve("github_api").endpoint ==
+      "https://api.example.com")
+    intercept[NoSuchElementException](
+      graft.pipeline.Connections.resolve("missing"))
+    graft.pipeline.Connections.remove("github_api")
   }
 
   test("DagRun: stages run inside the budget; the run fails at the next stage past deadline") {

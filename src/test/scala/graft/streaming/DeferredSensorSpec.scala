@@ -57,6 +57,22 @@ class DeferredSensorSpec extends SparkTestBase {
     assert(seen >= 0 && !d.query.isActive)
   }
 
+  test("sub-second pokeInterval keeps sub-second cadence (rate derived from interval)") {
+    // regression for the round-15 ADVICE: with rowsPerSecond fixed at 1,
+    // a 100 ms pokeInterval degraded to ~1 s/poke (batches only run when
+    // new offsets exist), so 5 pokes took >= 5 s; with the derived rate
+    // they take well under that even counting query startup
+    val n = new AtomicInteger(0)
+    val t0 = System.nanoTime()
+    val d = DeferredSensor.start(spark, 100.millis, 2.minutes) { () =>
+      if (n.incrementAndGet() >= 5) Done else StillRunning
+    }
+    val out = d.await(2.minutes)
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(out == Success(5), s"got $out")
+    assert(wall < 4.5, f"5 pokes took $wall%.1f s — cadence degraded toward 1 s/poke")
+  }
+
   test("a check that throws fails the sensor like a task exception") {
     val d = DeferredSensor.start(spark, 100.millis, 2.minutes) { () =>
       throw new IllegalStateException("connector blew up")

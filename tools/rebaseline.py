@@ -17,6 +17,12 @@ import sys
 
 TSV = "src/main/resources/graft/baseline_queries.tsv"
 
+# English number words so the provenance header states the ACTUAL run
+# count (round-15 ADVICE: the header hard-coded "four" while the assert
+# only demanded three — a 3-file re-anchor would have emitted a header
+# claiming four-run provenance).
+_WORDS = {3: "three", 4: "four", 5: "five", 6: "six", 7: "seven", 8: "eight"}
+
 def main(paths):
     assert len(paths) >= 3, "pass at least three bench_full.json files"
     runs = [json.load(open(p))["queries"] for p in paths]
@@ -27,13 +33,14 @@ def main(paths):
         assert len(xs) >= 3, f"{n}: only {len(xs)} samples"
         assert all(x >= 0 for x in xs), f"{n} failed in a baseline run: {xs}"
         rows.append((n, statistics.median(xs)))
+    nruns = _WORDS.get(len(paths), str(len(paths)))
     with open(TSV, "w") as f:
         f.write(
             "# Per-query quiet-run baseline seconds (sf0.1, local[32], min-of-2) —\n"
             "# the machine-readable mirror of BASELINE.md's table, loaded by\n"
             "# graft.Bench to emit its \"over_budget\" self-check (>2x per query).\n"
             "# RE-ANCHORED 2026-08-16 (round 15): full-table re-record as the\n"
-            "# per-query MEDIAN across four same-day full-suite runs of the final\n"
+            f"# per-query MEDIAN across {nruns} same-day full-suite runs of the final\n"
             "# round-15 code (tools/rebaseline.py; BASELINE.md round-15 note has\n"
             "# the run provenance). The table is now FROZEN: no per-query upward\n"
             "# re-records — a budget breach is a regression to fix, not a row to\n"
