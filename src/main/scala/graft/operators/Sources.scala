@@ -389,5 +389,61 @@ object Sources extends QueryPack {
     GROUP BY lang
     ORDER BY lang NULLS FIRST"""))
 
-  override def queries: Seq[QueryDef] = Seq(q89, q95, q192, q222, q227)
+  // ---------------------------------------------------------------- q231
+  /** Cross-format landed-feed conformance audit: every cell of the feed
+    * matrix (JSONL/CSV/ORC/Avro/XML) re-read THROUGH ITS NAMED
+    * CONNECTION and folded to one (format, n_rows, checksum) row with
+    * q131's reconciliation fingerprint (XOR of 60-bit md5 row hashes
+    * over the canonical `|`-serialization — order-independent,
+    * map-side-combinable, O(1) state). All five rows must carry the
+    * SAME (n, checksum): a landing that dropped a row, trimmed
+    * whitespace (the XML default this library disables), or widened a
+    * type diverges in exactly one row of this table and names the
+    * broken format. The oracle states the invariant — five rows, each
+    * the parquet table's own fingerprint — so the driver hash-check
+    * fails if ANY format's round trip is not byte-faithful. At 100 TB
+    * this is the nightly "did every mirror land what the source holds"
+    * gate, one scan per format, no joins. */
+  val q231 = QueryDef(
+    "q231_feed_conformance",
+    (spark, dir) => {
+      val dataCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(col)
+      val ser = concat_ws("|", dataCols: _*)
+      // key-contract gate (the Avro cell's rule), NOT `_corrupt_record IS
+      // NULL`: under count-only execution Catalyst prunes the unused agg
+      // and a text-format scan whose only referenced column is the
+      // corrupt-record column is disallowed
+      // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). A
+      // quarantined line parses to all-null data columns, so the key
+      // filter drops exactly the same rows — and a HALF-corrupt row
+      // (key parsed, payload mangled) deliberately stays in and flips
+      // the checksum: that is the divergence this audit exists to name.
+      def clean(df: DataFrame): DataFrame =
+        df.filter(col("doc_id").isNotNull).select(dataCols: _*)
+      def fingerprint(name: String, df: DataFrame): DataFrame =
+        df.select(Analytic.rowHash60(ser).as("hh"))
+          .agg(lit(name).as("format"), count(lit(1)).as("n_rows"),
+            expr("bit_xor(hh)").as("checksum"))
+      val feeds = Seq(
+        "avro" -> cleanAvroConn(spark, landedConn("avro", ensureAvro(spark, dir))),
+        "csv" -> clean(readCsvConn(spark, landedConn("csv", ensureCsv(spark, dir)))),
+        "jsonl" -> clean(readJsonlConn(spark, landedConn("jsonl", ensureJsonl(spark, dir)))),
+        "orc" -> spark.read.orc(ensureOrc(spark, dir)),
+        "xml" -> clean(readXmlConn(spark, landedConn("xml", ensureXml(spark, dir)))))
+      feeds.map { case (n, df) => fingerprint(n, df) }
+        .reduce(_ unionByName _)
+        .orderBy(col("format").asc_nulls_first)
+    },
+    Some("""WITH fp AS (
+      SELECT COUNT(*) AS n_rows,
+        bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+          doc_id, text, lang, source, n_chars)), 1, 15) AS BIGINT))
+          AS checksum
+      FROM documents)
+    SELECT f.format, fp.n_rows, fp.checksum
+    FROM (VALUES ('avro'), ('csv'), ('jsonl'), ('orc'), ('xml')) AS f(format), fp
+    ORDER BY format ASC NULLS FIRST"""))
+
+  override def queries: Seq[QueryDef] = Seq(q89, q95, q192, q222, q227, q231)
 }

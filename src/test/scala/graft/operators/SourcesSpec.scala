@@ -197,4 +197,23 @@ class SourcesSpec extends SparkTestBase {
       .collect().toSeq
     assert(df.collect().toSeq == expected)
   }
+
+  test("q231 conformance: every landed format fingerprints identically to the parquet source") {
+    val rows = Sources.q231.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("avro", "csv", "jsonl", "orc", "xml"))
+    // the invariant the oracle states: all five rows carry the SOURCE
+    // table's own fingerprint — compute it directly off the parquet
+    val ser = concat_ws("|", col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val src = Tables(spark, sf0001).documents
+      .select(Analytic.rowHash60(ser).as("hh"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(hh)").as("cs"))
+      .collect()(0)
+    val (n, cs) = (src.getLong(0), src.getLong(1))
+    rows.foreach { case (fmt, gotN, gotCs) =>
+      assert(gotN == n && gotCs == cs,
+        s"format $fmt diverged from the source fingerprint ($gotN/$gotCs vs $n/$cs)")
+    }
+  }
 }

@@ -1550,4 +1550,58 @@ class StreamOpsSpec extends SparkTestBase {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(finals == batch, "restart KS cell divergence")
   }
+
+  test("StreamQuantileSketch survives a stop/reopen from checkpoint (MapState recovery)") {
+    // same harness as the StreamFunnel/StreamKs restart specs, but the
+    // recovered state is a MapState (bin → count) rather than a
+    // ValueState — the other state-store code path a pod restart hits
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("quantrestart")
+    val (inDir, ckpt, outDir) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def runLifetime(chunk: Seq[(String, Double)]): Unit = {
+      chunk.toDF("event_type", "value").write.mode("append").json(inDir)
+      val src = s2.readStream.schema("event_type STRING, value DOUBLE").json(inDir)
+      val q = StreamQuantileSketch.gauge(StreamQuantileSketch.keyed(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .format("parquet").option("path", outDir)
+        .start()
+      assert(q.awaitTermination(180000), "quantile lifetime did not finish")
+    }
+    runLifetime(evs.take(evs.length / 2).toSeq) // first process lifetime
+    runLifetime(evs.drop(evs.length / 2).toSeq) // reopened from checkpoint
+    // n is monotone per type, so the final gauge per type is its max-n
+    // emission; it can only equal the full-feed count + bin bounds if
+    // lifetime 1's MapState was recovered
+    val finalRows = s2.read.schema(
+        "eventType STRING, n LONG, p50Lo LONG, p50Hi LONG, p90Lo LONG, p90Hi LONG, p99Lo LONG, p99Hi LONG")
+      .parquet(outDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    def micro(v: Double): Long =
+      math.max(0L, math.round(v * 1000000))
+    val expect = evs.groupBy(_._1).map { case (t, xs) =>
+      val bins = xs.map(x => QuantProcessor.binId(micro(x._2)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val n = bins.map(_._2).sum
+      def pick(p: Int): Long = {
+        val pos = (n * p + 99) / 100
+        var cum = 0L
+        bins.find { case (_, c) => cum += c; cum >= pos }.map(_._1).getOrElse(0L)
+      }
+      val (i50, i90, i99) = (pick(50), pick(90), pick(99))
+      t -> ((n, QuantProcessor.lo(i50), QuantProcessor.hi(i50),
+        QuantProcessor.lo(i90), QuantProcessor.hi(i90),
+        QuantProcessor.lo(i99), QuantProcessor.hi(i99)))
+    }
+    assert(finalRows == expect, "restart quantile gauge divergence")
+  }
 }
