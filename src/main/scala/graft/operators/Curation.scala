@@ -1372,7 +1372,86 @@ object Curation extends QueryPack {
     GROUP BY sc.c_mktsegment
     ORDER BY segment ASC NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q232
+  /** Distribution-matching resample (deterministic importance
+    * resampling): bring every source's length profile to the CORPUS
+    * length profile by per-(source, bin) downsampling — the "stop one
+    * feed from skewing the mixture" knob between q63 (flatten strata to
+    * the minimum) and q194 (reweight whole sources by √tokens). For
+    * source s and length bin b the acceptance ratio is
+    * `min(1, share_corpus(b) / share_s(b)) = min(1, n_b·N_s / (N·n_sb))`
+    * — over-represented bins thin toward the target, under-represented
+    * ones keep everything (never upsampled: acceptance caps at 1).
+    *
+    * Determinism (contract rule 9): acceptance is the exact integer
+    * predicate `bucket·(N·n_sb) < 65536·(n_b·N_s)` on the md5-prefix
+    * bucket of doc_id — a pure function of (key, corpus histogram),
+    * reproducible on any engine/cluster, no RNG; the products route
+    * through DECIMAL(38,0) (1e12-doc corpora square past int64). The
+    * reported `accept_ppm` is the same rational floored to ppm and
+    * capped at 10⁶.
+    *
+    * Shape: one (source, bin) count aggregate feeds the bin/source/total
+    * margins (all dimension-sized; the 1-row total is a whitelisted
+    * tiny broadcast); the threshold frame (≤ sources×bins rows)
+    * broadcasts back onto a second map-only doc scan for the kept
+    * count. The corpus never self-joins and never sorts. */
+  val q232 = QueryDef(
+    "q232_distribution_match",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"),
+          expr("least(9, n_chars DIV 100)").as("bin"),
+          graft.Det.md5Bucket(col("doc_id")).as("bucket"))
+      val sb = d.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_sb"))
+      val byBin = sb.groupBy(col("bin")).agg(sum(col("n_sb")).as("n_b"))
+      val bySrc = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+      val total = sb.agg(sum(col("n_sb")).as("n"))
+      val thr = sb.join(byBin, Seq("bin")).join(bySrc, Seq("source"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("bin"), col("n_sb"),
+          expr("CAST(n_b AS DECIMAL(38,0)) * n_s").as("num"),
+          expr("CAST(n AS DECIMAL(38,0)) * n_sb").as("den"),
+          least(lit(1000000L),
+            expr("CAST(CAST(n_b AS DECIMAL(38,0)) * n_s * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n_sb) AS BIGINT)"))
+            .as("accept_ppm"))
+      val kept = d.join(broadcast(thr), Seq("source", "bin"))
+        .filter(expr("CAST(bucket AS DECIMAL(38,0)) * den < CAST(65536 AS DECIMAL(38,0)) * num"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_kept"))
+      thr.join(kept, Seq("source", "bin"), "left")
+        .select(col("source"), col("bin"), col("n_sb").as("n_in"),
+          col("accept_ppm"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source").asc_nulls_first, col("bin").asc_nulls_first)
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, source, least(9, n_chars // 100) AS bin,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS bucket
+      FROM documents),
+    sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_sb FROM d GROUP BY 1, 2),
+    b AS (SELECT bin, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM sb GROUP BY 1),
+    s AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+    nt AS (SELECT CAST(SUM(n_sb) AS BIGINT) AS n FROM sb),
+    thr AS (
+      SELECT sb.source, sb.bin, sb.n_sb,
+        CAST(b.n_b AS HUGEINT) * s.n_s AS num,
+        CAST(nt.n AS HUGEINT) * sb.n_sb AS den,
+        least(1000000, CAST(CAST(b.n_b AS HUGEINT) * s.n_s * 1000000
+          // (CAST(nt.n AS HUGEINT) * sb.n_sb) AS BIGINT)) AS accept_ppm
+      FROM sb JOIN b USING (bin) JOIN s USING (source) CROSS JOIN nt),
+    kept AS (
+      SELECT d.source, d.bin, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM d JOIN thr ON d.source = thr.source AND d.bin = thr.bin
+      WHERE CAST(d.bucket AS HUGEINT) * thr.den < 65536 * thr.num
+      GROUP BY 1, 2)
+    SELECT thr.source, thr.bin, thr.n_sb AS n_in,
+      CAST(thr.accept_ppm AS BIGINT) AS accept_ppm,
+      CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM thr LEFT JOIN kept k ON thr.source = k.source AND thr.bin = k.bin
+    ORDER BY thr.source ASC NULLS FIRST, thr.bin ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194, q220, q225, q230)
+      q173, q174, q185, q188, q194, q220, q225, q230, q232)
 }

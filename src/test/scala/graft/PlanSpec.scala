@@ -287,7 +287,10 @@ class PlanSpec extends SparkTestBase {
       "q223_ks_drift", "q226_incremental_ks",
       // q228's max-doc-id anchor is ONE row broadcast into the bigram
       // first-seen frame and the doc scan — q166's scalar pattern.
-      "q228_vocab_growth")
+      "q228_vocab_growth",
+      // q232's corpus total is ONE row broadcast into the
+      // ≤ sources×bins threshold frame — q104's tiny-stats pattern.
+      "q232_distribution_match")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -506,5 +509,25 @@ class PlanSpec extends SparkTestBase {
       .fn(spark, sf0001).queryExecution.executedPlan.toString
     assert(!p175.contains("FileScan"),
       s"q175: an interior cut was lost — fact scans replay:\n$p175")
+  }
+
+  test("q230: coordinated sample filters BOTH sides before the join (no dim lookup decides membership)") {
+    val p = plan(graft.operators.Curation.q230)
+    // the point of coordination: the fact side arrives at the join
+    // already filtered by the same key predicate — two independent
+    // md5-bucket filters, one per scan, never a join-then-filter
+    assert("conv\\(substring\\(md5".r.findAllIn(p).size >= 2,
+      s"q230: expected the md5-bucket predicate on both scan sides:\n$p")
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.nonEmpty && !p.contains("CartesianProduct"),
+      s"q230: equi join missing:\n$p")
+  }
+
+  test("q231: conformance audit is join-free — one scan per format, unioned aggregates") {
+    val p = plan(graft.operators.Sources.q231)
+    assert(!p.contains("Join"),
+      s"q231: the per-format fingerprints must not join:\n$p")
+    assert(p.contains("partial_count"),
+      s"q231: fingerprint aggregate lost its map-side combine:\n$p")
   }
 }

@@ -580,4 +580,43 @@ class CurationSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expect.toSet, s"coordinated-sample report diverges from replay")
   }
+
+  test("q232 distribution match: acceptance laws + exact integer replay") {
+    import graft.Det
+    val rows = Curation.q232.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // laws: acceptance is capped at 1; never upsampled; a full-accept
+    // cell keeps everything
+    rows.foreach { case (s, b, nIn, ppm, nKept) =>
+      assert(ppm >= 0 && ppm <= 1000000, s"($s,$b) ppm out of range: $ppm")
+      assert(nKept <= nIn, s"($s,$b) kept more than arrived")
+      if (ppm == 1000000L)
+        assert(nKept == nIn, s"($s,$b) full-accept cell must keep all $nIn, kept $nKept")
+    }
+    // exact replay off the raw table
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Det.md5Bucket(col("doc_id")).as("bucket")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    def bin(nc: Long): Long = math.min(9L, nc / 100)
+    val byCell = docs.groupBy(d => (d._2, bin(d._3)))
+    val byBin = docs.groupBy(d => bin(d._3)).view.mapValues(_.length.toLong).toMap
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val expect = byCell.map { case ((s, b), ds) =>
+      val (num, den) = (BigInt(byBin(b)) * bySrc(s), BigInt(n) * ds.length)
+      val ppm = (num * 1000000 / den).min(1000000).toLong
+      val kept = ds.count(d => BigInt(d._4) * den < BigInt(65536) * num).toLong
+      (s, b, ds.length.toLong, ppm, kept)
+    }.toSet
+    assert(rows.toSet == expect, "distribution-match table diverges from replay")
+    // the thinning direction is right: over-represented cells (source
+    // share above corpus share) get ppm < 1e6, under-represented keep 1e6
+    rows.foreach { case (s, b, nIn, ppm, _) =>
+      val over = BigInt(nIn) * n > BigInt(byBin(b)) * bySrc(s)
+      if (over) assert(ppm < 1000000, s"($s,$b) over-represented but not thinned")
+      else assert(ppm == 1000000L, s"($s,$b) not over-represented but thinned")
+    }
+  }
 }
