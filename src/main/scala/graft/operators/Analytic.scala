@@ -4199,10 +4199,117 @@ object Analytic extends QueryPack {
     FROM best
     ORDER BY event_type ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q233
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM '13) —
+    * the adjustment every mature experimentation pipeline applies on top
+    * of q121's raw z-test: each user's POST-period spend is corrected by
+    * their PRE-period spend, `y'ᵤ = yᵤ − θ·(xᵤ − x̄)` with
+    * `θ = cov(x,y)/var(x)` estimated on the POOLED population, removing
+    * the between-user variance the randomization already balanced.
+    * Per-variant adjusted means move toward the true treatment effect
+    * while raw means carry heavy-spender noise.
+    *
+    * Determinism (the q121 convention): every INPUT to the statistic is
+    * an exact integer/decimal — per-user pre/post cents, pooled
+    * n/Σx/Σy/Σxy/Σx² as DECIMAL(38,0) sums (map-side combinable), the
+    * covariance/variance numerators A = n·Σxy − Σx·Σy and
+    * B = n·Σx² − (Σx)² exact — and θ plus the adjusted means are ONE
+    * fixed-shape double expression over those exact scalars, identical
+    * in both engines; B = 0 (constant pre-period) guards to NULL. The
+    * pre/post boundary is day 15 of the observed window (min-day
+    * anchor, 1-row broadcast — q166's scalar pattern).
+    *
+    * Shape: one user-keyed conditional aggregate (high cardinality,
+    * distributes), a 1-row pooled frame and a 2-row variant frame
+    * joined by tiny broadcasts — output is |variants| rows; nothing
+    * corpus-sized moves after the first aggregate. */
+  val q233 = QueryDef(
+    "q233_cuped",
+    (spark, dir) => {
+      val e = Tables(spark, dir).events
+      val dayCol = expr("unix_micros(ts) DIV 86400000000")
+      val cents = round(col("value") * 100, 0).cast(LongType)
+      val anchor = e.agg(min(dayCol).as("day0"))
+      val perUser = e.crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          when(dayCol < col("day0") + 15, cents).otherwise(lit(0L)).as("xc"),
+          when(dayCol >= col("day0") + 15, cents).otherwise(lit(0L)).as("yc"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+        .withColumn("variant", pmod(Det.md5Bucket(col("user_id")), lit(2)))
+      val dec = DecimalType(38, 0)
+      val pooled = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        // cast BEFORE the multiply (the oracle's HUGEINT order): per-user
+        // cents² passes int64 around 3e9-cent users — decimal first
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      val byVar = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sum_pre_cents"),
+          sum(col("y")).as("sum_post_cents"))
+      val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+      val theta = when(b > 0.0, a / b)
+      val meanPost = col("sum_post_cents").cast(DoubleType) / col("n_users")
+      val adj = meanPost - theta *
+        (col("sum_pre_cents").cast(DoubleType) / col("n_users") -
+          col("sx").cast(DoubleType) / col("n"))
+      byVar.crossJoin(broadcast(pooled))
+        .select(col("variant"), col("n_users"),
+          col("sum_pre_cents"), col("sum_post_cents"),
+          round(theta, 6).as("theta"),
+          round(meanPost, 6).as("mean_post_cents"),
+          round(adj, 6).as("adj_mean_post_cents"))
+        .orderBy(col("variant").asc_nulls_first)
+    },
+    Some("""WITH d AS (
+      SELECT user_id,
+        epoch_ns(ts) // 86400000000000 AS day,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    a AS (SELECT MIN(day) AS day0 FROM d),
+    per_user AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN day < day0 + 15 THEN cents ELSE 0 END) AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN day >= day0 + 15 THEN cents ELSE 0 END) AS BIGINT) AS y,
+        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INTEGER) % 2
+          AS variant
+      FROM d, a GROUP BY user_id, a.day0),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM per_user),
+    by_var AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(x) AS BIGINT) AS sum_pre_cents,
+        CAST(SUM(y) AS BIGINT) AS sum_post_cents
+      FROM per_user GROUP BY variant),
+    stat AS (
+      SELECT v.variant, v.n_users, v.sum_pre_cents, v.sum_post_cents,
+        CASE WHEN CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) > 0.0
+             THEN CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                  / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) END AS theta,
+        CAST(v.sum_post_cents AS DOUBLE) / v.n_users AS mean_post,
+        CAST(v.sum_pre_cents AS DOUBLE) / v.n_users
+          - CAST(p.sx AS DOUBLE) / p.n AS pre_dev
+      FROM by_var v CROSS JOIN pooled p)
+    SELECT variant, n_users, sum_pre_cents, sum_post_cents,
+      round(theta, 6) AS theta,
+      round(mean_post, 6) AS mean_post_cents,
+      round(mean_post - theta * pre_dev, 6) AS adj_mean_post_cents
+    FROM stat
+    ORDER BY variant ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q108, q109, q110, q111, q112, q113, q114, q115, q120, q121, q122,
       q123, q124, q125, q126, q127, q128, q131, q134, q135, q138, q141, q142,
       q143, q145, q150, q156, q157, q159, q163, q166, q168, q176, q178, q184,
       q190, q191, q193, q197, q198, q199, q202, q203, q206, q207, q208,
-      q215, q216, q219, q223)
+      q215, q216, q219, q223, q233)
 }

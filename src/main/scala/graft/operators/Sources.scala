@@ -110,6 +110,11 @@ object Sources extends QueryPack {
   private[graft] def readXmlConn(spark: SparkSession, conn: String): DataFrame =
     readXml(spark, graft.pipeline.Connections.resolve(conn).endpoint)
 
+  /** ORC read addressed by connection name (schema from the footer —
+    * columnar self-describes, no explicit-schema requirement). */
+  private[graft] def readOrcConn(spark: SparkSession, conn: String): DataFrame =
+    spark.read.orc(graft.pipeline.Connections.resolve(conn).endpoint)
+
   /** Reads a JSONL directory with the explicit schema, quarantining
     * malformed lines into `_corrupt_record` instead of failing. */
   private[graft] def readJsonl(spark: SparkSession, path: String): DataFrame =
@@ -429,7 +434,7 @@ object Sources extends QueryPack {
         "avro" -> cleanAvroConn(spark, landedConn("avro", ensureAvro(spark, dir))),
         "csv" -> clean(readCsvConn(spark, landedConn("csv", ensureCsv(spark, dir)))),
         "jsonl" -> clean(readJsonlConn(spark, landedConn("jsonl", ensureJsonl(spark, dir)))),
-        "orc" -> spark.read.orc(ensureOrc(spark, dir)),
+        "orc" -> readOrcConn(spark, landedConn("orc", ensureOrc(spark, dir))),
         "xml" -> clean(readXmlConn(spark, landedConn("xml", ensureXml(spark, dir)))))
       feeds.map { case (n, df) => fingerprint(n, df) }
         .reduce(_ unionByName _)

@@ -290,7 +290,11 @@ class PlanSpec extends SparkTestBase {
       "q228_vocab_growth",
       // q232's corpus total is ONE row broadcast into the
       // ≤ sources×bins threshold frame — q104's tiny-stats pattern.
-      "q232_distribution_match")
+      "q232_distribution_match",
+      // q233's day anchor and pooled-stats frames are ONE row each,
+      // broadcast into the event scan / 2-row variant frame — q166's
+      // scalar pattern twice.
+      "q233_cuped")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

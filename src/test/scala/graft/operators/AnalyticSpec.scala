@@ -1679,4 +1679,50 @@ class AnalyticSpec extends SparkTestBase {
     assert(ks(base, base) == 0L)
     assert(ks(Seq(1L, 2L), Seq(100L, 200L)) == 1000000L)
   }
+
+  test("q233 CUPED: exact driver replay + the mean-conservation law") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytic.q233.fn(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1))
+    // driver replay off the canonical events table
+    val evs = graft.Tables(spark, sf0001).events
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val day0 = evs.map(_._2).min
+    val perUser = evs.groupBy(_._1).map { case (u, es) =>
+      val x = es.filter(_._2 < day0 + 15).map(_._3).sum
+      val y = es.filter(_._2 >= day0 + 15).map(_._3).sum
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hex, 16)
+      (u, x, y, bucket % 2)
+    }.toSeq
+    val n = perUser.size.toLong
+    val (sx, sy) = (perUser.map(_._2).sum, perUser.map(_._3).sum)
+    val sxy = perUser.map(p => BigInt(p._2) * p._3).sum
+    val sxx = perUser.map(p => BigInt(p._2) * p._2).sum
+    val a = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val b = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    assert(b > 0, "fixture pre-period must have variance")
+    val theta = a / b
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = perUser.groupBy(_._4).map { case (v, us) =>
+      val (nv, sxv, syv) = (us.size.toLong, us.map(_._2).sum, us.map(_._3).sum)
+      val meanPost = syv.toDouble / nv
+      val adj = meanPost - theta * (sxv.toDouble / nv - sx.toDouble / n)
+      (v, nv, sxv, syv, rnd(theta), rnd(meanPost), rnd(adj))
+    }.toSet
+    assert(rows.toSet == expect, "CUPED table diverges from replay")
+    // conservation: Σ(x−x̄) = 0 pooled, so the user-weighted adjusted
+    // means reproduce the raw post total — CUPED shifts variance
+    // between variants, never invents spend
+    val weighted = rows.map(r => r._2 * r._7).sum
+    assert(math.abs(weighted - sy.toDouble) / sy.toDouble < 1e-6,
+      s"adjusted means do not conserve the post total: $weighted vs $sy")
+  }
 }
