@@ -52,11 +52,20 @@ object DeferredSensor {
   final class Deferred private[DeferredSensor] (
       val query: StreamingQuery,
       promise: Promise[Try[Int]]) {
-    /** Completes with the sensor outcome; never throws itself. */
+    /** Completes with the sensor outcome; never throws itself. The
+      * metronome query is stopped asynchronously by a watcher once the
+      * outcome lands — observe [[query]].isActive only after [[await]],
+      * which stops it synchronously. */
     def result: Future[Try[Int]] = promise.future
-    /** Block for the outcome — the fan-in join point. */
-    def await(atMost: Duration = Duration.Inf): Try[Int] =
-      Await.result(promise.future, atMost)
+    /** Block for the outcome — the fan-in join point. Also stops the
+      * metronome query SYNCHRONOUSLY before returning (stop() joins the
+      * in-flight batch), so "after await, the sensor holds no
+      * resources" is a guarantee rather than a watcher-thread race. */
+    def await(atMost: Duration = Duration.Inf): Try[Int] = {
+      val r = Await.result(promise.future, atMost)
+      try query.stop() catch { case _: Throwable => () }
+      r
+    }
     /** Park cancelled before completion → failed like a killed task. */
     def cancel(): Unit = {
       promise.trySuccess(Failure(PipelineFailure("sensor cancelled")))
