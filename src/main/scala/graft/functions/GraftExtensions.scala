@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows, WinnowFingerprints}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows, WinnowFingerprints, WinnowWindowMins}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val e = arity(exprs, 3, "graft_winnow_fps(tokens, k, w)")
         WinnowFingerprints(e.head, intLit(e(1), "graft_winnow_fps: k"),
           intLit(e(2), "graft_winnow_fps: w"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow_window_mins"),
+      new ExpressionInfo(classOf[WinnowWindowMins].getName, "graft_winnow_window_mins"),
+      (exprs: Seq[Expression]) => {
+        val e = arity(exprs, 3, "graft_winnow_window_mins(tokens, k, w)")
+        WinnowWindowMins(e.head, intLit(e(1), "graft_winnow_window_mins: k"),
+          intLit(e(2), "graft_winnow_window_mins: w"))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_bigram_hashes"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows, WinnowFingerprints}
+import graft.functions.expressions.{ArrayStats, BigramHashes, ByteHistogram, ChunkHashes, DotProduct, HashedShingles, LshBuckets, LshProbeKeys, MinHash64, NearestCells, NfcNormalize, SimHash64, SortedIntersect, SortedIntersectCount, TopKRows, WinnowFingerprints, WinnowWindowMins}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -65,6 +65,19 @@ object GraftFunctions {
             WinnowFingerprints(exprs.head, k, w)
           case _ => throw new IllegalArgumentException(
             "graft_winnow_fps: k and w must be int literals")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_window_mins",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_winnow_window_mins(tokens, k, w) takes three arguments")
+        (exprs(1), exprs(2)) match {
+          case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+            WinnowWindowMins(exprs.head, k, w)
+          case _ => throw new IllegalArgumentException(
+            "graft_winnow_window_mins: k and w must be int literals")
         }
       },
       "built-in")

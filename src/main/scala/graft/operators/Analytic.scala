@@ -4246,10 +4246,15 @@ object Analytic extends QueryPack {
         // cents² passes int64 around 3e9-cent users — decimal first
         sum(col("x").cast(dec) * col("y")).as("sxy"),
         sum(col("x").cast(dec) * col("x")).as("sxx"))
+      // Det convention (round-16 ADVICE): sum cents through DECIMAL(38,0)
+      // — a raw LongType sum wraps int64 silently at scale while the
+      // oracle's HUGEINT sum + BIGINT cast errors; the explicit decimal
+      // sum + overflow-checked narrowing keeps both engines aligned
+      // (output columns stay BIGINT).
       val byVar = perUser.groupBy(col("variant"))
         .agg(count(lit(1)).as("n_users"),
-          sum(col("x")).as("sum_pre_cents"),
-          sum(col("y")).as("sum_post_cents"))
+          sum(col("x").cast(dec)).cast(LongType).as("sum_pre_cents"),
+          sum(col("y").cast(dec)).cast(LongType).as("sum_post_cents"))
       val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
       val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
       val theta = when(b > 0.0, a / b)

@@ -737,6 +737,106 @@ object Curation extends QueryPack {
     FROM flagged GROUP BY doc_id
     ORDER BY doc_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q234
+  /** Winnow-ANCHORED duplicate-span scrub — closes q148's alignment
+    * hole: q148's tumbling 8-token chunks only match when the duplicate
+    * passages agree on the chunk grid, so a passage copied at an offset
+    * of <8 tokens produces different chunk keys in every document and
+    * escapes the scrub entirely (the recall gap Lee et al. close with
+    * suffix arrays). Winnowing fingerprints (q103, Schleimer/Wilkerson/
+    * Aiken 2003) are alignment-ROBUST: any shared run of ≥ w+k−1 = 6
+    * tokens yields at least one shared window-min fingerprint regardless
+    * of offset. This pass anchors removal on those fingerprints: per
+    * fingerprint the earliest doc_id is the keeper; in every OTHER
+    * document, each window carrying that fingerprint marks its covered
+    * token span `[pos, pos+5]` for removal; a document's removal set is
+    * the union of its marked spans, and `clean_text` reassembles the
+    * surviving tokens in order. Interior windows of an exactly-copied
+    * passage are identical in both documents, so a long duplicated
+    * passage is scrubbed near-completely at ANY offset (spec: an
+    * offset-by-3 duplicate q148 misses, this pass scrubs). The
+    * winnow-granularity trade is stated honestly: any re-occurring
+    * ≥6-token window is treated as duplication, so common long phrases
+    * scrub more aggressively than chunk-grain q148.
+    *
+    * Scale shape (the q148 skew discipline): the window frame is
+    * map-side ([[graft.functions.expressions.WinnowWindowMins]] emits
+    * each doc's window-min array in one JIT pass — no position explode,
+    * no per-doc window exchange) and is cut once because it sits on both
+    * sides of the keeper decision; the keeper is a map-side-combinable
+    * `min(doc_id)` AGGREGATE joined back on the fingerprint (never a
+    * window over the hot key — ubiquitous boilerplate fingerprints are
+    * exactly the AQE-skew-join case); removal positions distinct at
+    * (doc, pos) grain; reassembly is one doc-keyed aggregate. Everything
+    * is an equi-join — nothing pair-shaped, nothing O(n²). */
+  private[graft] def winnowScrubPipeline(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val (k, w) = (3, 4)
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // narrow-input guard (the q103 rule): the fused window-min pass is
+    // the dominant un-shuffled map cost and a fixture-sized scan plans
+    // 1–2 partitions
+    val wins = Materialize.cut(toks(
+      graft.Parallelism.ensure(docs, col("doc_id")))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_winnow_window_mins",
+          col("ts"), lit(k), lit(w))).as(Seq("pos", "fp"))))
+    val keepers = wins.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val rem = wins.join(keepers, "fp")
+      .filter(col("doc_id") =!= col("keeper"))
+      // 0-based window pos covers 1-based tokens [pos+1, pos+k+w−1]
+      .select(col("doc_id"),
+        explode(sequence(col("pos") + 1, col("pos") + (k + w - 1))).as("tp"))
+      .distinct()
+    val tokens = toks(docs)
+      .select(col("doc_id"),
+        size(col("ts")).cast(org.apache.spark.sql.types.LongType).as("n_tokens"),
+        posexplode(col("ts")).as(Seq("tp0", "tok")))
+      .select(col("doc_id"), col("n_tokens"), (col("tp0") + 1).as("tp"), col("tok"))
+    tokens.join(rem.withColumn("rm", lit(true)), Seq("doc_id", "tp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("rm").isNull, struct(col("tp"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val q234 = QueryDef(
+    "q234_winnow_scrub",
+    (spark, dir) => winnowScrubPipeline(Tables(spark, dir).documents),
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, len(ts) - 2 AS ng, i AS pos,
+        CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8) AS BIGINT) AS h
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) - 2 >= 4),
+    w AS (
+      SELECT doc_id, ng, pos,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g),
+    wins AS (SELECT doc_id, pos, fp FROM w WHERE pos <= ng - 3),
+    keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM wins GROUP BY fp),
+    rem AS (
+      SELECT DISTINCT wins.doc_id, u.tp
+      FROM wins JOIN keepers USING (fp), UNNEST(range(wins.pos, wins.pos + 6)) AS u(tp)
+      WHERE wins.doc_id <> keepers.keeper),
+    tkn AS (
+      SELECT doc_id, len(ts) AS n_tokens, i AS tp, ts[i] AS tok
+      FROM tok, UNNEST(range(1, len(ts) + 1)) AS u(i))
+    SELECT t.doc_id,
+      CAST(MAX(t.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN r.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      COALESCE(string_agg(t.tok, ' ' ORDER BY t.tp) FILTER (WHERE r.tp IS NULL), '')
+        AS clean_text
+    FROM tkn t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.tp = t.tp
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q154
   /** Context-window fit report — the planning table between q74's
     * packing and q137's budget apportionment: per source, how the
@@ -1453,5 +1553,5 @@ object Curation extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194, q220, q225, q230, q232)
+      q173, q174, q185, q188, q194, q220, q225, q230, q232, q234)
 }

@@ -1076,11 +1076,12 @@ object Dedup extends QueryPack {
     * Scale: pair generation is q33's lossless prefix-filtered
     * equi-join (never all-pairs); the two text attaches are doc-keyed
     * equi-joins; the DP runs once per surviving pair. */
-  val q196 = QueryDef(
-    "q196_edit_verify",
-    (spark, dir) => {
-      val pairs = exactPairsPipeline(spark, dir).cut()
-      val pfx = Tables(spark, dir).documents
+  /** The q196 stage over an arbitrary `(doc_id, text)` frame — also
+    * driven by [[graft.tools.ScaleProbe]]'s `edit` mode (pair growth +
+    * DP wall at 1/4/16× corpus). */
+  private[graft] def editVerifyOn(docs: DataFrame): DataFrame = {
+      val pairs = exactPairs(docs).cut()
+      val pfx = docs
         .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
       pairs
         .join(pfx.select(col("doc_id").as("d1"), col("p").as("p1")), Seq("d1"))
@@ -1091,7 +1092,11 @@ object Dedup extends QueryPack {
         .select(col("d1"), col("d2"), col("jac"), col("lev"),
           expr("(maxlen - lev) * 1000000 div maxlen").as("edit_sim_ppm"))
         .orderBy(col("d1"), col("d2"))
-    },
+  }
+
+  val q196 = QueryDef(
+    "q196_edit_verify",
+    (spark, dir) => editVerifyOn(Tables(spark, dir).documents),
     Some(s"""WITH pairs AS ($exactJaccardSql),
     pfx AS (SELECT doc_id, substr(text, 1, 256) AS p FROM documents),
     j AS (

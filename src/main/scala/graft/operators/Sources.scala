@@ -87,9 +87,21 @@ object Sources extends QueryPack {
     * a deployment re-points the feed by re-registering the name, never
     * by editing query code. */
   private[graft] def landedConn(kind: String, path: String): String = {
+    // 16 hex chars (64 bits) of the path md5, not 8 (round-16 ADVICE): a
+    // 32-bit tag puts two distinct deploy paths at birthday-collision
+    // odds, and registration is latest-wins — a collision would silently
+    // re-point an existing name at the other feed. Belt and braces: a
+    // DERIVED name may never replace a connection with a different
+    // endpoint (explicit register() keeps rotation semantics).
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val name = s"graft_${kind}_feed_$tag"
+    if (graft.pipeline.Connections.contains(name)) {
+      val existing = graft.pipeline.Connections.resolve(name).endpoint
+      require(existing == path,
+        s"derived connection name '$name' already points at '$existing'; " +
+          s"refusing to silently re-point it at '$path'")
+    }
     graft.pipeline.Connections.register(name, graft.pipeline.Connection(path))
     name
   }

@@ -34,16 +34,17 @@ import graft.pipeline.Pipeline.{Done, FailedPoll, PipelineFailure, PollStatus, S
   *    deadline, matching the poke-loop's "would the next poke start past
   *    the budget" test.
   *
-  * Scale: the rate source emits one integer row per interval in ONE
-  * task (rowsPerSecond is derived from the pokeInterval so every
-  * ProcessingTime trigger has data — a fixed 1 row/s floor silently
-  * degraded sub-second intervals to ~1 s cadence); the check runs
+  * Scale: the rate-micro-batch source emits one integer row per
+  * micro-batch in ONE task (the plain rate source advances offsets at
+  * whole-second granularity, which silently degraded sub-second
+  * intervals to ~1 s cadence); the check runs
   * driver-side in `foreachBatch`. Cost is a few scheduler ticks per
   * interval — hundreds of parked sensors coexist with the real work,
   * which is the point of deferring. The deadline is enforced twice:
   * authoritatively between pokes against the injectable `clock`, and by
-  * a wall-clock backstop thread that times the sensor out even if the
-  * source stalls and no micro-batch ever fires again.
+  * a backstop thread polling the SAME `clock()`-based deadline that
+  * times the sensor out even if the source stalls and no micro-batch
+  * ever fires again.
   */
 object DeferredSensor {
 
@@ -86,15 +87,19 @@ object DeferredSensor {
     val pokes = new AtomicInteger(0)
     val promise = Promise[Try[Int]]()
     // the stream is a metronome and the payload is never read — but a
-    // micro-batch only executes when NEW OFFSETS exist, so the rate must
-    // keep up with the trigger cadence: at a fixed rowsPerSecond=1 a
-    // sub-second pokeInterval silently degraded to ~1 s pokes (round-15
-    // ADVICE). One row per interval, floor 1 — a pokeInterval ≥ 1 s
-    // keeps the old single-row tick.
-    val rowsPerSecond =
-      math.max(1L, (1000L + pokeInterval.toMillis - 1) / math.max(1L, pokeInterval.toMillis))
-    val ticks = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond).load()
+    // micro-batch only executes when NEW OFFSETS exist. The plain `rate`
+    // source advances its offset at WHOLE-SECOND granularity (latest
+    // offset = floor(elapsed seconds) * rowsPerSecond), so no derived
+    // rowsPerSecond can make a sub-second pokeInterval tick faster than
+    // ~1 s (the round-16 structural cadence spec measured ~1000 ms
+    // median gaps under the round-15 derived-rate fix). The
+    // `rate-micro-batch` source instead exposes `rowsPerBatch` new rows
+    // at EVERY batch planning, so each ProcessingTime trigger finds
+    // fresh offsets and the check runs once per pokeInterval exactly.
+    val ticks = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 1L)
+      .option("numPartitions", 1)
+      .load()
     val query = ticks.writeStream
       .trigger(Trigger.ProcessingTime(pokeInterval.toMillis))
       .outputMode("append")
@@ -140,18 +145,15 @@ object DeferredSensor {
     // deadline fallback OUTSIDE the micro-batch path (round-15 ADVICE):
     // the in-batch deadline check only runs when a batch runs, so a
     // STALLED source (no new offsets) could park the sensor forever.
-    // This watcher sleeps on the wall clock and times the sensor out
-    // even if no batch ever fires again; the injectable `clock` governs
-    // the authoritative in-batch check, this one is the hung-source
-    // backstop (sized off the same FiniteDuration budget).
+    // This watcher polls the SAME injectable clock and deadline as the
+    // in-batch check (round-16 ADVICE: a separate wall-clock countdown
+    // could time the sensor out before — or keep it past — the
+    // authoritative clock()-based deadline under a custom clock), so one
+    // deadline definition governs both enforcement paths; it times the
+    // sensor out even if no batch ever fires again.
     val deadlineWatcher = new Thread(() => {
       try {
-        var remainingMs = timeout.toMillis + 50
-        while (!promise.isCompleted && remainingMs > 0) {
-          val step = math.min(remainingMs, 100L)
-          Thread.sleep(step)
-          remainingMs -= step
-        }
+        while (!promise.isCompleted && clock() < deadline) Thread.sleep(100)
         if (!promise.isCompleted) {
           promise.trySuccess(
             Failure(PipelineFailure(s"sensor timed out after $timeout")))

@@ -54,6 +54,22 @@ object StreamOps {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact-term blocklist gate — the live twin of batch q229,
+    * the one curation gate a production feed wants enforced AT INGEST
+    * rather than nightly: every micro-batch's documents are exploded to
+    * tokens and filtered by the banned-term membership test, emitting
+    * one `(doc_id, token)` row per hit as the feed lands. STATELESS —
+    * a pure map/filter per batch (the same codegen'd `isin` plan as
+    * q229; a production list of thousands becomes a broadcast equi-join
+    * — still stateless), so there is no watermark, no state store, and
+    * nothing to recover on restart beyond source offsets. Downstream,
+    * `groupBy(doc_id).agg(count, countDistinct, min)` over the emitted
+    * rows IS q229's table (spec-asserted across a micro-batch
+    * boundary). Works on static frames and streams alike. */
+  def blocklistHits(docs: DataFrame, blocklist: Seq[String]): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(blocklist: _*))
+
   /** Stream-stream interval join: each left event matched to right events
     * of the same key that happened at-or-before it, within `interval` —
     * e.g. "error ⋈ the purchases in the preceding hour". Both sides carry

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | analytic | pagerank | cdf | sweep | setops | cms | all.
+  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | analytic | pagerank | cdf | sweep | setops | cms | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -120,6 +120,33 @@ object ScaleProbe {
       val nPairs = pairs.count()
       println(f"SCALE-CONTAIN f=$f docs=$nDocs cands=$nCands pairs=$nPairs " +
         f"t_cands=$tCand%.2f t_full=$tAll%.2f")
+    }
+
+    // ---- edit-distance verification (q196): the round-16 verdict asked
+    // for the same evidence standard as the other dedup lenses — the
+    // claim is "DP once per SURVIVING pair", so candidate-pair volume
+    // must track the true near-dup answer (~f² per replica clique, the
+    // exactPairs property the docs section already measures) and the DP
+    // wall must track the pair count with a bounded per-pair constant
+    // (the fixed 256-char prefix), never the corpus size independently.
+    if (mode == "edit") factors.foreach { f =>
+      val docs = replicateDocs(f)
+      val nDocs = docs.count()
+      val (pairs, tPairs) = timed(Dedup.exactPairs(docs).localCheckpoint())
+      val nPairs = pairs.count()
+      // DP-only stage, isolated: prefix attach + 256-char Levenshtein
+      // over the surviving pairs — the exact q196 tail
+      val pfx = docs
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
+        .localCheckpoint()
+      val (_, tDp) = timed(
+        pairs
+          .join(pfx.select(col("doc_id").as("d1"), col("p").as("p1")), Seq("d1"))
+          .join(pfx.select(col("doc_id").as("d2"), col("p").as("p2")), Seq("d2"))
+          .select(levenshtein(col("p1"), col("p2")).as("lev"))
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-EDIT f=$f docs=$nDocs pairs=$nPairs " +
+        f"t_pairs=$tPairs%.2f t_dp=$tDp%.2f")
     }
 
     // ---- duplicate-span scrub (q148): replicas share every chunk except

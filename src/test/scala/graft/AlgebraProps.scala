@@ -4,7 +4,7 @@ import graft.operators.AsOf
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Algebraic laws of the engine's operators, checked on generated data
   * (SURVEY.md §5.3). Small literal DataFrames, fixed minSuccessful to keep
@@ -277,28 +277,38 @@ object AlgebraProps extends Properties("Algebra") {
   // profiles, driven through the PRODUCTION waterFill frame pipeline:
   // the budget is spent exactly, no group exceeds its cap, clipped
   // groups share the level ±1, and max-min holds (no fully funded
-  // group exceeds any clipped allocation).
+  // group exceeds any clipped allocation). `fully_funded` is the
+  // algorithm's PREFIX flag (group inside the maximal feasible prefix),
+  // so it implies alloc == avail but NOT conversely: the +1 remainder
+  // can top a CLIPPED group exactly to its cap when L+1 equals the
+  // smallest unfunded avail (minimal case avails = (1, 1): B = 1,
+  // k = 0, L = 0, r = 1 → allocations (1, 0), both flagged clipped —
+  // the round-17 ScalaCheck counterexample that falsified the old
+  // iff-shaped law on perfectly correct output).
   private val genAvail: Gen[List[Long]] =
     Gen.chooseNum(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(1L, 10000L)))
+  private def waterFillLaws(avails: List[Long]): Boolean = {
+    val s = spark
+    import s.implicits._
+    val src = avails.zipWithIndex
+      .map { case (a, i) => (f"l$i%02d", a) }.toDF("lang", "avail")
+    val out = graft.operators.Curation.waterFill(src).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val b = avails.sum * 4 / 5
+    val spend = out.map(_._3).sum == b
+    val caps = out.forall(o => o._3 <= o._2 && o._3 >= 0)
+    val flags = out.forall(o => o._4 == 0 || o._3 == o._2)
+    val clipped = out.filter(_._4 == 0).map(_._3)
+    val level = clipped.isEmpty || clipped.max - clipped.min <= 1
+    val funded = out.filter(_._4 == 1).map(_._3)
+    val maxmin = clipped.isEmpty || funded.isEmpty || funded.max <= clipped.min
+    spend && caps && flags && level && maxmin
+  }
   property("water-fill: exact spend, caps, level sharing, max-min order") =
-    forAll(genAvail) { avails =>
-      val s = spark
-      import s.implicits._
-      val src = avails.zipWithIndex
-        .map { case (a, i) => (f"l$i%02d", a) }.toDF("lang", "avail")
-      val out = graft.operators.Curation.waterFill(src).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-      val b = avails.sum * 4 / 5
-      val spend = out.map(_._3).sum == b
-      val caps = out.forall(o => o._3 <= o._2 && o._3 >= 0)
-      val flags = out.forall(o => (o._4 == 1) == (o._3 == o._2))
-      val clipped = out.filter(_._4 == 0).map(_._3)
-      val level = clipped.isEmpty || clipped.max - clipped.min <= 1
-      val funded = out.filter(_._4 == 1).map(_._3)
-      val maxmin = clipped.isEmpty || funded.isEmpty || funded.max <= clipped.min
-      spend && caps && flags && level && maxmin
-    }
+    forAll(genAvail)(waterFillLaws)
+  property("water-fill: remainder-topped-to-cap edge (avails 1,1) satisfies the laws") =
+    waterFillLaws(List(1L, 1L))
 
   // ---- delta-join maintenance (q164's rewrite) on generated dated
   // frames, driven through the PRODUCTION deltaJoinContribFrames: the

@@ -39,6 +39,22 @@ class SparkEntrySpec extends SparkTestBase {
     }
   }
 
+  test("README status header counts match the registry (no drift)") {
+    // round-16 verdict: the README said 231 where 233 were registered —
+    // pin the prose to SparkEntry so the drift class dies.
+    val readme = {
+      val src = scala.io.Source.fromFile("README.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val m = """\*\*(\d+) queries\*\* registered in `graft\.SparkEntry` \((\d+) DuckDB-oracle-checked""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README status header pattern not found"))
+    assert(m.group(1).toInt == SparkEntry.allQueries.size,
+      s"README says ${m.group(1)} queries; registry has ${SparkEntry.allQueries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(2)} oracle-checked; registry has ${SparkEntry.oracleSql.size}")
+  }
+
   test("output column names are distinct per query (driver sorts by name)") {
     SparkEntry.allQueries.foreach { q =>
       val cols = q.fn(spark, sf0001).columns

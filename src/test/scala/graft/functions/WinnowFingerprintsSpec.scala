@@ -84,6 +84,43 @@ class WinnowFingerprintsSpec extends SparkTestBase {
     assert(h == want)
   }
 
+  test("graft_winnow_window_mins: element i is window i's min; distinct equals graft_winnow_fps") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "longword",
+      "the", "a", "und", "naïve", "42")
+    val docs = (1L to 200L).map { id =>
+      (id, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val got = docs.select(col("doc_id"),
+        posexplode(call_function("graft_winnow_window_mins",
+          split(col("text"), " "), lit(k), lit(w))).as(Seq("pos", "fp")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // composed positional form: per-doc window min at each full window
+    val toks = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"), toks.as("toks"), (size(toks) - (k - 1)).as("ng"))
+      .filter(col("ng") >= w)
+      .select(col("doc_id"), col("ng"),
+        explode(sequence(lit(1), col("ng"))).as("pos"), col("toks"))
+      .select(col("doc_id"), col("ng"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("toks"), col("pos"), lit(k))).cast("binary")), 1, 8),
+          16, 10).cast("long").as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val want = grams
+      .withColumn("fp", min(col("h")).over(byDoc.rowsBetween(0, w - 1)))
+      .filter(col("pos") <= col("ng") - (w - 1))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"), col("fp"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // distinct-values identity with the fused distinct form
+    val distinctGot = got.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(distinctGot == sets(fused(docs, k, w)))
+  }
+
   test("null token is skipped like concat_ws; null array is null row") {
     val one = Seq(Tuple1(Array[String]("a", null, "c", "d", "e", "f")))
       .toDF("toks")

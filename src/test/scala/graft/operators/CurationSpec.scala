@@ -284,6 +284,73 @@ class CurationSpec extends SparkTestBase {
       "q68 detection counts drifted from q148 scrub counts")
   }
 
+  test("q234 winnow scrub equals a naive fingerprint-keeper sweep on the fixture") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def fp(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def windowMins(ts: Array[String]): Array[Long] = {
+      val ng = ts.length - 2
+      if (ng < 4) Array.empty
+      else {
+        val g = Array.tabulate(ng)(i => fp(ts.slice(i, i + 3).mkString(" ")))
+        Array.tabulate(ng - 3)(i => g.slice(i, i + 4).min)
+      }
+    }
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1)) }
+    val mins = toks.map { case (id, ts) => (id, windowMins(ts)) }
+    val keeper = scala.collection.mutable.Map.empty[Long, Long]
+    mins.foreach { case (id, ms) =>
+      ms.foreach(m => if (!keeper.contains(m) || keeper(m) > id) keeper(m) = id)
+    }
+    val expected = toks.zip(mins).map { case ((id, ts), (_, ms)) =>
+      val rem = scala.collection.mutable.Set.empty[Int]
+      ms.zipWithIndex.foreach { case (m, p) =>
+        if (keeper(m) != id) (p to p + 5).foreach(rem += _)
+      }
+      (id, ts.length.toLong, rem.size.toLong,
+        ts.zipWithIndex.collect { case (t, i) if !rem(i) => t }.mkString(" "))
+    }.toSeq
+    val got = Curation.q234.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected, {
+      val bad = got.zip(expected).find { case (g, e) => g != e }
+      s"first divergence: got=${bad.map(_._1)} want=${bad.map(_._2)}"
+    })
+    assert(expected.exists(_._3 > 0), "fixture exercises no winnow-anchored removal")
+  }
+
+  test("q234 scrubs an offset-by-3 duplicate passage that q148's chunk grid misses") {
+    import spark.implicits._
+    // doc 1: 8 filler tokens + a 16-token passage (chunk-aligned there);
+    // doc 2: 11 DIFFERENT filler tokens + the SAME passage — offset 3
+    // relative to the 8-token chunk grid, so no chunk text matches and
+    // q148 removes nothing; winnowing's ≥ w+k−1 = 6-token guarantee is
+    // alignment-free, and the 11 interior shared windows cover the whole
+    // 16-token passage in doc 2
+    val passage = (1 to 16).map(i => s"p$i")
+    val d1 = (1 to 8).map(i => s"a$i") ++ passage
+    val d2 = (1 to 11).map(i => s"b$i") ++ passage
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunked = Curation.spanScrubOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunked == Map(1L -> 0L, 2L -> 0L),
+      s"chunk-grid scrub unexpectedly caught the offset duplicate: $chunked")
+    val winnowed = Curation.winnowScrubPipeline(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(winnowed(1L) == ((0L, d1.mkString(" "))), "keeper doc 1 was touched")
+    val (removed2, clean2) = winnowed(2L)
+    assert(removed2 >= 16L, s"doc 2 removal too small: $removed2")
+    passage.foreach(p =>
+      assert(!clean2.split(" ").contains(p), s"passage token $p survived: $clean2"))
+  }
+
   test("q154 context-fit metrics match a naive recompute; fill never exceeds capacity") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("source", "text").collect()

@@ -57,20 +57,35 @@ class DeferredSensorSpec extends SparkTestBase {
     assert(seen >= 0 && !d.query.isActive)
   }
 
-  test("sub-second pokeInterval keeps sub-second cadence (rate derived from interval)") {
-    // regression for the round-15 ADVICE: with rowsPerSecond fixed at 1,
-    // a 100 ms pokeInterval degraded to ~1 s/poke (batches only run when
-    // new offsets exist), so 5 pokes took >= 5 s; with the derived rate
-    // they take well under that even counting query startup
+  test("sub-second pokeInterval keeps sub-second cadence (rate-micro-batch metronome)") {
+    // regression for the round-15/16 ADVICE: the plain `rate` source
+    // advances offsets at whole-second granularity, so a 100 ms
+    // pokeInterval degraded to ~1 s/poke (batches only run when new
+    // offsets exist) NO MATTER the derived rowsPerSecond — only the
+    // rate-micro-batch source ticks per trigger.
+    // Assert the cadence STRUCTURALLY (median inter-poke gap), not by a
+    // total wall-clock bound: a hard wall bound has no margin when the
+    // full suite loads the box (round-16 flake, 4.68 s vs 4.5 s) while
+    // the median gap is robust to a single slow batch — under the
+    // regression EVERY gap is ~1 s, so the median still catches it.
     val n = new AtomicInteger(0)
-    val t0 = System.nanoTime()
+    val pokeNanos = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val d = DeferredSensor.start(spark, 100.millis, 2.minutes) { () =>
-      if (n.incrementAndGet() >= 5) Done else StillRunning
+      pokeNanos.add(System.nanoTime())
+      if (n.incrementAndGet() >= 9) Done else StillRunning
     }
     val out = d.await(2.minutes)
-    val wall = (System.nanoTime() - t0) / 1e9
-    assert(out == Success(5), s"got $out")
-    assert(wall < 4.5, f"5 pokes took $wall%.1f s — cadence degraded toward 1 s/poke")
+    assert(out == Success(9), s"got $out")
+    val ts: Vector[Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val it = pokeNanos.iterator(); while (it.hasNext) buf += it.next().longValue()
+      buf.toVector.sorted
+    }
+    val gapsMs = ts.zip(ts.tail).map { case (a, b) => (b - a) / 1e6 }
+    assert(gapsMs.size == 8, s"expected 8 inter-poke gaps, got ${gapsMs.size}")
+    val median = gapsMs.sorted.apply(gapsMs.size / 2)
+    assert(median < 500.0,
+      f"median inter-poke gap $median%.0f ms (gaps: ${gapsMs.map(g => f"$g%.0f").mkString(",")}) — cadence degraded toward 1 s/poke")
   }
 
   test("a check that throws fails the sensor like a task exception") {

@@ -1460,6 +1460,36 @@ class StreamOpsSpec extends SparkTestBase {
     assert(live == got, s"live KS fold diverges from batch q223")
   }
 
+  test("streaming blocklist gate folds to batch q229 across a micro-batch boundary") {
+    // stateless ingest enforcement of the q229 curation gate: flagged
+    // (doc, token) rows per micro-batch; folding them downstream must
+    // reproduce the nightly batch table exactly, split across batches
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => DocRow(r.getLong(0), r.getString(1)))
+    val in = MemoryStream[DocRow]
+    val q = StreamOps.blocklistHits(in.toDF(), Seq("dup", "slow", "legacy"))
+      .writeStream.outputMode("append").format("memory").queryName("blockhits")
+      .start()
+    in.addData(docs.take(docs.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val folded = spark.table("blockhits")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("token")).as("n_terms"),
+        min(col("token")).as("sample_term"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.operators.TextOps.q229.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(folded == batch, s"streamed blocklist fold diverges from q229: " +
+      s"only-stream=${(folded -- batch).take(3)}, only-batch=${(batch -- folded).take(3)}")
+    assert(folded.nonEmpty, "fixture has no blocklist hits; gate unexercised")
+  }
+
   // -------------------------------------------------------------------
   // Restart recovery (round-15 verdict #4): the reference runs every
   // service under `restart: always` (docker-compose.yaml:102) — state
@@ -1603,5 +1633,80 @@ class StreamOpsSpec extends SparkTestBase {
         QuantProcessor.lo(i99), QuantProcessor.hi(i99)))
     }
     assert(finalRows == expect, "restart quantile gauge divergence")
+  }
+
+  test("buffered funnel survives restart with PENDING EVENT-TIME TIMERS: recovered timers drain to batch q105") {
+    // round-16 verdict residue: the three restart specs above prove
+    // ValueState/MapState/ListState recovery, but none stops a processor
+    // with REGISTERED EVENT-TIME TIMERS outstanding — the
+    // WatermarkBufferedProcessor family registers watermark+1 timers to
+    // drain buffered prefixes, and a pod dying between registration and
+    // firing is exactly the reference's `restart: always` case
+    // (docker-compose.yaml:102) on the fourth state surface. Harness:
+    // four process lifetimes over ONE RocksDB checkpoint. Lifetime 1
+    // feeds a shuffled first half as a single Trigger.Once batch whose
+    // watermark is 0 — NOTHING drains, so the process dies holding a
+    // full ListState buffer plus an armed timer (asserted: zero output
+    // rows). Lifetime 2 reopens with the second half: the recovered
+    // timer fires against the recovered watermark over the recovered
+    // buffer. Lifetimes 3–4 feed only a far-future sentinel, so every
+    // real user's remaining drain happens EXCLUSIVELY through recovered
+    // timers over recovered state (no input rows for those keys). End
+    // stages must equal batch q105.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("buftimerrestart")
+    val (inDir, ckpt, outDir) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    val evs = graft.Tables(s2, sf0001).events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .orderBy(col("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // arrival shuffled within each lifetime — the buffered gate must not
+    // care (the plain gate's in-order contract is violated throughout)
+    def shuffled(xs: Array[(Long, String, Long, Long)]) =
+      xs.sortBy(t => (t._4 % 13, t._4))
+    def runLifetime(chunk: Seq[(Long, String, Long, Long)]): Unit = {
+      chunk.toDF("user_id", "event_type", "us", "event_id")
+        .write.mode("append").json(inDir)
+      val src = s2.readStream
+        .schema("user_id LONG, event_type STRING, us LONG, event_id LONG")
+        .json(inDir)
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"), col("event_id"))
+      val q = StreamFunnelBuffered.transitions(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .format("parquet").option("path", outDir)
+        .start()
+      assert(q.awaitTermination(180000), "buffered funnel lifetime did not finish")
+    }
+    def emitted(): Array[(Long, String)] =
+      scala.util.Try(
+        s2.read.schema("userId LONG, stage STRING, us LONG").parquet(outDir)
+          .collect().map(r => (r.getLong(0), r.getString(1))))
+        .getOrElse(Array.empty)
+    val half = evs.length / 2
+    runLifetime(shuffled(evs.take(half)).toSeq)
+    // the stop state this spec exists for: buffer full, timer armed,
+    // zero transitions emitted (batch 0 ran with watermark 0)
+    assert(emitted().isEmpty,
+      "lifetime 1 drained output — the stop did not leave a pending timer")
+    runLifetime(shuffled(evs.drop(half)).toSeq)
+    val maxUs = evs.map(_._3).max
+    runLifetime(Seq((999999L, "noop", maxUs + 86400000000L, 10000000L)))
+    runLifetime(Seq((999999L, "noop", maxUs + 2 * 86400000000L, 10000001L)))
+    val rank = Map("signup" -> 1, "view" -> 2, "purchase" -> 3)
+    val streamed = emitted().filter(_._1 != 999999L)
+      .groupBy(_._1).view.mapValues(_.map(t => rank(t._2)).max).toMap
+    val batch = graft.operators.WindowOps.q105.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), rank(r.getString(1)))).toMap
+    assert(streamed == batch, s"timer-pending restart divergence: " +
+      s"only-stream=${(streamed.toSet -- batch.toSet).take(5)}, " +
+      s"only-batch=${(batch.toSet -- streamed.toSet).take(5)}")
   }
 }
