@@ -878,6 +878,83 @@ object Dedup extends QueryPack {
     HAVING count(*) >= 3
     ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q236
+  /** Incremental delta-vs-corpus WINNOW dedup — completes the winnow
+    * lens's incremental column (the dedup-matrix rule: every lens gets
+    * batch + incremental; exact Jaccard has q33/q93, embeddings have
+    * q44/q147, winnowing had only batch q103): today's landing checked
+    * for contiguous-run overlap against the accumulated corpus through
+    * the corpus' PERSISTED fingerprint index. The df cap (> 50 docs)
+    * is evaluated on the CORPUS STORE ALONE — the stored statistic the
+    * nightly job maintains — so a delta fingerprint landing in a
+    * boilerplate bucket is dropped by the stored df, never by a
+    * delta-dependent stat, and the decision is reproducible from the
+    * index without the delta. Same q93 split convention
+    * (md5-bucket ≥ [[DeltaBucketThreshold]] = today's landing).
+    *
+    * Scale shape: the corpus is NEVER self-joined — the join is
+    * delta-fingerprints × corpus-index on the fingerprint key, so cost
+    * tracks delta size × fingerprint df (capped), not corpus² (the q93
+    * property, spec-asserted there; the `ScaleProbe delta` growth
+    * argument transfers shape-for-shape). Both fingerprint passes are
+    * map-side ([[graft.functions.expressions.WinnowFingerprints]]). */
+  private[graft] def incrementalWinnowPairs(corpus: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val corpusFps = winnowFingerprints(corpus)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= 50)
+      .select(col("doc_id").as("corpus_id"), col("fp"))
+    val deltaFps = winnowFingerprints(delta)
+      .select(col("doc_id").as("delta_id"), col("fp"))
+    deltaFps.join(corpusFps, "fp")
+      .groupBy(col("delta_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  val q236 = QueryDef(
+    "q236_incremental_winnow",
+    (spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val bucket = Det.md5Bucket(col("doc_id"))
+      val corpus = docs.filter(bucket < DeltaBucketThreshold)
+      val delta = docs.filter(bucket >= DeltaBucketThreshold)
+      // materialize the (tiny) result before the total sort — the q93
+      // range-sampling re-execution guard
+      incrementalWinnowPairs(corpus, delta).cut()
+        .orderBy(col("delta_id"), col("corpus_id"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, len(ts) - 2 AS ng, i AS pos,
+        CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8) AS BIGINT) AS h
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) - 2 >= 4),
+    w AS (
+      SELECT doc_id, ng, pos,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 3),
+    split AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) >= 52429 AS is_delta
+      FROM tok),
+    corpus_fps AS (
+      SELECT doc_id AS corpus_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+        FROM fps WHERE doc_id IN (SELECT doc_id FROM split WHERE NOT is_delta))
+      WHERE df <= 50),
+    delta_fps AS (
+      SELECT doc_id AS delta_id, fp FROM fps
+      WHERE doc_id IN (SELECT doc_id FROM split WHERE is_delta))
+    SELECT d.delta_id, c.corpus_id, COUNT(*) AS n_shared
+    FROM delta_fps d JOIN corpus_fps c USING (fp)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY delta_id, corpus_id"""))
+
   // --------------------------------------------------------------- q116
   /** Asymmetric containment dedup: ordered pairs (A, B) with
     * `C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 3/4` —
@@ -1010,6 +1087,56 @@ object Dedup extends QueryPack {
     FROM labels l JOIN survivors s USING (keeper)
     ORDER BY l.doc_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q237
+  /** Split-leakage audit — the QA readout that justifies cluster-keyed
+    * splitting (q64/q136): how many verified near-duplicate pairs (the
+    * exact-Jaccard ≥ 1/2 set, q33) STRADDLE the naive id-hash
+    * train/val/test boundaries (q62's buckets)? Every off-diagonal row
+    * of this table is train→eval contamination a per-document split
+    * admits and the keeper-keyed split provably eliminates (q64 routes
+    * whole clusters to one side). Output is the ≤ 6-row (split_a,
+    * split_b) pair-count matrix, pair orientation normalized
+    * lexicographically so both engines fold identically.
+    *
+    * Scale shape: the pair table (near-dup-sized, not corpus-sized)
+    * picks up each endpoint's split by two doc-keyed equi-joins against
+    * a map-only projection, then folds to ≤ 6 rows — nothing heavier
+    * than q33 itself, whose pipeline is reused (and memoized via the
+    * cut). */
+  val q237 = QueryDef(
+    "q237_split_leakage",
+    (spark, dir) => {
+      val pairs = exactPairsPipeline(spark, dir).cut()
+      val bucket = Det.md5Bucket(col("doc_id"))
+      val split = when(bucket < 52429, "train")
+        .when(bucket < 58982, "val")
+        .otherwise("test")
+      val s = Tables(spark, dir).documents.select(col("doc_id"), split.as("split"))
+      pairs
+        .join(s.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+        .join(s.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_a").asc_nulls_first, col("split_b").asc_nulls_first)
+    },
+    Some(s"""WITH pairs AS ($exactJaccardSql),
+    sp AS (
+      SELECT doc_id,
+        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 52429 THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) < 58982 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT LEAST(a.split, b.split) AS split_a,
+      GREATEST(a.split, b.split) AS split_b,
+      COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN sp a ON a.doc_id = pairs.d1
+    JOIN sp b ON b.doc_id = pairs.d2
+    GROUP BY 1, 2
+    ORDER BY split_a ASC NULLS FIRST, split_b ASC NULLS FIRST"""))
+
   // --------------------------------------------------------------- q155
   /** Dedup ROI report — "what did dedup buy": per near-dup cluster SIZE,
     * how many clusters exist, how many documents a keep-one policy
@@ -1112,5 +1239,6 @@ object Dedup extends QueryPack {
     ORDER BY d1, d2"""))
 
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136, q155, q196)
+    Seq(q30, q31, q32, q33, q34, q55, q64, q93, q103, q116, q136, q155, q196,
+      q236, q237)
 }

@@ -1535,7 +1535,65 @@ object TextOps extends QueryPack {
     GROUP BY doc_id
     ORDER BY doc_id ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q235
+  /** Boilerplate phrase miner — the AUDIT view feeding every df-capped
+    * stage in the dedup matrix (q32/q103/q116 drop fingerprints seen in
+    * > 50 docs; q229 gates on a maintained term list): the top-20 word
+    * 5-grams by DOCUMENT frequency, with total occurrence counts beside
+    * them. The head of this table is what a curation reviewer actually
+    * reads to decide what IS boilerplate — navigation chrome, license
+    * headers, template sentences — before promoting terms to the
+    * blocklist or tightening the df caps.
+    *
+    * Determinism: gram identity is the gram TEXT (the q148 rule — both
+    * engines group identically with no hash in the contract); the
+    * top-20 cut is a total order (n_docs DESC, n_occurrences DESC,
+    * gram ASC) so ties at the boundary are deterministic.
+    *
+    * Scale shape: one position-explode map pass (the q148 slice idiom —
+    * ordinary codegen'd expressions, no interpreted lambda), a
+    * (gram, doc) pre-aggregate that is map-side combinable BEFORE the
+    * gram-keyed shuffle (within-doc repeats collapse early — the hot
+    * boilerplate gram is exactly the skewed key the pre-aggregate
+    * tames), then a gram-keyed fold and a TakeOrderedAndProject top-20
+    * (never a global sort of the gram table). At 100 TB the gram frame
+    * is corpus-token-sized — the same volume every shingle stage in the
+    * engine already moves. */
+  val q235 = QueryDef(
+    "q235_boilerplate_ngrams",
+    (spark, dir) => {
+      val g = 5
+      val grams = graft.Parallelism.ensure(
+          Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= g)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("ts")) - (g - 1))).as("pos"),
+          col("ts"))
+        .select(col("doc_id"),
+          array_join(slice(col("ts"), col("pos"), lit(g)), " ").as("gram"))
+      grams.groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
+        .orderBy(col("n_docs").desc_nulls_last,
+          col("n_occurrences").desc_nulls_last, col("gram").asc_nulls_first)
+        .limit(20)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(list_slice(ts, i, i + 4), ' ') AS gram
+      FROM tok, UNNEST(range(1, len(ts) - 3)) AS u(i)
+      WHERE len(ts) >= 5),
+    pd AS (SELECT gram, doc_id, COUNT(*) AS occ FROM g GROUP BY 1, 2)
+    SELECT gram, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM pd GROUP BY gram
+    ORDER BY n_docs DESC NULLS LAST, n_occurrences DESC NULLS LAST,
+      gram ASC NULLS FIRST
+    LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165, q186, q211, q212, q221, q224, q228, q229)
+      q104, q118, q161, q165, q186, q211, q212, q221, q224, q228, q229, q235)
 }

@@ -283,6 +283,105 @@ class NearDupProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** One document row entering the streaming winnow gate: `fp` is the
+  * bucket key (one of the doc's winnow fingerprints), `fps` the doc's
+  * FULL distinct fingerprint set (the exact-verification payload). */
+case class FpDoc(fp: Long, docId: Long, fps: Array[Long])
+
+/** A verified streaming winnow pair (smaller doc id first; `nShared` is
+  * the exact distinct shared-fingerprint count — batch q103's value in
+  * the uncapped regime). */
+case class StreamWinnowDup(docA: Long, docB: Long, nShared: Long)
+
+/** A document's fingerprint set held in a bucket's store. */
+case class StoredFps(docId: Long, fps: Array[Long])
+
+/** Streaming winnowing near-dedup gate — the streaming cell of the
+  * winnow lens, completing its matrix row (batch q103, incremental
+  * q236, this): each arriving document computes its winnow fingerprint
+  * set map-side (the SAME `graft_winnow_fps` expression batch uses, so
+  * a pair shares a stream bucket iff it shares a batch fingerprint),
+  * keys into one bucket per fingerprint, and is verified against the
+  * bucket's occupants by intersecting FULL fingerprint sets — an exact
+  * integer ≥ 3 shared-count, the batch predicate.
+  *
+  * Semantics vs q103: the batch query drops fingerprints with corpus
+  * df > 50 before pairing — a CORPUS-INDEX statistic that is
+  * inherently retroactive (a fingerprint's final df is unknowable
+  * mid-stream), so the live gate verifies on full sets instead; its
+  * batch twin is `Dedup.winnowPairs(docs, 3, dfCap = ∞)` (spec-asserted
+  * across a micro-batch boundary) and the production state bound for
+  * hot boilerplate buckets is the TTL, exactly as in
+  * [[StreamNearDedup]] (whose band buckets are equally unbounded
+  * without it). A pair sharing m fingerprints meets in m buckets and
+  * emits m identical rows; downstream dedups with
+  * `dropDuplicatesWithinWatermark` — the parity spec with `distinct`. */
+object StreamWinnowGate {
+  /** `docs` needs `doc_id` and `text`; works on static frames and
+    * streams alike. Same TTL contract and processing-time caveat as
+    * [[StreamNearDedup.pairs]]. */
+  def pairs(docs: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[StreamWinnowDup] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    docs
+      .select(col("doc_id").as("docId"),
+        call_function("graft_winnow_fps",
+          split(col("text"), " "), lit(3), lit(4)).as("fps"))
+      .select(explode(col("fps")).as("fp"), col("docId"), col("fps"))
+      .as[FpDoc]
+      .groupByKey(_.fp)
+      .transformWithState(new WinnowGateProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+}
+
+/** Per-fingerprint-bucket winnow state machine: holds the bucket's
+  * occupant fingerprint sets, exact-verifies each arrival against them
+  * (≥ 3 distinct shared fingerprints), then admits the arrival. */
+class WinnowGateProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, FpDoc, StreamWinnowDup] {
+  import org.apache.spark.sql.streaming.ListState
+  @transient private var seen: ListState[StoredFps] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getListState[StoredFps]("seen",
+      Encoders.product[StoredFps], ttl)
+
+  /** |A∩B| for two distinct-element long arrays (hash the smaller,
+    * probe the larger — the NearDupProcessor primitive). */
+  private def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    val (small, large) = if (a.length <= b.length) (a, b) else (b, a)
+    val set = new java.util.HashSet[Long](small.length * 2)
+    small.foreach(set.add)
+    large.count(set.contains)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[FpDoc],
+      timerValues: TimerValues): Iterator[StreamWinnowDup] = {
+    // arrival order within a micro-batch: ascending doc id (unique ids)
+    val arrived = rows.toArray.sortBy(_.docId)
+    val out = scala.collection.mutable.ArrayBuffer.empty[StreamWinnowDup]
+    val prior = scala.collection.mutable.ArrayBuffer.empty[StoredFps]
+    val it = seen.get()
+    while (it.hasNext) prior += it.next()
+    arrived.foreach { d =>
+      prior.foreach { p =>
+        val shared = intersectSize(p.fps, d.fps)
+        if (shared >= 3)
+          out += StreamWinnowDup(math.min(p.docId, d.docId),
+            math.max(p.docId, d.docId), shared.toLong)
+      }
+      val stored = StoredFps(d.docId, d.fps)
+      prior += stored
+      seen.appendValue(stored)
+    }
+    out.iterator
+  }
+}
+
 /** A vector keyed into one sign-LSH table bucket. */
 case class BucketedVec(tbl: Int, bkt: Long, vecId: Long, emb: Array[Float])
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | analytic | pagerank | cdf | sweep | setops | cms | all.
+  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | wdelta | analytic | pagerank | cdf | sweep | setops | cms | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -652,6 +652,37 @@ object ScaleProbe {
           Dedup.incrementalPairs(shift(corpus0), rep(delta0)).localCheckpoint())
         val nd = pd.count()
         println(f"SCALE-DELTA f=$f corpus_grown: pairs=$nc t=$tc%.2f " +
+          f"delta_grown: pairs=$nd t=$td%.2f")
+      }
+    }
+
+    // ---- incremental winnow (q236): the delta-mode protocol applied to
+    // the winnow lens — grow one side f× (worst-case near-dup density),
+    // keep the other fixed; the claim is the q93 property transferred:
+    // wall tracks delta size × capped fingerprint df, never corpus², so
+    // a grown CORPUS with a fixed delta must stay near-flat (the df cap
+    // also kicks in as replicas densify each fingerprint's bucket).
+    if (mode == "wdelta") {
+      val bucket = graft.Det.md5Bucket(col("doc_id"))
+      val corpus0 = base.filter(bucket < Dedup.DeltaBucketThreshold)
+      val delta0 = base.filter(bucket >= Dedup.DeltaBucketThreshold)
+      factors.foreach { f =>
+        def rep(df: DataFrame): DataFrame = (
+          if (f == 1) df
+          else df.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+            .select((col("doc_id") * f + col("i")).as("doc_id"),
+              when(col("i") === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" v"), col("i"))).as("text"))
+        ).localCheckpoint()
+        def shift(df: DataFrame): DataFrame =
+          df.select((col("doc_id") * f).as("doc_id"), col("text")).localCheckpoint()
+        val (pc, tc) = timed(
+          Dedup.incrementalWinnowPairs(rep(corpus0), shift(delta0)).localCheckpoint())
+        val nc = pc.count()
+        val (pd, td) = timed(
+          Dedup.incrementalWinnowPairs(shift(corpus0), rep(delta0)).localCheckpoint())
+        val nd = pd.count()
+        println(f"SCALE-WDELTA f=$f corpus_grown: pairs=$nc t=$tc%.2f " +
           f"delta_grown: pairs=$nd t=$td%.2f")
       }
     }

@@ -154,6 +154,77 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.incrementalPairs(docs, docs.limit(0)).count() == 0)
   }
 
+  test("q236 incremental winnow equals a naive delta-vs-corpus sweep with the corpus-df cap") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fpHash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def fps(t: String): Set[Long] = {
+      val ts = t.split(" ", -1)
+      val ng = ts.length - 2
+      if (ng < 4) Set.empty
+      else {
+        val g = Array.tabulate(ng)(i => fpHash(ts.slice(i, i + 3).mkString(" ")))
+        (0 to ng - 4).map(i => g.slice(i, i + 4).min).toSet
+      }
+    }
+    def isDelta(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) >= 52429
+    }
+    val sets = docs.map { case (id, t) => (id, fps(t)) }
+    val (delta, corpus) = sets.partition(d => isDelta(d._1))
+    // the df cap is a statistic of the CORPUS INDEX alone
+    val corpusDf = corpus.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val allowed = corpusDf.filter(_._2 <= 50).keySet
+    val expected = (for {
+      (did, dfp) <- delta
+      (cid, cfp) <- corpus
+      shared = (dfp & cfp & allowed).size if shared >= 3
+    } yield (did, cid, shared.toLong)).toSet
+    val got = Dedup.q236.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"incremental winnow lost ${(expected -- got).size}, invented ${(got -- expected).size}")
+    assert(expected.nonEmpty, "fixture split has no crossing winnow pairs")
+  }
+
+  test("q236 with an empty delta finds nothing (and doesn't fail)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(Dedup.incrementalWinnowPairs(docs, docs.limit(0)).count() == 0)
+  }
+
+  test("q237 split leakage equals a fold of the q33 pairs over the q62 split rule") {
+    def split(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val b = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      if (b < 52429) "train" else if (b < 58982) "val" else "test"
+    }
+    val pairs = Dedup.q33.fn(spark, sf0001).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (split(a), split(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.q237.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"leakage matrix diverged: got=$got want=$expected")
+    // the number this audit exists for: the naive id-hash split DOES
+    // leak near-dup pairs across boundaries on the fixture
+    assert(expected.keys.exists { case (a, b) => a != b },
+      "fixture has no cross-split near-dup pair; audit unexercised")
+  }
+
   test("q55 keeper assignment equals driver-side union-find over the exact pairs") {
     val pairs = Dedup.q33.fn(spark, sf0001).select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -463,4 +463,27 @@ class TextOpsSpec extends SparkTestBase {
     // clean docs never appear (output is hit-sized, not corpus-sized)
     rows.foreach { r => assert(r._2 >= 1 && blocklist(r._4)) }
   }
+
+  test("q235 boilerplate miner: top-20 equals a naive 5-gram df/occurrence sweep") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 5) Nil
+      else ts.sliding(5).map(g => (g.mkString(" "), id)).toSeq
+    }
+    val byGram = perDoc.groupBy(_._1).map { case (g, occs) =>
+      (g, occs.map(_._2).distinct.length.toLong, occs.length.toLong)
+    }.toSeq
+    val expected = byGram
+      .sortBy { case (g, nd, no) => (-nd, -no, g) }.take(20)
+    val got = TextOps.q235.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, {
+      val bad = got.zip(expected).find { case (a, b) => a != b }
+      s"first divergence: got=${bad.map(_._1)} want=${bad.map(_._2)}"
+    })
+    assert(expected.exists(_._2 > 1), "no cross-doc boilerplate gram in fixture")
+  }
 }

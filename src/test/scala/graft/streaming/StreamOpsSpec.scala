@@ -1490,6 +1490,37 @@ class StreamOpsSpec extends SparkTestBase {
     assert(folded.nonEmpty, "fixture has no blocklist hits; gate unexercised")
   }
 
+  test("streaming winnow gate equals the uncapped batch winnow pairs across a micro-batch boundary") {
+    // the streaming cell of the winnow lens (batch q103 / incremental
+    // q236): fingerprint-bucketed arrival gate, exact full-set shared
+    // count. Batch twin is the UNCAPPED winnowPairs form — the df cap is
+    // a retroactive corpus-index statistic (see StreamWinnowGate doc).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val docs = graft.Tables(s2, sf0001).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => DocRow(r.getLong(0), r.getString(1)))
+    val in = MemoryStream[DocRow](newProductEncoder[DocRow], s2.sqlContext)
+    val q = StreamWinnowGate.pairs(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("winnowgate")
+      .start()
+    in.addData(docs.take(docs.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s2.table("winnowgate").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup.winnowPairs(
+        graft.Tables(spark, sf0001).documents, 3, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"winnow gate diverged: " +
+      s"only-stream=${(streamed -- batch).take(3)}, only-batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "fixture has no winnow pairs; gate unexercised")
+  }
+
   // -------------------------------------------------------------------
   // Restart recovery (round-15 verdict #4): the reference runs every
   // service under `restart: always` (docker-compose.yaml:102) — state
