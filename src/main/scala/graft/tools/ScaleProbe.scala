@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | wdelta | analytic | pagerank | cdf | sweep | setops | cms | all.
+  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | wdelta | wscrub | analytic | pagerank | cdf | sweep | setops | cms | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "wscrub", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|wscrub|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -161,6 +161,20 @@ object ScaleProbe {
       val (out, t) = timed(Curation.spanScrubOn(docs).localCheckpoint())
       val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
       println(f"SCALE-SCRUB f=$f docs=$nDocs removed_chunks=$removed t=$t%.2f")
+    }
+
+    // ---- winnow-anchored span scrub (q234): the q148 scrub protocol at
+    // winnow granularity. Replicas share every interior window with
+    // their original, so the keeper decision sees ~f-hot fingerprint
+    // keys (the aggregate-join skew case) and every non-keeper replica
+    // scrubs near-fully; wall must track the window stream (linear in
+    // f), never the duplicate multiplicity (f² pair space).
+    if (mode == "wscrub") factors.foreach { f =>
+      val docs = replicateDocs(f)
+      val nDocs = docs.count()
+      val (out, t) = timed(Curation.winnowScrubPipeline(docs).localCheckpoint())
+      val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
+      println(f"SCALE-WSCRUB f=$f docs=$nDocs removed_tokens=$removed t=$t%.2f")
     }
 
     // ---- deterministic-HLL set algebra (q184): the pair-estimate

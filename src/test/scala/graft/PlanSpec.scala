@@ -515,6 +515,46 @@ class PlanSpec extends SparkTestBase {
       s"q175: an interior cut was lost — fact scans replay:\n$p175")
   }
 
+  test("round-17 shapes: q234 aggregate keeper, q235 TakeOrdered top-20, q236 no corpus self-join") {
+    // q234: the first-occurrence decision must be the skew-safe
+    // min(doc_id) AGGREGATE joined back on the fingerprint (the q148
+    // discipline) — never a window over the hot fingerprint key, and
+    // nothing pair-shaped anywhere in the scrub
+    val p234 = graft.operators.Curation
+      .winnowScrubPipeline(graft.Tables(spark, sf0001).documents)
+      .queryExecution.executedPlan.toString
+    assert(!p234.contains("CartesianProduct") &&
+      !p234.contains("BroadcastNestedLoopJoin"),
+      s"q234 grew a pair-shaped join:\n$p234")
+    assert(!p234.contains("Window"),
+      s"q234 keeper decision regressed to a window over the hot key:\n$p234")
+    // q235: the top-20 cut must be TakeOrderedAndProject (never a global
+    // sort of the corpus-sized gram table), with no join anywhere
+    val p235 = plan(graft.operators.TextOps.q235)
+    assert(p235.contains("TakeOrderedAndProject"),
+      s"q235 full-sorts the gram table:\n$p235")
+    assert(!p235.contains("Join"), s"q235 grew a join:\n$p235")
+    assert(p235.contains("partial_count") || p235.contains("partial"),
+      s"q235 lost the map-side combine:\n$p235")
+    // q236: exactly TWO document scans (corpus side + delta side) — a
+    // third scan would mean the corpus index replays or self-joins
+    val p236 = plan(graft.operators.Dedup.q236)
+    // the result cut truncates the executed plan; inspect the
+    // pre-checkpoint pipeline instead (the PlanSpec convention)
+    val bucket = graft.Det.md5Bucket(org.apache.spark.sql.functions.col("doc_id"))
+    val docs236 = graft.Tables(spark, sf0001).documents
+    val pre236 = graft.operators.Dedup.incrementalWinnowPairs(
+        docs236.filter(bucket < graft.operators.Dedup.DeltaBucketThreshold),
+        docs236.filter(bucket >= graft.operators.Dedup.DeltaBucketThreshold))
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(pre236).size == 2,
+      s"q236 scan count drifted from 2 (corpus + delta):\n$pre236")
+    assert(!pre236.contains("CartesianProduct") &&
+      !pre236.contains("BroadcastNestedLoopJoin"),
+      s"q236 grew a pair-shaped join:\n$pre236")
+    assert(!p236.contains("CartesianProduct"), s"q236 post-cut cartesian:\n$p236")
+  }
+
   test("q230: coordinated sample filters BOTH sides before the join (no dim lookup decides membership)") {
     val p = plan(graft.operators.Curation.q230)
     // the point of coordination: the fact side arrives at the join

@@ -1666,6 +1666,44 @@ class StreamOpsSpec extends SparkTestBase {
     assert(finalRows == expect, "restart quantile gauge divergence")
   }
 
+  test("StreamWinnowGate survives a stop/reopen from checkpoint: pairs equal the uncapped batch winnow set") {
+    // the round-16 restart standard applied to the round-17 gate: the
+    // fingerprint-bucket stores (ListState keyed per fp) must survive
+    // process death — a reset store would miss every pair whose earlier
+    // member arrived in lifetime 1
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("winnowrestart")
+    val (inDir, ckpt, outDir) = (s"$root/in", s"$root/ckpt", s"$root/out")
+    val docs = graft.Tables(s2, sf0001).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def runLifetime(chunk: Seq[(Long, String)]): Unit = {
+      chunk.toDF("doc_id", "text").write.mode("append").json(inDir)
+      val src = s2.readStream.schema("doc_id LONG, text STRING").json(inDir)
+      val q = StreamWinnowGate.pairs(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .format("parquet").option("path", outDir)
+        .start()
+      assert(q.awaitTermination(180000), "winnow gate lifetime did not finish")
+    }
+    runLifetime(docs.take(docs.length / 2).toSeq) // first process lifetime
+    runLifetime(docs.drop(docs.length / 2).toSeq) // reopened from checkpoint
+    val streamed = s2.read.schema("docA LONG, docB LONG, nShared LONG")
+      .parquet(outDir).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup.winnowPairs(
+        graft.Tables(spark, sf0001).documents, 3, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"restart winnow-gate divergence: " +
+      s"only-stream=${(streamed -- batch).take(3)}, only-batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("buffered funnel survives restart with PENDING EVENT-TIME TIMERS: recovered timers drain to batch q105") {
     // round-16 verdict residue: the three restart specs above prove
     // ValueState/MapState/ListState recovery, but none stops a processor
