@@ -477,7 +477,108 @@ object Relational extends QueryPack {
     GROUP BY event_type
     ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q238
+  /** Referential-integrity audit across the whole star schema — the
+    * nightly data-quality gate a warehouse runs before anything
+    * downstream trusts a landing: for every foreign-key relation, the
+    * row count, the ORPHAN count (non-null FK with no matching
+    * dimension key — q06's anti-join semantics applied as a census) and
+    * the null-FK count. A clean estate is all-zero orphan rows; any
+    * non-zero row names the broken feed and the broken edge.
+    *
+    * Scale shape: each relation is one left join of the fact's FK
+    * column against the dimension's DISTINCT key set — the small dims
+    * (region/nation/customer/part/supplier at fixture scale) broadcast;
+    * the one fact-fact edge (lineitem → orders) shuffles on the key
+    * exactly like q03's star join and AQE skew-splits it. Everything
+    * folds map-side to ONE row per relation before the 7-row union —
+    * at 100 TB a bloom-filter pre-gate (`graft_bloom_agg`) on the dim
+    * keys would cut the shuffled fact volume to near-misses only, the
+    * standard large-estate variant of this audit. The oracle joins
+    * against the same DISTINCT key sets so duplicate-pk estates would
+    * diverge in neither engine. */
+  /** One FK-relation audit row — factored so the spec can drive it on
+    * synthetic frames with injected orphans/null FKs. */
+  private[graft] def fkAudit(name: String, fact: org.apache.spark.sql.DataFrame,
+      fk: String, dim: org.apache.spark.sql.DataFrame, pk: String,
+      bcast: Boolean): org.apache.spark.sql.DataFrame = {
+    val keys0 = dim.select(col(pk).as("k")).distinct()
+      .withColumn("hit", lit(1))
+    val keys = if (bcast) broadcast(keys0) else keys0
+    fact.select(col(fk).as("k"))
+      .join(keys, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNotNull && col("hit").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      .select(lit(name).as("relation"), col("n_rows"),
+        col("n_orphans"), col("n_null_fk"))
+  }
+
+  val q238 = QueryDef(
+    "q238_referential_integrity",
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def audit(name: String, fact: org.apache.spark.sql.DataFrame,
+          fk: String, dim: org.apache.spark.sql.DataFrame, pk: String,
+          bcast: Boolean) = fkAudit(name, fact, fk, dim, pk, bcast)
+      Seq(
+        audit("customer.nationkey->nation", t.customer, "c_nationkey",
+          t.nation, "n_nationkey", bcast = true),
+        audit("lineitem.orderkey->orders", t.lineitem, "l_orderkey",
+          t.orders, "o_orderkey", bcast = false),
+        audit("lineitem.partkey->part", t.lineitem, "l_partkey",
+          t.part, "p_partkey", bcast = true),
+        audit("lineitem.suppkey->supplier", t.lineitem, "l_suppkey",
+          t.supplier, "s_suppkey", bcast = true),
+        audit("nation.regionkey->region", t.nation, "n_regionkey",
+          t.region, "r_regionkey", bcast = true),
+        audit("orders.custkey->customer", t.orders, "o_custkey",
+          t.customer, "c_custkey", bcast = true),
+        audit("supplier.nationkey->nation", t.supplier, "s_nationkey",
+          t.nation, "n_nationkey", bcast = true))
+        .reduce(_ unionByName _)
+        .orderBy(col("relation").asc_nulls_first)
+    },
+    Some("""WITH a AS (
+      SELECT 'customer.nationkey->nation' AS relation, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN f.c_nationkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        CAST(SUM(CASE WHEN f.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk
+      FROM customer f LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) d ON f.c_nationkey = d.k
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders', COUNT(*),
+        CAST(SUM(CASE WHEN f.l_orderkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN f.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem f LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) d ON f.l_orderkey = d.k
+      UNION ALL
+      SELECT 'lineitem.partkey->part', COUNT(*),
+        CAST(SUM(CASE WHEN f.l_partkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN f.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem f LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) d ON f.l_partkey = d.k
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier', COUNT(*),
+        CAST(SUM(CASE WHEN f.l_suppkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN f.l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem f LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) d ON f.l_suppkey = d.k
+      UNION ALL
+      SELECT 'nation.regionkey->region', COUNT(*),
+        CAST(SUM(CASE WHEN f.n_regionkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN f.n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM nation f LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) d ON f.n_regionkey = d.k
+      UNION ALL
+      SELECT 'orders.custkey->customer', COUNT(*),
+        CAST(SUM(CASE WHEN f.o_custkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN f.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders f LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) d ON f.o_custkey = d.k
+      UNION ALL
+      SELECT 'supplier.nationkey->nation', COUNT(*),
+        CAST(SUM(CASE WHEN f.s_nationkey IS NOT NULL AND d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN f.s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM supplier f LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) d ON f.s_nationkey = d.k)
+    SELECT relation, n_rows, n_orphans, n_null_fk FROM a
+    ORDER BY relation ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q238)
 }

@@ -1593,7 +1593,91 @@ object TextOps extends QueryPack {
       gram ASC NULLS FIRST
     LIMIT 20"""))
 
+  // --------------------------------------------------------------- q239
+  /** Token-surprisal quality histogram — the perplexity-proxy filter of
+    * CCNet-style corpus curation (Wenzek et al., LREC 2020: score docs by
+    * language-model perplexity, drop the tail), re-expressed in the
+    * engine's exact-integer convention so the oracle can check it: each
+    * token's surprisal is the floor-log2 bit gap between the corpus token
+    * total N and the token's own unigram count n_t —
+    * `len(bin(N)) − len(bin(n_t))` = ⌊log2 N⌋ − ⌊log2 n_t⌋, a pure
+    * integer both engines compute identically (no ln(), rule 13's
+    * argument; the same reason q212 chose TVD over KL). A doc's score is
+    * its mean token surprisal in ppm (exact integer division); the
+    * output is the per-(source, deci-bit) histogram a curation reviewer
+    * reads to place the keep threshold — common-token spam scores low,
+    * natural text mid, gibberish/rare-token noise high. Deci-bit
+    * buckets (`doc_ppm div 100000`) because tenth-of-a-bit resolution
+    * is where a homogeneous corpus still separates (whole-bit buckets
+    * collapse the fixture to one row) while the output stays bounded at
+    * ~10·bit-width rows per source.
+    *
+    * The floor-log2 quantization buys an exact invariance: replicating
+    * the corpus k-fold (n_t→k·n_t, N→k·N with k a power of two) shifts
+    * every bin length equally and leaves every score IDENTICAL —
+    * spec-pinned, and the property that makes scores comparable across
+    * snapshot sizes.
+    *
+    * Scale shape: one token explode into the unigram (term → n_t) hash
+    * aggregate — map-side combinable, state = |vocabulary| (q212/q221's
+    * bound), cut once so the corpus total and the scoring join share it;
+    * the 1-row total broadcasts (q166's scalar class); scoring is a
+    * second token explode equi-joined to the vocab on the term (vocab
+    * outgrows broadcast at 100 TB — a term-keyed shuffle join with AQE,
+    * never a cross product), folded per doc then per (source, bits):
+    * output is dimension × ~40-bits-sized. Sums route through
+    * DECIMAL(38,0) (Det convention) — ~10¹² token-bits at 100 TB sits
+    * far below the decimal ceiling but above comfortable int64 margin
+    * discipline. */
+  private[graft] def surprisalHistogram(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t")).cut()
+    val tot = uni.agg(sum(col("n_t")).as("n_corpus"))
+    val perDoc = toks.join(uni, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("doc_id"),
+        (length(bin(col("n_corpus"))) - length(bin(col("n_t"))))
+          .cast(LongType).as("s_bits"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(
+        expr("CAST(sum(CAST(s_bits AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
+          .as("doc_ppm"),
+        count(lit(1)).as("n_toks"))
+    perDoc
+      .select(col("source"), expr("doc_ppm div 100000").as("decibits"),
+        col("n_toks"))
+      .groupBy(col("source"), col("decibits"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(CAST(n_toks AS DECIMAL(38,0))) AS BIGINT)").as("n_tokens"))
+      .orderBy(col("source").asc_nulls_first, col("decibits").asc_nulls_first)
+  }
+
+  val q239 = QueryDef(
+    "q239_surprisal_score",
+    (spark, dir) => surprisalHistogram(
+      graft.Parallelism.ensure(Tables(spark, dir).documents, col("doc_id"))),
+    Some("""WITH toks AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    uni AS (SELECT term, COUNT(*) AS n_t FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM uni),
+    doc AS (
+      SELECT t.source, t.doc_id,
+        CAST(SUM(length(bin(n_corpus)) - length(bin(u.n_t))) * 1000000
+          // COUNT(*) AS BIGINT) AS doc_ppm,
+        COUNT(*) AS n_toks
+      FROM toks t JOIN uni u ON t.term = u.term, tot
+      GROUP BY t.source, t.doc_id)
+    SELECT source, CAST(doc_ppm // 100000 AS BIGINT) AS decibits,
+      COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM doc
+    GROUP BY source, decibits
+    ORDER BY source ASC NULLS FIRST, decibits ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
-      q104, q118, q161, q165, q186, q211, q212, q221, q224, q228, q229, q235)
+      q104, q118, q161, q165, q186, q211, q212, q221, q224, q228, q229, q235,
+      q239)
 }

@@ -102,6 +102,31 @@ object StreamOps {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming FK-orphan gate — the live twin of batch q238's
+    * referential-integrity audit, for the one edge a production landing
+    * wants enforced AT INGEST rather than censused nightly: every
+    * micro-batch's fact rows are LEFT-joined against the dimension's
+    * DISTINCT key set and the rows whose non-null FK finds no match are
+    * emitted as they land (null FKs pass the gate — they are a separate
+    * census column in q238, not an orphan). STATELESS — the static side
+    * broadcasts and is re-planned per micro-batch (a dim refresh is
+    * visible at the next batch), no watermark, no state store; the
+    * distinct guard keeps a duplicate-pk dimension from multiplying fact
+    * rows, exactly as in [[graft.operators.Relational.fkAudit]].
+    * Downstream `count()` of the emitted rows IS q238's `n_orphans` for
+    * the edge (spec-asserted across a micro-batch boundary). At scale
+    * the broadcast bound is the dim's key set; a fact-sized right side
+    * (lineitem→orders) stays in the nightly census where it can
+    * shuffle. */
+  def fkOrphans(facts: DataFrame, fk: String, dim: DataFrame,
+      pk: String): DataFrame = {
+    val keys = dim.select(col(pk).as(fk)).distinct()
+      .withColumn("graft_fk_hit", lit(1))
+    facts.join(broadcast(keys), Seq(fk), "left")
+      .filter(col(fk).isNotNull && col("graft_fk_hit").isNull)
+      .drop("graft_fk_hit")
+  }
+
   /** The curation gate (q61 quality rules + q67 repetition rules) over a
     * STREAM of documents — incremental corpus curation: newly crawled
     * docs get their keep/drop verdicts on arrival instead of in a nightly

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * `sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 [mode] 1 4 16"`
   * where mode ∈ docs | curation | ann | annwall | ivf | sketch | bucket | joinview |
-  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | wdelta | wscrub | analytic | pagerank | cdf | sweep | setops | cms | all.
+  * backfill | hll | delta | edelta | scrub | winnow | contain | edit | wdelta | wscrub | surprisal | analytic | pagerank | cdf | sweep | setops | cms | all.
   * `all` runs only the three BASELINE-table sections (docs, curation,
   * ann); the targeted modes are one-off measurement protocols run by
   * name.
@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "wscrub", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|wscrub|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "wscrub", "surprisal", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|wscrub|surprisal|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -175,6 +175,27 @@ object ScaleProbe {
       val (out, t) = timed(Curation.winnowScrubPipeline(docs).localCheckpoint())
       val removed = out.agg(sum(col("n_removed"))).collect()(0).getLong(0)
       println(f"SCALE-WSCRUB f=$f docs=$nDocs removed_tokens=$removed t=$t%.2f")
+    }
+
+    // ---- token-surprisal scoring (q239): the contract is scan-bound
+    // wall with VOCABULARY-bounded state — replicas reuse the original
+    // token vocabulary (each adds one distinct tail token), so the
+    // unigram aggregate's state stays ~flat while the token stream grows
+    // f×; the scoring join must track the token stream (linear) and the
+    // output stays deci-bit-bucket-sized regardless of corpus size.
+    if (mode == "surprisal") factors.foreach { f =>
+      import graft.operators.TextOps
+      val docs = replicateDocs(f).withColumn("source", lit("probe"))
+      val nDocs = docs.count()
+      val (uni, tUni) = timed(
+        docs.select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+          .localCheckpoint())
+      val vocab = uni.count()
+      val (out, t) = timed(TextOps.surprisalHistogram(docs).localCheckpoint())
+      val nOut = out.count()
+      println(f"SCALE-SURPRISAL f=$f docs=$nDocs vocab=$vocab out_rows=$nOut " +
+        f"t_uni=$tUni%.2f t_full=$t%.2f")
     }
 
     // ---- deterministic-HLL set algebra (q184): the pair-estimate

@@ -294,7 +294,10 @@ class PlanSpec extends SparkTestBase {
       // q233's day anchor and pooled-stats frames are ONE row each,
       // broadcast into the event scan / 2-row variant frame — q166's
       // scalar pattern twice.
-      "q233_cuped")
+      "q233_cuped",
+      // q239's corpus token total is ONE row broadcast into the
+      // term-scoring join — q166's scalar pattern.
+      "q239_surprisal_score")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -553,6 +556,36 @@ class PlanSpec extends SparkTestBase {
       !pre236.contains("BroadcastNestedLoopJoin"),
       s"q236 grew a pair-shaped join:\n$pre236")
     assert(!p236.contains("CartesianProduct"), s"q236 post-cut cartesian:\n$p236")
+  }
+
+  test("round-17 shapes: q237 equi-only split attach, q238 broadcast dims, q239 equi-join scoring") {
+    // q237: the split labels attach to the (near-dup-sized) pair table
+    // by two doc-keyed EQUI joins — the pair pipeline itself is guarded
+    // pre-cut by the q33 test; here the post-cut consumer must never
+    // grow a pair-shaped join of its own
+    val p237 = plan(graft.operators.Dedup.q237)
+    assert(!p237.contains("CartesianProduct") &&
+      !p237.contains("BroadcastNestedLoopJoin"),
+      s"q237 grew a non-equi join:\n$p237")
+    // q238: all 7 FK edges must be joins against DISTINCT dim keys; the
+    // 6 dimension edges broadcast (explicit hint — a shuffle of lineitem
+    // against a 25-row nation would be the classic wasted exchange), and
+    // nothing is pair-shaped
+    val p238 = plan(graft.operators.Relational.q238)
+    assert("BroadcastHashJoin".r.findAllIn(p238).size >= 6,
+      s"q238: dimension edges lost their broadcast:\n$p238")
+    assert(!p238.contains("CartesianProduct") &&
+      !p238.contains("BroadcastNestedLoopJoin"),
+      s"q238 grew a non-equi join:\n$p238")
+    // q239: term-keyed scoring must be an equi join (the 1-row total
+    // broadcast is the one whitelisted BNLJ); the unigram aggregate
+    // keeps its map-side combine
+    val p239 = plan(graft.operators.TextOps.q239)
+    assert(!p239.contains("CartesianProduct"), s"q239 cartesian:\n$p239")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p239).size <= 1,
+      s"q239: more than the one 1-row total broadcast is nested-loop shaped:\n$p239")
+    assert(p239.contains("partial_count") || p239.contains("partial"),
+      s"q239 unigram aggregate lost its map-side combine:\n$p239")
   }
 
   test("q230: coordinated sample filters BOTH sides before the join (no dim lookup decides membership)") {

@@ -170,4 +170,38 @@ class RelationalExtSpec extends SparkTestBase {
     assert(out == expected, s"got=${out.take(3)} expected=${expected.take(3)}")
     assert(out.nonEmpty, "no sequence rules at the fixture - support floor too high")
   }
+
+  test("q238 referential audit: fixture estate is orphan-free and row counts match the tables") {
+    val rows = Relational.q238.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 7, s"expected 7 FK relations, got ${rows.length}")
+    rows.foreach { case (rel, _, orphans, nulls) =>
+      assert(orphans == 0L, s"$rel has $orphans orphans on a clean fixture")
+      assert(nulls == 0L, s"$rel has $nulls null FKs on a clean fixture")
+    }
+    def rowsOf(t: String): Long =
+      spark.read.parquet(s"$sf0001/$t.parquet").count()
+    val expectRows = Map(
+      "customer.nationkey->nation" -> rowsOf("customer"),
+      "lineitem.orderkey->orders" -> rowsOf("lineitem"),
+      "lineitem.partkey->part" -> rowsOf("lineitem"),
+      "lineitem.suppkey->supplier" -> rowsOf("lineitem"),
+      "nation.regionkey->region" -> rowsOf("nation"),
+      "orders.custkey->customer" -> rowsOf("orders"),
+      "supplier.nationkey->nation" -> rowsOf("supplier"))
+    assert(rows.map(r => r._1 -> r._2).toMap == expectRows)
+  }
+
+  test("q238 audit kernel counts injected orphans, null FKs, and is duplicate-pk-safe") {
+    import spark.implicits._
+    // dim with a DUPLICATE pk (the distinct guard: a raw left join
+    // would multiply fact rows and corrupt every count)
+    val dim = Seq(1L, 2L, 2L, 3L).toDF("pk")
+    val fact = Seq(Some(1L), Some(2L), Some(2L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val got = Relational.fkAudit("t", fact, "fk", dim, "pk", bcast = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("t", 6L, 2L, 1L)),
+      s"audit kernel miscounted: ${got.toSeq}")
+  }
 }

@@ -486,4 +486,38 @@ class TextOpsSpec extends SparkTestBase {
     })
     assert(expected.exists(_._2 > 1), "no cross-doc boilerplate gram in fixture")
   }
+
+  test("q239 surprisal kernel: hand-computed bit-gap scores on a synthetic corpus") {
+    import spark.implicits._
+    // counts: x=5, y=2, z=1, N=8 → s(x)=len(bin 8)-len(bin 5)=1,
+    // s(y)=4-2=2, s(z)=4-1=3
+    val docs = Seq(
+      (1L, "x x x x", "a"), // ppm = 4*1e6 div 4  = 1_000_000 → decibits 10
+      (2L, "x y", "a"),     // ppm = 3*1e6 div 2  = 1_500_000 → decibits 15
+      (3L, "y z", "b"))     // ppm = 5*1e6 div 2  = 2_500_000 → decibits 25
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.surprisalHistogram(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 10L, 1L, 4L), ("a", 15L, 1L, 2L), ("b", 25L, 1L, 2L)),
+      s"surprisal histogram miscomputed: $got")
+  }
+
+  test("q239 surprisal scores are invariant under power-of-two corpus replication") {
+    // duplicating every doc doubles n_t AND N, shifting both bin lengths
+    // by exactly one bit — every per-token surprisal, hence every bucket,
+    // is IDENTICAL; only the doc/token counts double. The law that makes
+    // scores comparable across snapshot sizes.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val base = TextOps.surprisalHistogram(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val doubled = TextOps.surprisalHistogram(
+        docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(doubled == base.map { case (s, b, nd, nt) => (s, b, 2 * nd, 2 * nt) },
+      "replicated corpus shifted surprisal buckets")
+    assert(base.map(_._2).distinct.length > 1,
+      "fixture surprisal collapsed to one bucket — histogram uninformative")
+  }
 }

@@ -14,6 +14,8 @@ case class EmbRow(vec_id: Long, embedding: Array[Float])
 
 case class HourlyRow(event_type: String, hour_epoch: Long, v: Option[Double])
 
+case class FactRow(row_id: Long, fk: Option[Long])
+
 class StreamOpsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -1488,6 +1490,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(folded == batch, s"streamed blocklist fold diverges from q229: " +
       s"only-stream=${(folded -- batch).take(3)}, only-batch=${(batch -- folded).take(3)}")
     assert(folded.nonEmpty, "fixture has no blocklist hits; gate unexercised")
+  }
+
+  test("streaming FK-orphan gate matches batch q238's audit kernel across a micro-batch boundary") {
+    // live twin of the referential-integrity census: orphans emitted at
+    // ingest, null FKs passing, duplicate dim pks not multiplying rows
+    import spark.implicits._
+    val dim = Seq(1L, 2L, 2L, 3L).toDF("pk") // duplicate pk on purpose
+    val in = MemoryStream[FactRow]
+    val q = StreamOps.fkOrphans(in.toDF(), "fk", dim, "pk")
+      .writeStream.outputMode("append").format("memory").queryName("fkorphans")
+      .start()
+    in.addData(FactRow(1, Some(1L)), FactRow(2, Some(2L)), FactRow(3, Some(9L)),
+      FactRow(4, None))
+    q.processAllAvailable()
+    in.addData(FactRow(5, Some(2L)), FactRow(6, Some(8L)), FactRow(7, Some(7L)),
+      FactRow(8, Some(3L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fkorphans").collect()
+      .map(r => (r.getLong(r.fieldIndex("row_id")), r.getLong(r.fieldIndex("fk"))))
+      .toSet
+    assert(got == Set((3L, 9L), (6L, 8L), (7L, 7L)),
+      s"orphan gate emitted wrong rows: $got")
+    // fold ≡ the batch audit kernel on the same frames
+    val facts = Seq(Some(1L), Some(2L), Some(9L), None, Some(2L), Some(8L),
+      Some(7L), Some(3L)).toDF("fk")
+    val audit = graft.operators.Relational
+      .fkAudit("edge", facts, "fk", dim, "pk", bcast = true)
+      .collect().head
+    assert(audit.getLong(2) == got.size.toLong,
+      s"stream orphan count ${got.size} != batch audit ${audit.getLong(2)}")
+    assert(audit.getLong(3) == 1L, "null-FK census lost the null row")
   }
 
   test("streaming winnow gate equals the uncapped batch winnow pairs across a micro-batch boundary") {
