@@ -1629,29 +1629,57 @@ object TextOps extends QueryPack {
     * DECIMAL(38,0) (Det convention) — ~10¹² token-bits at 100 TB sits
     * far below the decimal ceiling but above comfortable int64 margin
     * discipline. */
-  private[graft] def surprisalHistogram(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("source"), col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t")).cut()
-    val tot = uni.agg(sum(col("n_t")).as("n_corpus"))
-    val perDoc = toks.join(uni, "term")
+  /** The unigram index of a corpus: term → n_t. THE stored artifact of
+    * the surprisal lens (the incremental and streaming cells read it,
+    * never the corpus text). */
+  private[graft] def unigramIndex(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+
+  /** Per-token surprisal rows `(source, doc_id, s_bits)` of `docs`
+    * scored against a unigram index `uni` and its 1-row total `tot` —
+    * the shared scoring kernel of q239/q240 and the streaming gate.
+    * LEFT join: a token ABSENT from the index (possible only when the
+    * index comes from a different corpus than `docs`, the incremental/
+    * streaming cells) takes the OOV cap `len(bin(N))` — one bit above
+    * the rarest in-vocabulary token, so unseen-language novelty scores
+    * max. Row-local after the term equi-join; stateless on a stream. */
+  private[graft] def scoredTokens(docs: org.apache.spark.sql.DataFrame,
+      uni: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .join(uni, Seq("term"), "left")
       .crossJoin(broadcast(tot))
       .select(col("source"), col("doc_id"),
-        (length(bin(col("n_corpus"))) - length(bin(col("n_t"))))
+        when(col("n_t").isNull, length(bin(col("n_corpus"))))
+          .otherwise(length(bin(col("n_corpus"))) - length(bin(col("n_t"))))
           .cast(LongType).as("s_bits"))
+
+  /** Fold per-token surprisal rows to the per-(source, deci-bit)
+    * histogram: doc mean surprisal in exact ppm, then the bounded
+    * bucket table. */
+  private[graft] def surprisalFold(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored
       .groupBy(col("source"), col("doc_id"))
       .agg(
         expr("CAST(sum(CAST(s_bits AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
           .as("doc_ppm"),
         count(lit(1)).as("n_toks"))
-    perDoc
       .select(col("source"), expr("doc_ppm div 100000").as("decibits"),
         col("n_toks"))
       .groupBy(col("source"), col("decibits"))
       .agg(count(lit(1)).as("n_docs"),
         expr("CAST(sum(CAST(n_toks AS DECIMAL(38,0))) AS BIGINT)").as("n_tokens"))
       .orderBy(col("source").asc_nulls_first, col("decibits").asc_nulls_first)
+
+  private[graft] def surprisalHistogram(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val uni = unigramIndex(docs).cut()
+    val tot = uni.agg(sum(col("n_t")).as("n_corpus"))
+    surprisalFold(scoredTokens(docs, uni, tot))
   }
 
   val q239 = QueryDef(
@@ -1676,8 +1704,66 @@ object TextOps extends QueryPack {
     GROUP BY source, decibits
     ORDER BY source ASC NULLS FIRST, decibits ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q240
+  /** Incremental token-surprisal scoring — the delta cell of the q239
+    * lens, completing its matrix row the way q236 completed winnowing's:
+    * today's landing (md5-bucket ≥ [[Dedup.DeltaBucketThreshold]]) is
+    * scored against the CORPUS' stored unigram index — the standing
+    * artifact [[unigramIndex]] persists nightly — and the corpus text
+    * is never re-read (the incremental contract; at 100 TB the index is
+    * vocabulary-sized, the delta day-sized, and nothing corpus-sized
+    * moves). Tokens the corpus has never seen take the OOV cap
+    * `len(bin(N))` — the novelty-sensitive branch self-scoring q239
+    * can never exercise, and exactly what makes the incremental cell
+    * the right shape for a drift gate: a landing whose histogram mass
+    * shifts to the OOV-capped tail is new language, not noise.
+    *
+    * Scale shape: one delta-token explode, term-keyed LEFT equi-join
+    * against the vocab index (q239's argument), 1-row total broadcast,
+    * two bounded folds. The index build here derives from the same
+    * `documents` table so the oracle can replay it; a deployment reads
+    * the persisted index instead (same schema, the q236 pattern). */
+  val q240 = QueryDef(
+    "q240_incremental_surprisal",
+    (spark, dir) => {
+      val docs = graft.Parallelism.ensure(
+        Tables(spark, dir).documents, col("doc_id"))
+      val bucket = Det.md5Bucket(col("doc_id"))
+      val corpus = docs.filter(bucket < Dedup.DeltaBucketThreshold)
+      val delta = docs.filter(bucket >= Dedup.DeltaBucketThreshold)
+      val uni = unigramIndex(corpus).cut()
+      val tot = uni.agg(sum(col("n_t")).as("n_corpus"))
+      surprisalFold(scoredTokens(delta, uni, tot))
+    },
+    Some("""WITH split AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) >= 52429 AS is_delta
+      FROM documents),
+    ctoks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM split WHERE NOT is_delta)),
+    uni AS (SELECT term, COUNT(*) AS n_t FROM ctoks GROUP BY term),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus FROM uni),
+    dtoks AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM split WHERE is_delta)),
+    doc AS (
+      SELECT d.source, d.doc_id,
+        CAST(SUM(CASE WHEN u.n_t IS NULL THEN length(bin(n_corpus))
+              ELSE length(bin(n_corpus)) - length(bin(u.n_t)) END) * 1000000
+          // COUNT(*) AS BIGINT) AS doc_ppm,
+        COUNT(*) AS n_toks
+      FROM dtoks d LEFT JOIN uni u ON d.term = u.term, tot
+      GROUP BY d.source, d.doc_id)
+    SELECT source, CAST(doc_ppm // 100000 AS BIGINT) AS decibits,
+      COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM doc
+    GROUP BY source, decibits
+    ORDER BY source ASC NULLS FIRST, decibits ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q36, q37, q38, q39, q40, q45, q61, q62, q63, q65, q71, q76, q77, q86,
       q104, q118, q161, q165, q186, q211, q212, q221, q224, q228, q229, q235,
-      q239)
+      q239, q240)
 }

@@ -70,6 +70,23 @@ object StreamOps {
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token").isin(blocklist: _*))
 
+  /** Streaming surprisal gate — the live cell of the q239/q240
+    * token-surprisal lens: each arriving document's tokens are scored
+    * against the corpus' stored unigram index (broadcast static side,
+    * re-planned per micro-batch — the nightly index refresh lands at
+    * the next batch) and emitted as per-token `(source, doc_id,
+    * s_bits)` rows, the [[blocklistHits]] design: STATELESS — explode,
+    * broadcast LEFT equi-join, row-local bit arithmetic; no watermark,
+    * no state store. Out-of-vocabulary tokens take the `len(bin(N))`
+    * cap, so a feed drifting into unseen language lights up the gate
+    * at ingest, not at the nightly rebuild. Downstream, the q240 fold
+    * over the emitted rows reproduces the batch histogram exactly
+    * (spec-asserted across a micro-batch boundary). `uni` is the
+    * vocabulary-sized (term, n_t) index, `tot` its 1-row (n_corpus)
+    * total — both static frames read from the persisted index. */
+  def surprisalGate(docs: DataFrame, uni: DataFrame, tot: DataFrame): DataFrame =
+    graft.operators.TextOps.scoredTokens(docs, broadcast(uni), tot)
+
   /** Stream-stream interval join: each left event matched to right events
     * of the same key that happened at-or-before it, within `interval` —
     * e.g. "error ⋈ the purchases in the preceding hour". Both sides carry

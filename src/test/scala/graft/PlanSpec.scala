@@ -296,8 +296,9 @@ class PlanSpec extends SparkTestBase {
       // scalar pattern twice.
       "q233_cuped",
       // q239's corpus token total is ONE row broadcast into the
-      // term-scoring join — q166's scalar pattern.
-      "q239_surprisal_score")
+      // term-scoring join — q166's scalar pattern; q240 reuses the
+      // same scoring kernel against the stored index.
+      "q239_surprisal_score", "q240_incremental_surprisal")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
@@ -586,6 +587,13 @@ class PlanSpec extends SparkTestBase {
       s"q239: more than the one 1-row total broadcast is nested-loop shaped:\n$p239")
     assert(p239.contains("partial_count") || p239.contains("partial"),
       s"q239 unigram aggregate lost its map-side combine:\n$p239")
+    // q240: the incremental cell reads the DELTA scan + the checkpointed
+    // index — a second FileScan would mean the corpus text re-reads
+    // through the scoring path (the incremental contract violation)
+    val p240 = plan(graft.operators.TextOps.q240)
+    assert("FileScan".r.findAllIn(p240).size == 1,
+      s"q240: corpus text re-read in the scoring path (expected 1 delta scan):\n$p240")
+    assert(!p240.contains("CartesianProduct"), s"q240 cartesian:\n$p240")
   }
 
   test("q230: coordinated sample filters BOTH sides before the join (no dim lookup decides membership)") {

@@ -520,4 +520,39 @@ class TextOpsSpec extends SparkTestBase {
     assert(base.map(_._2).distinct.length > 1,
       "fixture surprisal collapsed to one bucket — histogram uninformative")
   }
+
+  test("q240 incremental surprisal covers exactly the delta docs with corpus-only counts") {
+    val out = TextOps.q240.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def isDelta(id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val bucket = Integer.parseInt(md5.take(2).map("%02x".format(_)).mkString, 16)
+      bucket >= 52429
+    }
+    val delta = docs.filter { case (id, _) => isDelta(id) }
+    assert(out.map(_._3).sum == delta.length.toLong,
+      s"histogram doc mass ${out.map(_._3).sum} != delta docs ${delta.length}")
+    assert(out.map(_._4).sum ==
+      delta.map(_._2.split(" ", -1).length.toLong).sum,
+      "histogram token mass != delta token total")
+    // the delta never contributes to the index: a corpus-only replay of
+    // per-doc mean surprisal must land every delta doc in the same
+    // deci-bit bucket the engine reports
+    val corpusToks = docs.filterNot { case (id, _) => isDelta(id) }
+      .flatMap(_._2.split(" ", -1))
+    val n = corpusToks.length.toLong
+    val counts = corpusToks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val expect = delta.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val s = ts.map(t => counts.get(t).map(c => bits(n) - bits(c)).getOrElse(bits(n))).sum
+      (s * 1000000L / ts.length) / 100000L
+    }.groupBy(identity).map { case (b, xs) => (b, xs.length.toLong) }
+    val got = out.groupBy(_._2).map { case (b, xs) => (b, xs.map(_._3).sum) }
+    assert(got == expect, s"decibit buckets diverge from replay: got=$got expect=$expect")
+  }
 }

@@ -1524,6 +1524,41 @@ class StreamOpsSpec extends SparkTestBase {
     assert(audit.getLong(3) == 1L, "null-FK census lost the null row")
   }
 
+  test("streaming surprisal gate folds to the batch kernel across a micro-batch boundary, OOV capped") {
+    import spark.implicits._
+    // stored index from a standing corpus: x=5, y=2, z=1 → N=8,
+    // len(bin(8))=4; OOV cap = 4
+    val corpus = Seq((100L, "x x x x", "c"), (101L, "x y", "c"), (102L, "y z", "c"))
+      .toDF("doc_id", "text", "source")
+    val uni = graft.operators.TextOps.unigramIndex(corpus).localCheckpoint()
+    val tot = uni.agg(sum(col("n_t")).as("n_corpus")).localCheckpoint()
+    val in = MemoryStream[DocRow]
+    val q = StreamOps.surprisalGate(
+        in.toDF().withColumn("source", lit("live")), uni, tot)
+      .writeStream.outputMode("append").format("memory").queryName("surpgate")
+      .start()
+    in.addData(DocRow(1, "x y"))        // s = 1 + 2 → ppm 1_500_000
+    q.processAllAvailable()
+    in.addData(DocRow(2, "q q z x"))    // OOV q ×2: 4+4+3+1 → ppm 3_000_000
+    q.processAllAvailable()
+    q.stop()
+    val folded = spark.table("surpgate")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(sum(CAST(s_bits AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
+        .as("doc_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == Set((1L, 1500000L), (2L, 3000000L)),
+      s"stream surprisal fold diverged: $folded")
+    // ≡ the batch kernel on the same frames
+    val batchDocs = Seq((1L, "x y", "live"), (2L, "q q z x", "live"))
+      .toDF("doc_id", "text", "source")
+    val batch = graft.operators.TextOps
+      .surprisalFold(graft.operators.TextOps.scoredTokens(batchDocs, uni, tot))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch == Set(("live", 15L, 1L, 2L), ("live", 30L, 1L, 4L)),
+      s"batch kernel histogram unexpected: $batch")
+  }
+
   test("streaming winnow gate equals the uncapped batch winnow pairs across a micro-batch boundary") {
     // the streaming cell of the winnow lens (batch q103 / incremental
     // q236): fingerprint-bucketed arrival gate, exact full-set shared
