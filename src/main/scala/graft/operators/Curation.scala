@@ -1551,7 +1551,142 @@ object Curation extends QueryPack {
     FROM thr LEFT JOIN kept k ON thr.source = k.source AND thr.bin = k.bin
     ORDER BY thr.source ASC NULLS FIRST, thr.bin ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q241
+  /** Context-window packing audit — the training-layout readout of the
+    * curation stack: documents laid end-to-end in the deterministic
+    * md5-shuffle training order (the q62/q74 contract-rule-9 key family:
+    * order = (md5(doc_id), doc_id), reproducible across engines and
+    * runs, no RNG) and cut into fixed 512-token context windows, then
+    * per (source, windows-spanned): how many docs and tokens land
+    * intact in one window vs straddle k window boundaries. Boundary
+    * fragmentation is the quantity sequence-packing policies minimize —
+    * a source whose docs routinely span 3+ windows is feeding truncated
+    * or split documents to every epoch — and the deterministic order
+    * makes the number a property of the corpus, not of a shuffle seed.
+    *
+    * Scale shape: the global token offset is an exact prefix sum over a
+    * total order — [[GlobalCdf.withRunningTotals]]'s range-partitioned
+    * two-pass (in-partition running sums + driver offsets ≤ shuffle
+    * partitions — NEVER an empty-partitionBy window, the workload
+    * guard's banned shape); everything after is row-local integer
+    * arithmetic folding to a (sources × spans)-bounded table. */
+  val q241 = QueryDef(
+    "q241_packing_audit",
+    (spark, dir) => {
+      val C = 512
+      val d = graft.Parallelism.ensure(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_toks"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      val (run, _) = GlobalCdf.withRunningTotals(
+        d, Seq(col("skey"), col("doc_id")), Seq("cum" -> col("n_toks")))
+      run
+        .select(col("source"), col("n_toks"),
+          expr(s"((cum - 1) div $C) - ((cum - n_toks) div $C) + 1")
+            .as("windows_spanned"))
+        .groupBy(col("source"), col("windows_spanned"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(CAST(n_toks AS DECIMAL(38,0))) AS BIGINT)").as("n_tokens"))
+        .orderBy(col("source").asc_nulls_first,
+          col("windows_spanned").asc_nulls_first)
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        md5(CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents),
+    c AS (
+      SELECT source, n_toks,
+        SUM(n_toks) OVER (ORDER BY skey, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+    s AS (
+      SELECT source, n_toks,
+        CAST(((cum - 1) // 512) - ((cum - n_toks) // 512) + 1 AS BIGINT)
+          AS windows_spanned
+      FROM c)
+    SELECT source, windows_spanned, COUNT(*) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM s
+    GROUP BY source, windows_spanned
+    ORDER BY source ASC NULLS FIRST, windows_spanned ASC NULLS FIRST"""))
+
+  // --------------------------------------------------------------- q242
+  /** Training-order mixing audit — the QA readout for the md5-shuffle
+    * order q241 lays out (and any epoch reader consumes): slice the
+    * order into 20 equal position buckets and report each bucket's
+    * source-mix total-variation distance from the corpus mix, in exact
+    * ppm. A well-mixed order holds every bucket near the corpus
+    * distribution; a bad shuffle key (ingest order, source-correlated
+    * ids) clusters sources into contiguous training stretches — the
+    * silent curriculum nobody ordered. TVD over KL for q212's reason:
+    * a pure rational of integer counts, no ln(), oracle-exact.
+    *
+    * Scale shape: position = [[GlobalCdf.withRunningTotals]] prefix
+    * COUNT over the (md5, doc_id) total order (range-partitioned
+    * two-pass, never a single-partition window); then one (bucket,
+    * source) aggregate, margins joined on dimension-sized frames,
+    * |sources|-per-bucket fold to 20 rows. Products route through
+    * DECIMAL(38,0) (n_bs·N at 100 TB overflows int64). */
+  val q242 = QueryDef(
+    "q242_mixing_audit",
+    (spark, dir) => {
+      val B = 20
+      val d = graft.Parallelism.ensure(Tables(spark, dir).documents, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      val (run, grand) = GlobalCdf.withRunningTotals(
+        d, Seq(col("skey"), col("doc_id")), Seq("pos" -> lit(1L)))
+      val n = grand("pos")
+      val cell = run
+        .select(col("source"), expr(s"(pos - 1) * $B div ${n}L").as("bucket"))
+        .groupBy(col("bucket"), col("source"))
+        .agg(count(lit(1)).as("n_bs"))
+      val srcTot = cell.groupBy(col("source")).agg(sum(col("n_bs")).as("n_s"))
+      val bktTot = cell.groupBy(col("bucket")).agg(sum(col("n_bs")).as("n_b"))
+      // the full bucket × source grid (missing cells carry n_bs = 0 —
+      // their |0·N − n_s·n_b| mass is real); both frames are
+      // dimension-sized, so the grid cross join is the q215 class
+      bktTot.crossJoin(srcTot)
+        .join(cell, Seq("bucket", "source"), "left")
+        .select(col("bucket"), col("n_b"),
+          expr(s"""abs(CAST(coalesce(n_bs, 0) AS DECIMAL(38,0)) * ${n}L
+            - CAST(n_s AS DECIMAL(38,0)) * n_b)""").as("dev"))
+        .groupBy(col("bucket"), col("n_b"))
+        .agg(expr(s"""CAST(sum(dev) * 1000000
+          div (2 * CAST(${n}L AS DECIMAL(38,0)) * first(n_b)) AS BIGINT)""")
+          .as("tvd_ppm"))
+        .select(col("bucket"), col("n_b").as("n_docs"), col("tvd_ppm"))
+        .orderBy(col("bucket").asc_nulls_first)
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents),
+    p AS (
+      SELECT source,
+        (row_number() OVER (ORDER BY skey, doc_id) - 1) * 20
+          // (SELECT COUNT(*) FROM documents) AS bucket
+      FROM d),
+    cell AS (SELECT bucket, source, COUNT(*) AS n_bs FROM p GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(n_bs) AS BIGINT) AS n_s FROM cell GROUP BY source),
+    bt AS (SELECT bucket, CAST(SUM(n_bs) AS BIGINT) AS n_b FROM cell GROUP BY bucket),
+    grid AS (
+      SELECT bt.bucket, bt.n_b,
+        abs(CAST(COALESCE(cell.n_bs, 0) AS HUGEINT)
+            * (SELECT COUNT(*) FROM documents)
+          - CAST(st.n_s AS HUGEINT) * bt.n_b) AS dev
+      FROM bt CROSS JOIN st
+      LEFT JOIN cell ON cell.bucket = bt.bucket AND cell.source = st.source)
+    SELECT bucket, n_b AS n_docs,
+      CAST(SUM(dev) * 1000000
+        // (2 * CAST((SELECT COUNT(*) FROM documents) AS HUGEINT) * n_b)
+        AS BIGINT) AS tvd_ppm
+    FROM grid
+    GROUP BY bucket, n_b
+    ORDER BY bucket ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194, q220, q225, q230, q232, q234)
+      q173, q174, q185, q188, q194, q220, q225, q230, q232, q234, q241, q242)
 }

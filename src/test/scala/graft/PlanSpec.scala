@@ -298,7 +298,11 @@ class PlanSpec extends SparkTestBase {
       // q239's corpus token total is ONE row broadcast into the
       // term-scoring join — q166's scalar pattern; q240 reuses the
       // same scoring kernel against the stored index.
-      "q239_surprisal_score", "q240_incremental_surprisal")
+      "q239_surprisal_score", "q240_incremental_surprisal",
+      // q242's 20-bucket × |sources| deviation grid crosses two
+      // post-aggregate dimension frames — q215's class; row data never
+      // enters the cross.
+      "q242_mixing_audit")
     val offenders = SparkEntry.allQueries
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>

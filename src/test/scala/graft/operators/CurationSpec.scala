@@ -686,4 +686,64 @@ class CurationSpec extends SparkTestBase {
       else assert(ppm == 1000000L, s"($s,$b) not over-represented but thinned")
     }
   }
+
+  test("q241 packing audit equals a driver replay of the md5-order prefix sum") {
+    val rows = Curation.q241.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+      .sortBy { case (id, _, _) => (md5hex(id), id) }
+    var cum = 0L
+    val spans = docs.map { case (_, src, n) =>
+      cum += n
+      val w = ((cum - 1) / 512) - ((cum - n) / 512) + 1
+      (src, w, n)
+    }
+    val expect = spans.groupBy(s => (s._1, s._2)).map { case ((src, w), xs) =>
+      (src, w, xs.length.toLong, xs.map(_._3).sum)
+    }.toSet
+    assert(rows.toSet == expect, "packing audit diverges from the driver replay")
+    // conservation: every doc and every token lands in exactly one row
+    assert(rows.map(_._3).sum == docs.length.toLong)
+    assert(rows.map(_._4).sum == docs.map(_._3).sum)
+    assert(rows.exists(_._2 >= 2),
+      "no boundary-spanning docs at the fixture — audit unexercised")
+  }
+
+  test("q242 mixing audit equals a driver TVD replay over the md5 order") {
+    val rows = Curation.q242.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, _) => (md5hex(id), id) }
+    val n = docs.length.toLong
+    val srcTot = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byBucket = docs.zipWithIndex
+      .map { case ((_, src), i) => (i.toLong * 20 / n, src) }
+      .groupBy(_._1)
+    val expect = byBucket.map { case (b, xs) =>
+      val nB = xs.length.toLong
+      val cnt = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val dev = srcTot.map { case (s, nS) =>
+        (BigInt(cnt.getOrElse(s, 0L)) * n - BigInt(nS) * nB).abs
+      }.sum
+      (b, nB, (dev * 1000000 / (2 * BigInt(n) * nB)).toLong)
+    }.toSet
+    assert(rows.toSet == expect, s"mixing audit diverges from replay")
+    assert(rows.length == 20 && rows.map(_._2).sum == n)
+    // the md5 order really mixes: no bucket should hold a source-pure
+    // stretch (TVD near the max 1e6 would mean clustered sources)
+    rows.foreach { case (b, _, tvd) =>
+      assert(tvd < 500000, s"bucket $b badly mixed (tvd=$tvd ppm)")
+    }
+  }
 }
