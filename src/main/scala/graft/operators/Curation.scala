@@ -1686,7 +1686,58 @@ object Curation extends QueryPack {
     GROUP BY bucket, n_b
     ORDER BY bucket ASC NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q243
+  /** Length-bucketed batching padding-waste audit — the OTHER training
+    * layout (q241 packs into fixed windows; variable-length training
+    * instead buckets similar-length sequences and pads each to the
+    * bucket capacity): every document goes to the next-power-of-two
+    * token bucket, `cap = 2^len(bin(n_toks − 1))` (rule-14 bit-length
+    * idiom — pure integers, both engines identical; n_toks = 1 → cap
+    * 1), and per (source, capacity): docs, real tokens, and the padding
+    * share `(n_docs·cap − n_tokens) / (n_docs·cap)` in exact ppm — the
+    * compute a trainer burns on pad tokens, THE number that decides
+    * between bucketed batching and q241's packing. Map-only scan into
+    * one (source, cap)-bounded aggregate (≤ sources × log(max len)
+    * rows); products routed through DECIMAL(38,0). */
+  val q243 = QueryDef(
+    "q243_padding_waste",
+    (spark, dir) => {
+      val d = Tables(spark, dir).documents
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_toks"))
+        .withColumn("cap",
+          expr("""CAST(CASE WHEN n_toks <= 1 THEN 1
+            ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_toks - 1))) END
+            AS BIGINT)"""))
+      d.groupBy(col("source"), col("cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(CAST(n_toks AS DECIMAL(38,0))) AS BIGINT)").as("n_tokens"))
+        .select(col("source"), col("cap"), col("n_docs"), col("n_tokens"),
+          expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * cap - n_tokens) * 1000000
+            div (CAST(n_docs AS DECIMAL(38,0)) * cap) AS BIGINT)""").as("pad_ppm"))
+        .orderBy(col("source").asc_nulls_first, col("cap").asc_nulls_first)
+    },
+    Some("""WITH d AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents),
+    b AS (
+      SELECT source, n_toks,
+        CASE WHEN n_toks <= 1 THEN 1
+          ELSE (CAST(1 AS BIGINT) << length(bin(n_toks - 1))) END AS cap
+      FROM d),
+    g AS (
+      SELECT source, cap, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM b GROUP BY source, cap)
+    SELECT source, cap, n_docs, n_tokens,
+      CAST((CAST(n_docs AS HUGEINT) * cap - n_tokens) * 1000000
+        // (CAST(n_docs AS HUGEINT) * cap) AS BIGINT) AS pad_ppm
+    FROM g
+    ORDER BY source ASC NULLS FIRST, cap ASC NULLS FIRST"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q66, q67, q68, q69, q74, q78, q85, q117, q137, q139, q148, q154, q167,
-      q173, q174, q185, q188, q194, q220, q225, q230, q232, q234, q241, q242)
+      q173, q174, q185, q188, q194, q220, q225, q230, q232, q234, q241, q242,
+      q243)
 }

@@ -746,4 +746,27 @@ class CurationSpec extends SparkTestBase {
       assert(tvd < 500000, s"bucket $b badly mixed (tvd=$tvd ppm)")
     }
   }
+
+  test("q243 padding waste equals a next-pow2 driver replay; caps are tight") {
+    val rows = Curation.q243.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables(spark, sf0001).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    def cap(n: Long): Long =
+      if (n <= 1) 1L else java.lang.Long.highestOneBit(n - 1) << 1
+    val expect = docs.groupBy { case (s, n) => (s, cap(n)) }.map { case ((s, c), xs) =>
+      val nd = xs.length.toLong
+      val nt = xs.map(_._2).sum
+      (s, c, nd, nt, (BigInt(nd) * c - nt) * 1000000 / (BigInt(nd) * c))
+    }.map(t => (t._1, t._2, t._3, t._4, t._5.toLong)).toSet
+    assert(rows.toSet == expect, "padding-waste table diverges from replay")
+    // caps are the TIGHT next power of two: every bucket's docs fit and
+    // the half-size bucket would not hold its longest doc
+    docs.foreach { case (_, n) =>
+      val c = cap(n)
+      assert(n <= c && (c == 1 || n > c / 2), s"cap $c not tight for len $n")
+    }
+    assert(rows.map(_._2).distinct.length > 1, "single cap bucket — audit unexercised")
+  }
 }
