@@ -1346,20 +1346,51 @@ object Analytic extends QueryPack {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
 
+  /** The weighted nation-trade edge list as a MEMOIZED materialized view
+    * (round-17 optimization; the [[edgeCache]] convention): q127
+    * (PageRank) and q206 (HITS) analyze the SAME |nations|² graph, and
+    * the collapse of the fact tables to it — the lineitem ⋈ orders
+    * shuffle join — is the only corpus-sized stage in either query.
+    * Computing it twice per session was pure repeated work; the bench
+    * times the build itself as the `view_trade_edges` line item
+    * (invalidate + recompute), keeping the pipeline inside the baseline
+    * contract. */
+  private[graft] val tradeEdgeCache = new graft.SessionViewCache
+
+  private[graft] def tradeEdgesView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    tradeEdgeCache.getOrCompute(spark, dir) {
+      val t = Tables(spark, dir)
+      val nat = t.nation.select(col("n_nationkey"), col("n_name"))
+      val cust = t.customer.join(broadcast(nat),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("src"))
+      val supp = t.supplier.join(broadcast(nat),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("dst"))
+      Materialize.cut(tradeEdges(t.lineitem, t.orders, cust, supp))
+    }
+
   /** The q127 iteration stage over a materialized edge frame: five
     * damped fixed-point rounds, edge-sized work per round. */
   private[graft] def pageRankOnEdges(edges: DataFrame, nodes: DataFrame,
       n: Long): DataFrame = {
+    // Round-17: every frame in the iteration is |nations|-bounded by
+    // construction (nodes, rank and contrib are ≤ n rows; outw ≤ n) —
+    // the nation dimension is a CLOSED set, so the broadcast hints are
+    // scale-safe at any corpus size, and they collapse each round from
+    // a planned SMJ (3 exchanges of tiny frames, 5×) to a map-side
+    // lookup over the materialized ≤ n² edge checkpoint.
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val pe = Materialize.cut(edges.join(outw, "src")
+    val pe = Materialize.cut(edges.join(broadcast(outw), "src")
       .select(col("src"), col("dst"), expr(s"(w * ${PrScale}L) div ow").as("pw")))
     val base = (15L * PrScale / 100L) / n
     var rank = nodes.withColumn("r", lit(PrScale / n))
     for (_ <- 1 to 5) {
-      val contrib = pe.join(rank, pe("src") === rank("node"))
+      val contrib = pe.join(broadcast(rank), pe("src") === rank("node"))
         .select(col("dst"), expr(s"(pw * r) div ${PrScale}L").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      rank = nodes.join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
     }
@@ -1372,11 +1403,7 @@ object Analytic extends QueryPack {
       val t = Tables(spark, dir)
       val nat = t.nation.select(col("n_nationkey"), col("n_name"))
       val n = nat.count()
-      val cust = t.customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("src"))
-      val supp = t.supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("dst"))
-      val edges = tradeEdges(t.lineitem, t.orders, cust, supp)
+      val edges = tradeEdgesView(spark, dir)
       val nodes = nat.select(col("n_name").as("node"))
       pageRankOnEdges(edges, nodes, n)
         .select(col("node").as("n_name"), col("r").as("rank_ppb"),
@@ -2228,6 +2255,19 @@ object Analytic extends QueryPack {
     * attaches join shuffled (the q33 BroadcastShingleMaxDocs pattern). */
   private[graft] val TriAdjBroadcastMaxEdges = 4000000L
 
+  /** Broadcast gate for the VERTEX-STATE side of the iterative graph
+    * loops (round 17): label frames (q216), peel removal sets (q163)
+    * and BFS frontiers (q202) are |V|-bounded rows of two longs, so up
+    * to ~4 M rows (≲64 MiB built) broadcasting them makes each round's
+    * join MAP-ONLY over the materialized edge/adjacency checkpoint —
+    * the measured alternative re-shuffled the 2|E| edge frame into
+    * every round (stage traces in OPTIMIZATION_r17.md). Each loop
+    * already holds the row count as a driver scalar (the peel/BFS loop
+    * conditions; the node count for LPA), so the gate costs nothing
+    * and degrades to the shuffled equi-join exactly like
+    * [[TriAdjBroadcastMaxEdges]] when the state outgrows it. */
+  private[graft] val VertexBroadcastMaxRows = 4000000L
+
   /** Canonical co-purchase edge build — basket → (u < v) edge set,
     * deduped across orders. The item frame is DISTINCT'd on
     * (l_orderkey, l_partkey) BEFORE the self-join: round 15 dropped
@@ -2248,14 +2288,37 @@ object Analytic extends QueryPack {
       .distinct()
   }
 
+  /** Per-pair co-purchase SUPPORT counts as a MEMOIZED materialized
+    * view (round-17 optimization): the basket self-join — the one
+    * corpus-priced stage of the whole co-purchase family — previously
+    * ran three times per session (the edge view, q119's top-20 counts,
+    * q162's support counts). This view keeps the counted form
+    * `(u, v, n_orders)`; the edge view below projects it, so the
+    * expansion runs ONCE. Bench line item: `view_copurchase_support`. */
+  private[graft] val supportCache = new graft.SessionViewCache
+
+  private[graft] def coPurchaseSupport(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    supportCache.getOrCompute(spark, dir) {
+      val items = Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      Materialize.cut(
+        items.as("a").join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("n_orders")))
+    }
+
   /** The co-purchase edge set as a MEMOIZED materialized view (the
     * q55-label / q44-pair convention): q157, q163 and q168 all analyze
     * the same graph, and a production graph pipeline materializes its
     * edge list once and runs every analytic off it — three queries each
     * re-expanding the baskets would pay the build three times per
-    * session. The bench still times the build itself as the
-    * `view_copurchase_edges` line item (invalidate + recompute), so the
-    * pipeline stays inside the 2× baseline contract. */
+    * session. Round 17: the edge set is the key projection of the
+    * support view (a grouped count's keys are exactly the distinct
+    * pairs), so this view's own recompute is a cheap projection and the
+    * expansion itself is timed once under `view_copurchase_support`. */
   private[graft] val edgeCache = new graft.SessionViewCache
 
   private[graft] def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
@@ -2263,22 +2326,22 @@ object Analytic extends QueryPack {
     edgeCache.getOrCompute(spark, dir)(
       // the cache memoizes HANDLES to materialized frames — an uncut
       // plan here would re-run the basket expansion on every consumer
-      Materialize.cut(buildCoPurchaseEdges(Tables(spark, dir).lineitem)))
+      Materialize.cut(coPurchaseSupport(spark, dir).select(col("u"), col("v"))))
 
   /** Spec/hand-built-graph entry: builds (and cuts) the edge set inline. */
   private[graft] def triangleCensus(lineitem: DataFrame): DataFrame =
     triangleCensusOnEdges(Materialize.cut(buildCoPurchaseEdges(lineitem)))
 
-  /** Census over an already-materialized canonical edge frame (the
-    * registered q157 reads the memoized [[coPurchaseEdges]] view). Cut:
-    * edges feed degrees, the degree attach and the edge-count gate —
-    * callers pass a materialized frame. */
-  private[graft] def triangleCensusOnEdges(edges: DataFrame): DataFrame = {
+  /** Degrees + (deg, id)-oriented sorted out-adjacency of the canonical
+    * co-purchase graph, built from an edge frame — the shared interior
+    * of [[triangleCensusOnEdges]] (q157) and
+    * [[localClusteringOnEdges]] (q168). Returns the two cut frames
+    * `(deg(node, d), adj(src, nbrs))`. */
+  private[graft] def orientedAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = Materialize.cut(
       edges.select(col("u").as("node"))
         .unionByName(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d")))
-    // orient low-(deg, id) → high-(deg, id); u < v by id, so ties keep u
     val withDeg = edges
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
@@ -2287,6 +2350,58 @@ object Analytic extends QueryPack {
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val adj = Materialize.cut(oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    (deg, adj)
+  }
+
+  /** The oriented adjacency as a MEMOIZED pair of views (round-17
+    * optimization; the [[edgeCache]] convention): q157 and q168 analyze
+    * the SAME oriented graph and previously each re-built degrees,
+    * orientation joins and the sorted-array aggregate from the edge
+    * view. The bench times the build as the `view_copurchase_adj` line
+    * item. Cached value is a single frame carrying both surfaces zipped
+    * is not possible per [[SessionViewCache]]'s DataFrame contract, so
+    * two caches share one builder: [[copurchaseAdj]] populates both. */
+  private[graft] val adjCache = new graft.SessionViewCache
+  private[graft] val degCache = new graft.SessionViewCache
+
+  private[graft] def copurchaseAdj(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    // deg is an interior output of the adj build: populate the deg cache
+    // from the same computation, keyed alongside (invalidated together —
+    // BenchViews drops both so the measured recompute is the full build)
+    var builtDeg: DataFrame = null
+    val adj = adjCache.getOrCompute(spark, dir) {
+      val (d, a) = orientedAdjacency(coPurchaseEdges(spark, dir))
+      builtDeg = d
+      a
+    }
+    val deg = degCache.getOrCompute(spark, dir) {
+      if (builtDeg != null) builtDeg
+      // adj was cached but deg was invalidated independently (not a
+      // path the bench takes; defensive): rebuild degrees directly
+      else Materialize.cut(
+        coPurchaseEdges(spark, dir).select(col("u").as("node"))
+          .unionByName(coPurchaseEdges(spark, dir).select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d")))
+    }
+    (deg, adj)
+  }
+
+  /** Census over an already-materialized canonical edge frame (the
+    * registered q157 reads the memoized [[coPurchaseEdges]] view). Cut:
+    * edges feed degrees, the degree attach and the edge-count gate —
+    * callers pass a materialized frame. */
+  private[graft] def triangleCensusOnEdges(edges: DataFrame): DataFrame = {
+    val (deg, adj) = orientedAdjacency(edges)
+    triangleCensusOnAdj(edges, deg, adj)
+  }
+
+  /** Census over pre-built (degree, adjacency) views — the registered
+    * q157 reads the memoized [[copurchaseAdj]] pair (round 17). */
+  private[graft] def triangleCensusOnAdj(edges: DataFrame, deg: DataFrame,
+      adj: DataFrame): DataFrame = {
     // Forward-algorithm closure WITHOUT materializing the wedge stream:
     // for oriented edge u→v, common out-neighbors |N⁺(u) ∩ N⁺(v)| are
     // exactly the triangles whose (deg, id)-minimum is u — one sorted
@@ -2307,8 +2422,6 @@ object Analytic extends QueryPack {
     // the only join left is the dst-side attach (the round-12 reshape:
     // 8 eager actions → 5; per-action overhead was the measured cost,
     // every stage ≤ 2 s with no hotspot).
-    val adj = Materialize.cut(oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     val nEdges = edges.count()
     def side(df: DataFrame) =
       if (nEdges <= TriAdjBroadcastMaxEdges) broadcast(df) else df
@@ -2344,7 +2457,8 @@ object Analytic extends QueryPack {
     "q157_triangle_count",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
-      triangleCensusOnEdges(coPurchaseEdges(spark, dir))
+      val (deg, adj) = copurchaseAdj(spark, dir)
+      triangleCensusOnAdj(coPurchaseEdges(spark, dir), deg, adj)
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -2503,9 +2617,15 @@ object Analytic extends QueryPack {
       dir.groupBy(col("x")).agg(count(lit(1)).as("core_deg")))
     var removed = deg.filter(col("core_deg") < k)
     var alive = deg.filter(col("core_deg") >= k)
-    while (removed.count() > 0) {
+    // the loop condition already collects the removal count — reuse it
+    // as the [[VertexBroadcastMaxRows]] broadcast gate so each round's
+    // decrement join is map-only over the edge checkpoint (round 17)
+    var removedCnt = removed.count()
+    while (removedCnt > 0) {
+      val rem = removed.select(col("x").as("y"))
       val lost = dir
-        .join(removed.select(col("x").as("y")), "y")
+        .join(if (removedCnt <= VertexBroadcastMaxRows) broadcast(rem) else rem,
+          "y")
         .groupBy(col("x")).agg(count(lit(1)).as("lost"))
       deg = Materialize.cut(
         alive.join(lost, Seq("x"), "left")
@@ -2513,6 +2633,7 @@ object Analytic extends QueryPack {
             (col("core_deg") - coalesce(col("lost"), lit(0L))).as("core_deg")))
       removed = deg.filter(col("core_deg") < k)
       alive = deg.filter(col("core_deg") >= k)
+      removedCnt = removed.count()
     }
     alive.select(col("x").as("node"), col("core_deg"))
       .orderBy(col("node").asc_nulls_first)
@@ -2570,20 +2691,15 @@ object Analytic extends QueryPack {
   /** Per-node closure over an already-materialized canonical edge frame
     * (the registered q168 reads the memoized [[coPurchaseEdges]] view). */
   private[graft] def localClusteringOnEdges(edges: DataFrame): DataFrame = {
-    val deg = Materialize.cut(
-      edges.select(col("u").as("node"))
-        .unionByName(edges.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d")))
-    val withDeg = edges
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-    val uFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
-      when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
-    val adj = Materialize.cut(oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val (deg, adj) = orientedAdjacency(edges)
+    localClusteringOnAdj(edges, deg, adj)
+  }
+
+  /** Per-node closure over pre-built (degree, adjacency) views — the
+    * registered q168 reads the memoized [[copurchaseAdj]] pair
+    * (round 17). */
+  private[graft] def localClusteringOnAdj(edges: DataFrame, deg: DataFrame,
+      adj: DataFrame): DataFrame = {
     val nEdges = edges.count()
     def side(df: DataFrame) =
       if (nEdges <= TriAdjBroadcastMaxEdges) broadcast(df) else df
@@ -2616,7 +2732,8 @@ object Analytic extends QueryPack {
     "q168_local_clustering",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
-      localClusteringOnEdges(coPurchaseEdges(spark, dir))
+      val (deg, adj) = copurchaseAdj(spark, dir)
+      localClusteringOnAdj(coPurchaseEdges(spark, dir), deg, adj)
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -3391,14 +3508,23 @@ object Analytic extends QueryPack {
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
     var frontier = Materialize.cut(
       edges.agg(min(col("u")).as("node")).withColumn("hops", lit(0)))
+    // the frontier is a materialized cut each round, so its row count
+    // is a cheap driver scalar — reuse it as the
+    // [[VertexBroadcastMaxRows]] broadcast gate (round 17): under the
+    // gate the hop join streams the edge checkpoint map-only instead of
+    // re-shuffling 2|E| rows every round
+    var frontierCnt = 1L
     var reached = frontier
     for (h <- 1 to maxHops) {
+      val fSide = if (frontierCnt <= VertexBroadcastMaxRows)
+        broadcast(frontier) else frontier
       frontier = Materialize.cut(
-        frontier.join(und, col("node") === col("a"))
+        fSide.join(und, col("node") === col("a"))
           .select(col("b").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
           .withColumn("hops", lit(h)))
       reached = reached.unionByName(frontier)
+      if (h < maxHops) frontierCnt = frontier.count()
     }
     reached.orderBy(col("hops").asc_nulls_first, col("node").asc_nulls_first)
   }
@@ -3566,7 +3692,8 @@ object Analytic extends QueryPack {
       // |nodes|-row frame)
       val raw = Materialize.cut(raw0)
       val mx = raw.agg(max(col("raw")).as("mx"))
-      nodes.join(raw, nodes("node") === raw(key), "left")
+      // |nations|-bounded frames — broadcast is scale-safe (q127 note)
+      nodes.join(broadcast(raw), nodes("node") === raw(key), "left")
         .crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"CAST(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * ${PrScale}L div mx AS BIGINT)")
@@ -3575,16 +3702,16 @@ object Analytic extends QueryPack {
     var hub = nodes.withColumn("h", lit(PrScale))
     var auth = nodes.withColumn("a", lit(0L))
     for (_ <- 1 to rounds) {
-      val araw = e.join(hub, e("src") === hub("node"))
+      val araw = e.join(broadcast(hub), e("src") === hub("node"))
         .select(col("dst"), (col("w").cast(dec) * col("h")).as("p"))
         .groupBy(col("dst")).agg(sum(col("p")).as("raw"))
       auth = renorm(araw, "dst", "a")
-      val hraw = e.join(auth, e("dst") === auth("node"))
+      val hraw = e.join(broadcast(auth), e("dst") === auth("node"))
         .select(col("src"), (col("w").cast(dec) * col("a")).as("p"))
         .groupBy(col("src")).agg(sum(col("p")).as("raw"))
       hub = renorm(hraw, "src", "h")
     }
-    hub.join(auth, "node")
+    hub.join(broadcast(auth), "node")
   }
 
   val q206 = QueryDef(
@@ -3592,13 +3719,7 @@ object Analytic extends QueryPack {
     (spark, dir) => {
       val t = Tables(spark, dir)
       val nat = t.nation.select(col("n_nationkey"), col("n_name"))
-      val cust = t.customer.join(broadcast(nat),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("src"))
-      val supp = t.supplier.join(broadcast(nat),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("dst"))
-      val edges = tradeEdges(t.lineitem, t.orders, cust, supp)
+      val edges = tradeEdgesView(spark, dir)
       val nodes = nat.select(col("n_name").as("node"))
       hitsOnEdges(edges, nodes, 3)
         .select(col("node").as("n_name"),
@@ -3944,12 +4065,37 @@ object Analytic extends QueryPack {
   private[graft] val LpaRounds = 3
 
   private[graft] def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    // Round-17 reshape: the per-round message join runs over the PACKED
+    // ADJACENCY (one row per node, neighbors as an array — the standard
+    // Pregel/CSR vertex-cut layout) instead of the 2|E|-row undirected
+    // edge stream. Same bytes, ~deg× fewer rows: the old shape
+    // re-shuffled 2.39 M edge rows into every round's join (measured
+    // sf0.1 stage trace: three 2.39 M-row Exchanges + a 2.39 M-row SMJ
+    // sort per round); this shape joins two |V|-row frames (20 k here)
+    // and the explode feeds the (b, lbl) partial aggregate INSIDE the
+    // same stage — no edge-sized exchange anywhere after the one-time
+    // adjacency build. Caveat, stated honestly: a hub node's adjacency
+    // row is degree-sized (no orientation bound here, unlike
+    // q157/q168's out-adjacency) — at 100 TB a boilerplate-grade hub
+    // makes one wide row, the same container-side trade q116 documents;
+    // the alternative edge-stream form moves the same cells as rows
+    // through every round instead of once into the build.
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
-    val nodes = Materialize.cut(und.select(col("b").as("node")).distinct())
-    var labels = nodes.withColumn("lbl", col("node"))
+    val adj = Materialize.cut(
+      und.groupBy(col("a")).agg(collect_list(col("b")).as("nbrs")))
+    val nodes = adj.select(col("a").as("node"))
+    // |V| is a driver scalar anyway (the adjacency is materialized);
+    // under the [[VertexBroadcastMaxRows]] gate the per-round label
+    // frame broadcasts and the round join is map-only over the
+    // adjacency checkpoint — no exchange of graph-sized data per round
+    val nNodes = adj.count()
+    def side(df: DataFrame) =
+      if (nNodes <= VertexBroadcastMaxRows) broadcast(df) else df
+    var labels = Materialize.cut(nodes.withColumn("lbl", col("node")))
     for (_ <- 1 to rounds) {
-      val nb = und.join(labels, col("a") === col("node"))
+      val nb = adj.join(side(labels), col("a") === col("node"))
+        .select(explode(col("nbrs")).as("b"), col("lbl"))
         .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
       labels = Materialize.cut(
         nb.groupBy(col("b"))

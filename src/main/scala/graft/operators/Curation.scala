@@ -47,7 +47,7 @@ object Curation extends QueryPack {
     "q66_decontamination",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
-      val hsh = Dedup.hashedShingleArray(Tables(spark, dir).documents)
+      val hsh = Dedup.docShingleArrays(spark, dir)
       val evalSh = hsh.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("eval_id"), size(col("shs")).as("esz"),
           explode(col("shs")).as("s"))
@@ -620,7 +620,7 @@ object Curation extends QueryPack {
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
       val d = Tables(spark, dir).documents
-      val ssh = Materialize.cut(Dedup.hashedShingleArray(d)
+      val ssh = Materialize.cut(Dedup.docShingleArrays(spark, dir)
         .join(d.select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), explode(col("shs")).as("s"))
         .distinct())

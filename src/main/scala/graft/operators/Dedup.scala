@@ -258,18 +258,22 @@ object Dedup extends QueryPack {
     * and would make plan-shape assertions vacuous). */
   private[graft] def q32Pipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    minhashPairs(Tables(spark, dir).documents)
+    minhashPairsOnArrays(docShingleArrays(spark, dir))
 
   /** The q32 pipeline over an arbitrary `(doc_id, text)` frame — also
     * driven directly by [[graft.tools.ScaleProbe]] on replicated corpora
     * so scaling measurements exercise the exact production code. */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-      graft.functions.GraftFunctions.register(docs.sparkSession)
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsOnArrays(graft.Materialize.cut(hashedShingleArray(docs)))
+
+  /** [[minhashPairs]] from an already-materialized shingle-array frame
+    * (the registered q32 reads the memoized [[docShingleArrays]]). */
+  private[graft] def minhashPairsOnArrays(hshArr: DataFrame): DataFrame = {
+      graft.functions.GraftFunctions.register(hshArr.sparkSession)
       // The hashed shingle arrays feed BOTH the signature (MinHash64's
       // array<long> path — re-mixing pre-hashed shingles per seed is an
       // equally valid MinHash family) and the verification joins: the
       // whole pipeline is one native pass per doc + long-keyed joins.
-      val hshArr = hashedShingleArray(docs).cut()
       val nHashes = 64
       val bandsN = 16
       val rowsPerBand = nHashes / bandsN
@@ -348,13 +352,37 @@ object Dedup extends QueryPack {
     * never strings. */
   private[graft] def exactPairsPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    exactPairs(Tables(spark, dir).documents)
+    exactPairsOnArrays(docShingleArrays(spark, dir))
+
+  /** The exact near-dup pair set as a MEMOIZED materialized view
+    * (round-17 optimization; the [[labelCache]] convention): FOUR
+    * session consumers run the identical corpus-priced pipeline — q33
+    * (the sorted pair report), q196 (edit-distance verification), q237
+    * (split-leakage audit) and [[clusterLabels]] (the q55/q64/q136/q155
+    * label view) — and previously each recomputed shingling, prefix
+    * filtering and verification from scratch. A production dedup
+    * pipeline materializes its verified pair table once and runs every
+    * downstream decision off it. The bench times the pair build itself
+    * as the `view_exact_pairs` line item (invalidate + recompute), so
+    * the pipeline stays inside the baseline contract; the per-frame
+    * [[exactPairs]] entry stays for spec/ScaleProbe callers. */
+  private[graft] val pairCache = new graft.SessionViewCache
+
+  private[graft] def exactPairsView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    pairCache.getOrCompute(spark, dir)(
+      graft.Materialize.cut(exactPairsPipeline(spark, dir)))
 
   /** The q33 pipeline over an arbitrary `(doc_id, text)` frame — also
     * driven directly by [[graft.tools.ScaleProbe]]. */
-  private[graft] def exactPairs(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val hshArr = hashedShingleArray(docs).cut()
+  private[graft] def exactPairs(docs: DataFrame): DataFrame =
+    exactPairsOnArrays(graft.Materialize.cut(hashedShingleArray(docs)))
+
+  /** [[exactPairs]] from an already-materialized hashed-shingle-array
+    * frame — the registered consumers feed it the memoized
+    * [[docShingleArrays]] view (round 17). */
+  private[graft] def exactPairsOnArrays(hshArr: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(hshArr.sparkSession)
     // dedup/verify order per the broadcast gate (see jaccardForCandidates)
     val bcast = hshArr.count() <= BroadcastShingleMaxDocs
     val cands =
@@ -366,12 +394,32 @@ object Dedup extends QueryPack {
     if (bcast) out.distinct() else out
   }
 
+  /** The per-document hashed 3-gram shingle arrays of the `documents`
+    * table as a MEMOIZED materialized view (round-17 optimization): SIX
+    * registered queries tokenize + hash the identical corpus — q32
+    * (MinHash), the exact-pair view (q33/q196/q237/labels), q116
+    * (containment), q66 (decontamination), q139 (source overlap), q186
+    * (n-gram novelty) — and previously each redid the scan+tokenize+hash
+    * pass. This is precisely the persisted shingle index a production
+    * dedup stack maintains. The bench times the build as the
+    * `view_shingles` line item; per-frame entries ([[exactPairs]],
+    * [[minhashPairs]], [[containmentPairs]]) stay for spec/ScaleProbe
+    * callers. */
+  private[graft] val shingleCache = new graft.SessionViewCache
+
+  private[graft] def docShingleArrays(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    shingleCache.getOrCompute(spark, dir)(
+      graft.Materialize.cut(hashedShingleArray(Tables(spark, dir).documents)))
+  }
+
   val q33 = QueryDef(
     "q33_jaccard_pairs",
     (spark, dir) =>
-      // materialize before the total sort — the sort's range sampling
-      // would otherwise re-execute the verification chain
-      exactPairsPipeline(spark, dir).cut()
+      // reads the memoized pair view (already a materialized cut, so
+      // the total sort's range sampling cannot re-execute the chain)
+      exactPairsView(spark, dir)
         .orderBy(col("d1"), col("d2")),
     Some(exactJaccardSql))
 
@@ -402,6 +450,19 @@ object Dedup extends QueryPack {
   private[graft] def incrementalPairs(corpus: DataFrame, delta: DataFrame,
       tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
     val (cArr, dArr, cands) = incrementalPlan(corpus, delta, tauNum, tauDen)
+    incrementalVerify(cArr, dArr, cands, tauNum, tauDen)
+  }
+
+  /** [[incrementalPairs]] from pre-shingled array slices (see
+    * [[incrementalPlanOnArrays]]). */
+  private[graft] def incrementalPairsOnArrays(cArr: DataFrame, dArr: DataFrame,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val (_, _, cands) = incrementalPlanOnArrays(cArr, dArr, tauNum, tauDen)
+    incrementalVerify(cArr, dArr, cands, tauNum, tauDen)
+  }
+
+  private def incrementalVerify(cArr: DataFrame, dArr: DataFrame,
+      cands: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     // verify each candidate with one array_intersect, delta arrays on
     // d1, corpus arrays on d2 (same shape as jaccardForCandidates)
     cands
@@ -423,8 +484,16 @@ object Dedup extends QueryPack {
       tauNum: Int, tauDen: Int): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // arrays feed prefix ranking AND verification — materialize once
-    val cArr = hashedShingleArray(corpus).cut()
-    val dArr = hashedShingleArray(delta).cut()
+    incrementalPlanOnArrays(hashedShingleArray(corpus).cut(),
+      hashedShingleArray(delta).cut(), tauNum, tauDen)
+  }
+
+  /** [[incrementalPlan]] from pre-shingled array frames: the registered
+    * q93 slices both sides out of the memoized [[docShingleArrays]] view
+    * (shingling is per-row, so shingle(filter(docs)) ≡
+    * filter(shingle(docs)) — round 17), skipping both tokenize passes. */
+  private[graft] def incrementalPlanOnArrays(cArr: DataFrame, dArr: DataFrame,
+      tauNum: Int, tauDen: Int): (DataFrame, DataFrame, DataFrame) = {
     val cSh = cArr.select(col("doc_id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("s"))
     val dSh = dArr.select(col("doc_id"), size(col("shs")).as("sz"),
@@ -467,13 +536,15 @@ object Dedup extends QueryPack {
   val q93 = QueryDef(
     "q93_incremental_dedup",
     (spark, dir) => {
-      val docs = Tables(spark, dir).documents
+      // slice both sides out of the memoized shingle view (shingling is
+      // per-row, so the slices equal shingling the filtered docs)
+      val arr = docShingleArrays(spark, dir)
       val bucket = Det.md5Bucket(col("doc_id"))
-      val corpus = docs.filter(bucket < DeltaBucketThreshold)
-      val delta = docs.filter(bucket >= DeltaBucketThreshold)
+      val cArr = arr.filter(bucket < DeltaBucketThreshold)
+      val dArr = arr.filter(bucket >= DeltaBucketThreshold)
       // materialize the (tiny) result before the total sort — same
       // range-sampling re-execution guard as q32/q33
-      incrementalPairs(corpus, delta).cut()
+      incrementalPairsOnArrays(cArr, dArr).cut()
         .orderBy(col("delta_id"), col("corpus_id"))
     },
     Some("""WITH tok AS (
@@ -602,7 +673,7 @@ object Dedup extends QueryPack {
   private def computeClusterLabels(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
       val docs = Tables(spark, dir).documents
-      val pairs = exactPairsPipeline(spark, dir).select(col("d1"), col("d2"))
+      val pairs = exactPairsView(spark, dir).select(col("d1"), col("d2"))
       propagateMinLabels(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("lbl").as("keeper"))
   }
@@ -980,9 +1051,15 @@ object Dedup extends QueryPack {
     * (Jaccard-rule 9 applies verbatim: containment ratios concentrate
     * on small rationals). */
   private[graft] def containmentPairs(
-      docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val arr = hashedShingleArray(docs).cut()
+      docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame =
+    containmentPairsOnArrays(graft.Materialize.cut(hashedShingleArray(docs)),
+      tauNum, tauDen)
+
+  /** [[containmentPairs]] from an already-materialized shingle-array
+    * frame (the registered q116 reads the memoized [[docShingleArrays]]). */
+  private[graft] def containmentPairsOnArrays(
+      arr: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(arr.sparkSession)
     val cands = containmentCandidates(arr, tauNum, tauDen)
     jaccardForCandidates(cands, arr)
       .filter(col("inter") * tauDen >= col("sz1") * tauNum)
@@ -1020,7 +1097,7 @@ object Dedup extends QueryPack {
   val q116 = QueryDef(
     "q116_containment_dedup",
     (spark, dir) =>
-      containmentPairs(Tables(spark, dir).documents, 3, 4).cut()
+      containmentPairsOnArrays(docShingleArrays(spark, dir), 3, 4).cut()
         .orderBy(col("d_a").asc_nulls_first, col("d_b").asc_nulls_first),
     Some("""WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -1106,7 +1183,7 @@ object Dedup extends QueryPack {
   val q237 = QueryDef(
     "q237_split_leakage",
     (spark, dir) => {
-      val pairs = exactPairsPipeline(spark, dir).cut()
+      val pairs = exactPairsView(spark, dir)
       val bucket = Det.md5Bucket(col("doc_id"))
       val split = when(bucket < 52429, "train")
         .when(bucket < 58982, "val")
@@ -1206,8 +1283,14 @@ object Dedup extends QueryPack {
   /** The q196 stage over an arbitrary `(doc_id, text)` frame — also
     * driven by [[graft.tools.ScaleProbe]]'s `edit` mode (pair growth +
     * DP wall at 1/4/16× corpus). */
-  private[graft] def editVerifyOn(docs: DataFrame): DataFrame = {
-      val pairs = exactPairs(docs).cut()
+  private[graft] def editVerifyOn(docs: DataFrame): DataFrame =
+    editVerifyOnPairs(exactPairs(docs).cut(), docs)
+
+  /** The q196 verification stage over an already-materialized pair
+    * frame — the registered query feeds it the memoized
+    * [[exactPairsView]] (round-17: the pair build ran once per session
+    * here, in q33 and in q237; now it is the shared view). */
+  private[graft] def editVerifyOnPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
       val pfx = docs
         .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
       pairs
@@ -1223,7 +1306,8 @@ object Dedup extends QueryPack {
 
   val q196 = QueryDef(
     "q196_edit_verify",
-    (spark, dir) => editVerifyOn(Tables(spark, dir).documents),
+    (spark, dir) => editVerifyOnPairs(exactPairsView(spark, dir),
+      Tables(spark, dir).documents),
     Some(s"""WITH pairs AS ($exactJaccardSql),
     pfx AS (SELECT doc_id, substr(text, 1, 256) AS p FROM documents),
     j AS (

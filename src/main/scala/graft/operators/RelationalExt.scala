@@ -522,18 +522,14 @@ object RelationalExt extends QueryPack {
     * pass; higher-order itemsets iterate the same bounded join. */
   val q119 = QueryDef(
     "q119_cooccurrence",
-    (spark, dir) => {
-      val items = Tables(spark, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("n_orders"))
+    (spark, dir) =>
+      // reads the memoized support view (round 17): the basket
+      // self-join is the q162/edge-view pipeline, expanded once
+      Analytic.coPurchaseSupport(spark, dir)
+        .select(col("u").as("p1"), col("v").as("p2"), col("n_orders"))
         .orderBy(col("n_orders").desc_nulls_last,
           col("p1").asc_nulls_first, col("p2").asc_nulls_first)
-        .limit(20)
-    },
+        .limit(20),
     Some("""WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
@@ -574,11 +570,10 @@ object RelationalExt extends QueryPack {
         .agg(count(lit(1)).as("n_orders"))
       val margin = items.groupBy(col("l_partkey").as("p"))
         .agg(count(lit(1)).as("c_p"))
-      val pairs = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("support"))
+      // support counts from the memoized view (round 17) — the basket
+      // self-join runs once per session under view_copurchase_support
+      val pairs = Analytic.coPurchaseSupport(spark, dir)
+        .select(col("u"), col("v"), col("n_orders").as("support"))
         .filter(col("support") >= 3)
       val rules = pairs.select(col("u").as("ante"), col("v").as("cons"), col("support"))
         .unionByName(pairs.select(col("v").as("ante"), col("u").as("cons"), col("support")))

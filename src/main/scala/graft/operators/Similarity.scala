@@ -582,6 +582,25 @@ object Similarity extends QueryPack {
     pairsCache.getOrCompute(spark, dir)(
       neardupPairsPipeline(spark, dir).cut())
 
+  /** The embedding CLUSTER LABELS as their own memoized view (round-17
+    * optimization; the [[Dedup.labelCache]] convention): q70 (keeper
+    * table), q187 (SemDeDup prune) and q130 (c-TF-IDF labeling) all run
+    * min-label propagation over the identical memoized pair set — a
+    * convergence LOOP of per-round jobs that was previously re-executed
+    * by each consumer. The bench times the propagation itself as the
+    * `view_embed_labels` line item (invalidate + recompute). Returns
+    * `(id, lbl)`, the raw [[Dedup.propagateMinLabels]] surface —
+    * consumers rename. */
+  private[graft] val embedLabelCache = new graft.SessionViewCache
+
+  private[graft] def embedClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    embedLabelCache.getOrCompute(spark, dir) {
+      val em = graft.Tables(spark, dir).embeddings
+      Dedup.propagateMinLabels(em.select(col("vec_id").as("id")),
+        neardupPairs(spark, dir).select(col("vid1"), col("vid2")))
+    }
+
   val q44 = QueryDef(
     "q44_embedding_neardup",
     (spark, dir) =>
@@ -998,14 +1017,11 @@ object Similarity extends QueryPack {
     * the shipped fixtures — SimilarityQualitySpec). */
   val q70 = QueryDef(
     "q70_embedding_clusters",
-    (spark, dir) => {
-      val em = Tables(spark, dir).embeddings
-      val pairs = neardupPairs(spark, dir).select(col("vid1"), col("vid2"))
-      Dedup.propagateMinLabels(em.select(col("vec_id").as("id")), pairs)
+    (spark, dir) =>
+      embedClusterLabels(spark, dir)
         .select(col("id").as("vec_id"), col("lbl").as("keeper"),
           (col("id") === col("lbl")).as("kept"))
-        .orderBy(col("vec_id"))
-    },
+        .orderBy(col("vec_id")),
     Some(s"""WITH RECURSIVE pairs AS (
       SELECT a.vec_id AS v1, b.vec_id AS v2
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1051,8 +1067,7 @@ object Similarity extends QueryPack {
     "q187_semdedup",
     (spark, dir) => {
       val em = Tables(spark, dir).embeddings
-      val pairs = neardupPairs(spark, dir).select(col("vid1"), col("vid2"))
-      val labels = Dedup.propagateMinLabels(em.select(col("vec_id").as("id")), pairs)
+      val labels = embedClusterLabels(spark, dir)
         .select(col("id").as("vec_id"), col("lbl").as("cluster"))
       val vm = em.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .withColumn("vm", round(col("v").cast(DoubleType) * 1000000).cast(LongType))
@@ -1139,9 +1154,7 @@ object Similarity extends QueryPack {
   val q130 = QueryDef(
     "q130_cluster_ctfidf",
     (spark, dir) => {
-      val em = Tables(spark, dir).embeddings
-      val pairs = neardupPairs(spark, dir).select(col("vid1"), col("vid2"))
-      val labels = Dedup.propagateMinLabels(em.select(col("vec_id").as("id")), pairs)
+      val labels = embedClusterLabels(spark, dir)
         .select(col("id").as("vec_id"), col("lbl").as("keeper"))
       val multi = labels.groupBy(col("keeper")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select(col("keeper"))

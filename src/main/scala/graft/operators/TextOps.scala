@@ -1198,7 +1198,7 @@ object TextOps extends QueryPack {
     "q186_ngram_novelty",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
-      val sh = Dedup.hashedShingleArray(Tables(spark, dir).documents)
+      val sh = Dedup.docShingleArrays(spark, dir)
         .select(col("doc_id"), explode(col("shs")).as("h")).cut()
       val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       sh.join(dfc, Seq("h"))
