@@ -48,6 +48,9 @@ object Bench {
     // WORSE, never quietly drop out of the sum.
     val FailurePenaltySec = 600.0
     def executeOnce(name: String): Double = {
+      // label the jobs (guide §1.5) so a UI/event-log trace of a bench
+      // run attributes stages to their query without plan archaeology
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -81,6 +84,7 @@ object Bench {
     // the min-of-2 measure the pipeline, not the engine's first contact
     // with it
     def viewOnce(name: String, v: BenchViews.ViewDef): Double = {
+      spark.sparkContext.setJobDescription(s"bench:$name")
       v.invalidate()
       val t0 = System.nanoTime()
       try { v.compute(); (System.nanoTime() - t0) / 1e9 }

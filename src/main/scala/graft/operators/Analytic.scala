@@ -4092,16 +4092,25 @@ object Analytic extends QueryPack {
     val nNodes = adj.count()
     def side(df: DataFrame) =
       if (nNodes <= VertexBroadcastMaxRows) broadcast(df) else df
-    var labels = Materialize.cut(nodes.withColumn("lbl", col("node")))
-    for (_ <- 1 to rounds) {
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (r <- 1 to rounds) {
       val nb = adj.join(side(labels), col("a") === col("node"))
         .select(explode(col("nbrs")).as("b"), col("lbl"))
         .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      labels = Materialize.cut(
-        nb.groupBy(col("b"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"), col("lbl")))
-            .as("best"))
-          .select(col("b").as("node"), col("best.lbl").as("lbl")))
+      val next = nb.groupBy(col("b"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"), col("lbl")))
+          .as("best"))
+        .select(col("b").as("node"), col("best.lbl").as("lbl"))
+      // rounds are FIXED (no per-round convergence action), and each
+      // round's labels feed exactly one consumer (the next round) — a
+      // linear chain one job can execute, so only the FINAL label frame
+      // is cut (it feeds the size aggregate AND the output join, and
+      // the cut keeps the total sort's range sampling from re-running
+      // the rounds). Per-round cuts cost an eager job each and bought
+      // nothing at depth 3 (round 17; the q55/q70 loop keeps its
+      // per-round cuts because its convergence CHECK is a per-round
+      // action).
+      labels = if (r == rounds) Materialize.cut(next) else next
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     // no broadcast hint: |sizes| = |distinct labels| is only
