@@ -33,8 +33,8 @@ object ScaleProbe {
     // scaladoc above; 'all' = docs+curation+ann only
     val mode =
       if (args.length > 1 && !args(1).forall(_.isDigit)) args(1) else "all"
-    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "wscrub", "surprisal", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "all")(mode),
-      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|wscrub|surprisal|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|all")
+    require(Set("docs", "curation", "ann", "annwall", "ivf", "sketch", "bucket", "backfill", "hll", "delta", "edelta", "joinview", "scrub", "winnow", "contain", "edit", "wdelta", "wscrub", "surprisal", "analytic", "pagerank", "cdf", "sweep", "setops", "cms", "adc", "ks", "lpa", "all")(mode),
+      s"unknown mode '$mode' — expected docs|curation|ann|annwall|ivf|sketch|bucket|backfill|hll|delta|edelta|joinview|scrub|winnow|contain|edit|wdelta|wscrub|surprisal|analytic|pagerank|cdf|sweep|setops|cms|adc|ks|lpa|all")
     val rest = args.drop(1).filter(_.forall(_.isDigit))
     val factors = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = graft.LocalSession()
@@ -370,6 +370,31 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save())
       println(f"SCALE-PAGERANK f=$f lineitem=$nLi edges=$nEdges " +
         f"t_edges_linear=$tEdges%.2f t_iter_const=$tIter%.2f")
+    }
+
+    // ---- lpa (q216): the round-17 packed-adjacency reshape's scaling
+    // claim — per-round work tracks the EDGE stream linearly (explode of
+    // the adjacency arrays feeding an in-stage partial aggregate), never
+    // f² — probed on f disjoint copies of the co-purchase graph (order
+    // AND part keys shifted per replica, so communities replicate and
+    // |E| grows exactly f×). The adjacency build is the one-time cost;
+    // the three fixed rounds are the per-query cost.
+    if (mode == "lpa") factors.foreach { f =>
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (if (f == 1) li0
+        else li0.withColumn("i", explode(sequence(lit(0), lit(f - 1))))
+          .select((col("l_orderkey") * f + col("i")).as("l_orderkey"),
+            (col("l_partkey") * f + col("i")).as("l_partkey")))
+        .localCheckpoint()
+      val (edges, tEdges) = timed(
+        graft.Materialize.cut(Analytic.buildCoPurchaseEdges(li)))
+      val nEdges = edges.count()
+      val (_, tLpa) = timed(
+        Analytic.labelPropagation(edges, 3)
+          .write.format("noop").mode("overwrite").save())
+      println(f"SCALE-LPA f=$f edges=$nEdges " +
+        f"t_edges=$tEdges%.2f t_lpa_linear=$tLpa%.2f")
     }
 
     // ---- analytic (q108/q115): the sweep-line has two scaling axes —
