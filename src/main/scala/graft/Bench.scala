@@ -49,7 +49,9 @@ object Bench {
     val FailurePenaltySec = 600.0
     def executeOnce(name: String): Double = {
       // label the jobs (guide §1.5) so a UI/event-log trace of a bench
-      // run attributes stages to their query without plan archaeology
+      // run attributes stages to their query without plan archaeology;
+      // cleared afterwards or the last query's label leaks onto every
+      // later job in the session (round-18 ADVICE)
       spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -58,7 +60,7 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
           return -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
     // warmup-only helper: two consecutive executions, unmeasured
@@ -92,7 +94,7 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
           -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     // returns (min, the two measured samples) — samples feed the
     // anti-flap remeasure artifact below
@@ -203,6 +205,15 @@ object Bench {
         System.err.println(s"BENCH WARN: could not write $p: ${t.getMessage}") }
     }
     println(line)
+    // Driver-tail summary (round-17 verdict item 2): the full line above
+    // is ~10 kB at 252 entries and the driver keeps only a ~2000-char
+    // stdout TAIL, so the per-query JSON has arrived truncated mid-line
+    // (PERF per_query empty, parsed: null) since ~round 10. This compact
+    // trailer — deliberately WITHOUT the "metric" key so it can never be
+    // mistaken for the contract line — fits any tail and carries the
+    // totals a round-over-round comparison needs; the full line stays
+    // the contract and also lands in bench_full.json for tooling.
+    println(s"""{"total":${fmt(total)},"n":${results.size},"failed":${failed.size},"over_budget":${overBudget.count(_ == '{')},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

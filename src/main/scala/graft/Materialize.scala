@@ -115,25 +115,35 @@ object Materialize {
     * except the final frame's own — iterative pipelines
     * (label propagation, Lloyd rounds) cut per step, and those interior
     * files are unreachable dead weight once the final checkpoint holds
-    * the result. Scopes don't nest (a view computation is a flat
-    * pipeline); reentrant use would just attribute inner cuts to the
-    * outer scope, which is safe (deletion still happens, still after the
-    * final cut). */
-  private[graft] def scoped(body: => DataFrame): DataFrame = {
+    * the result.
+    *
+    * Scopes are ISOLATED, never nested: the kept final checkpoint is NOT
+    * propagated to an enclosing scope. Memoized views compute lazily
+    * inside other views' computes (exactPairsView inside clusterLabels,
+    * coPurchaseSupport inside coPurchaseEdges, …), and the inner view's
+    * cache entry owns its checkpoint — if the outer scope adopted it as
+    * "interior", the outer view's GC would delete files the inner cache
+    * still hands out, failing every later consumer in reliable mode
+    * (round-18 ADVICE). Cache-owned checkpoints are released only by
+    * [[release]] (invalidate) or the application-end sweep. */
+  private[graft] def scoped(body: => DataFrame): DataFrame =
+    scopedAll(Seq(body)).head
+
+  /** [[scoped]] for computations returning SEVERAL frames that must all
+    * survive (e.g. the degree + adjacency pair of one graph build): the
+    * interior sweep keeps every returned frame's checkpoints. */
+  private[graft] def scopedAll(body: => Seq[DataFrame]): Seq[DataFrame] = {
     val outer = scope.get()
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     scope.set(buf)
     try {
       val out = body
-      // the returned frame may wrap its final cut(s) in projections —
-      // anything its plan still reads is live, everything else interior
-      val keep = checkpointPathsOf(out).toSet
+      // the returned frames may wrap their final cut(s) in projections —
+      // anything their plans still read is live, everything else interior
+      val keep = out.flatMap(checkpointPathsOf).toSet
       buf.filterNot(keep.contains).foreach { path =>
         tracked.values.foreach(m => m.remove(path).foreach(delete(path, _)))
       }
-      // under a (reentrant) outer scope, this scope's kept final cut is
-      // interior to the OUTER computation — let the outer decide its fate
-      Option(outer).foreach(o => keep.foreach(o += _))
       out
     } finally {
       if (outer == null) scope.remove() else scope.set(outer)

@@ -10,17 +10,37 @@ import scala.collection.concurrent.TrieMap
   * data copies. Entries of stopped sessions are evicted at lookup — a
   * cached handle pins its session and checkpoint RDD blocks for the JVM
   * lifetime otherwise, a slow leak in long-lived JVMs (e.g. the test
-  * runner) that create and stop multiple sessions. */
+  * runner) that create and stop multiple sessions.
+  *
+  * An entry may hold SEVERAL frames produced by one build (the
+  * degree + adjacency pair of a graph view) — one compute, one
+  * invalidation unit, no mutable side-channel between two caches
+  * (round-18 ADVICE: the previous two-cache + `var` scheme could cache
+  * one build's adj with another build's deg under concurrent first
+  * calls, and leaked the loser's checkpoints). */
 private[graft] final class SessionViewCache {
-  private val cache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cache = TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
 
-  def getOrCompute(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
+  def getOrCompute(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame =
+    getOrComputeAll(spark, dir)(Seq(compute)).head
+
+  /** Multi-frame entry: `compute` returns every frame of one build; all
+    * of them are cached (and their checkpoints kept) as one unit. */
+  def getOrComputeAll(spark: SparkSession, dir: String)(
+      compute: => Seq[DataFrame]): Seq[DataFrame] = {
     cache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) cache.remove(k)
     }
-    // scoped: interior reliable checkpoints of the view pipeline are
-    // GC'd once the final cut lands (see Materialize's checkpoint-GC doc)
-    cache.getOrElseUpdate((spark, dir), Materialize.scoped(compute))
+    // synchronized: TrieMap.getOrElseUpdate's by-name compute is not
+    // atomic — concurrent first calls would each run the expensive,
+    // checkpoint-registering build and the losers' files would leak.
+    // The compute runs in an ISOLATED Materialize scope (interior
+    // checkpoints GC'd once the final cuts land) that never donates the
+    // kept checkpoints to an enclosing view's scope — the cache owns
+    // them until invalidate()/app end (see Materialize.scoped).
+    cache.synchronized {
+      cache.getOrElseUpdate((spark, dir), Materialize.scopedAll(compute))
+    }
   }
 
   /** Drops the entry so the next lookup recomputes — used by the bench
@@ -28,5 +48,5 @@ private[graft] final class SessionViewCache {
     * dropped view's reliable checkpoint files (repeated
     * invalidate+recompute cycles must not accumulate DFS space). */
   def invalidate(spark: SparkSession, dir: String): Unit =
-    cache.remove((spark, dir)).foreach(Materialize.release)
+    cache.remove((spark, dir)).foreach(_.foreach(Materialize.release))
 }

@@ -2355,36 +2355,24 @@ object Analytic extends QueryPack {
     (deg, adj)
   }
 
-  /** The oriented adjacency as a MEMOIZED pair of views (round-17
+  /** The oriented adjacency as ONE memoized two-frame view (round-17
     * optimization; the [[edgeCache]] convention): q157 and q168 analyze
     * the SAME oriented graph and previously each re-built degrees,
     * orientation joins and the sorted-array aggregate from the edge
     * view. The bench times the build as the `view_copurchase_adj` line
-    * item. Cached value is a single frame carrying both surfaces zipped
-    * is not possible per [[SessionViewCache]]'s DataFrame contract, so
-    * two caches share one builder: [[copurchaseAdj]] populates both. */
+    * item. One build produces BOTH frames (deg, adj), cached and
+    * invalidated as a unit via [[SessionViewCache.getOrComputeAll]] —
+    * both final checkpoints are kept by the build's scope, so neither
+    * can be GC'd as "interior" of the other in reliable mode
+    * (round-18 ADVICE fix; also removes the old two-cache `var`
+    * side-channel and its concurrent-first-call leak). */
   private[graft] val adjCache = new graft.SessionViewCache
-  private[graft] val degCache = new graft.SessionViewCache
 
   private[graft] def copurchaseAdj(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    // deg is an interior output of the adj build: populate the deg cache
-    // from the same computation, keyed alongside (invalidated together —
-    // BenchViews drops both so the measured recompute is the full build)
-    var builtDeg: DataFrame = null
-    val adj = adjCache.getOrCompute(spark, dir) {
+    val Seq(deg, adj) = adjCache.getOrComputeAll(spark, dir) {
       val (d, a) = orientedAdjacency(coPurchaseEdges(spark, dir))
-      builtDeg = d
-      a
-    }
-    val deg = degCache.getOrCompute(spark, dir) {
-      if (builtDeg != null) builtDeg
-      // adj was cached but deg was invalidated independently (not a
-      // path the bench takes; defensive): rebuild degrees directly
-      else Materialize.cut(
-        coPurchaseEdges(spark, dir).select(col("u").as("node"))
-          .unionByName(coPurchaseEdges(spark, dir).select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("d")))
+      Seq(d, a)
     }
     (deg, adj)
   }
@@ -3512,19 +3500,34 @@ object Analytic extends QueryPack {
     // is a cheap driver scalar — reuse it as the
     // [[VertexBroadcastMaxRows]] broadcast gate (round 17): under the
     // gate the hop join streams the edge checkpoint map-only instead of
-    // re-shuffling 2|E| rows every round
+    // re-shuffling 2|E| rows every round. The reached-set count is the
+    // same scalars summed (1 source + every frontier), gating the
+    // per-round seen-filter broadcast (round 18): under it the anti
+    // join is map-side over the candidate stream, and running it
+    // BEFORE the distinct means the round's one exchange moves only
+    // the unseen survivors — the round-17 shape distinct'ed the FULL
+    // Σ deg(frontier) candidate stream (measured sf0.1: 731 k rows in
+    // hop 3) and then shuffled candidates × reached for the anti.
     var frontierCnt = 1L
+    var reachedCnt = 1L
     var reached = frontier
     for (h <- 1 to maxHops) {
       val fSide = if (frontierCnt <= VertexBroadcastMaxRows)
         broadcast(frontier) else frontier
+      val seen = reached.select(col("node"))
+      val sSide = if (reachedCnt <= VertexBroadcastMaxRows)
+        broadcast(seen) else seen
       frontier = Materialize.cut(
         fSide.join(und, col("node") === col("a"))
-          .select(col("b").as("node")).distinct()
-          .join(reached, Seq("node"), "left_anti")
+          .select(col("b").as("node"))
+          .join(sSide, Seq("node"), "left_anti")
+          .distinct()
           .withColumn("hops", lit(h)))
       reached = reached.unionByName(frontier)
-      if (h < maxHops) frontierCnt = frontier.count()
+      if (h < maxHops) {
+        frontierCnt = frontier.count()
+        reachedCnt += frontierCnt
+      }
     }
     reached.orderBy(col("hops").asc_nulls_first, col("node").asc_nulls_first)
   }
@@ -4064,54 +4067,99 @@ object Analytic extends QueryPack {
     * don't stack. Reads the memoized co-purchase edge view. */
   private[graft] val LpaRounds = 3
 
-  private[graft] def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    // Round-17 reshape: the per-round message join runs over the PACKED
-    // ADJACENCY (one row per node, neighbors as an array — the standard
-    // Pregel/CSR vertex-cut layout) instead of the 2|E|-row undirected
-    // edge stream. Same bytes, ~deg× fewer rows: the old shape
-    // re-shuffled 2.39 M edge rows into every round's join (measured
-    // sf0.1 stage trace: three 2.39 M-row Exchanges + a 2.39 M-row SMJ
-    // sort per round); this shape joins two |V|-row frames (20 k here)
-    // and the explode feeds the (b, lbl) partial aggregate INSIDE the
-    // same stage — no edge-sized exchange anywhere after the one-time
-    // adjacency build. Caveat, stated honestly: a hub node's adjacency
-    // row is degree-sized (no orientation bound here, unlike
-    // q157/q168's out-adjacency) — at 100 TB a boilerplate-grade hub
-    // makes one wide row, the same container-side trade q116 documents;
-    // the alternative edge-stream form moves the same cells as rows
-    // through every round instead of once into the build.
-    val und = edges.select(col("u").as("a"), col("v").as("b"))
-      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
-    val adj = Materialize.cut(
-      und.groupBy(col("a")).agg(collect_list(col("b")).as("nbrs")))
-    val nodes = adj.select(col("a").as("node"))
-    // |V| is a driver scalar anyway (the adjacency is materialized);
-    // under the [[VertexBroadcastMaxRows]] gate the per-round label
-    // frame broadcasts and the round join is map-only over the
-    // adjacency checkpoint — no exchange of graph-sized data per round
-    val nNodes = adj.count()
+  /** Neighbor cap per packed-adjacency ROW: [[lpaAdjacency]] salts a
+    * node's neighbor list into ceil(deg/cap) chunks of at most this many
+    * entries, so no adjacency row is ever degree-sized — a
+    * boilerplate-grade hub at 100 TB packs into bounded rows instead of
+    * one unbounded `collect_list` cell (round-17 verdict item 4). 4096
+    * longs ≈ 32 KiB per row. */
+  private[graft] val LpaAdjChunkNbrs = 4096
+
+  /** Degree-capped packed adjacency of the undirected graph, keyed by
+    * the message-RECEIVING node: rows `(b, nbrs)` where the union of
+    * `nbrs` over b's ≤ ceil(deg/chunkNbrs) chunk rows is exactly N(b).
+    * Chunking is the deterministic row_number salt (exact ≤ chunkNbrs
+    * bound, spec-asserted); the per-round (b, lbl) count aggregate is
+    * chunk-associative, so rounds are semantically unchanged.
+    *
+    * Receiver keying is the round-18 combiner fix: the round pipeline
+    * explodes (b, a) BEFORE the label join, so the partial (b, lbl)
+    * count aggregate sees each b's whole message stream inside the
+    * partition(s) holding its adjacency rows — the exchange then moves
+    * ~distinct (b, lbl) rows, not the 2|E| message stream (measured
+    * sf0.1 round trace before: 2.31–2.39 M rows/round written with the
+    * sender-keyed layout — scattered receivers defeated the combiner). */
+  private[graft] def lpaAdjacency(edges: DataFrame, chunkNbrs: Int): DataFrame = {
+    val und = edges.select(col("u").as("b"), col("v").as("a"))
+      .unionByName(edges.select(col("v").as("b"), col("u").as("a")))
+    val rn = row_number().over(
+      Window.partitionBy(col("b")).orderBy(col("a").asc))
+    und.withColumn("rn", rn)
+      .groupBy(col("b"), expr(s"(rn - 1) div $chunkNbrs").as("chunk"))
+      .agg(collect_list(col("a")).as("nbrs"))
+      .select(col("b"), col("nbrs"))
+  }
+
+  private[graft] def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    labelPropagation(edges, rounds, LpaAdjChunkNbrs)
+
+  private[graft] def labelPropagation(edges: DataFrame, rounds: Int,
+      chunkNbrs: Int): DataFrame = {
+    // Round-17 reshape, re-keyed in round 18: the per-round message join
+    // runs over the degree-capped packed adjacency ([[lpaAdjacency]] —
+    // receiver-keyed, ≤ chunkNbrs neighbors per row) instead of the
+    // 2|E|-row undirected edge stream the pre-17 shape re-shuffled into
+    // every round. Round r: explode the adjacency to (b, a), broadcast-
+    // join the (≤|V|-row, gate below) label frame on a — map-only over
+    // the adjacency checkpoint — and count (b, lbl) with the partial
+    // aggregate in the SAME stage. Receiver keying means the partial
+    // aggregate compresses to ~distinct (b, lbl) before the exchange
+    // (label convergence shrinks it round over round); the sender-keyed
+    // round-17 layout scattered each receiver across partitions and
+    // measured 2.31–2.39 M exchanged rows per round at sf0.1 — the
+    // combiner could not compress at all.
+    val adj = Materialize.cut(lpaAdjacency(edges, chunkNbrs))
+    // adjacency row count (≥ |V|, = |V| + Σ extra hub chunks) is a
+    // driver scalar anyway (the cut is eager); it conservatively gates
+    // the per-round label broadcast ([[VertexBroadcastMaxRows]])
+    val nAdjRows = adj.count()
     def side(df: DataFrame) =
-      if (nNodes <= VertexBroadcastMaxRows) broadcast(df) else df
-    var labels = nodes.withColumn("lbl", col("node"))
-    for (r <- 1 to rounds) {
-      val nb = adj.join(side(labels), col("a") === col("node"))
-        .select(explode(col("nbrs")).as("b"), col("lbl"))
+      if (nAdjRows <= VertexBroadcastMaxRows) broadcast(df) else df
+    // Round 1 degenerates to "adopt the minimum neighbor id": initial
+    // labels are the node ids themselves, so every message carries a
+    // distinct label (cnt = 1 for all) and the (cnt desc, lbl asc)
+    // argmax reduces to min(N(b)) — computed straight off the adjacency
+    // with a |V|-row partial-agg exchange, no join, no (b, lbl) pair
+    // stream. This removes the one round whose pair stream the
+    // convergence-driven combiner can NEVER compress (every pair is
+    // unique in round 1); equality with the general round is covered by
+    // the q216 in-memory-replay spec and the DuckDB oracle.
+    var labels: DataFrame =
+      if (rounds >= 1)
+        adj.groupBy(col("b").as("node"))
+          .agg(min(array_min(col("nbrs"))).as("lbl"))
+      else
+        adj.select(col("b").as("node")).distinct()
+          .withColumn("lbl", col("node"))
+    for (r <- 2 to rounds) {
+      val nb = adj.select(col("b"), explode(col("nbrs")).as("a"))
+        .join(side(labels), col("a") === col("node"))
         .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val next = nb.groupBy(col("b"))
+      labels = nb.groupBy(col("b"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"), col("lbl")))
           .as("best"))
         .select(col("b").as("node"), col("best.lbl").as("lbl"))
-      // rounds are FIXED (no per-round convergence action), and each
-      // round's labels feed exactly one consumer (the next round) — a
-      // linear chain one job can execute, so only the FINAL label frame
-      // is cut (it feeds the size aggregate AND the output join, and
-      // the cut keeps the total sort's range sampling from re-running
-      // the rounds). Per-round cuts cost an eager job each and bought
-      // nothing at depth 3 (round 17; the q55/q70 loop keeps its
-      // per-round cuts because its convergence CHECK is a per-round
-      // action).
-      labels = if (r == rounds) Materialize.cut(next) else next
     }
+    // rounds are FIXED (no per-round convergence action), and each
+    // round's labels feed exactly one consumer (the next round) — a
+    // linear chain one job can execute, so only the FINAL label frame
+    // is cut (it feeds the size aggregate AND the output join, and
+    // the cut keeps the total sort's range sampling from re-running
+    // the rounds). Per-round cuts cost an eager job each and bought
+    // nothing at depth 3 (round 17; the q55/q70 loop keeps its
+    // per-round cuts because its convergence CHECK is a per-round
+    // action).
+    if (rounds >= 1) labels = Materialize.cut(labels)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     // no broadcast hint: |sizes| = |distinct labels| is only
     // clustering-bounded — in the LPA worst case (no convergence) it

@@ -122,6 +122,81 @@ class MaterializeSpec extends SparkTestBase {
     } finally s2.conf.set(Materialize.ModeKey, "local")
   }
 
+  test("reliable mode: a view computed INSIDE another view's compute keeps its own checkpoint") {
+    // Round-18 ADVICE regression: view scopes used to donate their kept
+    // final checkpoint to an ENCLOSING scope, so a view computed lazily
+    // inside another view's compute (nested getOrCompute — the
+    // exactPairsView-inside-clusterLabels shape) had its files deleted
+    // as the outer view's "interior" the moment the outer cut landed;
+    // every later consumer of the inner view then read deleted files.
+    // Local mode never registers paths, so only this reliable-mode test
+    // can catch it.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-nest")
+    s2.sparkContext.setCheckpointDir(ckptRoot.toString)
+    s2.conf.set(Materialize.ModeKey, "reliable")
+    try {
+      val inner = new SessionViewCache
+      val outer = new SessionViewCache
+      def innerView = inner.getOrCompute(s2, "nest") {
+        Materialize.cut(Seq(1L, 2L, 3L).toDF("x"))
+      }
+      val outerView = outer.getOrCompute(s2, "nest") {
+        // cold-cache inner compute triggered inside the outer's scope
+        Materialize.cut(innerView.withColumn("y", col("x") * 2))
+      }
+      assert(outerView.count() == 3)
+      // the inner view's cached handle must still read ITS OWN files
+      assert(innerView.count() == 3)
+      inner.invalidate(s2, "nest")
+      outer.invalidate(s2, "nest")
+    } finally s2.conf.set(Materialize.ModeKey, "local")
+  }
+
+  test("reliable mode: a two-frame view build keeps BOTH checkpoints (deg+adj shape)") {
+    // Round-18 ADVICE regression: copurchaseAdj builds deg as an
+    // interior cut of the adj compute but both frames are consumed —
+    // the single-frame scope deleted deg's files at scope close, so
+    // q157/q168 failed on their FIRST reliable-mode run. The build now
+    // returns both frames through getOrComputeAll, whose scope keeps
+    // every returned frame's checkpoint.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-pair")
+    s2.sparkContext.setCheckpointDir(ckptRoot.toString)
+    def rddDirs: Seq[java.io.File] =
+      Option(ckptRoot.toFile.listFiles).getOrElse(Array.empty).toSeq
+        .flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+    s2.conf.set(Materialize.ModeKey, "reliable")
+    try {
+      val cache = new SessionViewCache
+      val Seq(deg, adj) = cache.getOrComputeAll(s2, "pair") {
+        val d = Materialize.cut(Seq((1L, 2L), (2L, 1L)).toDF("node", "d"))
+        val interior = Materialize.cut(d.select(col("node"), (col("d") * 2).as("dd")))
+        val a = Materialize.cut(interior.select(col("node").as("src"), col("dd")))
+        Seq(d, a)
+      }
+      assert(deg.count() == 2 && adj.count() == 2)
+      assert(rddDirs.size == 2,
+        s"both returned frames' checkpoints must survive (interior GC'd), saw $rddDirs")
+      cache.invalidate(s2, "pair")
+      assert(rddDirs.isEmpty,
+        s"invalidate must free every frame of the entry, saw $rddDirs")
+      // the REAL surface end to end: first reliable-mode run of the
+      // memoized graph views (support → edges → deg+adj, nested computes)
+      val (rdeg, radj) = operators.Analytic.copurchaseAdj(s2, sf0001)
+      assert(rdeg.count() > 0 && radj.count() > 0)
+      // second read through the caches re-reads the same checkpoints
+      val (rdeg2, radj2) = operators.Analytic.copurchaseAdj(s2, sf0001)
+      assert(rdeg2.count() == rdeg.count() && radj2.count() == radj.count())
+      operators.Analytic.adjCache.invalidate(s2, sf0001)
+      operators.Analytic.edgeCache.invalidate(s2, sf0001)
+      operators.Analytic.supportCache.invalidate(s2, sf0001)
+    } finally s2.conf.set(Materialize.ModeKey, "local")
+  }
+
   test("unknown mode fails loudly") {
     val s2 = spark.newSession()
     import s2.implicits._
